@@ -1,0 +1,87 @@
+package graft.core.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType, StructType}
+
+/** Table utility surface — parity with labelspark/connector.py plus the
+  * null/JSON normalization helpers from labelspark/client.py:64-69 and
+  * labelspark/is_json.py, all as lazy column expressions (no driver
+  * collection unless the caller explicitly asks for it).
+  */
+object TableOps {
+
+  /** connector.py:20-28 `get_col_names` — schema-only, zero jobs. */
+  def colNames(df: DataFrame): Seq[String] = df.columns.toSeq
+
+  /** connector.py:30-39 `get_unique_values` — returned as a DataFrame; the
+    * reference collects to a stringified list, which only the caller should
+    * decide to do (and bound).
+    */
+  def uniqueValues(df: DataFrame, c: String): DataFrame = df.select(c).distinct()
+
+  /** Bounded driver-side materialization of [[uniqueValues]] for the
+    * low-cardinality contract call sites (enum options, project ids).
+    */
+  def uniqueValueStrings(df: DataFrame, c: String, max: Int = 10000): Seq[String] =
+    uniqueValues(df, c).limit(max).collect().map(r => Option(r.get(0)).map(_.toString).orNull).toSeq
+
+  /** connector.py:41-52 `add_col`. */
+  def addColumn(df: DataFrame, c: String, default: Any): DataFrame =
+    df.withColumn(c, lit(default))
+
+  /** connector.py:54-62 `get_table_length`. */
+  def tableLength(df: DataFrame): Long = df.count()
+
+  /** connector.py:64-74 `rename_col`. */
+  def renameCol(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** client.py:68-69 / 137-138: None → "" on string columns. */
+  def normalizeNulls(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == StringType) coalesce(col(s"`${f.name}`"), lit("")).alias(f.name)
+      else col(s"`${f.name}`")
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** client.py:64-67 / 133-136: nested (composite-typed) cells are serialized
+    * to JSON strings for the all-string presentation table.
+    */
+  def jsonifyNested(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          to_json(col(s"`${f.name}`")).alias(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** labelspark/is_json.py:2-7 as an expression: a cell is JSON iff the
+    * whole-document path extracts.
+    */
+  def isJson(c: Column): Column = get_json_object(c, "$").isNotNull
+
+  /** uploader.py:76-81 uniqueness check, single pass: rows, distinct keys,
+    * duplicates — one aggregation instead of the reference's two jobs.
+    */
+  def uniquenessReport(df: DataFrame, key: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(key)).as("n_keys"),
+      (count(lit(1)) - countDistinct(col(key))).as("n_dup"))
+
+  /** uploader.py:99-104 last-write-wins dedupe, made deterministic: keep the
+    * row ranked first by `order` within each `key` group (the reference's
+    * dict-overwrite order is whatever Spark returned; we require an explicit
+    * total order).
+    */
+  def dedupeLastWins(df: DataFrame, key: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
