@@ -47,11 +47,11 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // -------------------------------------------------------------- registry
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> (q01PricingSummary _)
-  )
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q01_pricing_summary" -> (q01PricingSummary _)) ++
+      QRelational.registry
 
-  val oracles: Map[String, String] = Map(
-    "q01_pricing_summary" -> q01Sql
-  )
+  val oracles: Map[String, String] =
+    Map("q01_pricing_summary" -> q01Sql) ++
+      QRelational.sql
 }
