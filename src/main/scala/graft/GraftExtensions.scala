@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.HashExpressions
+
+/** SparkSessionExtensions entry point: registers the graft native functions
+  * (graft_minhash_bands, graft_simhash64). Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    HashExpressions.registrations.foreach(ext.injectFunction)
+}

@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline extension queries (the north-star surface from
+  * BASELINE.json): dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), text
+  * analysis (quality, language ID, fingerprint), similarity search
+  * (brute-force top-k, bucketed k-NN), multimodal binary metadata, and the
+  * batch analog of the streaming window agg. All call into the graft.ext
+  * modules — the queries are the oracle harness, the modules are the API.
+  */
+object QPipelineExt {
+  import Tables._
+
+  /** Exact dedup via hash-groupBy — shuffles 16-byte md5 keys, never text. */
+  def q20DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(documents(s, d), "text", "doc_id")
+      .orderBy(col("content_hash"))
+
+  private val q20Sql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  /** Text-quality metrics — one codegen'd pass, no shuffle. */
+  def q21TextQuality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    documents(s, d).select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars_m"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.subwordCount(t).as("n_subwords"),
+      TextAnalysis.stopwordCount(t).as("n_stop"),
+      TextAnalysis.avgTokenLen(t).as("avg_tok_len"),
+      TextAnalysis.qualityScore(t).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q21Sql = {
+    val stop = TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_m,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subwords,
+       |  len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS n_stop,
+       |  round(length(regexp_replace(text, ' ', '', 'g'))::DOUBLE
+       |        / len(string_split(text, ' ')), 4) AS avg_tok_len,
+       |  floor((0.5 * least(length(text) / 500.0, 1.0)
+       |      + 0.3 * least((len(list_filter(string_split(text, ' '), t -> t IN ($stop)))::DOUBLE
+       |                     / len(string_split(text, ' '))) * 5.0, 1.0)
+       |      + 0.2 * (1.0 - least(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |                           * 10.0 / length(text), 1.0))) * 10000.0) / 10000.0 AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-based language ID (priority-ordered argmax, deterministic). */
+  def q22LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val q22Sql = {
+    def cnt(words: Seq[String]) = {
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
+    }
+    val m = TextAnalysis.DefaultLangMarkers.toMap
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN ${cnt(m("en"))} + ${cnt(m("de"))} + ${cnt(m("es"))}
+       |          + ${cnt(m("fr"))} + ${cnt(m("zh"))} = 0 THEN 'und'
+       |    WHEN ${cnt(m("en"))} >= ${cnt(m("de"))} AND ${cnt(m("en"))} >= ${cnt(m("es"))}
+       |     AND ${cnt(m("en"))} >= ${cnt(m("fr"))} AND ${cnt(m("en"))} >= ${cnt(m("zh"))} THEN 'en'
+       |    WHEN ${cnt(m("de"))} >= ${cnt(m("es"))} AND ${cnt(m("de"))} >= ${cnt(m("fr"))}
+       |     AND ${cnt(m("de"))} >= ${cnt(m("zh"))} THEN 'de'
+       |    WHEN ${cnt(m("es"))} >= ${cnt(m("fr"))} AND ${cnt(m("es"))} >= ${cnt(m("zh"))} THEN 'es'
+       |    WHEN ${cnt(m("fr"))} >= ${cnt(m("zh"))} THEN 'fr'
+       |    ELSE 'zh' END AS lang_pred
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Canonical-form fingerprint (case/punct/spacing-insensitive dedup key). */
+  def q23Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q23Sql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                          ' +', ' ', 'g'))) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Blocked pairwise bigram-Jaccard near-dup detection: quadratic only
+    * within each `source` block.
+    */
+  def q24NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", "source", 2, 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q24Sql =
+    """WITH sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> list_aggregate(string_split(text, ' ')[i:i+1], 'string_agg', ' '))) AS s
+      |  FROM documents)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  round(len(list_intersect(a.s, b.s))::DOUBLE
+      |        / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+      |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |WHERE jac >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH near-dup pipeline: trigram shingles, 16 minhashes, 4 bands
+    * of 4, Jaccard-verified at 0.5. The md5 hash family is engine-portable,
+    * so the DuckDB oracle runs the identical algorithm.
+    */
+  def q25MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q25Sql =
+    """WITH sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> list_aggregate(string_split(text, ' ')[i:i+2], 'string_agg', ' '))) AS s
+      |  FROM documents),
+      |sig AS (
+      |  SELECT id, s,
+      |    list_transform(range(0, 16),
+      |      j -> list_min(list_transform(s,
+      |             x -> md5('mh' || lpad(j::VARCHAR, 2, '0') || ':' || x)))) AS sg
+      |  FROM sh),
+      |banded AS (
+      |  SELECT id,
+      |    list_transform(range(0, 4),
+      |      b -> md5(list_aggregate(sg[b*4+1 : b*4+4], 'string_agg', '|'))) AS bh
+      |  FROM sig),
+      |expl AS (
+      |  SELECT id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM expl a JOIN expl b ON a.band = b.band AND a.h = b.h AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |        / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
+      |FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+      |WHERE jac >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** 32-bit SimHash fingerprints (md5 family; bit b = sign of the ±1 votes
+    * of hex digit b/4, offset b%4 across token hashes).
+    */
+  def q26Simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val q26Sql =
+    """WITH m AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS md5s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_aggregate(list_transform(range(0, 32), b ->
+      |    CASE WHEN list_sum(list_transform(md5s, h ->
+      |      2 * (((position(substring(h, 1 + b//4, 1) IN '0123456789abcdef') - 1)
+      |            >> (3 - b%4)) & 1) - 1)) > 0
+      |    THEN '1' ELSE '0' END), 'string_agg', '') AS simhash
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-10 against the vec_id=0 embedding — broadcast
+    * query vector, one codegen'd scan, TakeOrdered heap.
+    */
+  def q27CosineTopK(s: SparkSession, d: String): DataFrame =
+    Similarity.topKNeighbors(embeddings(s, d), "vec_id", "embedding", 0L, 10)
+
+  private val q27Sql =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(
+      |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+      |    / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |     * sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))), 6) AS sim
+      |FROM embeddings e, q
+      |WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Bucketed k-NN join (IVF-style): top-3 neighbours within each label
+    * bucket; quadratic cost confined to buckets, one shuffle on the bucket
+    * key.
+    */
+  def q28BucketedKnn(s: SparkSession, d: String): DataFrame =
+    Similarity.bucketedKnn(embeddings(s, d), "vec_id", "embedding", "label", 3)
+      .orderBy(col("a_id"), col("rnk"))
+
+  private val q28Sql =
+    """WITH s AS (SELECT vec_id AS id, embedding AS vec, label FROM embeddings),
+      |p AS (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.vec[i]::DOUBLE * b.vec[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.vec[i]::DOUBLE * a.vec[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> b.vec[i]::DOUBLE * b.vec[i]::DOUBLE)))), 6) AS sim
+      |  FROM s a JOIN s b ON a.label = b.label AND a.id <> b.id)
+      |SELECT a_id, b_id, sim,
+      |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk
+      |FROM p
+      |QUALIFY rnk <= 3
+      |ORDER BY a_id, rnk""".stripMargin
+
+  /** Multimodal binary metadata: opaque bytes + codegen'd size / content
+    * hash / magic-number sniff (the decode stage itself is the stubbed
+    * mapPartitions seam in graft.ext.Multimodal, exercised by ScalaTest).
+    */
+  def q29BinaryMeta(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromText(documents(s, d), "doc_id", "text", "text")
+    media.select(
+      col("media_id"),
+      col("kind"),
+      Multimodal.byteLength(col("content")).as("n_bytes"),
+      Multimodal.contentHash(col("content")).as("sha"),
+      Multimodal.headHex(col("content"), 8).as("head_hex"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q29Sql =
+    """SELECT doc_id AS media_id, 'text' AS kind,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  sha256(text) AS sha,
+      |  lower(hex(substring(text, 1, 8))) AS head_hex
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Tumbling-window event aggregation — the batch analog of the streaming
+    * path (graft.streaming); window() is epoch-aligned so it equals
+    * date_trunc for 1h tumbling.
+    */
+  def q30EventWindowAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val q30Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS wstart,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"      -> (q20DedupExact _),
+    "q21_text_quality"     -> (q21TextQuality _),
+    "q22_lang_id"          -> (q22LangId _),
+    "q23_fingerprint"      -> (q23Fingerprint _),
+    "q24_ngram_jaccard"    -> (q24NgramJaccard _),
+    "q25_minhash_lsh"      -> (q25MinhashLsh _),
+    "q26_simhash"          -> (q26Simhash _),
+    "q27_cosine_topk"      -> (q27CosineTopK _),
+    "q28_bucketed_knn"     -> (q28BucketedKnn _),
+    "q29_binary_meta"      -> (q29BinaryMeta _),
+    "q30_event_window_agg" -> (q30EventWindowAgg _))
+
+  val sql: Map[String, String] = Map(
+    "q20_dedup_exact"      -> q20Sql,
+    "q21_text_quality"     -> q21Sql,
+    "q22_lang_id"          -> q22Sql,
+    "q23_fingerprint"      -> q23Sql,
+    "q24_ngram_jaccard"    -> q24Sql,
+    "q25_minhash_lsh"      -> q25Sql,
+    "q26_simhash"          -> q26Sql,
+    "q27_cosine_topk"      -> q27Sql,
+    "q28_bucketed_knn"     -> q28Sql,
+    "q29_binary_meta"      -> q29Sql,
+    "q30_event_window_agg" -> q30Sql)
+}

@@ -49,9 +49,9 @@ object Queries {
   // -------------------------------------------------------------- registry
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("q01_pricing_summary" -> (q01PricingSummary _)) ++
-      QRelational.registry ++ QFunctions.registry
+      QRelational.registry ++ QFunctions.registry ++ QPipelineExt.registry
 
   val oracles: Map[String, String] =
     Map("q01_pricing_summary" -> q01Sql) ++
-      QRelational.sql ++ QFunctions.sql
+      QRelational.sql ++ QFunctions.sql ++ QPipelineExt.sql
 }

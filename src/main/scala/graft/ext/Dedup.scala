@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication kernels for training-data pipelines: exact (hash-groupBy),
+  * word-shingling, MinHash signatures + LSH banding for near-dup candidate
+  * generation, n-gram Jaccard verification, and SimHash.
+  *
+  * Two hash families:
+  *   - md5-based ("oracle" variants): reproducible in any engine (the DuckDB
+  *     correctness gate runs the identical algorithm in SQL);
+  *   - xxhash64-based ("fast" variants): one codegen'd 64-bit hash per
+  *     shingle, the one to use at 100 TB.
+  *
+  * Scale design: the LSH pipeline is shuffle-minimal — one explode+shuffle on
+  * (band, bandHash) to find candidates, one join back for verification. No
+  * driver materialization; candidate volume is bounded by band width, not by
+  * n², and hot buckets can be salted by widening `bands`.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: content hash → (representative id, copy count).
+    * At scale the groupBy shuffles md5 keys (16 bytes), never the text.
+    */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles of a text column; docs with fewer than n
+    * tokens yield an empty set.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Let-binding for column expressions: evaluates `c` ONCE per row and
+    * feeds the bound value to `f`. Catalyst's CollapseProject inlines
+    * projected expressions into every use site, and higher-order functions
+    * run interpreted (no codegen, no common-subexpression elimination) — so
+    * without binding, a k-wide minhash re-evaluates its shingle-set argument
+    * k times. Expressions have no `let`; a 1-element-array transform is one.
+    */
+  private def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** k-wide MinHash signature (md5 family): element j is the lexicographic
+    * minimum of md5("mh%02d:" + shingle). Engine-portable and deterministic.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    bind(shingleSet) { sh =>
+      array(Seq.tabulate(k) { j =>
+        array_min(transform(sh, s => md5(concat(lit(f"mh$j%02d:"), s))))
+      }: _*)
+    }
+
+  /** Fast-family banded MinHash: the native one-pass Catalyst expression
+    * (graft.functions.HashExpressions.MinHashBands) — the variant for real
+    * scale. Requires the graft.GraftExtensions function registrations.
+    */
+  def minhashBandsFast(shingleSet: Column, k: Int, bands: Int): Column =
+    call_function("graft_minhash_bands", shingleSet, lit(k), lit(bands))
+
+  /** LSH band hashes over a signature: `bands` hashes of `rowsPerBand`
+    * consecutive signature elements each. Two docs sharing any band hash are
+    * candidates. md5-of-joined-strings so the DuckDB oracle can mirror it.
+    */
+  def bandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    bind(signature) { sg =>
+      array(Seq.tabulate(bands) { b =>
+        md5(concat_ws("|", slice(sg, b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)
+    }
+
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Candidate pairs from banded signatures: explode (bandIdx, bandHash),
+    * self-join on both, keep id_a < id_b, distinct. The only shuffle keyed by
+    * band hash — the core LSH trick that avoids the n² pair space.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"), posexplode(col(bandsCol)).as(Seq("band", "h")))
+    exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verification at `threshold`. Returns
+    * (id_a, id_b, jaccard_rounded).
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      fast: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val bh =
+      if (fast) minhashBandsFast(col("sh"), k, bands)
+      else bandHashes(minhashSignature(col("sh"), k), bands, r)
+    // The (id, bandHashes) frame is tiny (id + `bands` hashes per doc).
+    // Repartition is a deliberate barrier: it stops CollapseProject from
+    // inlining the signature computation into the explode/filter/join sides,
+    // and makes both self-join children identical exchanges so the plan
+    // computes the signatures ONCE (ReusedExchange).
+    val banded = sh.select(col("id"), bh.as("bh")).repartition(col("id"))
+    val cands = candidatePairs(banded, "id", "bh")
+    // SHUFFLE_HASH on the shingle sides: the optimizer sizes them by the
+    // small parquet scan underneath and would otherwise BROADCAST them —
+    // collecting every shingle array to the driver (slow here, impossible at
+    // scale). Shuffled on id, the two sides are identical exchanges and the
+    // plan computes the shingles once (ReusedExchange).
+    cands
+      .join(sh.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sa.sh"), col("sb.sh")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Pairwise n-gram Jaccard within a blocking key (e.g. source): the
+    * quadratic check is confined to each block, so cost is Σ blockᵢ², not n².
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"), col(blockCol).as("blk"), shingles(col(textCol), n).as("sh"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** 32-bit SimHash (md5 family) as a '0'/'1' string: per token-hash, each of
+    * the 32 bits votes ±1; the sign of each bit's total is the fingerprint
+    * bit. Bit b lives in hex digit b/4 of the md5, offset b%4 (msb-first) —
+    * the same arithmetic the DuckDB oracle runs.
+    */
+  def simhash32(text: Column): Column = {
+    val md5s = transform(TextAnalysis.tokens(text), t => md5(t))
+    // Bind md5s ONCE per row via a 1-element-array lambda (expressions have
+    // no let; without this each of the 32 bit exprs would re-hash every
+    // token — a 32× blowup).
+    element_at(
+      transform(array(md5s), m => {
+        val bits = Seq.tabulate(32) { b =>
+          val hexPos = b / 4 + 1
+          val off    = b % 4
+          val vote = aggregate(
+            m, lit(0),
+            (acc, h) => {
+              val digit = conv(h.substr(lit(hexPos), lit(1)), 16, 10).cast("int")
+              acc + (shiftright(digit, 3 - off) % 2) * 2 - 1
+            })
+          when(vote > 0, "1").otherwise("0")
+        }
+        concat(bits: _*)
+      }),
+      1)
+  }
+
+  /** 64-bit SimHash (fast family) as a LongType fingerprint — the native
+    * one-pass expression (graft.functions.HashExpressions.SimHash64).
+    * Near-dups differ in few bits; pair generation buckets on bit-prefixes.
+    */
+  def simhash64Fast(text: Column): Column =
+    call_function("graft_simhash64", TextAnalysis.tokens(text))
+}

@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the query vector and
+  * one codegen'd pass over the table (zip_with + aggregate; no UDF, no
+  * shuffle, TakeOrdered for the top-k heap). Scale paths: bucketed k-NN join
+  * (quadratic only within buckets) and random-hyperplane LSH whose
+  * hyperplanes are deterministic driver-side literals — at 100 TB the bucket
+  * join shuffles each side once on the bucket key.
+  */
+object Similarity {
+
+  /** Elementwise cast to double — all arithmetic in f64 so results are
+    * engine-portable (f32 accumulation is not).
+    */
+  private def d(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product via zip_with + left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against one stored vector (`queryId`). The
+    * 1-row query side is broadcast; ranking is `round(sim, 6) DESC, id` so
+    * the cut is deterministic across engines.
+    */
+  def topKNeighbors(
+      df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    // Query norm is computed once on the broadcast side, not per row.
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("query_vec"), l2Norm(col(vecCol)).as("qnrm"))
+    df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(
+        col(idCol),
+        round(dot(col(vecCol), col("query_vec")) /
+          (l2Norm(col(vecCol)) * col("qnrm")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Bucketed k-NN join: for every vector, its top-k neighbours *within its
+    * bucket* (IVF-style coarse partition; here any precomputed bucket column
+    * works). Shuffles on the bucket key only; per-bucket cost is bucket².
+    */
+  def bucketedKnn(
+      df: DataFrame, idCol: String, vecCol: String, bucketCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Norms are projected once per row BEFORE the join — per pair only the
+    // dot product remains (cuts the pair-stage flops ~3×).
+    val side = df.select(
+      col(idCol).as("id"), col(vecCol).as("vec"), col(bucketCol).as("bucket"),
+      l2Norm(col(vecCol)).as("nrm"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    side.as("a")
+      .join(side.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for cosine LSH (fixed seed →
+    * identical plan every run). Returned as plain literals so the signature
+    * expression is pure codegen.
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · hᵢ). Vectors with
+    * equal signatures land in the same ANN bucket; probe neighbouring
+    * buckets by flipping bits. Output is a LongType bucket id (nBits ≤ 63).
+    */
+  def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 63, "nBits must fit a signed long")
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(d(vec), typedlit(p), (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: brute-force only within each signature bucket.
+    * Same join/rank shape as [[bucketedKnn]] with the computed signature as
+    * the bucket key.
+    */
+  def annLsh(
+      df: DataFrame, idCol: String, vecCol: String, nBits: Int, k: Int,
+      dim: Int, seed: Long = 42L): DataFrame = {
+    val sig = lshSignature(col(vecCol), hyperplanes(dim, nBits, seed))
+    bucketedKnn(df.withColumn("__bucket", sig), idCol, vecCol, "__bucket", k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for large-scale training-data pipelines: token
+  * counting (whitespace + BPE-ish regex segmentation), quality scoring
+  * (length / punctuation / stopword ratios), marker-based language ID, and
+  * canonical-form document fingerprinting.
+  *
+  * Everything is a pure `Column` expression over built-in functions — no
+  * UDFs — so at 100 TB each metric stays inside WholeStageCodegen, needs no
+  * shuffle, and composes with any downstream filter/agg. (The reference has
+  * no text ops; this is the north-star extension surface from BASELINE.json.)
+  */
+object TextAnalysis {
+
+  /** Small multilingual function-word list for ratio features. */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Marker words per language for the heuristic language ID; checked in
+    * deterministic priority order (ties go to the earlier entry).
+    */
+  val DefaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword segmentation count: alpha runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token (the usual pre-BPE
+    * word-splitting regex).
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Number of tokens that are stopwords. */
+  def stopwordCount(c: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    size(filter(tokens(c), t => t.isInCollection(stopwords))).cast("long")
+
+  /** Characters that are neither lowercase alphanumerics nor spaces. */
+  def nonAlnumCount(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("long")
+
+  /** Mean token length (characters excluding spaces / token count). */
+  def avgTokenLen(c: Column): Column =
+    round(length(regexp_replace(c, " ", "")).cast("double") / tokenCount(c), 4)
+
+  /** Composite quality score in [0,1]: long-enough docs with normal stopword
+    * density and little punctuation noise score high. The weights are fixed
+    * so the score is deterministic and oracle-checkable.
+    */
+  def qualityScore(c: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val lenScore  = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val stopRatio = stopwordCount(c, stopwords).cast("double") / tokenCount(c)
+    val punctPen  = least(nonAlnumCount(c).cast("double") * lit(10.0) / length(c), lit(1.0))
+    val raw = lit(0.5) * lenScore + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - punctPen)
+    // floor-truncate instead of round: round() goes through the shortest
+    // decimal string of the double (half-up), which disagrees across engines
+    // exactly at .xxxx5 boundaries; floor on the binary value never does.
+    floor(raw * lit(10000.0)) / lit(10000.0)
+  }
+
+  /** Heuristic language ID: count marker-word hits per language and take the
+    * best in fixed priority order; no hits at all → "und". One pass over the
+    * token array per language, no shuffle.
+    */
+  def langId(c: Column, markers: Seq[(String, Seq[String])] = DefaultLangMarkers): Column = {
+    val toks = tokens(c)
+    val counts = markers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words))).cast("long")
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    val base: Column = lit("und")
+    // Build the CASE chain back-to-front so earlier languages win ties.
+    counts.reverse.foldLeft(base) { case (elseCol, (lang, cnt)) =>
+      val others = counts.filter(_._1 != lang).map(_._2)
+      val isMax = others.foldLeft(lit(true))((acc, o) => acc && cnt >= o)
+      when(total > 0 && isMax, lang).otherwise(elseCol)
+    }
+  }
+
+  /** Canonical-form fingerprint: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim, md5. Two documents differing only in case /
+    * punctuation / spacing collide — the cheap first-stage dedup key.
+    */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
+}

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the scale-path (xxhash64-family) dedup
+  * kernels.
+  *
+  * Why native expressions and not composed built-ins: a k-wide MinHash
+  * written as k stacked higher-order functions builds an expression tree
+  * that (a) Catalyst re-inlines into every use site (CollapseProject), and
+  * (b) runs interpreted per lambda call (HOFs have no codegen and no
+  * common-subexpression elimination) — measured 10-60× slower than this
+  * single node, with minutes of analyzer time on the duplicated trees. One
+  * expression = one pass over the shingle array in tight JVM code.
+  *
+  * (Preference order per SURVEY §7.3: compose built-ins where semantics
+  * allow — done for the engine-portable md5 family — custom Expression where
+  * they don't scale.)
+  */
+object HashExpressions {
+
+  private def utf8Hash(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** minhash_bands(shingles, k, bands): LSH band hashes of a k-wide xxhash64
+    * MinHash signature, in one pass: for each shingle, k seeded hashes update
+    * k running minima; band b is then one xxhash64 mix over its
+    * `rowsPerBand` minima. Returns array<bigint> of length `bands`.
+    */
+  case class MinHashBands(child: Expression, k: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && bands > 0 && k % bands == 0, s"k=$k must divide into bands=$bands")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_bands"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = utf8Hash(s, j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      val r = k / bands
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = XXH64.hashLong(b, 42L)
+        var j = 0
+        while (j < r) {
+          acc = XXH64.hashLong(mins(b * r + j), acc)
+          j += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash64(tokens): 64-bit SimHash over xxhash64 token hashes — each
+    * token's hash votes ±1 on all 64 bit positions; the sign of each total is
+    * the fingerprint bit.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val votes = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = utf8Hash(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Function registrations for SparkSessionExtensions.injectFunction. */
+  val registrations: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, kE, bE) => MinHashBands(c, litInt(kE, "k"), litInt(bE, "bands"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_bands(shingles, k, bands) takes 3 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => throw new IllegalArgumentException("graft_simhash64(tokens) takes 1 argument")
+      }))
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "s0"),
+    (2L, "completely different words about spark shuffles and partition pruning", "s0"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("shingles: distinct word n-grams, empty below n tokens") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("s"))
+    assert(sh(0).contains("the quick brown") && sh(0).contains("river bank today"))
+    val tiny = Seq((1L, "one two")).toDF("id", "text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).collect().head
+      .getAs[scala.collection.Seq[String]]("s")
+    assert(tiny.isEmpty)
+  }
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exactDupGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(g.length == 3)
+    assert(g.head.getAs[Long]("keep_id") == 0L && g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH (md5 and fast families) find the near-dup pair, skip the distinct doc") {
+    for (fast <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairs(docs.filter(col("doc_id") < 3),
+          "doc_id", "text", shingleN = 2, k = 16, bands = 8, threshold = 0.4, fast = fast)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((0L, 1L)), s"fast=$fast")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"fast=$fast")
+    }
+  }
+
+  test("simhash: identical docs hash equal; near-dups differ in few bits; md5/fast agree on equality") {
+    val out = docs.select(col("doc_id"),
+        Dedup.simhash32(col("text")).as("s32"),
+        Dedup.simhash64Fast(col("text")).as("s64"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == out(3).getString(1))
+    assert(out(0).getLong(2) == out(3).getLong(2))
+    def hamming32(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming32(out(0).getString(1), out(1).getString(1)) <= 6)
+    assert(hamming32(out(0).getString(1), out(2).getString(1)) > 6)
+  }
+
+  test("ngram jaccard pairs respect blocking") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // doc 3 is identical to 0 but blocked into s1
+  }
+
+  test("text analysis: token counts, quality, language id, fingerprint") {
+    val t = lit("the cat and the dog, in a house!")
+    val row = spark.range(1).select(
+      TextAnalysis.tokenCount(t).as("n"),
+      TextAnalysis.subwordCount(t).as("sw"),
+      TextAnalysis.stopwordCount(t).as("stop"),
+      TextAnalysis.nonAlnumCount(t).as("punct"),
+      TextAnalysis.langId(t).as("lang"),
+      TextAnalysis.fingerprint(t).as("fp"),
+      TextAnalysis.fingerprint(lit("The CAT and the dog  in a house")).as("fp2"),
+      TextAnalysis.qualityScore(t).as("q")).collect().head
+    assert(row.getAs[Long]("n") == 8)
+    assert(row.getAs[Long]("sw") == 10)   // 8 words + ',' + '!'
+    assert(row.getAs[Long]("stop") == 5)  // the, and, the, in, a
+    assert(row.getAs[Long]("punct") == 2)
+    assert(row.getAs[String]("lang") == "en")
+    assert(row.getAs[String]("fp") == row.getAs[String]("fp2"))
+    val q = row.getAs[Double]("q")
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("langId falls back to 'und' with no markers and respects priority ties") {
+    val r = spark.range(1).select(
+      TextAnalysis.langId(lit("xyzzy plugh")).as("none"),
+      TextAnalysis.langId(lit("la la")).as("tie")).collect().head
+    assert(r.getString(0) == "und")
+    assert(r.getString(1) == "es") // 'la' is an es and fr marker; es is earlier
+  }
+
+  test("cosine similarity: identity = 1, orthogonal = 0, topK ranks by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val self = vecs.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+    val top = Similarity.topKNeighbors(vecs, "vec_id", "embedding", 0L, 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L, 3L))
+  }
+
+  test("bucketed knn returns k neighbours within bucket only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0), (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bucketedKnn(vecs, "vec_id", "embedding", "label", 1)
+      .orderBy("a_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 1L), (3L, 4L), (4L, 3L)))
+  }
+
+  test("LSH signature is deterministic and buckets identical vectors together") {
+    val planes = Similarity.hyperplanes(dim = 3, nBits = 8)
+    assert(planes == Similarity.hyperplanes(dim = 3, nBits = 8))
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val sigs = vecs.select(Similarity.lshSignature(col("embedding"), planes).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("multimodal: binary plumbing + deterministic decode stub over partitions") {
+    import spark.implicits._
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.decodeStub(media.as[Multimodal.MediaRow])(spark)
+      .orderBy("media_id").collect()
+    assert(feats.length == 4)
+    assert(feats(0).fingerprint == feats(3).fingerprint) // identical bytes
+    assert(feats(0).n_bytes == feats(0).width * 0 + feats(0).n_bytes) // stable fields
+    assert(feats.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+    val again = Multimodal.decodeStub(media.as[Multimodal.MediaRow])(spark)
+      .orderBy("media_id").collect()
+    assert(feats.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
+  }
+}
