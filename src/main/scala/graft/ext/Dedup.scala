@@ -59,11 +59,13 @@ object Dedup {
     }
 
   /** Fast-family banded MinHash: the native one-pass Catalyst expression
-    * (graft.functions.HashExpressions.MinHashBands) — the variant for real
-    * scale. Requires the graft.GraftExtensions function registrations.
+    * (graft.functions.HashExpressions.MinHashBands) straight over the token
+    * array — shingling happens inside the expression, no intermediate
+    * shingle strings. The variant for real scale. Requires the
+    * graft.GraftExtensions function registrations.
     */
-  def minhashBandsFast(shingleSet: Column, k: Int, bands: Int): Column =
-    call_function("graft_minhash_bands", shingleSet, lit(k), lit(bands))
+  def minhashBandsFast(tokens: Column, shingleN: Int, k: Int, bands: Int): Column =
+    call_function("graft_minhash_bands", tokens, lit(shingleN), lit(k), lit(bands))
 
   /** LSH band hashes over a signature: `bands` hashes of `rowsPerBand`
     * consecutive signature elements each. Two docs sharing any band hash are
@@ -106,22 +108,31 @@ object Dedup {
       fast: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val bh =
-      if (fast) minhashBandsFast(col("sh"), k, bands)
-      else bandHashes(minhashSignature(col("sh"), k), bands, r)
+      if (fast)
+        minhashBandsFast(TextAnalysis.tokens(col(textCol)), shingleN, k, bands)
+      else
+        bandHashes(minhashSignature(shingles(col(textCol), shingleN), k), bands, r)
     // The (id, bandHashes) frame is tiny (id + `bands` hashes per doc).
     // Repartition is a deliberate barrier: it stops CollapseProject from
     // inlining the signature computation into the explode/filter/join sides,
     // and makes both self-join children identical exchanges so the plan
     // computes the signatures ONCE (ReusedExchange).
-    val banded = sh.select(col("id"), bh.as("bh")).repartition(col("id"))
+    val banded = df.select(col(idCol).as("id"), bh.as("bh")).repartition(col("id"))
     val cands = candidatePairs(banded, "id", "bh")
+    // Jaccard verification only touches candidate docs: semi-join the corpus
+    // down to candidate ids (broadcast — candidate volume is band-bounded),
+    // THEN compute shingle sets. At scale this is the difference between
+    // shingling the whole corpus twice and shingling a few thousand docs.
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df
+      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     // SHUFFLE_HASH on the shingle sides: the optimizer sizes them by the
     // small parquet scan underneath and would otherwise BROADCAST them —
-    // collecting every shingle array to the driver (slow here, impossible at
-    // scale). Shuffled on id, the two sides are identical exchanges and the
-    // plan computes the shingles once (ReusedExchange).
+    // collecting the shingle arrays to the driver. Shuffled on id, the two
+    // sides are identical exchanges and the plan computes shingles once.
     cands
       .join(sh.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.id"))
       .join(sh.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.id"))

@@ -19,13 +19,14 @@ object Similarity {
     */
   private def d(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product via zip_with + left-to-right fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product: native sequential-f64 expression (graft_dot) — bit-equal
+    * to `aggregate(zip_with(...))` but a tight loop instead of interpreted
+    * higher-order functions (those dominate the k-NN join profile).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))

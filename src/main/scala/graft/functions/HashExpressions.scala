@@ -26,14 +26,18 @@ object HashExpressions {
   private def utf8Hash(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
-  /** minhash_bands(shingles, k, bands): LSH band hashes of a k-wide xxhash64
-    * MinHash signature, in one pass: for each shingle, k seeded hashes update
-    * k running minima; band b is then one xxhash64 mix over its
-    * `rowsPerBand` minima. Returns array<bigint> of length `bands`.
+  /** minhash_bands(tokens, shingleN, k, bands): LSH band hashes of a k-wide
+    * xxhash64 MinHash signature over word-`shingleN`-gram shingles, in one
+    * pass: each shingle's bytes are assembled once into a reused buffer, its
+    * k seeded hashes update k running minima, and band b is one xxhash64 mix
+    * over its `rowsPerBand` minima. Shingle de-duplication is deliberately
+    * skipped — a multiset has the same minima as its set. Returns
+    * array<bigint> of length `bands`.
     */
-  case class MinHashBands(child: Expression, k: Int, bands: Int)
+  case class MinHashBands(child: Expression, shingleN: Int, k: Int, bands: Int)
       extends UnaryExpression with CodegenFallback {
     require(k > 0 && bands > 0 && k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(shingleN > 0, "shingleN must be positive")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_bands"
@@ -42,12 +46,26 @@ object HashExpressions {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val mins = Array.fill(k)(Long.MaxValue)
+      var buf = new Array[Byte](256)
       var i = 0
-      while (i < n) {
-        val s = arr.getUTF8String(i)
+      while (i <= n - shingleN) {
+        // Assemble the shingle "tok_i tok_{i+1} ..." into buf.
+        var len = 0
+        var t = 0
+        while (t < shingleN) {
+          val s = arr.getUTF8String(i + t)
+          val sb = s.numBytes
+          if (len + sb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
+          if (t > 0) { buf(len) = ' '.toByte; len += 1 }
+          s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += sb
+          t += 1
+        }
         var j = 0
         while (j < k) {
-          val h = utf8Hash(s, j)
+          val h = XXH64.hashUnsafeBytes(
+            buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, j)
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -71,6 +89,47 @@ object HashExpressions {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** dot_f64(a, b): sequential left-to-right double-precision dot product
+    * over two numeric arrays — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,x) -> acc+x)` but a
+    * tight loop instead of two interpreted higher-order functions (the HOF
+    * version dominates the k-NN join profile).
+    */
+  case class DotF64(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"graft_dot expects array<float|double>, got $other")
+    }
+    private lazy val leftFloat = isFloat(left)
+    private lazy val rightFloat = isFloat(right)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
   }
 
   /** simhash64(tokens): 64-bit SimHash over xxhash64 token hashes — each
@@ -122,9 +181,16 @@ object HashExpressions {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (args: Seq[Expression]) => args match {
-        case Seq(c, kE, bE) => MinHashBands(c, litInt(kE, "k"), litInt(bE, "bands"))
+        case Seq(c, nE, kE, bE) =>
+          MinHashBands(c, litInt(nE, "shingleN"), litInt(kE, "k"), litInt(bE, "bands"))
         case _ => throw new IllegalArgumentException(
-          "graft_minhash_bands(shingles, k, bands) takes 3 arguments")
+          "graft_minhash_bands(tokens, shingleN, k, bands) takes 4 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotF64].getName, "graft_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotF64(a, b)
+        case _ => throw new IllegalArgumentException("graft_dot(a, b) takes 2 arguments")
       }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),

@@ -27,8 +27,9 @@ object ProfileMinhash {
     val docs = Tables.documents(spark, sfDir)
     val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
     t("shingles")(noop(sh))
-    val banded = sh.select(col("id"), Dedup.minhashBandsFast(col("sh"), 16, 4).as("bh"))
-    t("shingles+bands native")(noop(banded))
+    val banded = docs.select(col("doc_id"),
+      Dedup.minhashBandsFast(graft.ext.TextAnalysis.tokens(col("text")), 3, 16, 4).as("bh"))
+    t("bands native")(noop(banded))
     val fullFast = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5, fast = true)
     t("full fast")(noop(fullFast))
     t("full md5")(noop(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.5)))
