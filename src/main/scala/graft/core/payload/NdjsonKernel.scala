@@ -1,0 +1,209 @@
+package graft.core.payload
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The annotation-ndjson kernel (SURVEY §2.7 U4 / §7.4 hard part 1): parse
+  * the reference's annotation cell syntax into one ndjson-style record per
+  * annotation instance.
+  *
+  * Cell syntax (reconstructed from the fixture CSVs,
+  * /root/reference/datasets/annotations.csv:1 and FIXTURES.md — the actual
+  * builder lives in the un-vendored labelbase package, so only call-site
+  * behavior is normative): a Python-literal nested list
+  * `[[geometry, [nested classification strings]], ...]`, where nested
+  * classifications are "question///answer" chains; radio/checklist/text
+  * cells carry the answer directly.
+  *
+  * Geometry layouts per tool kind:
+  *   bbox     [left, top, width, height]
+  *   polygon  [[x1,y1], [x2,y2], ...]
+  *   point    [x, y]
+  *   line     [[x1,y1], [x2,y2], ...]
+  *   mask     [png_bytes_string, [r, g, b]]
+  *
+  * The kernel is a typed Dataset flatMap (a Generator in Spark terms): the
+  * parse runs distributed on executors, one pass, no driver iteration — the
+  * reference runs it inside chained Python UDFs (uploader.py:186-195).
+  */
+object NdjsonKernel {
+
+  final case class SubClassification(question: String, answer: String)
+
+  /** One ndjson annotation record. `geometry` is a compact JSON string. */
+  final case class AnnotationNdjson(
+      global_key: String,
+      name: String,
+      kind: String,
+      geometry: String,
+      classifications: Seq[SubClassification])
+
+  // ------------------------------------------------------------ parser
+
+  /** Minimal Python-literal parser: lists, ints, floats, single/double
+    * quoted strings. Returns List[Any] | Long | Double | String.
+    */
+  def parsePyLiteral(s: String): Any = {
+    val p = new PyParser(s)
+    val v = p.parseValue()
+    p.skipWs()
+    require(p.eof, s"trailing characters at ${p.pos} in: $s")
+    v
+  }
+
+  private final class PyParser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def skipWs(): Unit = while (!eof && (s(pos) == ' ' || s(pos) == '\t' ||
+      s(pos) == '\n' || s(pos) == ',')) pos += 1
+
+    def parseValue(): Any = {
+      skipWs()
+      require(!eof, s"unexpected end of input in: $s")
+      s(pos) match {
+        case '[' => parseList()
+        case '\'' | '"' => parseString()
+        case _ => parseNumber()
+      }
+    }
+
+    private def parseList(): List[Any] = {
+      pos += 1 // [
+      val buf = scala.collection.mutable.ListBuffer.empty[Any]
+      skipWs()
+      while (!eof && s(pos) != ']') {
+        buf += parseValue()
+        skipWs()
+      }
+      require(!eof, s"unterminated list in: $s")
+      pos += 1 // ]
+      buf.toList
+    }
+
+    private def parseString(): String = {
+      val quote = s(pos)
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && s(pos) != quote) {
+        if (s(pos) == '\\' && pos + 1 < s.length) { sb += s(pos + 1); pos += 2 }
+        else { sb += s(pos); pos += 1 }
+      }
+      require(!eof, s"unterminated string in: $s")
+      pos += 1
+      sb.toString
+    }
+
+    private def parseNumber(): Any = {
+      val start = pos
+      while (!eof && (s(pos).isDigit || "+-.eE".contains(s(pos)))) pos += 1
+      val tok = s.substring(start, pos)
+      require(tok.nonEmpty, s"expected a value at $start in: $s")
+      if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble else tok.toLong
+    }
+  }
+
+  // ------------------------------------------------------ ndjson build
+
+  private def num(v: Any): String = v match {
+    case d: Double if d.isWhole => d.toLong.toString
+    case d: Double => d.toString
+    case l: Long => l.toString
+    case other => other.toString
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  private def pointJson(p: Any): String = p match {
+    case List(x, y) => s"""{"x":${num(x)},"y":${num(y)}}"""
+    case other => throw new IllegalArgumentException(s"expected [x,y], got $other")
+  }
+
+  /** Geometry JSON for one instance of `kind`. */
+  def geometryJson(kind: String, geom: Any): String = (kind, geom) match {
+    case ("bbox", List(l, t, w, h)) =>
+      s"""{"bbox":{"left":${num(l)},"top":${num(t)},"width":${num(w)},"height":${num(h)}}}"""
+    case ("polygon", pts: List[_]) =>
+      s"""{"polygon":[${pts.map(pointJson).mkString(",")}]}"""
+    case ("line", pts: List[_]) =>
+      s"""{"line":[${pts.map(pointJson).mkString(",")}]}"""
+    case ("point", List(x, y)) =>
+      s"""{"point":{"x":${num(x)},"y":${num(y)}}}"""
+    case ("mask", List(png: String, List(r, g, b))) =>
+      s"""{"mask":{"png":${jsonStr(png)},"colorRGB":[${num(r)},${num(g)},${num(b)}]}}"""
+    case other =>
+      throw new IllegalArgumentException(s"unsupported geometry for $other")
+  }
+
+  /** "q///a" (or "branch///subq///suba" chains) → SubClassification. */
+  def parseNested(s: String, divider: String = "///"): SubClassification = {
+    val parts = s.split(java.util.regex.Pattern.quote(divider), -1)
+    require(parts.length >= 2, s"nested classification needs kind${divider}answer: $s")
+    SubClassification(parts.head, parts.tail.mkString(divider))
+  }
+
+  private val GeometryKinds = Set("bbox", "polygon", "point", "line", "mask")
+
+  /** Parse one annotation cell into its ndjson records. */
+  def cellToNdjsons(globalKey: String, kind: String, name: String,
+      cell: String): Seq[AnnotationNdjson] = {
+    if (cell == null || cell.isEmpty) return Seq.empty
+    if (GeometryKinds.contains(kind)) {
+      parsePyLiteral(cell) match {
+        case instances: List[_] => instances.map {
+          case List(geom, nested: List[_]) =>
+            AnnotationNdjson(globalKey, name, kind, geometryJson(kind, geom),
+              nested.map(n => parseNested(n.toString)))
+          case other => throw new IllegalArgumentException(
+            s"expected [geometry, [nested...]], got $other")
+        }
+        case other => throw new IllegalArgumentException(s"expected a list of instances, got $other")
+      }
+    } else kind match {
+      case "radio" =>
+        val parsed = if (cell.startsWith("[")) parsePyLiteral(cell) else cell
+        parsed match {
+          case answers: List[_] => answers.map { a =>
+            val chain = parseNested(a.toString)
+            AnnotationNdjson(globalKey, name, kind,
+              s"""{"radio_answer":{"name":${jsonStr(chain.question)}}}""",
+              if (chain.answer.contains("///")) Seq(parseNested(chain.answer)) else
+                Seq(SubClassification(chain.question, chain.answer)))
+          }
+          case a => Seq(AnnotationNdjson(globalKey, name, kind,
+            s"""{"radio_answer":{"name":${jsonStr(a.toString)}}}""", Seq.empty))
+        }
+      case "checklist" =>
+        val answers = if (cell.startsWith("[")) parsePyLiteral(cell).asInstanceOf[List[_]]
+          else List(cell)
+        Seq(AnnotationNdjson(globalKey, name, kind,
+          s"""{"checklist_answers":[${answers.map(a => s"""{"name":${jsonStr(a.toString)}}""").mkString(",")}]}""",
+          Seq.empty))
+      case "text" =>
+        Seq(AnnotationNdjson(globalKey, name, kind,
+          s"""{"text_answer":{"content":${jsonStr(cell)}}}""", Seq.empty))
+      case other =>
+        throw new IllegalArgumentException(s"unknown annotation kind: $other")
+    }
+  }
+
+  /** Distributed kernel: explode the uploads' annotation cells into ndjson
+    * records. Input needs columns (global_key, tool_type, name, cell) — the
+    * shape UploadBuilder.annotationCells produces.
+    */
+  def explodeAnnotations(df: DataFrame)(implicit spark: SparkSession): Dataset[AnnotationNdjson] = {
+    import spark.implicits._
+    df.select(
+        col("global_key").cast("string"),
+        col("tool_type").cast("string"),
+        col("name").cast("string"),
+        col("cell").cast("string"))
+      .as[(String, String, String, String)]
+      .flatMap { case (gk, kind, name, cell) => cellToNdjsons(gk, kind, name, cell) }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming specs: the file-source events stream through the
+  * watermarked operators, checked against the equivalent batch aggregation.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // FileStreamSource wants a directory; stage the events file into one.
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("windowed agg over the stream matches the batch aggregation") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "click")
+    val streamed = runToCompletion(
+      EventsStream.windowedAgg(stream, "1 hour", "30 minutes"),
+      "stream_windowed", "append")
+
+    val batch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+    // The stream (append mode) emits only watermark-closed windows; every
+    // emitted window must match the batch result exactly.
+    val batchMap = batch.collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val k = r.getAs[java.sql.Timestamp]("wstart")
+      assert(batchMap.contains(k), s"window $k not in batch result")
+      assert(batchMap(k) == ((r.getAs[Long]("n"), r.getAs[Double]("sum_value"))), s"window $k differs")
+    }
+  }
+
+  test("within-watermark dedup drops duplicate event ids") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val doubled = stream.union(stream) // every event twice
+    val deduped = runToCompletion(
+      EventsStream.dedupEvents(doubled), "stream_dedup", "append")
+    val n = graft.Tables.events(spark, sf).count()
+    assert(deduped.count() == n)
+  }
+
+  test("session windows close after the gap and count per user") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("user_id") === 1)
+    val sessions = runToCompletion(
+      EventsStream.sessionAgg(stream, "10 minutes", "30 minutes"),
+      "stream_sessions", "append")
+    val rows = sessions.collect()
+    assert(rows.nonEmpty)
+    // session invariants: end >= start, positive event counts
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("send").before(r.getAs[java.sql.Timestamp]("sstart")))
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+  }
+}
