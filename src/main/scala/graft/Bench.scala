@@ -26,7 +26,10 @@ object Bench {
         shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true)),
     "b32_simhash64_fast" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("simhash"))))
+        .select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("simhash"))),
+    "b33_ann_lsh" -> ((s, dir) =>
+      graft.ext.Similarity.annLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nBits = 12, k = 3, dim = 64)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

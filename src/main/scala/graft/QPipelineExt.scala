@@ -266,7 +266,27 @@ object QPipelineExt {
       |GROUP BY 1, 2
       |ORDER BY wstart, event_type""".stripMargin
 
+  /** Embedding-cosine near-dup pairs, exact full-corpus baseline (the LSH
+    * bucketed variant is the scale path — Similarity.annLsh, bench b33).
+    */
+  def q31EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q31Sql =
+    """WITH p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, sim FROM p
+      |WHERE sim >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
     "q22_lang_id"          -> (q22LangId _),
@@ -280,6 +300,7 @@ object QPipelineExt {
     "q30_event_window_agg" -> (q30EventWindowAgg _))
 
   val sql: Map[String, String] = Map(
+    "q31_embedding_neardup" -> q31Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,
     "q22_lang_id"          -> q22Sql,

@@ -72,6 +72,27 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs: all (id_a < id_b) pairs with cosine ≥
+    * threshold. `bucket` confines the quadratic pair space to a blocking key
+    * (label, LSH signature, …); None is the exact full-corpus baseline.
+    * Norms are projected per row before the join.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucket: Option[String] = None): DataFrame = {
+    val base = df.select(
+      (Seq(col(idCol).as("id"), col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm")) ++
+        bucket.map(b => col(b).as("bucket"))): _*)
+    val cond = bucket match {
+      case Some(_) => col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")
+      case None    => col("a.id") < col("b.id")
+    }
+    base.as("a").join(base.as("b"), cond)
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes for cosine LSH (fixed seed →
     * identical plan every run). Returned as plain literals so the signature
     * expression is pure codegen.

@@ -121,6 +121,27 @@ class ExtSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("ANN via LSH buckets finds the identical-vector neighbour") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f)), (3L, Array(-3.0f, 1.1f, -2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.annLsh(vecs, "vec_id", "embedding", nBits = 6, k = 1, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.get(0L).contains(1L) && out.get(1L).contains(0L))
+  }
+
+  test("embedding near-dup pairs: exact baseline and bucketed agree on in-bucket pairs") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.05f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.05f, 0.99f), 1)).toDF("vec_id", "embedding", "label")
+    val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((0L, 1L), (2L, 3L)))
+    val bucketed = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95, Some("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == exact) // near-dups land in the same label bucket here
+  }
+
   test("multimodal: binary plumbing + deterministic decode stub over partitions") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
