@@ -149,8 +149,12 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     val sh = df.select(
       col(idCol).as("id"), col(blockCol).as("blk"), shingles(col(textCol), n).as("sh"))
-    sh.as("a")
-      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // shuffle on the block key — never broadcast the shingle arrays (the
+    // optimizer under-costs them from the parquet scan size; see
+    // minhashLshPairs for the measured pathology).
+    sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
