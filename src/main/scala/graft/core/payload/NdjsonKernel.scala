@@ -134,8 +134,12 @@ object NdjsonKernel {
       s"""{"line":[${pts.map(pointJson).mkString(",")}]}"""
     case ("point", List(x, y)) =>
       s"""{"point":{"x":${num(x)},"y":${num(y)}}}"""
-    case ("mask", List(png: String, List(r, g, b))) =>
-      s"""{"mask":{"png":${jsonStr(png)},"colorRGB":[${num(r)},${num(g)},${num(b)}]}}"""
+    case ("mask", List(png: String, color)) => color match {
+      case List(r, g, b) =>
+        s"""{"mask":{"png":${jsonStr(png)},"colorRGB":[${num(r)},${num(g)},${num(b)}]}}"""
+      case _ => // fixture encodes "no color" as the string 'null'
+        s"""{"mask":{"png":${jsonStr(png)}}}"""
+    }
     case other =>
       throw new IllegalArgumentException(s"unsupported geometry for $other")
   }
@@ -164,31 +168,43 @@ object NdjsonKernel {
         }
         case other => throw new IllegalArgumentException(s"expected a list of instances, got $other")
       }
-    } else kind match {
-      case "radio" =>
-        val parsed = if (cell.startsWith("[")) parsePyLiteral(cell) else cell
-        parsed match {
-          case answers: List[_] => answers.map { a =>
-            val chain = parseNested(a.toString)
+    } else {
+      // Classification cells arrive as [[answers...], ...] in the fixtures
+      // (one inner list per instance); tolerate a flat list (one instance)
+      // or a bare string.
+      val parsed: Any = if (cell.startsWith("[")) parsePyLiteral(cell) else cell
+      val instances: List[List[String]] = parsed match {
+        case l: List[_] if l.nonEmpty && l.forall(_.isInstanceOf[List[_]]) =>
+          l.map(_.asInstanceOf[List[_]].map(_.toString))
+        case l: List[_] => List(l.map(_.toString))
+        case s => List(List(s.toString))
+      }
+      kind match {
+        case "radio" =>
+          // Each answer string may be a branch chain:
+          // "answer" | "branch///sub_question///sub_answer[///...]".
+          instances.flatMap(_.map { chainStr =>
+            val parts = chainStr.split("///")
+            val nested = parts.drop(1).grouped(2).collect {
+              case Array(q, a) => SubClassification(q, a)
+            }.toSeq
             AnnotationNdjson(globalKey, name, kind,
-              s"""{"radio_answer":{"name":${jsonStr(chain.question)}}}""",
-              if (chain.answer.contains("///")) Seq(parseNested(chain.answer)) else
-                Seq(SubClassification(chain.question, chain.answer)))
+              s"""{"radio_answer":{"name":${jsonStr(parts.head)}}}""", nested)
+          })
+        case "checklist" =>
+          instances.map { answers =>
+            AnnotationNdjson(globalKey, name, kind,
+              s"""{"checklist_answers":[${answers.map(a => s"""{"name":${jsonStr(a)}}""").mkString(",")}]}""",
+              Seq.empty)
           }
-          case a => Seq(AnnotationNdjson(globalKey, name, kind,
-            s"""{"radio_answer":{"name":${jsonStr(a.toString)}}}""", Seq.empty))
-        }
-      case "checklist" =>
-        val answers = if (cell.startsWith("[")) parsePyLiteral(cell).asInstanceOf[List[_]]
-          else List(cell)
-        Seq(AnnotationNdjson(globalKey, name, kind,
-          s"""{"checklist_answers":[${answers.map(a => s"""{"name":${jsonStr(a.toString)}}""").mkString(",")}]}""",
-          Seq.empty))
-      case "text" =>
-        Seq(AnnotationNdjson(globalKey, name, kind,
-          s"""{"text_answer":{"content":${jsonStr(cell)}}}""", Seq.empty))
-      case other =>
-        throw new IllegalArgumentException(s"unknown annotation kind: $other")
+        case "text" =>
+          instances.flatMap(_.map { content =>
+            AnnotationNdjson(globalKey, name, kind,
+              s"""{"text_answer":{"content":${jsonStr(content)}}}""", Seq.empty)
+          })
+        case other =>
+          throw new IllegalArgumentException(s"unknown annotation kind: $other")
+      }
     }
   }
 
