@@ -99,6 +99,94 @@ object Client {
     ImportResult(rc, deduped.select(col("uploads")), ndjson, accepted)
   }
 
+  /** Which upload actions a table implies (client.py:250-257 +
+    * client.py:371-382 determine_actions contract): derived from the
+    * resolved columns and call-level config.
+    */
+  final case class Actions(
+      createDataRows: Boolean,
+      batchToProjects: Boolean,
+      annotate: Boolean,
+      groundTruthToModelRun: Boolean,
+      predictionsToModelRun: Boolean)
+
+  def determineActions(rc: ResolvedColumns, cfg: UploadBuilder.Config,
+      modelRunId: Option[String] = None): Actions = {
+    val hasDataset = rc.datasetId.nonEmpty || cfg.datasetId.nonEmpty
+    val hasProject = rc.projectId.nonEmpty || cfg.projectId.nonEmpty
+    val hasModelRun = rc.modelRunId.nonEmpty || modelRunId.nonEmpty
+    Actions(
+      createDataRows = hasDataset,
+      batchToProjects = hasProject,
+      annotate = hasProject && rc.annotations.nonEmpty,
+      groundTruthToModelRun = hasModelRun && rc.annotations.nonEmpty,
+      predictionsToModelRun = hasModelRun && rc.predictions.nonEmpty)
+  }
+
+  /** Upsert variant (client.py:350-474): adds the model-run branches —
+    * ground-truth annotations and predictions (`prediction///kind///name`
+    * columns, same cell syntax → same ndjson kernel). Returns the base
+    * import result, the prediction ndjson, and the per-project annotation
+    * regroup (A7: client.py:308-325, as a distributed groupBy instead of a
+    * driver dict).
+    */
+  final case class UpsertResult(
+      base: ImportResult,
+      actions: Actions,
+      predictions: Dataset[NdjsonKernel.AnnotationNdjson],
+      annotationsByProject: DataFrame)
+
+  def upsertDataRowsFromTable(
+      df: DataFrame,
+      cfg: UploadBuilder.Config,
+      transport: UploadTransport,
+      modelRunId: Option[String] = None,
+      batchSize: Int = BatchedSink.DefaultBatchSize): UpsertResult = {
+    implicit val spark: SparkSession = df.sparkSession
+    val rc = ColumnValidator.validate(df.columns.toSeq, cfg.divider) match {
+      case Right(r) => r
+      case Left(err) => throw new IllegalArgumentException(err)
+    }
+    val actions = determineActions(rc, cfg, modelRunId)
+    val base = createDataRowsFromTable(df, cfg, transport, batchSize)
+
+    val predictionsDs =
+      if (actions.predictionsToModelRun) {
+        val predCells = array(rc.predictions.map { p =>
+          when(col(s"`${p.raw}`").isNotNull,
+            struct(lit(p.tpe).as("tool_type"), lit(p.name).as("name"),
+              col(s"`${p.raw}`").cast("string").as("cell")))
+        }: _*)
+        NdjsonKernel.explodeAnnotations(
+          df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
+              explode(filter(predCells, _.isNotNull)).as("a"))
+            .select(col("global_key"), col("a.tool_type").as("tool_type"),
+              col("a.name").as("name"), col("a.cell").as("cell")))
+      } else spark.emptyDataset(
+        org.apache.spark.sql.Encoders.product[NdjsonKernel.AnnotationNdjson])
+
+    // A7: regroup annotation ndjson per project id for the batched
+    // annotation-import API.
+    val projectCol = (rc.projectId, cfg.projectId) match {
+      case (Some(c), _) =>
+        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
+          col(s"`$c`").as("project_id"))
+      case (None, Some(v)) =>
+        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
+          lit(v).as("project_id"))
+      case (None, None) =>
+        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
+          lit(null).cast("string").as("project_id"))
+    }
+    val annByProject = base.ndjson.toDF()
+      .join(projectCol, Seq("global_key"), "left")
+      .groupBy(col("project_id"))
+      .agg(collect_list(to_json(struct(
+        col("global_key"), col("name"), col("kind"), col("geometry")))).as("ndjsons"))
+
+    UpsertResult(base, actions, predictionsDs, annByProject)
+  }
+
   // ------------------------------------------------- metadata upsert
 
   /** J4 (labelspark/update_metadata.py:25-51): upsert a metadata column from

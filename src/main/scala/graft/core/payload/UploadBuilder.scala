@@ -30,6 +30,12 @@ object UploadBuilder {
       metadataSchemaIds: Map[String, String] = Map.empty,
       divider: String = ColumnSpec.DefaultDivider)
 
+  /** Resolved global-key column (defaulting contract: global_key ←
+    * row_data, client.py:227-235).
+    */
+  def globalKeyColumn(rc: ResolvedColumns): Column =
+    coalesce(rc.globalKey.map(c => col(s"`$c`")).toSeq :+ col(s"`${rc.rowData}`"): _*)
+
   /** The `uploads` column for a table with the given resolved columns. */
   def uploadsColumn(rc: ResolvedColumns, cfg: Config): Column = {
     val rowData   = col(s"`${rc.rowData}`")
