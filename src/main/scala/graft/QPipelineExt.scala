@@ -285,8 +285,29 @@ object QPipelineExt {
       |WHERE sim >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Corpus-level similarity via the MinHash sketch AGGREGATE: one k-wide
+    * signature per source (map-side partial + merge — k longs per group
+    * regardless of corpus size), then pairwise source similarity estimates.
+    * xxhash64-based → not DuckDB-expressible: rows-only check (no oracle).
+    */
+  def q32SourceSketch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MinHashSketch
+    val k = 32
+    val sketch = MinHashSketch(k)
+    val sigs = documents(s, d)
+      .select(col("source"), Dedup.shingles(col("text"), 2).as("sh"))
+      .groupBy(col("source"))
+      .agg(sketch(col("sh")).as("sig"), count(lit(1)).as("n_docs"))
+    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"), col("b.source").as("source_b"),
+        MinHashSketch.estimateJaccard(col("a.sig"), col("b.sig"), k).as("est_jac"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
+    "q32_source_sketch"     -> (q32SourceSketch _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
     "q22_lang_id"          -> (q22LangId _),

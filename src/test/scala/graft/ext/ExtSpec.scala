@@ -142,6 +142,30 @@ class ExtSpec extends SparkSpec {
     assert(bucketed == exact) // near-dups land in the same label bucket here
   }
 
+  test("MinHash sketch aggregate: group signature equals the union's, estimates Jaccard") {
+    import graft.functions.MinHashSketch
+    val k = 32
+    val sketch = MinHashSketch(k)
+    // same docs split across two groups of one source vs together: merged
+    // signature must be identical (elementwise-min is order/partition-free)
+    val docs2 = docs.select(lit("all").as("g"), Dedup.shingles(col("text"), 2).as("sh"))
+    val whole = docs2.groupBy("g").agg(sketch(col("sh")).as("sig"))
+      .collect().head.getAs[scala.collection.Seq[Long]]("sig")
+    val parts = docs
+      .select((col("doc_id") % 2).as("g"), Dedup.shingles(col("text"), 2).as("sh"))
+      .groupBy("g").agg(sketch(col("sh")).as("sig"))
+    // manual merge of the two partial sigs
+    val two = parts.collect().map(_.getAs[scala.collection.Seq[Long]]("sig"))
+    val manual = two(0).zip(two(1)).map { case (a, b) => math.min(a, b) }
+    assert(whole.toSeq == manual.toSeq)
+    // identical groups → estimate 1.0
+    val est = spark.range(1).select(
+      MinHashSketch.estimateJaccard(
+        typedlit(whole.toSeq), typedlit(whole.toSeq), k).as("e"))
+      .collect().head.getDouble(0)
+    assert(est == 1.0)
+  }
+
   test("multimodal: binary plumbing + deterministic decode stub over partitions") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
