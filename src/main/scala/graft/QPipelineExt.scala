@@ -305,9 +305,38 @@ object QPipelineExt {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** As-of join: each event enriched with the user's latest order at or
+    * before the event time. Right side pre-aggregated to one row per
+    * (custkey, orderdate) so the match is deterministic in every engine.
+    */
+  def q33AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(
+        max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.operators.AsOfJoin.asOfJoin(
+        ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q33Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_source_sketch"     -> (q32SourceSketch _),
+    "q33_asof_join"         -> (q33AsofJoin _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
     "q22_lang_id"          -> (q22LangId _),
@@ -322,6 +351,7 @@ object QPipelineExt {
 
   val sql: Map[String, String] = Map(
     "q31_embedding_neardup" -> q31Sql,
+    "q33_asof_join"         -> q33Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,
     "q22_lang_id"          -> q22Sql,

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join: greatest right ts <= left ts, equal ts matches, no match → null, keys isolated") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // after r2
+      (2L, "u1", ts("2024-01-01 09:00:00")), // exactly r2's ts → matches r2
+      (3L, "u1", ts("2024-01-01 07:00:00")), // before all → null
+      (4L, "u2", ts("2024-01-01 12:00:00"))  // u2's own row only
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 08:00:00"), "r1"),
+      ("u1", ts("2024-01-01 09:00:00"), "r2"),
+      ("u2", ts("2024-01-01 09:30:00"), "r3")
+    ).toDF("k2", "t2", "payload")
+
+    val out = AsOfJoin.asOfJoin(left, right, "k", "k2", "t", "t2", Seq("payload"))
+      .orderBy("id").collect().map(r => Option(r.getAs[String]("payload")))
+    assert(out.toSeq == Seq(Some("r2"), Some("r2"), None, Some("r3")))
+  }
+
+  test("as-of join rejects colliding payload column names") {
+    val l = Seq((1L, "k", ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "v")
+    val r = Seq(("k", ts("2024-01-01 00:00:00"), "y")).toDF("k2", "t2", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfJoin(l, r, "k", "k2", "t", "t2", Seq("v"))
+    }
+  }
+}
