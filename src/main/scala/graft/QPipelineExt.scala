@@ -333,10 +333,29 @@ object QPipelineExt {
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** The SQL surface (S9): temp views + spark.sql — the reference's
+    * notebook pattern (createOrReplaceTempView → SELECT). Identical SQL text
+    * runs on the DuckDB side.
+    */
+  def q34SqlSurface(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    part(s, d).createOrReplaceTempView("part")
+    s.sql(q34Sql)
+  }
+
+  private val q34Sql =
+    """SELECT p_brand,
+      |  count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_source_sketch"     -> (q32SourceSketch _),
     "q33_asof_join"         -> (q33AsofJoin _),
+    "q34_sql_surface"       -> (q34SqlSurface _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
     "q22_lang_id"          -> (q22LangId _),
@@ -352,6 +371,7 @@ object QPipelineExt {
   val sql: Map[String, String] = Map(
     "q31_embedding_neardup" -> q31Sql,
     "q33_asof_join"         -> q33Sql,
+    "q34_sql_surface"       -> q34Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,
     "q22_lang_id"          -> q22Sql,
