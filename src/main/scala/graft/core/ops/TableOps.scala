@@ -75,6 +75,21 @@ object TableOps {
       countDistinct(col(key)).as("n_keys"),
       (count(lit(1)) - countDistinct(col(key))).as("n_dup"))
 
+  /** Zero-extra-job uniqueness counters: attach an `observe` to the frame so
+    * row count and approx distinct keys are collected DURING whatever action
+    * the caller runs next — replacing the reference's two extra full scans
+    * (uploader.py:76-81) with none. Read the metrics from the returned
+    * observation after the action completes.
+    */
+  def observedUniqueness(df: DataFrame, key: String,
+      name: String = "uniqueness"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val observed = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(s"`$key`")).as("n_keys_approx"))
+    (observed, obs)
+  }
+
   /** uploader.py:99-104 last-write-wins dedupe, made deterministic: keep the
     * row ranked first by `order` within each `key` group (the reference's
     * dict-overwrite order is whatever Spark returned; we require an explicit

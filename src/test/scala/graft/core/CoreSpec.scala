@@ -68,6 +68,15 @@ class CoreSpec extends SparkSpec {
     assert(kept == Seq("b", "c"))
   }
 
+  test("observedUniqueness collects counters during the action, no extra job") {
+    val df = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDF("key", "v")
+    val (observed, obs) = TableOps.observedUniqueness(df, "key")
+    observed.write.format("noop").mode("overwrite").save() // the caller's own action
+    val m = obs.get
+    assert(m("n_rows") == 3L)
+    assert(m("n_keys_approx").asInstanceOf[Long] >= 2L)
+  }
+
   test("TableOps normalizeNulls + jsonifyNested give the all-string presentation") {
     val df = Seq((Some("x"), None: Option[String], 5L)).toDF("a", "b", "n")
       .withColumn("nested", struct(lit(1).as("i"), lit("s").as("t")))
