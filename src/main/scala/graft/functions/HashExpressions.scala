@@ -169,6 +169,41 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** self_dot(a) = Σ aᵢ² in one array pass — what the optimizer rule
+    * rewrites `graft_dot(a, a)` into (norms are the hot case: every cosine
+    * evaluates two of them). Bit-identical to DotF64(a, a): same elementwise
+    * x*x, same fold order.
+    */
+  case class SelfDotF64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_self_dot"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"graft_self_dot expects array<float|double>, got $other")
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        acc += x * x
+        i += 1
+      }
+      acc
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

@@ -121,6 +121,20 @@ class ExtSpec extends SparkSpec {
     assert(sigs(0) == sigs(1))
   }
 
+  test("optimizer rewrites dot(a,a) to one-pass self-dot with identical values") {
+    // parquet-backed input: a local literal would be constant-folded away
+    // before the rewrite is visible in the optimized plan
+    val vecs = graft.Tables.embeddings(spark, sf).limit(5)
+    val df = vecs.select(col("vec_id"), Similarity.l2Norm(col("embedding")).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_self_dot"))
+    val viaSelf = df.orderBy("vec_id").collect().map(_.getDouble(1))
+    val viaAgg = vecs.select(col("vec_id"),
+        sqrt(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x)).as("n"))
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(viaSelf.toSeq == viaAgg.toSeq) // bit-identical, not approximately
+  }
+
   test("ANN via LSH buckets finds the identical-vector neighbour") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
