@@ -194,7 +194,37 @@ object QRelational {
       |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** 4-way fact-dim join (TPC-H Q5 shape): lineitem ⋈ supplier ⋈ nation ⋈
+    * region with a region filter and date predicate. The two dims broadcast;
+    * the fact-fact side shuffles once on suppkey; Catalyst reorders freely
+    * since everything is declarative.
+    */
+  def q35MultiJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= "1995-01-01")
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("n_name"))
+
+  private[graft] val q35Sql =
+    """SELECT n_name, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_multi_join"         -> (q35MultiJoin _),
     "q02_filter_pushdown"    -> (q02FilterPushdown _),
     "q03_join_agg"           -> (q03JoinAgg _),
     "q04_composite_join"     -> (q04CompositeJoin _),
@@ -206,6 +236,7 @@ object QRelational {
     "q10_dedupe_lastwins"    -> (q10DedupeLastWins _))
 
   val sql: Map[String, String] = Map(
+    "q35_multi_join"         -> q35Sql,
     "q02_filter_pushdown"    -> q02Sql,
     "q03_join_agg"           -> q03Sql,
     "q04_composite_join"     -> q04Sql,
