@@ -240,7 +240,7 @@ object QPipelineExt {
     """SELECT doc_id AS media_id, 'text' AS kind,
       |  octet_length(encode(text)) AS n_bytes,
       |  sha256(text) AS sha,
-      |  lower(hex(substring(text, 1, 8))) AS head_hex
+      |  lower(substring(hex(encode(text)), 1, 16)) AS head_hex
       |FROM documents
       |ORDER BY media_id""".stripMargin
 

@@ -166,18 +166,13 @@ object Client {
         org.apache.spark.sql.Encoders.product[NdjsonKernel.AnnotationNdjson])
 
     // A7: regroup annotation ndjson per project id for the batched
-    // annotation-import API.
-    val projectCol = (rc.projectId, cfg.projectId) match {
-      case (Some(c), _) =>
-        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
-          col(s"`$c`").as("project_id"))
-      case (None, Some(v)) =>
-        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
-          lit(v).as("project_id"))
-      case (None, None) =>
-        df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
-          lit(null).cast("string").as("project_id"))
-    }
+    // annotation-import API. Derived from the DEDUPED upload frame (not the
+    // raw df): duplicate global keys in the input must not multiply
+    // annotation records or attach a dropped row's project_id, and
+    // uploads.project_id already encodes the column/config/null precedence.
+    val projectCol = base.uploads.select(
+      col("uploads.data_row.global_key").as("global_key"),
+      col("uploads.project_id").as("project_id"))
     val annByProject = base.ndjson.toDF()
       .join(projectCol, Seq("global_key"), "left")
       .groupBy(col("project_id"))

@@ -116,6 +116,9 @@ object NdjsonKernel {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x" // all remaining control chars
       case c => c.toString
     } + "\""
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of join: for each left row, the right row with the greatest
   * `rightTs <= leftTs` within the same key — the standard time-series
@@ -33,35 +34,44 @@ object AsOfJoin {
     require(!rightPayload.exists(leftCols.contains),
       s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
 
+    // The whole right payload travels as ONE struct so a single
+    // last(ignoreNulls=true) carries it atomically: a genuine NULL inside the
+    // most recent right row stays NULL in the output instead of being
+    // back-filled column-by-column from an older right row. The struct value
+    // itself is non-null for every right row (even if all its fields are
+    // null), and null for every left row, so ignoreNulls skips exactly the
+    // left rows.
+    val payloadType = StructType(rightPayload.map(c => right.schema(c)))
+
     val l = left
       .withColumn("__key", col(s"`$leftKey`"))
       .withColumn("__ts", col(s"`$leftTs`").cast("timestamp"))
       .withColumn("__side", lit(1))
-    val lPadded = rightPayload.foldLeft(l)((d, c) =>
-      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__payload", lit(null).cast(payloadType))
 
     val r = right
-      .select((col(s"`$rightKey`").as("__key") +:
-        col(s"`$rightTs`").cast("timestamp").as("__ts") +:
-        rightPayload.map(c => col(s"`$c`"))): _*)
+      .select(
+        col(s"`$rightKey`").as("__key"),
+        col(s"`$rightTs`").cast("timestamp").as("__ts"),
+        struct(rightPayload.map(c => col(s"`$c`")): _*).as("__payload"))
       .withColumn("__side", lit(0))
     val rPadded = leftCols.foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val all = lPadded.select(("__key" +: "__ts" +: "__side" +: (leftCols ++ rightPayload))
-        .map(c => col(s"`$c`")): _*)
-      .unionByName(rPadded.select(("__key" +: "__ts" +: "__side" +: (leftCols ++ rightPayload))
-        .map(c => col(s"`$c`")): _*))
+    val unionCols = "__key" +: "__ts" +: "__side" +: "__payload" +: leftCols
+    val all = l.select(unionCols.map(c => col(s"`$c`")): _*)
+      .unionByName(rPadded.select(unionCols.map(c => col(s"`$c`")): _*))
 
     // Right rows (side 0) sort before left rows (side 1) at equal ts, so
     // `<=` matches; last(ignoreNulls) carries the latest right payload.
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(all)((d, c) =>
-      d.withColumn(c, last(col(s"`$c`"), ignoreNulls = true).over(w)))
+    val carried = all.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
 
     carried.filter(col("__side") === 1)
-      .select((leftCols ++ rightPayload).map(c => col(s"`$c`")): _*)
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        rightPayload.map(c => col("__payload").getField(c).as(c)): _*)
   }
 }

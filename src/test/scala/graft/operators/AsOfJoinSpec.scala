@@ -26,6 +26,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some("r2"), Some("r2"), None, Some("r3")))
   }
 
+  test("as-of join carries NULL payload fields from the matched row, not older rows") {
+    // r2 (the most recent right row at 09:00) has a NULL b: the output must
+    // carry (a2, NULL) atomically — not mix a2 with r1's b1.
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 08:30:00")) // between r1 and r2 → r1's full payload
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 08:00:00"), Some("a1"), Some("b1")),
+      ("u1", ts("2024-01-01 09:00:00"), Some("a2"), None)
+    ).toDF("k2", "t2", "a", "b")
+
+    val out = AsOfJoin.asOfJoin(left, right, "k", "k2", "t", "t2", Seq("a", "b"))
+      .orderBy("id").collect()
+      .map(r => (Option(r.getAs[String]("a")), Option(r.getAs[String]("b"))))
+    assert(out.toSeq == Seq((Some("a2"), None), (Some("a1"), Some("b1"))))
+  }
+
   test("as-of join rejects colliding payload column names") {
     val l = Seq((1L, "k", ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "v")
     val r = Seq(("k", ts("2024-01-01 00:00:00"), "y")).toDF("k2", "t2", "v")
