@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -35,60 +35,73 @@ object HashExpressions {
     * array<bigint> of length `bands`.
     */
   case class MinHashBands(child: Expression, shingleN: Int, k: Int, bands: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0 && bands > 0 && k % bands == 0, s"k=$k must divide into bands=$bands")
     require(shingleN > 0, "shingleN must be positive")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_bands"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(k)(Long.MaxValue)
-      var buf = new Array[Byte](256)
-      var i = 0
-      while (i <= n - shingleN) {
-        // Assemble the shingle "tok_i tok_{i+1} ..." into buf.
-        var len = 0
-        var t = 0
-        while (t < shingleN) {
-          val s = arr.getUTF8String(i + t)
-          val sb = s.numBytes
-          if (len + sb + 1 > buf.length)
-            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-          if (t > 0) { buf(len) = ' '.toByte; len += 1 }
-          s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-          len += sb
-          t += 1
-        }
-        var j = 0
-        while (j < k) {
-          val h = XXH64.hashUnsafeBytes(
-            buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, j)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-        i += 1
-      }
-      val r = k / bands
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var acc = XXH64.hashLong(b, 42L)
-        var j = 0
-        while (j < r) {
-          acc = XXH64.hashLong(mins(b * r + j), acc)
-          j += 1
-        }
-        out(b) = acc
-        b += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.minhashBandsEval(
+        input.asInstanceOf[ArrayData], shingleN, k, bands)
+
+    // Generated code calls the static forwarder of the kernel directly —
+    // keeps the whole stage codegen'd (no CodegenFallback row
+    // materialization / boxed eval) while the loop stays in compiled Scala.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.minhashBandsEval($a, $shingleN, $k, $bands);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Kernel for [[MinHashBands]]: one pass over the token array. Public so
+    * generated code can call it via the object's static forwarder.
+    */
+  def minhashBandsEval(arr: ArrayData, shingleN: Int, k: Int, bands: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var buf = new Array[Byte](256)
+    var i = 0
+    while (i <= n - shingleN) {
+      // Assemble the shingle "tok_i tok_{i+1} ..." into buf.
+      var len = 0
+      var t = 0
+      while (t < shingleN) {
+        val s = arr.getUTF8String(i + t)
+        val sb = s.numBytes
+        if (len + sb + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
+        if (t > 0) { buf(len) = ' '.toByte; len += 1 }
+        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+        len += sb
+        t += 1
+      }
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = XXH64.hashLong(b, 42L)
+      var j = 0
+      while (j < r) {
+        acc = XXH64.hashLong(mins(b * r + j), acc)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** dot_f64(a, b): sequential left-to-right double-precision dot product
@@ -98,7 +111,7 @@ object HashExpressions {
     * version dominates the k-NN join profile).
     */
   case class DotF64(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
@@ -127,6 +140,25 @@ object HashExpressions {
       acc
     }
 
+    // True codegen: the dot loop inlines into the whole-stage generated
+    // function. This expression sits inside the O(pairs²) projection of the
+    // similarity joins — a CodegenFallback here boxes one Double per pair
+    // and forces row materialization for the stage.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val x = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val y = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $acc += $x * $y; }
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -137,36 +169,43 @@ object HashExpressions {
     * the fingerprint bit.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val votes = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        val h = utf8Hash(arr.getUTF8String(i), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) {
-        if (votes(b) > 0) out |= (1L << b)
-        b += 1
-      }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.simhash64Eval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.simhash64Eval($a);")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
+  }
+
+  /** Kernel for [[SimHash64]]. Public for the generated-code static call. */
+  def simhash64Eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = utf8Hash(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** self_dot(a) = Σ aᵢ² in one array pass — what the optimizer rule
@@ -175,7 +214,7 @@ object HashExpressions {
     * x*x, same fold order.
     */
   case class SelfDotF64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
 
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_self_dot"
@@ -199,6 +238,21 @@ object HashExpressions {
       }
       acc
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val xv = ctx.freshName("x")
+        val x = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        s"""
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { double $xv = $x; $acc += $xv * $xv; }
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -20,11 +20,15 @@ object ProfileQ11 {
     val fn = graft.SparkEntry.queries(name)
     val df = fn(spark, sfDir)
     df.explain("formatted")
-    (1 to 3).foreach { i =>
+    val passes = sys.env.getOrElse("PROFILE_PASSES", "6").toInt
+    val times = (1 to passes).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[$name] pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[$name] pass $i: $t%.3f s")
+      t
     }
+    println(f"[$name] min: ${times.min}%.3f s")
     spark.stop()
   }
 }
