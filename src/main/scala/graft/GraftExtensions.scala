@@ -3,15 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.functions.{HashExpressions, OptimizeSelfDot}
+import graft.plans.TopKPerKey
 
 /** SparkSessionExtensions entry point: registers the graft native functions
-  * (graft_minhash_bands, graft_simhash64, graft_dot) and the self-dot
-  * optimizer rule. Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * (graft_minhash_bands, graft_minhash_sig, graft_simhash64, graft_dot),
+  * the self-dot optimizer rule, and the TopKPerKey planner strategy.
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     HashExpressions.registrations.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => OptimizeSelfDot)
+    ext.injectPlannerStrategy(_ => TopKPerKey.Strategy)
   }
 }

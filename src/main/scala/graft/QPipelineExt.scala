@@ -293,9 +293,15 @@ object QPipelineExt {
   def q32SourceSketch(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHashSketch
     val k = 32
-    val sketch = MinHashSketch(k)
+    // Per-doc signature in the codegen'd native expression; the aggregate
+    // merges k longs per doc (elementwise min — same sketch values as
+    // hashing every shingle string inside the aggregator, without pushing
+    // each shingle through the typed Seq[String] encoder).
+    val sketch = MinHashSketch.ofSignatures(k)
     val sigs = documents(s, d)
-      .select(col("source"), Dedup.shingles(col("text"), 2).as("sh"))
+      .select(col("source"),
+        call_function("graft_minhash_sig",
+          graft.ext.TextAnalysis.tokens(col("text")), lit(2), lit(k)).as("sh"))
       .groupBy(col("source"))
       .agg(sketch(col("sh")).as("sig"), count(lit(1)).as("n_docs"))
     sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))

@@ -223,8 +223,29 @@ object QRelational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** Top-k per key via the custom physical operator (graft.plans.TopKPerKey:
+    * logical node + strategy + partial/final heap execs). The window
+    * row_number formulation shuffles and sorts every row; this shuffles at
+    * most k rows per (map partition, key). Ordering is total
+    * (totalprice DESC, orderkey) so the cut is deterministic — the DuckDB
+    * oracle runs the QUALIFY equivalent.
+    */
+  def q36TopkPerKey(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
+  private[graft] val q36Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_multi_join"         -> (q35MultiJoin _),
+    "q36_topk_per_key"       -> (q36TopkPerKey _),
     "q02_filter_pushdown"    -> (q02FilterPushdown _),
     "q03_join_agg"           -> (q03JoinAgg _),
     "q04_composite_join"     -> (q04CompositeJoin _),
@@ -237,6 +258,7 @@ object QRelational {
 
   val sql: Map[String, String] = Map(
     "q35_multi_join"         -> q35Sql,
+    "q36_topk_per_key"       -> q36Sql,
     "q02_filter_pushdown"    -> q02Sql,
     "q03_join_agg"           -> q03Sql,
     "q04_composite_join"     -> q04Sql,

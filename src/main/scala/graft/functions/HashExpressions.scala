@@ -57,10 +57,12 @@ object HashExpressions {
       copy(child = newChild)
   }
 
-  /** Kernel for [[MinHashBands]]: one pass over the token array. Public so
-    * generated code can call it via the object's static forwarder.
+  /** k running minima of seeded xxhash64 over word-`shingleN`-gram shingles
+    * of a token array — the shared kernel of [[MinHashBands]] and
+    * [[MinHashSig]]. Shingle de-duplication is deliberately skipped: a
+    * multiset has the same minima as its set.
     */
-  def minhashBandsEval(arr: ArrayData, shingleN: Int, k: Int, bands: Int): ArrayData = {
+  def minhashMins(arr: ArrayData, shingleN: Int, k: Int): Array[Long] = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var buf = new Array[Byte](256)
@@ -88,6 +90,14 @@ object HashExpressions {
       }
       i += 1
     }
+    mins
+  }
+
+  /** Kernel for [[MinHashBands]]: one pass over the token array. Public so
+    * generated code can call it via the object's static forwarder.
+    */
+  def minhashBandsEval(arr: ArrayData, shingleN: Int, k: Int, bands: Int): ArrayData = {
+    val mins = minhashMins(arr, shingleN, k)
     val r = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -102,6 +112,33 @@ object HashExpressions {
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Kernel for [[MinHashSig]]. */
+  def minhashSigEval(arr: ArrayData, shingleN: Int, k: Int): ArrayData =
+    new GenericArrayData(minhashMins(arr, shingleN, k))
+
+  /** minhash_sig(tokens, shingleN, k): the raw k-wide xxhash64 MinHash
+    * signature (un-banded minima) — the per-document input of the
+    * corpus-level sketch AGGREGATE, which then only merges k longs per doc
+    * instead of re-hashing shingle strings through a typed encoder.
+    */
+  case class MinHashSig(child: Expression, shingleN: Int, k: Int)
+      extends UnaryExpression {
+    require(k > 0 && shingleN > 0, "k and shingleN must be positive")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.minhashSigEval(input.asInstanceOf[ArrayData], shingleN, k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.minhashSigEval($a, $shingleN, $k);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   /** dot_f64(a, b): sequential left-to-right double-precision dot product
@@ -286,5 +323,13 @@ object HashExpressions {
       (args: Seq[Expression]) => args match {
         case Seq(c) => SimHash64(c)
         case _ => throw new IllegalArgumentException("graft_simhash64(tokens) takes 1 argument")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, nE, kE) =>
+          MinHashSig(c, litInt(nE, "shingleN"), litInt(kE, "k"))
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(tokens, shingleN, k) takes 3 arguments")
       }))
 }

@@ -50,11 +50,45 @@ class MinHashSketch(k: Int)
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }
 
+/** Elementwise-min merge of per-document k-wide signatures (as produced by
+  * the native `graft_minhash_sig` expression). Same sketch as
+  * [[MinHashSketch]] — min over all (shingle, seed) hashes of the group —
+  * but the hot hashing runs in codegen'd per-row code, and the aggregate
+  * moves only k longs per document through a primitive-array encoder
+  * instead of every shingle string through a Seq[String] encoder.
+  */
+class MinHashSigMerge(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], sig: Array[Long]): Array[Long] =
+    if (sig == null) buf else merge(buf, sig)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    val n = math.min(a.length, b.length)
+    while (j < n) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
 object MinHashSketch {
 
   /** Column-API aggregate: `minhashSketch(16)(shinglesCol)`. */
   def apply(k: Int): Column => Column = {
     val agg = udaf(new MinHashSketch(k), ExpressionEncoder[Seq[String]]())
+    (c: Column) => agg(c)
+  }
+
+  /** Column-API aggregate over per-doc signatures: `ofSignatures(k)(sigCol)`. */
+  def ofSignatures(k: Int): Column => Column = {
+    val agg = udaf(new MinHashSigMerge(k), ExpressionEncoder[Array[Long]]())
     (c: Column) => agg(c)
   }
 

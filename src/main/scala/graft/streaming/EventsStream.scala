@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming ingest of the label-event stream (the `events`
@@ -77,4 +78,94 @@ object EventsStream {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
+
+  // --------------------------------- custom state: flatMapGroupsWithState
+
+  /** One in-flight event for the custom-state path. */
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Per-user open-session accumulator (kept in the state store). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long,
+      sumValue: Double, types: Set[String])
+
+  /** Emitted when a session closes (gap elapsed past the watermark). */
+  case class SessionSummary(user_id: Long, sstart: java.sql.Timestamp,
+      send: java.sql.Timestamp, n_events: Long, sum_value: Double, n_types: Int)
+
+  /** Custom sessionization via `flatMapGroupsWithState` — for session
+    * payloads `session_window` can't express (here: the DISTINCT event-type
+    * count per session, i.e. per-key state beyond an algebraic aggregate).
+    *
+    * State per ACTIVE user only: an event folds into the open session; the
+    * event-time timeout fires once the watermark passes last-event + gap,
+    * emitting the summary and clearing the state — so state size tracks
+    * concurrently-active users, not history, and the watermark GCs exactly
+    * like the built-in session_window.
+    */
+  def customSessions(events: DataFrame, gapSeconds: Long = 600L,
+      lateness: String = "30 minutes"): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + t.getNanos / 1000 % 1000
+
+    // Inverse of `us` at full microsecond precision (Timestamp(millis)
+    // alone would truncate the sub-millisecond digits the batch twin keeps).
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    def emit(userId: Long, s: SessionState): SessionSummary =
+      SessionSummary(userId, tsOf(s.startUs), tsOf(s.lastUs),
+        s.n, s.sumValue, s.types.size)
+
+    events
+      .withWatermark("ts", lateness)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            // A trigger may carry MANY sessions for the key (one micro-batch
+            // can hold a whole history), so split by gap inside the batch
+            // too: sort by event time, emit every session closed within the
+            // batch, keep only the open tail in state for the timeout.
+            // Cross-trigger late events are folded in arrival order — the
+            // same approximation every incremental sessionizer makes inside
+            // the watermark horizon.
+            val sorted = evs.toArray.sortBy(e => us(e.ts))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  open = Some(SessionState(
+                    math.min(s.startUs, t), math.max(s.lastUs, t),
+                    s.n + 1, s.sumValue + e.value, s.types + e.event_type))
+                case Some(s) =>
+                  closed += emit(userId, s)
+                  open = Some(SessionState(t, t, 1L, e.value, Set(e.event_type)))
+                case None =>
+                  open = Some(SessionState(t, t, 1L, e.value, Set(e.event_type)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into the `private[sql]` constructor surface: wrapping a custom
+  * [[LogicalPlan]] node back into a public DataFrame requires
+  * `Dataset.ofRows`, which Spark scopes to its own package. This object is
+  * the single, minimal crossing point — graft code never touches other
+  * internals through it.
+  */
+object GraftSqlShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The (possibly unresolved) Catalyst expression behind a public Column —
+    * eagerly converted (ExpressionUtils.expression returns a lazy
+    * ColumnNodeExpression wrapper that pattern matches as nothing useful).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+}

@@ -65,6 +65,48 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == n)
   }
 
+  test("flatMapGroupsWithState custom sessions match the batch lag-sessionization") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val got = runToCompletion(
+      EventsStream.customSessions(stream, gapSeconds = 600L).toDF(),
+      "stream_custom_sessions", "append")
+
+    // Batch equivalent: lag-based session ids, then per-session aggregates.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = graft.Tables.events(spark, sf)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 600000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("sstart"), max(col("ts")).as("send"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).cast("int").as("n_types"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("sstart")) ->
+        (r.getAs[java.sql.Timestamp]("send"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"), r.getAs[Int]("n_types")))
+      .toMap
+
+    val emitted = got.collect()
+    // Append mode only emits sessions the watermark has closed; each one
+    // must match its batch twin exactly.
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val k = (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("sstart"))
+      assert(want.contains(k), s"session $k not in batch sessionization")
+      val (send, n, sum, nTypes) = want(k)
+      assert(r.getAs[java.sql.Timestamp]("send") == send, s"end differs for $k")
+      assert(r.getAs[Long]("n_events") == n, s"count differs for $k")
+      assert(math.abs(r.getAs[Double]("sum_value") - sum) < 1e-6, s"sum differs for $k")
+      assert(r.getAs[Int]("n_types") == nTypes, s"type count differs for $k")
+    }
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
