@@ -22,6 +22,7 @@ object Bucketing {
   /** Persist `df` as a bucketed+sorted managed parquet table. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       overwrite: Boolean = true): Unit = {
+    if (overwrite) df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     val w = df.write
       .format("parquet")
       .bucketBy(buckets, key)

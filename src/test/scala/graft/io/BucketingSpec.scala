@@ -9,6 +9,15 @@ import graft.{SparkSpec, Tables}
 class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("bucketed co-located join: zero shuffle exchanges, same result as plain join") {
+    // The suite session uses an in-memory catalog over a persistent
+    // warehouse dir: a previous JVM's table dirs survive as orphans the
+    // fresh catalog knows nothing about — clear them first.
+    Seq("b_lineitem", "b_orders").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     Bucketing.writeBucketed(li, "b_lineitem", "l_orderkey", 4)
