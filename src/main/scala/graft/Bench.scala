@@ -20,7 +20,7 @@ import graft.ext.Dedup
 object Bench {
   private val skip = Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash")
 
-  private val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true)),

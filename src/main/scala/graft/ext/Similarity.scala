@@ -82,15 +82,19 @@ object Similarity {
     val base = df.select(
       (Seq(col(idCol).as("id"), col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm")) ++
         bucket.map(b => col(b).as("bucket"))): _*)
+    val sim = round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6)
+    // The threshold lives IN the join condition, after the cheap id/bucket
+    // conjuncts: a trailing .filter(sim >= t) gets pushed into the join
+    // ANDed in front, making the O(dim) dot product run for ALL n² ordered
+    // pairs instead of the n²/2 that survive the id test. Conjunct order is
+    // preserved, so the dot only evaluates where id_a < id_b.
     val cond = bucket match {
-      case Some(_) => col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")
-      case None    => col("a.id") < col("b.id")
+      case Some(_) => col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id") &&
+        sim >= threshold
+      case None => col("a.id") < col("b.id") && sim >= threshold
     }
     base.as("a").join(base.as("b"), cond)
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), sim.as("sim"))
   }
 
   /** Deterministic pseudo-random hyperplanes for cosine LSH (fixed seed →

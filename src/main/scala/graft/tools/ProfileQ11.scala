@@ -17,7 +17,7 @@ object ProfileQ11 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
+    val fn = (graft.SparkEntry.queries ++ graft.Bench.fastVariants)(name)
     val df = fn(spark, sfDir)
     df.explain("formatted")
     val passes = sys.env.getOrElse("PROFILE_PASSES", "6").toInt
