@@ -1,0 +1,135 @@
+package graft.io
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{
+  Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 for the paginated label-export feed — the scale path for
+  * SURVEY S2 (the reference pulls the WHOLE export through one driver-side
+  * urlopen, get_annotations.py:6-12; labelspark/client.py:38-43 hands one
+  * blob to labelbase). Here each export PAGE is one [[InputPartition]]:
+  * pages fetch concurrently on executors, the scan reports only the pruned
+  * columns (SupportsPushDownRequiredColumns → `ReadSchema` shows the cut),
+  * and downstream transforms see an ordinary DataFrame.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.io.ExportSourceV2")
+  *     .option("feed", key).option("pages", n).load()
+  * }}}
+  *
+  * The page fetcher is looked up from [[ExportFeedRegistry]] by the `feed`
+  * option — in production an HTTP pager (Http.JsonPostTransport's sibling),
+  * in tests a deterministic fake. DSv2 instantiates sources reflectively,
+  * so the registry is the injection seam (same JVM on executors in local
+  * mode; a cluster deployment registers the fetcher in an executor plugin).
+  */
+class ExportSourceV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExportSourceV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ExportTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object ExportSourceV2 {
+  /** The flat export-record shape (client.py:71-76 semantics: all-string). */
+  val schema: StructType = StructType(Seq(
+    StructField("global_key", StringType),
+    StructField("external_id", StringType),
+    StructField("row_data", StringType),
+    StructField("project_id", StringType),
+    StructField("label_json", StringType)))
+}
+
+/** Pluggable page fetchers, keyed by the `feed` reader option. A fetcher
+  * takes (page, pageSize) and returns that page's records as field maps.
+  */
+object ExportFeedRegistry {
+  private val feeds =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int) => Seq[Map[String, String]]]()
+
+  def register(key: String, fetch: (Int, Int) => Seq[Map[String, String]]): Unit =
+    feeds.put(key, fetch)
+
+  def apply(key: String): (Int, Int) => Seq[Map[String, String]] = {
+    val f = feeds.get(key)
+    require(f != null, s"no export feed registered under '$key'")
+    f
+  }
+}
+
+private[io] class ExportTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_export(${options.get("feed")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ExportScanBuilder(schema, opts)
+}
+
+private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands back a subset of `full` in field order; empty (count-only
+    // scans) is legal and yields zero-field rows.
+    required = requiredSchema
+
+  override def build(): Scan = new ExportScan(
+    options.get("feed"),
+    Option(options.get("pages")).map(_.toInt).getOrElse(1),
+    Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
+    required)
+}
+
+private[io] case class ExportPagePartition(page: Int) extends InputPartition
+
+private[io] class ExportScan(feed: String, pages: Int, pageSize: Int, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_export feed=$feed pages=$pages"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(pages)(ExportPagePartition(_))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportReaderFactory(feed, pageSize, required.fieldNames)
+}
+
+private[io] class ExportReaderFactory(feed: String, pageSize: Int, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[ExportPagePartition].page
+    new PartitionReader[InternalRow] {
+      private val records = ExportFeedRegistry(feed)(page, pageSize).iterator
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (records.hasNext) {
+          val rec = records.next()
+          current = InternalRow.fromSeq(fields.toSeq.map(f =>
+            rec.get(f).map(UTF8String.fromString).orNull))
+          true
+        } else false
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

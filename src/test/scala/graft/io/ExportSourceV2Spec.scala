@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExportSourceV2Spec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  ExportFeedRegistry.register("test_feed", (page, pageSize) =>
+    (0 until pageSize).map { i =>
+      val id = page * pageSize + i
+      Map(
+        "global_key" -> s"gk-$id",
+        "external_id" -> s"ext-$id",
+        "row_data" -> s"https://rows/$id.jpg",
+        "project_id" -> s"p${id % 3}",
+        "label_json" -> s"""{"answer":"a$id"}""")
+    })
+
+  private def read(pages: Int, pageSize: Int) =
+    spark.read.format("graft.io.ExportSourceV2")
+      .option("feed", "test_feed").option("pages", pages).option("pageSize", pageSize)
+      .load()
+
+  test("pages become partitions; all records arrive once") {
+    val df = read(pages = 3, pageSize = 4)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 12)
+    val keys = df.select("global_key").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted
+    assert(keys.length == 12 && keys.distinct.length == 12)
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val df = read(pages = 2, pageSize = 5).select("project_id")
+    df.collect()
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("project_id"),
+      s"expected pruned scan, got ${scans.head.scan.readSchema()}")
+  }
+
+  test("feeds compose with ordinary relational ops") {
+    val agg = read(pages = 2, pageSize = 6)
+      .groupBy("project_id").agg(count(lit(1)).as("n"))
+      .orderBy("project_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq == Seq(("p0", 4L), ("p1", 4L), ("p2", 4L)))
+  }
+}
