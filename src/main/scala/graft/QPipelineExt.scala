@@ -311,6 +311,35 @@ object QPipelineExt {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Range join via bin bucketing (graft.operators.RangeJoin): clicks
+    * within one hour after each purchase, no equi key — the binned plan
+    * runs as an equi join on the hour bin (shuffle-parallel) where naive
+    * Spark would nested-loop the cross product. DuckDB oracle runs the
+    * plain inequality join (its IEJoin handles sf0.01 fine).
+    */
+  def q37RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("c_ts"))
+    graft.operators.RangeJoin
+      .binnedRangeJoin(purchases, clicks, "p_ts", "p_end", "c_ts", "1 hour")
+      .groupBy(date_format(date_trunc("hour", col("p_ts")), "yyyy-MM-dd HH:mm").as("phour"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("phour"))
+  }
+
+  private val q37Sql =
+    """SELECT strftime(date_trunc('hour', p.ts), '%Y-%m-%d %H:%M') AS phour,
+      |  count(*) AS n_pairs
+      |FROM (SELECT ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      |  ON c.ts >= p.ts AND c.ts < p.ts + INTERVAL 1 HOUR
+      |GROUP BY 1
+      |ORDER BY phour""".stripMargin
+
   /** As-of join: each event enriched with the user's latest order at or
     * before the event time. Right side pre-aggregated to one row per
     * (custkey, orderdate) so the match is deterministic in every engine.
@@ -361,6 +390,7 @@ object QPipelineExt {
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_source_sketch"     -> (q32SourceSketch _),
     "q33_asof_join"         -> (q33AsofJoin _),
+    "q37_range_join"        -> (q37RangeJoin _),
     "q34_sql_surface"       -> (q34SqlSurface _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
@@ -377,6 +407,7 @@ object QPipelineExt {
   val sql: Map[String, String] = Map(
     "q31_embedding_neardup" -> q31Sql,
     "q33_asof_join"         -> q33Sql,
+    "q37_range_join"        -> q37Sql,
     "q34_sql_surface"       -> q34Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,
