@@ -29,7 +29,10 @@ object Bench {
         .select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("simhash"))),
     "b33_ann_lsh" -> ((s, dir) =>
       graft.ext.Similarity.annLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nBits = 12, k = 3, dim = 64)))
+        nBits = 12, k = 3, dim = 64)),
+    "b34_ann_ivf" -> ((s, dir) =>
+      graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, k = 3, iters = 2)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

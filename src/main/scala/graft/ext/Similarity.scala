@@ -113,8 +113,9 @@ object Similarity {
   def lshSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
     require(planes.size <= 63, "nBits must fit a signed long")
     planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(d(vec), typedlit(p), (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
+      // graft_dot takes the float array directly (no per-element cast HOF)
+      // and inlines its loop into codegen — one tight pass per plane.
+      val proj = dot(vec, typedlit(p))
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -128,5 +129,119 @@ object Similarity {
       dim: Int, seed: Long = 42L): DataFrame = {
     val sig = lshSignature(col(vecCol), hyperplanes(dim, nBits, seed))
     bucketedKnn(df.withColumn("__bucket", sig), idCol, vecCol, "__bucket", k)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Elementwise vector-sum aggregate for the k-means update step: buffer is
+    * one double[dim] per cell — algebraic, so Spark runs it map-side
+    * partial + merge (dim doubles per cell cross the wire, not the
+    * vectors).
+    */
+  class VecSum(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Float], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = new Array[Double](dim)
+    override def reduce(buf: Array[Double], v: Array[Float]): Array[Double] = {
+      if (v != null) {
+        var i = 0
+        val n = math.min(dim, v.length)
+        while (i < n) { buf(i) += v(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Nearest-centroid cell id (0-based). Centroids are plan literals, so
+    * the argmin is pure per-row compute: ||v-c||² ranks as c·c - 2 v·c
+    * (v·v is constant per row), one native dot per centroid.
+    */
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map { c =>
+      val c2 = c.map(x => x * x).sum
+      lit(c2) - lit(2.0) * dot(vec, typedlit(c))
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Deterministic farthest-point seeding (k-means++ without randomness):
+    * seed 1 is the min-xxhash64 vector; each next seed maximizes the
+    * distance to its nearest existing seed (ties → smallest hash). One
+    * scan + top-1 per seed — run on a sample at real scale. Unlike pure
+    * hash seeding this cannot drop two seeds into one tight cluster, the
+    * pathology Lloyd iterations cannot repair.
+    */
+  def farthestPointSeeds(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val hashed = df.select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+    val first = hashed.orderBy(col("__h")).limit(1)
+      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    var seeds = Vector(first)
+    while (seeds.size < nCells) {
+      val nearest = array_min(array(seeds.map { c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedlit(c)) +
+          dot(col("__v"), col("__v"))
+      }: _*))
+      val next = hashed.select(col("__v"), col("__h"), nearest.as("__d"))
+        .orderBy(col("__d").desc, col("__h")).limit(1)
+        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+      seeds = seeds :+ next
+    }
+    seeds
+  }
+
+  /** IVF coarse quantizer: Lloyd's k-means, deterministic throughout —
+    * farthest-point seeding, then every iteration is one distributed
+    * assign (argmin over literal centroids) + one aggregate (VecSum per
+    * cell); only nCells × dim doubles ever reach the driver. Empty cells
+    * keep their previous centroid.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] =
+      farthestPointSeeds(df, idCol, vecCol, nCells, seed)
+    val dim = centroids.head.length
+    val vecSum = {
+      val agg = org.apache.spark.sql.functions.udaf(
+        new VecSum(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+      (c: Column) => agg(c)
+    }
+    (1 to iters).foreach { _ =>
+      val cells = df
+        .select(assignCell(col(vecCol), centroids).as("__cell"), col(vecCol).as("__vec"))
+        .groupBy(col("__cell"))
+        .agg(vecSum(col("__vec")).as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        cells.get(j) match {
+          case Some((sum, n)) if n > 0 => sum.map(_ / n).toSeq
+          case _ => old
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF ANN: k-means cells as the coarse partition, exact k-NN within each
+    * cell (nProbe=1). The LSH variant needs no training pass; IVF adapts
+    * its partition to the data distribution — the standard trade.
+    */
+  def ivfKnn(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, k: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells, iters, seed)
+    bucketedKnn(df.withColumn("__cell", assignCell(col(vecCol), centroids)),
+      idCol, vecCol, "__cell", k)
   }
 }

@@ -144,6 +144,45 @@ class ExtSpec extends SparkSpec {
     assert(out.get(0L).contains(1L) && out.get(1L).contains(0L))
   }
 
+  test("IVF: k-means cells separate well-spread clusters; in-cell knn = brute force") {
+    // Three tight clusters around orthogonal axes; 4 points each.
+    val pts = for {
+      (cx, cy, cz, base) <- Seq((10f, 0f, 0f, 0L), (0f, 10f, 0f, 10L), (0f, 0f, 10f, 20L))
+      i <- 0 until 4
+    } yield (base + i, Array(cx + i * 0.1f, cy + i * 0.1f, cz))
+    val vecs = pts.toDF("vec_id", "embedding")
+
+    val centroids = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nCells = 3, iters = 3)
+    assert(centroids.size == 3 && centroids.forall(_.size == 3))
+    // Deterministic: same seed → same centroids.
+    assert(centroids == Similarity.ivfCentroids(vecs, "vec_id", "embedding", 3, 3))
+
+    // Every ground-truth cluster maps to one cell.
+    val cells = vecs
+      .select(col("vec_id"), Similarity.assignCell(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) / 10 -> r.getInt(1)).toSeq
+    assert(cells.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      s"a cluster split across cells: $cells")
+    assert(cells.map(_._2).distinct.size == 3, "clusters collapsed into one cell")
+
+    // With clusters this separated, in-cell knn = global brute-force knn.
+    val ivf = Similarity.ivfKnn(vecs, "vec_id", "embedding", nCells = 3, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val brute = {
+      import org.apache.spark.sql.expressions.Window
+      val side = vecs.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+      side.as("a").join(side.as("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          round(Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    }
+    assert(ivf == brute)
+  }
+
   test("embedding near-dup pairs: exact baseline and bucketed agree on in-bucket pairs") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.05f), 0),
