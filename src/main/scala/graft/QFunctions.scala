@@ -234,6 +234,70 @@ object QFunctions {
       |ORDER BY o_orderkey
       |LIMIT 1000""".stripMargin
 
+  /** Hierarchical subtotals via ROLLUP — one shuffle computes all three
+    * grouping levels (per flag+status, per flag, grand total). Subtotal
+    * rows show 'ALL' on both engines so the gate's sort/hash agree without
+    * NULLS FIRST/LAST divergence.
+    */
+  def q38Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy(col("flag"), col("status"))
+
+  private[graft] val q38Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` = DuckDB
+    * `quantile_cont`, both linear interpolation). The sketch-based
+    * percentile_approx is the 100 TB variant of the same call site.
+    */
+  def q39Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  private[graft] val q39Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Fuzzy lookup: closest part names to a probe by edit distance — one
+    * codegen'd pass + TakeOrdered (per-partition heap), no pairwise blowup.
+    */
+  def q40FuzzyMatch(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        levenshtein(col("p_name"), lit("midnight linen rose powder")).cast("long").as("dist"))
+      .orderBy(col("dist"), col("p_partkey"))
+      .limit(10)
+
+  private[graft] val q40Sql =
+    """SELECT p_partkey, p_name,
+      |  levenshtein(p_name, 'midnight linen rose powder') AS dist
+      |FROM part
+      |ORDER BY dist, p_partkey
+      |LIMIT 10""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_json_extract"        -> (q11JsonExtract _),
     "q12_string_funcs"        -> (q12StringFuncs _),
@@ -243,7 +307,10 @@ object QFunctions {
     "q16_collect_sorted"      -> (q16CollectSorted _),
     "q17_running_window"      -> (q17RunningWindow _),
     "q18_sessionize"          -> (q18Sessionize _),
-    "q19_export_presentation" -> (q19ExportPresentation _))
+    "q19_export_presentation" -> (q19ExportPresentation _),
+    "q38_rollup"              -> (q38Rollup _),
+    "q39_percentiles"         -> (q39Percentiles _),
+    "q40_fuzzy_match"         -> (q40FuzzyMatch _))
 
   val sql: Map[String, String] = Map(
     "q11_json_extract"        -> q11Sql,
@@ -254,5 +321,8 @@ object QFunctions {
     "q16_collect_sorted"      -> q16Sql,
     "q17_running_window"      -> q17Sql,
     "q18_sessionize"          -> q18Sql,
-    "q19_export_presentation" -> q19Sql)
+    "q19_export_presentation" -> q19Sql,
+    "q38_rollup"              -> q38Sql,
+    "q39_percentiles"         -> q39Sql,
+    "q40_fuzzy_match"         -> q40Sql)
 }
