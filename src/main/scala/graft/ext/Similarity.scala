@@ -181,22 +181,41 @@ object Similarity {
     * pathology Lloyd iterations cannot repair.
     */
   def farthestPointSeeds(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val hashed = df.select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
-    val first = hashed.orderBy(col("__h")).limit(1)
-      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
-    var seeds = Vector(first)
-    while (seeds.size < nCells) {
-      val nearest = array_min(array(seeds.map { c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedlit(c)) +
-          dot(col("__v"), col("__v"))
-      }: _*))
-      val next = hashed.select(col("__v"), col("__h"), nearest.as("__d"))
-        .orderBy(col("__d").desc, col("__h")).limit(1)
-        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
-      seeds = seeds :+ next
+      nCells: Int, seed: Long = 42L, sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    // ONE distributed job: a hash-ordered sample (deterministic — the
+    // nCells seeds only need to spread across the data's support, and a
+    // 4096-point sample bounds driver work at any corpus size). The
+    // farthest-point sweep then runs driver-side over the sample:
+    // O(nCells x sample x dim) flops instead of nCells sequential Spark
+    // jobs.
+    val sample = df
+      .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot seed centroids from an empty input")
+
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
     }
-    seeds
+
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val nearest = sample.map(d2(_, sample.head))
+    while (seeds.size < math.min(nCells, sample.length)) {
+      // Ties resolve to the lowest sample (= hash) position: deterministic.
+      val next = nearest.indices.maxBy(i => (nearest(i), -i))
+      seeds += sample(next)
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), sample(next))
+        if (d < nearest(i)) nearest(i) = d
+        i += 1
+      }
+    }
+    seeds.map(_.toSeq).toSeq
   }
 
   /** IVF coarse quantizer: Lloyd's k-means, deterministic throughout —

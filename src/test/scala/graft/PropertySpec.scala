@@ -109,4 +109,25 @@ object GraftProperties extends Properties("graft") {
       val sc = NdjsonKernel.parseNested(s)
       sc.question == q && sc.answer == rest.mkString("///")
     }
+
+  // ------------------------------------------------------ ndjson validity
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Any char content — including quotes, backslashes, and control chars
+    * (the \r\t\u00XX escaping class) — but not '[', which switches the cell
+    * parser into list mode.
+    */
+  private val cellContent: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\r', '\t', '', '', 'é')))
+      .map(_.mkString).suchThat(s => !s.startsWith("[") && s.nonEmpty)
+
+  property("text-annotation ndjson is valid JSON for any cell content") =
+    forAll(cellContent) { content =>
+      NdjsonKernel.cellToNdjsons("gk", "text", "n", content).forall { a =>
+        val parsed = mapper.readTree(a.geometry) // throws on invalid JSON
+        parsed.path("text_answer").path("content").asText() == content
+      }
+    }
 }
