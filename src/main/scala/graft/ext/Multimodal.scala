@@ -82,4 +82,83 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled frame of a media row. */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: every `everyN`-th frame as its own row — the generator
+    * (flatMap/explode) shape, partition-local, output rows ∝ frames kept.
+    * Downstream stages (resize, feature-extract) then run per frame with
+    * full parallelism. STUB: a "frame" is a `frameLen`-byte window of the
+    * content at its frame offset; a real demuxer replaces only the slicing.
+    */
+  def frameSample(media: Dataset[MediaRow], everyN: Int, frameLen: Int = 64)(
+      implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(everyN > 0 && frameLen > 0, "everyN and frameLen must be positive")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = math.max(1, r.content.length / frameLen)
+        (0 until nFrames by everyN).iterator.map { f =>
+          val from = f * frameLen
+          val until = math.min(from + frameLen, r.content.length)
+          FrameRow(r.media_id, f, java.util.Arrays.copyOfRange(r.content, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize stage: every frame to a fixed `outBytes` buffer (the pixel-grid
+    * analog — output shape is constant regardless of input size, which is
+    * what the downstream batch-inference stage requires). STUB:
+    * deterministic byte resampling (nearest-neighbour over the byte axis);
+    * a real implementation swaps in an image scaler, same signature.
+    */
+  def resizeStub(frames: Dataset[FrameRow], outBytes: Int)(
+      implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(outBytes > 0, "outBytes must be positive")
+    frames.mapPartitions { rows =>
+      rows.map { f =>
+        val in = f.frame_bytes
+        val out = new Array[Byte](outBytes)
+        if (in.nonEmpty) {
+          var i = 0
+          while (i < outBytes) {
+            out(i) = in((i.toLong * in.length / outBytes).toInt)
+            i += 1
+          }
+        }
+        FrameRow(f.media_id, f.frame_idx, out)
+      }
+    }
+  }
+
+  /** A media row's embedding (ready for graft.ext.Similarity operators). */
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** Feature extraction: content → dense `dim`-float embedding, the bridge
+    * into the similarity/ANN surface (`annLsh`, `ivfKnn`, `nearDupPairs`
+    * consume exactly this shape). Partition-local batches so a real model
+    * can load once per partition and run batched inference. STUB: a
+    * deterministic hash-derived unit vector — equal content ⇒ equal
+    * embedding, so near-dup-by-embedding finds exact dups.
+    */
+  def featureStub(media: Dataset[MediaRow], dim: Int)(
+      implicit spark: SparkSession): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    require(dim > 0, "dim must be positive")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val md = java.security.MessageDigest.getInstance("SHA-256").digest(r.content)
+        val v = Array.tabulate(dim) { i =>
+          // widen the 32 digest bytes cyclically, offset-mixed per index
+          (((md(i % md.length) & 0xff) ^ (i * 31 & 0xff)) / 255.0f) - 0.5f
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        MediaEmbedding(r.media_id, if (norm == 0f) v else v.map(_ / norm))
+      }
+    }
+  }
 }

@@ -233,4 +233,33 @@ class ExtSpec extends SparkSpec {
       .orderBy("media_id").collect()
     assert(feats.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
   }
+
+  test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
+    import spark.implicits._
+    val media = Multimodal.fromText(docs, "doc_id", "text", "video")
+      .as[Multimodal.MediaRow]
+
+    // frame-sample: every 2nd 8-byte window, one row per kept frame
+    val frames = Multimodal.frameSample(media, everyN = 2, frameLen = 8)(spark).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.size == 4)
+    assert(frames.forall(_.frame_bytes.length <= 8))
+
+    // resize: constant output shape regardless of input frame length
+    val resized = Multimodal.resizeStub(
+      Multimodal.frameSample(media, 2, 8)(spark), outBytes = 4)(spark).collect()
+    assert(resized.forall(_.frame_bytes.length == 4))
+
+    // feature-extract → unit embeddings; exact-dup docs (0 and 3 share
+    // text) become cosine-1 neighbours through the Similarity surface
+    val emb = Multimodal.featureStub(media, dim = 16)(spark)
+    val norms = emb.toDF().select(
+      Similarity.l2Norm(col("embedding")).as("n")).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    val top = Similarity.topKNeighbors(emb.toDF(), "media_id", "embedding", 0L, 1)
+      .collect().head
+    assert(top.getLong(0) == 3L && math.abs(top.getDouble(1) - 1.0) < 1e-6)
+  }
 }
