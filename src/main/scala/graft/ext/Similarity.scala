@@ -263,4 +263,44 @@ object Similarity {
     bucketedKnn(df.withColumn("__cell", assignCell(col(vecCol), centroids)),
       idCol, vecCol, "__cell", k)
   }
+
+  /** The `nProbe` nearest cell ids (ascending distance; deterministic tie
+    * break by cell index via the lexicographic struct sort).
+    */
+  def assignCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val dists = array(centroids.zipWithIndex.map { case (c, j) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c))).as("d"),
+        lit(j).as("cell"))
+    }: _*)
+    transform(slice(array_sort(dists), 1, nProbe), _.getField("cell"))
+  }
+
+  /** Multi-probe IVF k-NN: each query probes its `nProbe` nearest cells
+    * (the recall knob — boundary points see their neighbours across the
+    * cell edge; nProbe = nCells degenerates to exact brute force). The
+    * INDEX side keeps one cell per vector, so a (query, candidate) pair
+    * meets in at most one probed cell — no dedup pass. Shuffle volume
+    * scales with nProbe on the probe side only.
+    */
+  def ivfKnnProbed(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, k: Int, nProbe: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe > 0 && nProbe <= nCells, s"nProbe must be in [1, $nCells]")
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells, iters, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"))
+    val probe = base.withColumn("probe_cell",
+      explode(assignCells(col("vec"), centroids, nProbe)))
+    val index = base.withColumn("cell", assignCell(col("vec"), centroids))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    probe.as("a")
+      .join(index.as("b"),
+        col("a.probe_cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

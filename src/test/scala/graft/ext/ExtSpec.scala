@@ -183,6 +183,38 @@ class ExtSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("multi-probe IVF: nProbe=1 equals cell-local knn; nProbe=nCells equals brute force") {
+    val pts = for {
+      (cx, cy, cz, base) <- Seq((10f, 0f, 0f, 0L), (0f, 10f, 0f, 10L), (0f, 0f, 10f, 20L))
+      i <- 0 until 4
+    } yield (base + i, Array(cx + i * 0.1f, cy + i * 0.1f, cz))
+    val vecs = pts.toDF("vec_id", "embedding")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+    val oneProbe = rows(Similarity.ivfKnnProbed(vecs, "vec_id", "embedding",
+      nCells = 3, k = 2, nProbe = 1, iters = 3))
+    val cellLocal = rows(Similarity.ivfKnn(vecs, "vec_id", "embedding",
+      nCells = 3, k = 2, iters = 3))
+    assert(oneProbe == cellLocal)
+
+    val allProbe = rows(Similarity.ivfKnnProbed(vecs, "vec_id", "embedding",
+      nCells = 3, k = 2, nProbe = 3, iters = 3))
+    val brute = {
+      import org.apache.spark.sql.expressions.Window
+      val side = vecs.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        Similarity.l2Norm(col("embedding")).as("nrm"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+      rows(side.as("a").join(side.as("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          round(Similarity.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6).as("sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 2))
+    }
+    assert(allProbe == brute)
+  }
+
   test("embedding near-dup pairs: exact baseline and bucketed agree on in-bucket pairs") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.05f), 0),
