@@ -79,6 +79,28 @@ object EventsStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ------------------------------------------------- streaming API sink
+
+  /** Streaming → batched-API sink bridge: every micro-batch runs through
+    * the BATCH upload path (graft.io.BatchedSink.uploadDistributed —
+    * executor-side POSTs, `batchSize`-bounded bodies), so the streaming
+    * sink is the batch sink plus checkpointing. Exactly the reference's
+    * upload pipeline (S10) fed by a stream instead of a table; pair with
+    * [[dedupEvents]] upstream for within-watermark idempotence.
+    *
+    * Returns the started query; the caller owns awaitTermination/stop.
+    */
+  def uploadSink(events: DataFrame, payload: org.apache.spark.sql.Column,
+      transport: graft.io.UploadTransport, batchSize: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.BatchedSink.uploadDistributed(batch.toDF(), payload, transport, batchSize)
+        ()
+      }
+      .start()
+
   // --------------------------------- custom state: flatMapGroupsWithState
 
   /** One in-flight event for the custom-state path. */

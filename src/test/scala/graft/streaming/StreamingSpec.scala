@@ -4,6 +4,19 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Serializable counting transport for the streaming-sink spec (object =
+  * one JVM-wide instance, visible to executors in local mode).
+  */
+object CountingTransport extends graft.io.UploadTransport {
+  val total = new java.util.concurrent.atomic.AtomicLong(0)
+  val maxBatch = new java.util.concurrent.atomic.AtomicLong(0)
+  override def send(batch: Seq[String]): Int = {
+    total.addAndGet(batch.size)
+    maxBatch.getAndUpdate(m => math.max(m, batch.size))
+    batch.size
+  }
+}
+
 /** Structured-Streaming specs: the file-source events stream through the
   * watermarked operators, checked against the equivalent batch aggregation.
   */
@@ -105,6 +118,21 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("sum_value") - sum) < 1e-6, s"sum differs for $k")
       assert(r.getAs[Int]("n_types") == nTypes, s"type count differs for $k")
     }
+  }
+
+  test("foreachBatch upload sink drains the stream through the batch transport") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = EventsStream.uploadSink(
+      stream,
+      to_json(struct(col("event_id"), col("event_type"))),
+      CountingTransport, batchSize = 100, checkpointDir = ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val n = graft.Tables.events(spark, sf).count()
+    assert(CountingTransport.total.get() == n,
+      s"expected $n uploaded rows, got ${CountingTransport.total.get()}")
+    assert(CountingTransport.maxBatch.get() <= 100)
   }
 
   test("session windows close after the gap and count per user") {
