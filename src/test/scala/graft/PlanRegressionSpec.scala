@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the plan SHAPES that matter at 100 TB,
+  * pinned as tests. A change that silently drops a pushdown, broadcasts a
+  * fact table, or replaces a heap top-k with a full sort fails here, not in
+  * a fleet-wide slowdown.
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so the executed plan is the real one
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // counting over both would double every pattern.
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
+
+  test("q02: filter and projection are pushed to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+    // projection pruning: the scan must not read all lineitem columns
+    assert(count(p, "l_comment") == 0 || !p.contains("ReadSchema: struct<l_orderkey"), p)
+  }
+
+  test("q05: both dimension joins broadcast; the fact table is never shuffled for a join") {
+    val p = plan("q05_broadcast_dims")
+    assert(count(p, "BroadcastHashJoin") == 2, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q15: ordered top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q36: custom partial/final heap execs around one exchange") {
+    val p = plan("q36_topk_per_key")
+    assert(p.contains("TopKPerKeyPartial"), p)
+    assert(p.contains("TopKPerKeyFinal"), p)
+    assert(p.indexOf("TopKPerKeyFinal") < p.indexOf("TopKPerKeyPartial"),
+      "final must consume partial (tree prints parent first)\n" + p)
+  }
+
+  test("q37: the range join runs as an equi join, not a nested loop") {
+    val p = plan("q37_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin") >= 1, p)
+  }
+
+  test("q11: single scan of events, map-side partial aggregation") {
+    val p = plan("q11_json_extract")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q01: aggregation is partial before the exchange") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_avg"), p)
+  }
+
+  test("norms compile to the one-pass self-dot everywhere cosine appears") {
+    val df = SparkEntry.queries("q27_cosine_topk")(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_self_dot"))
+  }
+}
