@@ -243,9 +243,45 @@ object QRelational {
       |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
       |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  /** Semi/anti joins (SURVEY §2.3 extension): customers with vs without
+    * URGENT orders, per segment (the priority filter makes both sides
+    * non-empty — this generator gives every customer some order).
+    * LeftSemi/LeftAnti ship only the probe side's columns through the
+    * join — at scale the orders side reduces to a broadcast/shuffled key
+    * set, never a row multiplication.
+    */
+  def q41SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    val sem = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val ant = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("no_orders"))
+    sem.unionByName(ant)
+      .select(col("kind"), col("c_mktsegment"), col("n"))
+      .orderBy(col("kind"), col("c_mktsegment"))
+  }
+
+  private[graft] val q41Sql =
+    """SELECT 'with_orders' AS kind, c_mktsegment, count(*) AS n
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'no_orders' AS kind, c_mktsegment, count(*) AS n
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY kind, c_mktsegment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_multi_join"         -> (q35MultiJoin _),
     "q36_topk_per_key"       -> (q36TopkPerKey _),
+    "q41_semi_anti"          -> (q41SemiAnti _),
     "q02_filter_pushdown"    -> (q02FilterPushdown _),
     "q03_join_agg"           -> (q03JoinAgg _),
     "q04_composite_join"     -> (q04CompositeJoin _),
@@ -259,6 +295,7 @@ object QRelational {
   val sql: Map[String, String] = Map(
     "q35_multi_join"         -> q35Sql,
     "q36_topk_per_key"       -> q36Sql,
+    "q41_semi_anti"          -> q41Sql,
     "q02_filter_pushdown"    -> q02Sql,
     "q03_join_agg"           -> q03Sql,
     "q04_composite_join"     -> q04Sql,
