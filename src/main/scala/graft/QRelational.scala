@@ -278,10 +278,34 @@ object QRelational {
       |GROUP BY c_mktsegment
       |ORDER BY kind, c_mktsegment""".stripMargin
 
+  /** Skew-salted fact-dim join (graft.core.ops.SkewJoin): the hot-key
+    * mitigation as a gate-checked query — salt spreads each hot l_partkey
+    * across `saltFactor` reducers, the dim side replicates per salt, and
+    * the result hash-matches the plain join (salting is a pure partitioning
+    * transform, not a semantic one).
+    */
+  def q42SkewJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.core.ops.SkewJoin.saltedJoin(lineitem(s, d), dim, "l_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  private[graft] val q42Sql =
+    """SELECT p_brand, count(*) AS n_items,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_multi_join"         -> (q35MultiJoin _),
     "q36_topk_per_key"       -> (q36TopkPerKey _),
     "q41_semi_anti"          -> (q41SemiAnti _),
+    "q42_skew_join"          -> (q42SkewJoin _),
     "q02_filter_pushdown"    -> (q02FilterPushdown _),
     "q03_join_agg"           -> (q03JoinAgg _),
     "q04_composite_join"     -> (q04CompositeJoin _),
@@ -296,6 +320,7 @@ object QRelational {
     "q35_multi_join"         -> q35Sql,
     "q36_topk_per_key"       -> q36Sql,
     "q41_semi_anti"          -> q41Sql,
+    "q42_skew_join"          -> q42Sql,
     "q02_filter_pushdown"    -> q02Sql,
     "q03_join_agg"           -> q03Sql,
     "q04_composite_join"     -> q04Sql,
