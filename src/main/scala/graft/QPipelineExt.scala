@@ -158,6 +158,59 @@ object QPipelineExt {
       |WHERE jac >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup clusters: the MinHash-LSH pairs (q25 pipeline) closed into
+    * connected components by Dedup.dupClusters (iterative min-label
+    * propagation, one shuffle per round). The DuckDB oracle runs the same
+    * pair pipeline plus a recursive-CTE transitive closure — every doc
+    * labeled with the smallest id reachable through any near-dup chain.
+    */
+  def q43DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+    Dedup.dupClusters(pairs, "id_a", "id_b")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q43Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> list_aggregate(string_split(text, ' ')[i:i+2], 'string_agg', ' '))) AS s
+      |  FROM documents),
+      |sig AS (
+      |  SELECT id, s,
+      |    list_transform(range(0, 16),
+      |      j -> list_min(list_transform(s,
+      |             x -> md5('mh' || lpad(j::VARCHAR, 2, '0') || ':' || x)))) AS sg
+      |  FROM sh),
+      |banded AS (
+      |  SELECT id,
+      |    list_transform(range(0, 4),
+      |      b -> md5(list_aggregate(sg[b*4+1 : b*4+4], 'string_agg', '|'))) AS bh
+      |  FROM sig),
+      |expl AS (
+      |  SELECT id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM expl a JOIN expl b ON a.band = b.band AND a.h = b.h AND a.id < b.id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+      |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |        / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+      |SELECT cluster, count(*) AS n_docs FROM lbl GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+
   /** 32-bit SimHash fingerprints (md5 family; bit b = sign of the ±1 votes
     * of hex digit b/4, offset b%4 across token hashes).
     */
@@ -391,6 +444,7 @@ object QPipelineExt {
     "q32_source_sketch"     -> (q32SourceSketch _),
     "q33_asof_join"         -> (q33AsofJoin _),
     "q37_range_join"        -> (q37RangeJoin _),
+    "q43_dup_clusters"      -> (q43DupClusters _),
     "q34_sql_surface"       -> (q34SqlSurface _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
@@ -408,6 +462,7 @@ object QPipelineExt {
     "q31_embedding_neardup" -> q31Sql,
     "q33_asof_join"         -> q33Sql,
     "q37_range_join"        -> q37Sql,
+    "q43_dup_clusters"      -> q43Sql,
     "q34_sql_surface"       -> q34Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,

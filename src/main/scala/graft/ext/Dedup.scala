@@ -161,6 +161,44 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation — every node ends labeled with the smallest id
+    * reachable through any chain of pairs, so "keep one per cluster" is
+    * `filter(id === cluster)`. Each round is one shuffle (join + min-agg);
+    * rounds needed = graph diameter (near-dup graphs are shallow — chains of
+    * near-identical docs). `localCheckpoint` every round truncates the
+    * iterative lineage, the standard guard against plan blowup in looped
+    * DataFrame jobs at scale.
+    */
+  def dupClusters(pairs: DataFrame, idA: String, idB: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash (md5 family) as a '0'/'1' string: per token-hash, each of
     * the 32 bits votes ±1; the sign of each bit's total is the fingerprint
     * bit. Bit b lives in hex digit b/4 of the md5, offset b%4 (msb-first) —

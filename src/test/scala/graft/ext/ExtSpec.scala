@@ -40,6 +40,21 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("dupClusters: transitive chains collapse to one min-labeled component") {
+    // chain 1-2-3 (via 1-2, 2-3), pair 10-11, chain 20-21-22-23 (diameter 3)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("simhash: identical docs hash equal; near-dups differ in few bits; md5/fast agree on equality") {
     val out = docs.select(col("doc_id"),
         Dedup.simhash32(col("text")).as("s32"),
