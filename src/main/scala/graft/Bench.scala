@@ -18,7 +18,8 @@ import graft.ext.Dedup
   * the xxhash64 fast variants — are benchmarked as b31/b32 instead.
   */
 object Bench {
-  private val skip = Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash")
+  private val skip =
+    Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters")
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>
@@ -32,7 +33,15 @@ object Bench {
         nBits = 12, k = 3, dim = 64)),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nCells = 16, k = 3, iters = 2)))
+        nCells = 16, k = 3, iters = 2)),
+    "b35_dup_clusters_fast" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true),
+        "id_a", "id_b")
+        .groupBy(org.apache.spark.sql.functions.col("cluster"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

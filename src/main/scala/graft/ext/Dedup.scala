@@ -175,25 +175,32 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // Convergence via observe(): labels only ever DECREASE, so an unchanged
+    // label sum between rounds means a fixpoint. The metric rides the
+    // localCheckpoint materialization — no extra job per round (a
+    // join-and-compare check would roughly double each round's cost).
+    def checkpointed(df: DataFrame, it: Int): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation(s"dup_clusters_$it")
+      val out = df.observe(obs, sum(col("cluster")).as("s")).localCheckpoint()
+      (out, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = checkpointed(
+      edges.select(col("src").as("id")).distinct().withColumn("cluster", col("id")), -1)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = edges
-        .join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("cluster"))
-        .unionByName(labels)
-        .groupBy(col("id"))
-        .agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
+      val (next, s) = checkpointed(
+        edges
+          .join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("cluster"))
+          .unionByName(labels)
+          .groupBy(col("id"))
+          .agg(min(col("cluster")).as("cluster")),
+        it)
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       it += 1
     }
     labels
