@@ -168,7 +168,9 @@ object Dedup {
     * rounds needed = graph diameter (near-dup graphs are shallow — chains of
     * near-identical docs). `localCheckpoint` every round truncates the
     * iterative lineage, the standard guard against plan blowup in looped
-    * DataFrame jobs at scale.
+    * DataFrame jobs at scale. (On a real cluster prefer reliable
+    * `checkpoint` with a checkpoint dir — localCheckpoint blocks are not
+    * replicated, so an executor loss mid-loop fails the job.)
     */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
       maxIters: Int = 20): DataFrame = {

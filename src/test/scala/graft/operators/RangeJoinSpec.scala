@@ -54,6 +54,16 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("empty sides produce empty results") {
+    val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
+      .toDF("iid", "start", "end")
+    val points = Seq((1L, ts("2024-01-01 00:30:00"))).toDF("pid", "pts")
+    assert(RangeJoin.binnedRangeJoin(
+      intervals.limit(0), points, "start", "end", "pts").count() == 0)
+    assert(RangeJoin.binnedRangeJoin(
+      intervals, points.limit(0), "start", "end", "pts").count() == 0)
+  }
+
   test("rejects month/day and non-positive widths") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")))
       .toDF("iid", "start", "end")

@@ -63,6 +63,13 @@ class TopKPerKeySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == want)
   }
 
+  test("empty input yields an empty result, schema intact") {
+    val empty = sample.filter(col("score") > 1000)
+    val out = TopKPerKey.topKPerKey(empty, Seq("k"), Seq(col("score")), 3)
+    assert(out.count() == 0)
+    assert(out.schema == sample.schema)
+  }
+
   test("unknown columns are rejected with a clear error") {
     intercept[IllegalArgumentException] {
       TopKPerKey.topKPerKey(sample, Seq("nope"), Seq(col("score")), 1)
