@@ -303,6 +303,53 @@ object QFunctions {
       |ORDER BY dist, p_partkey
       |LIMIT 10""".stripMargin
 
+  /** Window-frame depth: a calendar RANGE frame (30-day trailing revenue),
+    * percent_rank, ntile quartiles, and lead — one shuffle per distinct
+    * (partition, order) pair; Spark groups compatible window specs into
+    * shared Window operators.
+    */
+  def q44WindowFrames(s: SparkSession, d: String): DataFrame =
+    orders(s, d).selectExpr(
+      "o_orderkey",
+      "o_custkey",
+      "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS r30",
+      "round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr",
+      "CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile",
+      "lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt")
+      .orderBy(col("o_orderkey"))
+
+  private[graft] val q44Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+      |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS r30,
+      |  round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS tile,
+      |  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CUBE: all four grouping levels in one shuffle (flag×status, flag,
+    * status, grand total) — q38's ROLLUP plus the status-only slice.
+    */
+  def q45Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 6).as("avg_disc"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("avg_disc"))
+      .orderBy(col("flag"), col("status"))
+
+  private[graft] val q45Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  count(*) AS n, round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_json_extract"        -> (q11JsonExtract _),
     "q12_string_funcs"        -> (q12StringFuncs _),
@@ -315,7 +362,9 @@ object QFunctions {
     "q19_export_presentation" -> (q19ExportPresentation _),
     "q38_rollup"              -> (q38Rollup _),
     "q39_percentiles"         -> (q39Percentiles _),
-    "q40_fuzzy_match"         -> (q40FuzzyMatch _))
+    "q40_fuzzy_match"         -> (q40FuzzyMatch _),
+    "q44_window_frames"       -> (q44WindowFrames _),
+    "q45_cube"                -> (q45Cube _))
 
   val sql: Map[String, String] = Map(
     "q11_json_extract"        -> q11Sql,
@@ -329,5 +378,7 @@ object QFunctions {
     "q19_export_presentation" -> q19Sql,
     "q38_rollup"              -> q38Sql,
     "q39_percentiles"         -> q39Sql,
-    "q40_fuzzy_match"         -> q40Sql)
+    "q40_fuzzy_match"         -> q40Sql,
+    "q44_window_frames"       -> q44Sql,
+    "q45_cube"                -> q45Sql)
 }
