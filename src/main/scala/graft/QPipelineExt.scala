@@ -297,6 +297,25 @@ object QPipelineExt {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Corpus vocabulary: explode tokens (the Generator/UDTF surface, SURVEY
+    * §2.7) → count → top-20. The explode is partition-local; only (token,
+    * partial count) pairs shuffle, and the top-k is a TakeOrdered heap.
+    */
+  def q46TokenFreq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  private val q46Sql =
+    """SELECT t AS token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY t
+      |ORDER BY n DESC, token
+      |LIMIT 20""".stripMargin
+
   /** Tumbling-window event aggregation — the batch analog of the streaming
     * path (graft.streaming); window() is epoch-aligned so it equals
     * date_trunc for 1h tumbling.
@@ -445,6 +464,7 @@ object QPipelineExt {
     "q33_asof_join"         -> (q33AsofJoin _),
     "q37_range_join"        -> (q37RangeJoin _),
     "q43_dup_clusters"      -> (q43DupClusters _),
+    "q46_token_freq"        -> (q46TokenFreq _),
     "q34_sql_surface"       -> (q34SqlSurface _),
     "q20_dedup_exact"      -> (q20DedupExact _),
     "q21_text_quality"     -> (q21TextQuality _),
@@ -463,6 +483,7 @@ object QPipelineExt {
     "q33_asof_join"         -> q33Sql,
     "q37_range_join"        -> q37Sql,
     "q43_dup_clusters"      -> q43Sql,
+    "q46_token_freq"        -> q46Sql,
     "q34_sql_surface"       -> q34Sql,
     "q20_dedup_exact"      -> q20Sql,
     "q21_text_quality"     -> q21Sql,
