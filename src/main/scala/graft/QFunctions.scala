@@ -32,7 +32,7 @@ object QFunctions {
       .select(
         col("event_type"),
         when(col("v").isNotNull, 1L).otherwise(0L).as("valid"),
-        expr("variant_get(v, '$.k', 'long')").as("k"))
+        expr("try_variant_get(v, '$.k', 'long')").as("k"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("valid")).as("n_valid"),

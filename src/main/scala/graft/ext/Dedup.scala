@@ -192,19 +192,39 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      // Edge propagation: each node takes the min label among itself and
+      // its neighbours (distance-1 hop)...
+      val propagated = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"))
+      // ...then pointer jumping: adopt the label's own label, resolved
+      // against the previous round's (checkpointed) table — labels are
+      // always node ids, so the inner join is total, and joining the
+      // checkpoint avoids a self-join of the live union plan. If the
+      // propagated table reaches radius r+1 and the previous one radius r,
+      // the composition reaches 2r+1: convergence takes O(log diameter)
+      // rounds instead of O(diameter) — a chain of d near-identical docs
+      // no longer needs d rounds.
       val (next, s) = checkpointed(
-        edges
-          .join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("cluster"))
-          .unionByName(labels)
-          .groupBy(col("id"))
-          .agg(min(col("cluster")).as("cluster")),
+        propagated
+          .join(labels.select(col("id").as("mid"), col("cluster").as("mcluster")),
+            col("cluster") === col("mid"))
+          .select(col("id"), least(col("cluster"), col("mcluster")).as("cluster")),
         it)
       labels = next
       converged = s == prevSum
       prevSum = s
       it += 1
     }
+    // With doubling, maxIters=20 covers diameters up to ~2^20; hitting the
+    // cap anyway means the labels are NOT connected components yet —
+    // returning them silently would hand callers wrong clusters.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters: min-label propagation did not converge in $maxIters rounds; " +
+        "raise maxIters")
     labels
   }
 

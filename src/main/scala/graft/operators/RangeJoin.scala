@@ -46,11 +46,17 @@ object RangeJoin {
     def bin(c: Column): Column = floor(unix_micros(c) / w)
 
     // Every bin the interval [start, end) overlaps; end is exclusive so the
-    // last bin is the one containing end - 1µs.
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        bin(col(startCol)),
-        bin(timestamp_micros(unix_micros(col(endCol)) - 1L)))))
+    // last bin is the one containing end - 1µs. Corrupt rows with
+    // end <= start are dropped up front: they can never satisfy
+    // `ts >= start && ts < end`, and feeding them to `sequence` would
+    // generate a DESCENDING bin list (spurious exploded rows, unbounded for
+    // an end far before start).
+    val binned = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(
+          bin(col(startCol)),
+          bin(timestamp_micros(unix_micros(col(endCol)) - 1L)))))
     val probe = points.withColumn("__bin", bin(col(tsCol)))
 
     binned.join(probe,

@@ -157,7 +157,13 @@ object TopKPerKey {
         case e => SortOrder(resolveAgainst(e, analyzed.output), Ascending)
       }
     }
+    // Grouping compares keys by UnsafeRow bytes (and the exchange hashes
+    // them), which would put -0.0 vs 0.0 and differing NaN bit patterns in
+    // separate groups/partitions. Normalize like Spark's
+    // NormalizeFloatingNumbers rule does for Aggregate/Join keys, so
+    // float/double keys group identically to the groupBy/window formulation.
+    val normalizedKeys = keyExprs.map(GraftSqlShims.normalizeFloats)
     GraftSqlShims.ofRows(df.sparkSession,
-      TopKPerKeyNode(keyExprs, sortOrders, k, analyzed))
+      TopKPerKeyNode(normalizedKeys, sortOrders, k, analyzed))
   }
 }

@@ -111,6 +111,15 @@ object EventsStream {
   case class SessionState(startUs: Long, lastUs: Long, n: Long,
       sumValue: Double, types: Set[String])
 
+  /** Full per-user state: ALL sessions the watermark has not yet sealed,
+    * gap-separated and sorted by start. Sessions closed by an intra-batch
+    * gap stay buffered here — append output must remain watermark-gated (a
+    * later-but-within-watermark event may still belong to, or bridge,
+    * "closed" sessions), so nothing emits until the watermark passes that
+    * session's end + gap, exactly like the built-in session_window.
+    */
+  case class UserState(sessions: List[SessionState])
+
   /** Emitted when a session closes (gap elapsed past the watermark). */
   case class SessionSummary(user_id: Long, sstart: java.sql.Timestamp,
       send: java.sql.Timestamp, n_events: Long, sum_value: Double, n_types: Int)
@@ -145,6 +154,24 @@ object EventsStream {
       SessionSummary(userId, tsOf(s.startUs), tsOf(s.lastUs),
         s.n, s.sumValue, s.types.size)
 
+    // Watermark ms at which a session is sealed: no admissible future event
+    // (all have ts >= watermark) can fall within `gap` of its end.
+    def deadlineMs(s: SessionState): Long =
+      math.floorDiv(s.lastUs + 999999L, 1000000L) * 1000L + gapSeconds * 1000L
+
+    // Emit every sealed session, keep the rest; state and timeout follow.
+    def flush(userId: Long, sessions: List[SessionState],
+        state: GroupState[UserState]): Iterator[SessionSummary] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, kept) = sessions.partition(deadlineMs(_) <= wm)
+      if (kept.isEmpty) state.remove()
+      else {
+        state.update(UserState(kept))
+        state.setTimeoutTimestamp(math.max(kept.map(deadlineMs).min, wm + 1L))
+      }
+      ripe.map(emit(userId, _)).iterator
+    }
+
     events
       .withWatermark("ts", lateness)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -152,41 +179,30 @@ object EventsStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(emit(userId, _))
-            state.remove()
-            out.iterator
+            flush(userId, state.getOption.map(_.sessions).getOrElse(Nil), state)
           } else {
             // A trigger may carry MANY sessions for the key (one micro-batch
-            // can hold a whole history), so split by gap inside the batch
-            // too: sort by event time, emit every session closed within the
-            // batch, keep only the open tail in state for the timeout.
-            // Cross-trigger late events are folded in arrival order — the
-            // same approximation every incremental sessionizer makes inside
-            // the watermark horizon.
-            val sorted = evs.toArray.sortBy(e => us(e.ts))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            var open = state.getOption
-            sorted.foreach { e =>
+            // can hold a whole history), so split by gap inside the batch.
+            // Buffered not-yet-sealed sessions and the new singletons merge
+            // together in one sorted gap-fold — a late-but-within-watermark
+            // event lands in (or bridges) the buffered session it belongs
+            // to, instead of opening a spurious overlapping one.
+            val incoming = evs.toArray.sortBy(e => us(e.ts)).map { e =>
               val t = us(e.ts)
-              open match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  open = Some(SessionState(
-                    math.min(s.startUs, t), math.max(s.lastUs, t),
-                    s.n + 1, s.sumValue + e.value, s.types + e.event_type))
-                case Some(s) =>
-                  closed += emit(userId, s)
-                  open = Some(SessionState(t, t, 1L, e.value, Set(e.event_type)))
-                case None =>
-                  open = Some(SessionState(t, t, 1L, e.value, Set(e.event_type)))
-              }
+              SessionState(t, t, 1L, e.value, Set(e.event_type))
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
-            }
-            closed.iterator
+            val all = (state.getOption.map(_.sessions).getOrElse(Nil) ++ incoming)
+              .sortBy(_.startUs)
+            val merged = all.foldLeft(List.empty[SessionState]) {
+              case (cur :: done, s) if s.startUs - cur.lastUs <= gapUs =>
+                SessionState(
+                  math.min(cur.startUs, s.startUs), math.max(cur.lastUs, s.lastUs),
+                  cur.n + s.n, cur.sumValue + s.sumValue, cur.types ++ s.types) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+            flush(userId, merged, state)
           }
       }
   }

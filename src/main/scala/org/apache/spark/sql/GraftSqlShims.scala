@@ -18,4 +18,14 @@ object GraftSqlShims {
     */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Spark's floating-point key normalization (-0.0 → 0.0, canonical NaN),
+    * applied to Aggregate/Join/Window keys by the NormalizeFloatingNumbers
+    * rule — custom operators that group or hash-partition on raw
+    * expressions need the same treatment, and the method is
+    * `private[sql]`.
+    */
+  def normalizeFloats(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
