@@ -75,13 +75,18 @@ object QFunctions {
     */
   def q13TryCast(s: SparkSession, d: String): DataFrame =
     events(s, d)
+      .select(col("event_id"), col("props"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+      // The casts go AFTER the top-k on purpose: projected first, the
+      // optimizer keeps the Project under the Sort and get_json_object
+      // runs over every row; this shape runs it over the 2000 survivors
+      // only (TakeOrderedAndProject orders on raw columns, then projects).
       .select(
         col("event_id"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
         expr("try_cast(event_type AS INT)").as("bad_int"),
         expr("try_cast(value AS STRING)").as("value_str"))
-      .orderBy(col("event_id"))
-      .limit(2000)
 
   private[graft] val q13Sql =
     """SELECT event_id,

@@ -19,8 +19,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Widen an under-parallelized scan to the session's core count. The
+    * testdata parquet is one row group per table, so the scan is ONE task
+    * no matter what `maxPartitionBytes` says — and for the kernel tables
+    * (documents/embeddings) the expensive per-row work (shingling, minhash,
+    * 64-dim dot products) runs in the scan stage. On production-scale input
+    * the scan already has >= parallelism splits and this is a no-op — the
+    * repartition only fires for the degenerate small-file case, where
+    * shuffling a few MB buys a core-count speedup of the kernel stage.
+    */
+  private def widened(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame  = widened(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = widened(s, load(s, d, "embeddings"))
 
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default. With `spark.sql.legacy.parquet.nanosAsLong=true` the

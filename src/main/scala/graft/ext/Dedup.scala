@@ -200,20 +200,22 @@ object Dedup {
         .unionByName(labels)
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"))
-      // ...then pointer jumping: adopt the label's own label, resolved
+      // ...then, once plain propagation has had two rounds (near-dup graphs
+      // are usually that shallow — paying an extra join for them buys
+      // nothing), pointer jumping: adopt the label's own label, resolved
       // against the previous round's (checkpointed) table — labels are
       // always node ids, so the inner join is total, and joining the
       // checkpoint avoids a self-join of the live union plan. If the
       // propagated table reaches radius r+1 and the previous one radius r,
-      // the composition reaches 2r+1: convergence takes O(log diameter)
-      // rounds instead of O(diameter) — a chain of d near-identical docs
-      // no longer needs d rounds.
-      val (next, s) = checkpointed(
-        propagated
+      // the composition reaches 2r+1: deep chains converge in
+      // O(log diameter) rounds instead of O(diameter).
+      val jumped =
+        if (it < 2) propagated
+        else propagated
           .join(labels.select(col("id").as("mid"), col("cluster").as("mcluster")),
             col("cluster") === col("mid"))
-          .select(col("id"), least(col("cluster"), col("mcluster")).as("cluster")),
-        it)
+          .select(col("id"), least(col("cluster"), col("mcluster")).as("cluster"))
+      val (next, s) = checkpointed(jumped, it)
       labels = next
       converged = s == prevSum
       prevSum = s
