@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 coverage widening: merge/upsert result-set semantics, array
+  * higher-order functions, constant-width histograms, approximate distinct
+  * counting, and unpivot/melt. Same gate conventions as [[Queries]]
+  * (identical names+types both sides, rounded doubles, total ORDER BY).
+  */
+object QRound4 {
+  import Tables._
+
+  /** MERGE-style upsert as a declarative result set (the reference applies
+    * metadata upserts row-by-row through a driver dict, client.py:350-474 /
+    * update_metadata.py:33-47; here the matched/kept/inserted classification
+    * and the merged values come out of ONE full-outer join). At 100 TB both
+    * sides are large: the plan is a single shuffle on the merge key into a
+    * sort-merge join — no broadcast, no driver state; AQE handles key skew.
+    */
+  def q47MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val target = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val source = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spent_src"),
+           count(lit(1)).as("n_src"))
+    target.join(source, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "update")
+          .when(col("o_custkey").isNull, "keep")
+          .otherwise("insert").as("action"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("bal"),
+        coalesce(col("spent_src"), lit(0.0)).as("spent"),
+        coalesce(col("n_src"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  private val q47Sql =
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'update'
+      |       WHEN o_custkey IS NULL THEN 'keep'
+      |       ELSE 'insert' END AS action,
+      |  coalesce(c_acctbal, 0.0) AS bal,
+      |  coalesce(spent_src, 0.0) AS spent,
+      |  CAST(coalesce(n_src, 0) AS BIGINT) AS n_orders
+      |FROM (SELECT c_custkey, c_acctbal FROM customer
+      |      WHERE c_mktsegment = 'BUILDING') t
+      |FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS spent_src,
+      |                        count(*) AS n_src
+      |                 FROM orders GROUP BY 1) s
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Array higher-order functions (transform / filter / aggregate) over a
+    * tokenized text column. Each output column is an independent lambda
+    * chain; HOFs are interpreted (no codegen), so at 100 TB a hot path this
+    * shape should fuse into one pass — pre-explode like q46, or a native
+    * Expression (see graft.functions.HashExpressions for the measured
+    * pathology) — but as the per-document stats surface the arrays here are
+    * short (~100 tokens) and the split dominates, not the lambdas.
+    */
+  def q48ArrayHof(s: SparkSession, d: String): DataFrame = {
+    val tokens = split(col("text"), "\\s+")
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens).cast("long").as("n_tokens"),
+        size(filter(tokens, t => length(t) > 4)).cast("long").as("n_long"),
+        array_max(transform(tokens, t => length(t))).cast("long").as("max_len"),
+        aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).as("sum_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q48Sql =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS n_tokens,
+      |  len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> len(t) > 4)) AS n_long,
+      |  list_max(list_transform(string_split_regex(text, '\s+'),
+      |      t -> len(t))) AS max_len,
+      |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |      t -> len(t))) AS BIGINT) AS sum_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Constant-width histogram: the bin id is pure per-row arithmetic (stays
+    * in WholeStageCodegen, no discovery pass over the data), then ONE
+    * map-side-combined aggregation on ~20 keys. The same shape at any scale
+    * factor — bin count is fixed, so the shuffle carries at most
+    * partitions x bins rows.
+    */
+  def q49Histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(19.0))
+        .cast("long").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  private val q49Sql =
+    """SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  /** Approximate distinct counting: HLL sketches are THE 100 TB cardinality
+    * path (constant memory per group vs count(DISTINCT)'s full key shuffle).
+    * Sketch values differ per engine, so the gate pins (a) the exact count
+    * and (b) an `approx_ok` flag asserting the engine's own HLL landed
+    * within 15% of exact — deterministic per engine (HLL has no RNG), and
+    * both engines' default precision is ~2% at this cardinality.
+    */
+  def q50ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey")).as("n_approx"))
+      .select(
+        col("l_returnflag"),
+        col("n_exact"),
+        when(col("n_approx") >= col("n_exact") * 0.85 &&
+             col("n_approx") <= col("n_exact") * 1.15, 1L).otherwise(0L)
+          .as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
+  private val q50Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_exact,
+      |  CAST(CASE WHEN approx_count_distinct(l_partkey)
+      |              BETWEEN count(DISTINCT l_partkey) * 0.85
+      |                  AND count(DISTINCT l_partkey) * 1.15
+      |            THEN 1 ELSE 0 END AS BIGINT) AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Unpivot / melt (wide measures -> long (metric, val) rows) via the
+    * native `Dataset.unpivot` — plans as Expand: rows x 3 with NO shuffle,
+    * and the scan reads only the id + measure columns. The id filter is
+    * pushed to the scan (row-group skipping at scale).
+    */
+  def q51Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 400)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  private val q51Sql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      |FROM lineitem WHERE l_orderkey <= 400
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM lineitem WHERE l_orderkey <= 400
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |FROM lineitem WHERE l_orderkey <= 400
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_merge_upsert"    -> (q47MergeUpsert _),
+    "q48_array_hof"       -> (q48ArrayHof _),
+    "q49_histogram"       -> (q49Histogram _),
+    "q50_approx_distinct" -> (q50ApproxDistinct _),
+    "q51_unpivot"         -> (q51Unpivot _))
+
+  val sql: Map[String, String] = Map(
+    "q47_merge_upsert"    -> q47Sql,
+    "q48_array_hof"       -> q48Sql,
+    "q49_histogram"       -> q49Sql,
+    "q50_approx_distinct" -> q50Sql,
+    "q51_unpivot"         -> q51Sql)
+}
