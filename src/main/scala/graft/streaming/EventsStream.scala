@@ -79,6 +79,36 @@ object EventsStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click pairs with the view events of
+    * the same user in the preceding `horizonSeconds` (attribution join).
+    *
+    * Both sides carry a watermark and the join condition bounds event time
+    * on BOTH sides, so the state store holds only `lateness + horizon` of
+    * either stream per key — without the time-range predicate a
+    * stream-stream join would buffer its inputs forever. Inner-join matches
+    * emit as they arrive (no watermark gating needed for inner joins); the
+    * shuffle is one exchange per side on user_id.
+    */
+  def clickViewJoin(events: DataFrame, horizonSeconds: Long = 600L,
+      lateness: String = "30 minutes"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   // ------------------------------------------------- streaming API sink
 
   /** Streaming → batched-API sink bridge: every micro-batch runs through

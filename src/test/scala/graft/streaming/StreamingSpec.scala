@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSpec {
     assert(CountingTransport.maxBatch.get() <= 100)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val got = runToCompletion(
+      EventsStream.clickViewJoin(stream, horizonSeconds = 600L),
+      "stream_click_view", "append")
+
+    val ev = graft.Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val want = clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr("INTERVAL 600 SECONDS"))
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val emitted = got.select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    // Inner stream-stream joins emit every match (no watermark gating);
+    // a single AvailableNow pass must reproduce the batch join exactly.
+    assert(emitted == want,
+      s"stream join: ${emitted.size} pairs, batch join: ${want.size}")
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
