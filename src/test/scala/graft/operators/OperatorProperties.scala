@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based equivalence for the custom distributed operators: each
+  * must match its brute-force / built-in formulation on arbitrary inputs —
+  * ties, empty sides, corrupt intervals, keys with no matches included.
+  * Test counts are kept low (each check is a full Spark job on a tiny
+  * dataset); the point is adversarial SHAPES, not volume.
+  */
+object OperatorProperties extends Properties("graft.operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12).withMaxDiscardRatio(10)
+
+  private lazy val spark = graft.SparkSpec.session
+
+  // ------------------------------------------------------- top-k per key
+
+  private val topkRows: Gen[List[(Int, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 4), Gen.choose(-50L, 50L)))
+
+  property("topKPerKey == window row_number formulation") =
+    forAll(topkRows, Gen.choose(1, 4)) { (rows, k) =>
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((key, v), i) => (key, i.toLong, v) }
+        .toDF("key", "id", "value")
+      val got = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), Seq(col("value").desc, col("id")), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy(col("key")).orderBy(col("value").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      got == want
+    }
+
+  // ----------------------------------------------------------- range join
+
+  // Durations include <= 0 (corrupt intervals the operator must drop) and
+  // spans crossing many bins.
+  private val intervalsGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 86400L), Gen.choose(-600L, 7200L)))
+  private val pointsGen: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 90000L))
+
+  property("binnedRangeJoin == brute-force inequality join") =
+    forAll(intervalsGen, pointsGen) { (ivals, pts) =>
+      import spark.implicits._
+      val iv = ivals.zipWithIndex.map { case ((s, dur), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000L),
+          new java.sql.Timestamp((s + dur) * 1000L))
+      }
+      val pv = pts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000L))
+      }
+      val got = RangeJoin.binnedRangeJoin(
+          iv.toDF("iid", "istart", "iend"), pv.toDF("pid", "pts"),
+          "istart", "iend", "pts", binWidth = "37 minutes")
+        .select(col("iid"), col("pid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (iid, s, e) <- iv
+        (pid, t) <- pv
+        if t.getTime >= s.getTime && t.getTime < e.getTime
+      } yield (iid, pid)).toSet
+      got == want
+    }
+
+  // ------------------------------------------------------------ as-of join
+
+  private val leftGen: Gen[List[(Int, Long)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 1000L)))
+  private val rightGen: Gen[List[(Int, Long, Long)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 1000L)
+      v <- Gen.choose(-99L, 99L)
+    } yield (k, t, v))
+
+  property("asOfJoin == per-row latest-right lookup") =
+    forAll(leftGen, rightGen) { (lraw, rraw) =>
+      import spark.implicits._
+      // Operator contract: right unique per (key, ts).
+      val r = rraw.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val l = lraw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000L))
+      }
+      val got = AsOfJoin.asOfJoin(
+          l.toDF("lid", "key", "lts"),
+          r.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v) }
+            .toDF("rkey", "rts", "v"),
+          "key", "rkey", "lts", "rts", Seq("v"))
+        .select(col("lid"), col("v"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val want = l.map { case (lid, k, lts) =>
+        val cand = r.filter(x => x._1 == k && x._2 * 1000L <= lts.getTime)
+        lid -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      got == want
+    }
+}
