@@ -70,6 +70,34 @@ object OperatorProperties extends Properties("graft.operators") {
       got == want
     }
 
+  // ----------------------------------------------------- exact percentiles
+
+  // Duplicates likely (values from a small domain), uneven group sizes.
+  private val pctRows: Gen[List[(Int, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 40).map(_ * 0.5)))
+
+  property("groupedPercentiles == builtin percentile aggregate") =
+    forAll(pctRows, Gen.nonEmptyListOf(Gen.choose(0, 20).map(_ / 20.0))) {
+      (rows, fracsRaw) =>
+        import spark.implicits._
+        val fracs = fracsRaw.distinct
+        val df = rows.toDF("key", "v")
+        val got = ExactPercentile
+          .groupedPercentiles(df, Seq("key"), "v", fracs)
+          .collect()
+          .map(r => (r.getInt(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+        val arr = fracs.map(f => lit(f)).toArray
+        val want = df.groupBy(col("key"))
+          .agg(expr(s"percentile(v, array(${fracs.mkString(",")}))").as("ps"))
+          .collect()
+          .flatMap { r =>
+            val ps = r.getSeq[Double](1)
+            fracs.indices.map(i => (r.getInt(0), fracs(i)) -> ps(i))
+          }.toMap
+        got.keySet == want.keySet &&
+          got.forall { case (k, v) => math.abs(v - want(k)) < 1e-9 }
+    }
+
   // ------------------------------------------------------------ as-of join
 
   private val leftGen: Gen[List[(Int, Long)]] =
