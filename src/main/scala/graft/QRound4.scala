@@ -167,17 +167,151 @@ object QRound4 {
       |FROM lineitem WHERE l_orderkey <= 400
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  /** Calendar/date kernel (date_trunc, datediff, last_day, extract) — all
+    * codegen'd date arithmetic on the scan output; one month-key shuffle.
+    */
+  def q52DateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("age_days"),
+        last_day(col("o_orderdate").cast("date")).as("eom"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("yyyymm"))
+      .groupBy(col("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("age_days")), 4).as("avg_age_days"),
+        max(col("eom")).as("eom"),
+        max(col("yyyymm")).as("yyyymm"))
+      .orderBy(col("month"))
+
+  private val q52Sql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n,
+      |  round(avg(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')), 4)
+      |    AS avg_age_days,
+      |  max(last_day(CAST(o_orderdate AS DATE))) AS eom,
+      |  CAST(max(year(o_orderdate) * 100 + month(o_orderdate)) AS BIGINT) AS yyyymm
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
+  /** Regex kernel: extraction + replacement as codegen'd expressions (basic
+    * POSIX-safe patterns so Java regex and DuckDB's RE2 agree).
+    */
+  def q53RegexExtract(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("p_name"), "[aeiou]", "")).cast("long")
+          .as("consonant_len"))
+      .groupBy(col("first_word"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("consonant_len")), 4).as("avg_consonants"))
+      .orderBy(col("first_word"))
+
+  private val q53Sql =
+    """SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  count(*) AS n,
+      |  round(avg(length(regexp_replace(p_name, '[aeiou]', '', 'g'))), 4)
+      |    AS avg_consonants
+      |FROM part
+      |GROUP BY 1
+      |ORDER BY first_word""".stripMargin
+
+  /** Distinct count as a window column — Spark has no COUNT(DISTINCT) OVER,
+    * so it's rewritten as max(dense_rank): dense_rank over (key ORDER BY
+    * value) numbers the distinct values, its per-key max IS the distinct
+    * count, and both windows share one shuffle on the key (the second spec
+    * is unordered over the same partitioning). The oracle uses the
+    * equivalent grouped-subquery join.
+    */
+  def q54WindowDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .withColumn("__dr", dense_rank().over(byOrder.orderBy(col("l_suppkey"))))
+      .withColumn("n_supp", max(col("__dr")).over(byOrder).cast("long"))
+      .drop("__dr")
+      // (orderkey, linenumber) is NOT unique in this generator — suppkey
+      // completes the total order the gate's row hash needs.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+  }
+
+  private val q54Sql =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, g.n_supp
+      |FROM lineitem l
+      |JOIN (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+      |      FROM lineitem GROUP BY 1) g USING (l_orderkey)
+      |ORDER BY l.l_orderkey, l.l_linenumber, l.l_suppkey""".stripMargin
+
+  /** GROUPING SETS through the SQL surface (S9 temp views + spark.sql):
+    * the IDENTICAL SQL text runs on both engines — only the two single-
+    * column slices, no cross level, which neither ROLLUP nor CUBE alone
+    * expresses. One Expand + one shuffle.
+    */
+  private val q55Text =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY flag, status""".stripMargin
+
+  def q55GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q55Text)
+  }
+
+  /** Deterministic per-group mode via the TopKPerKey physical operator:
+    * count per (group, value), then k=1 with an explicit (count DESC, value)
+    * tie-break — the builtin `mode` is nondeterministic on ties in BOTH
+    * engines, so this is the gate-able formulation. Only (group, value,
+    * count) triples shuffle into the heap operator, never raw rows.
+    */
+  def q56Mode(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopKPerKey.topKPerKey(
+        counts, Seq("l_returnflag"), Seq(col("cnt").desc, col("l_quantity")), 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q56Sql =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt
+      |FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |      FROM lineitem GROUP BY 1, 2)
+      |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+      |                           ORDER BY cnt DESC, l_quantity) = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
     "q49_histogram"       -> (q49Histogram _),
     "q50_approx_distinct" -> (q50ApproxDistinct _),
-    "q51_unpivot"         -> (q51Unpivot _))
+    "q51_unpivot"         -> (q51Unpivot _),
+    "q52_date_funcs"      -> (q52DateFuncs _),
+    "q53_regex_extract"   -> (q53RegexExtract _),
+    "q54_window_distinct" -> (q54WindowDistinct _),
+    "q55_grouping_sets"   -> (q55GroupingSets _),
+    "q56_mode"            -> (q56Mode _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
     "q48_array_hof"       -> q48Sql,
     "q49_histogram"       -> q49Sql,
     "q50_approx_distinct" -> q50Sql,
-    "q51_unpivot"         -> q51Sql)
+    "q51_unpivot"         -> q51Sql,
+    "q52_date_funcs"      -> q52Sql,
+    "q53_regex_extract"   -> q53Sql,
+    "q54_window_distinct" -> q54Sql,
+    "q55_grouping_sets"   -> q55Text,
+    "q56_mode"            -> q56Sql)
 }
