@@ -291,6 +291,80 @@ object QRound4 {
       |                           ORDER BY cnt DESC, l_quantity) = 1
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Deterministic train/val/test split (graft.ext.Splits): the split is a
+    * pure function of md5(key) — reproducible across runs/engines/cluster
+    * sizes, leakage-free (equal keys always co-assign), zero shuffle. The
+    * DuckDB oracle mirrors the md5 bucket arithmetic exactly; production
+    * uses the xxhash64 family (same contract, no crypto digest per row).
+    */
+  def q57HashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.ext.Splits.hashBucketMd5(col("doc_id"), 100)
+    documents(s, d)
+      .select(col("lang"),
+        graft.ext.Splits.assignSplit(bucket,
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val q57Sql =
+    """SELECT split, lang, count(*) AS n
+      |FROM (SELECT lang,
+      |        CASE WHEN bucket < 80 THEN 'train'
+      |             WHEN bucket < 90 THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM (SELECT lang,
+      |              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                % 100 AS bucket
+      |            FROM documents))
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
+  /** Corpus TF-IDF, top-3 terms per document. Only (doc, token, count)
+    * triples leave the explode stage (map-side combined); document frequency
+    * reuses the token shuffle of the tf aggregate; the corpus size joins as
+    * a broadcast scalar; the per-doc cut runs through the TopKPerKey heap
+    * operator (<= 3 rows per key shuffle, no full sort). Deterministic ties
+    * via (score DESC, token); output ordered by (doc_id, token) so the
+    * rounded score never has to order rows.
+    */
+  def q58Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("raw"))
+    graft.plans.TopKPerKey.topKPerKey(
+        scored, Seq("doc_id"), Seq(col("raw").desc, col("token")), 3)
+      .select(col("doc_id"), col("token"), round(col("raw"), 6).as("score"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  private val q58Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf
+      |       FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, token, tf * ln(n_docs::DOUBLE / df) AS raw
+      |           FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, round(raw, 6) AS score
+      |FROM scored
+      |QUALIFY row_number() OVER (PARTITION BY doc_id
+      |                           ORDER BY raw DESC, token) <= 3
+      |ORDER BY doc_id, token""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -301,7 +375,9 @@ object QRound4 {
     "q53_regex_extract"   -> (q53RegexExtract _),
     "q54_window_distinct" -> (q54WindowDistinct _),
     "q55_grouping_sets"   -> (q55GroupingSets _),
-    "q56_mode"            -> (q56Mode _))
+    "q56_mode"            -> (q56Mode _),
+    "q57_hash_split"      -> (q57HashSplit _),
+    "q58_tfidf"           -> (q58Tfidf _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -313,5 +389,7 @@ object QRound4 {
     "q53_regex_extract"   -> q53Sql,
     "q54_window_distinct" -> q54Sql,
     "q55_grouping_sets"   -> q55Text,
-    "q56_mode"            -> q56Sql)
+    "q56_mode"            -> q56Sql,
+    "q57_hash_split"      -> q57Sql,
+    "q58_tfidf"           -> q58Sql)
 }

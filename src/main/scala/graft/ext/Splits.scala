@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every row's
+  * split follows from a HASH of its key, not from `rand()` — so the
+  * assignment is reproducible across runs, engines, cluster sizes, and
+  * re-partitioning, rows with the same key always land in the same split
+  * (no train/test leakage between duplicates), and incremental data never
+  * reshuffles old rows. Pure per-row codegen'd expressions: no shuffle, no
+  * state, scales embarrassingly.
+  *
+  * Two hash families, same contract (0 <= bucket < granularity):
+  *   - [[hashBucketMd5]]: first 8 hex chars of md5 — bit-identical in any
+  *     engine with md5 (the DuckDB oracle mirrors it exactly; q57).
+  *   - [[hashBucket]]: xxhash64 — the fast path for production Spark
+  *     (one 64-bit mix vs a cryptographic digest per row).
+  */
+object Splits {
+
+  /** Engine-portable bucket in [0, granularity): md5 hex prefix as int. */
+  def hashBucketMd5(key: Column, granularity: Int = 100): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(granularity.toLong))
+
+  /** Fast bucket in [0, granularity): xxhash64 (Spark-native, codegen'd). */
+  def hashBucket(key: Column, granularity: Int = 100): Column =
+    pmod(xxhash64(key.cast("string")), lit(granularity.toLong))
+
+  /** Assign named splits by cumulative weight over the hash bucket, e.g.
+    * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (weights sum to
+    * `granularity`). Deterministic, leakage-free by key.
+    */
+  def assignSplit(bucket: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0))
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    weights.zip(cuts).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), other) => when(bucket < cut, name).otherwise(other)
+    }
+  }
+}

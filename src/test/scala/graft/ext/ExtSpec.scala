@@ -309,4 +309,40 @@ class ExtSpec extends SparkSpec {
       .collect().head
     assert(top.getLong(0) == 3L && math.abs(top.getDouble(1) - 1.0) < 1e-6)
   }
+
+  test("splits: deterministic, leakage-free by key, weights roughly honored") {
+    import spark.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    def assigned(bucket: org.apache.spark.sql.Column) = keys
+      .select(col("k"), Splits.assignSplit(bucket,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+
+    for (bucket <- Seq(Splits.hashBucketMd5(col("k"), 100),
+                       Splits.hashBucket(col("k"), 100))) {
+      val a = assigned(bucket).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val b = assigned(bucket).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(a == b) // rerun-stable: hash of the key, not rand()
+      val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+      assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac ${frac("train")}")
+      assert(math.abs(frac("val") - 0.1) < 0.03)
+      assert(math.abs(frac("test") - 0.1) < 0.03)
+    }
+
+    // same key always co-assigns (dup rows can never straddle train/test)
+    val dup = keys.union(keys)
+    val perKey = dup.select(col("k"),
+        Splits.assignSplit(Splits.hashBucketMd5(col("k"), 100),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+      .groupBy(col("k")).agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    assert(perKey == 1L)
+
+    // buckets stay in range for both families
+    val rng = keys.select(
+      Splits.hashBucketMd5(col("k"), 7).as("m"), Splits.hashBucket(col("k"), 7).as("x"))
+      .agg(min(col("m")), max(col("m")), min(col("x")), max(col("x")))
+      .collect().head
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 6L)
+    assert(rng.getLong(2) >= 0L && rng.getLong(3) <= 6L)
+  }
 }
