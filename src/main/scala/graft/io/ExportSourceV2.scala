@@ -9,8 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.Filter
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -82,42 +82,85 @@ private[io] class ExportTable(schema: StructType, options: CaseInsensitiveString
 }
 
 private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of `full` in field order; empty (count-only
     // scans) is legal and yields zero-field rows.
     required = requiredSchema
 
+  /** Accept the predicate shapes an export API can evaluate server-side
+    * (equality, IN, prefix, non-null on string fields) — those rows never
+    * enter Spark at all, which at scale is the difference between shipping
+    * one project's labels and the whole corpus. Anything else stays a
+    * post-scan filter (returned back to Spark untouched).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(ExportFilterEval.supported(full, _))
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = new ExportScan(
     options.get("feed"),
     Option(options.get("pages")).map(_.toInt).getOrElse(1),
     Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
-    required)
+    required, pushed)
+}
+
+/** Source-side evaluation of pushed filters over raw export records (the
+  * stand-in for encoding them as export-API query params).
+  */
+private[io] object ExportFilterEval {
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _: String)     => schema.fieldNames.contains(a)
+    case In(a, vs)                 => schema.fieldNames.contains(a) &&
+      vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _)    => schema.fieldNames.contains(a)
+    case IsNotNull(a)              => schema.fieldNames.contains(a)
+    case _                         => false
+  }
+
+  def eval(f: Filter, rec: Map[String, String]): Boolean = f match {
+    case EqualTo(a, v: String)     => rec.get(a).contains(v)
+    case In(a, vs)                 => rec.get(a).exists(x => vs.contains(x))
+    case StringStartsWith(a, v)    => rec.get(a).exists(_.startsWith(v))
+    case IsNotNull(a)              => rec.get(a).isDefined
+    case _                         => true
+  }
 }
 
 private[io] case class ExportPagePartition(page: Int) extends InputPartition
 
-private[io] class ExportScan(feed: String, pages: Int, pageSize: Int, required: StructType)
+private[io] class ExportScan(feed: String, pages: Int, pageSize: Int,
+    required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft_export feed=$feed pages=$pages"
+  override def description(): String =
+    s"graft_export feed=$feed pages=$pages " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(pages)(ExportPagePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ExportReaderFactory(feed, pageSize, required.fieldNames)
+    new ExportReaderFactory(feed, pageSize, required.fieldNames, pushed)
 }
 
-private[io] class ExportReaderFactory(feed: String, pageSize: Int, fields: Array[String])
+private[io] class ExportReaderFactory(feed: String, pageSize: Int,
+    fields: Array[String], pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[ExportPagePartition].page
     new PartitionReader[InternalRow] {
       private val records = ExportFeedRegistry(feed)(page, pageSize).iterator
+        .filter(rec => pushed.forall(ExportFilterEval.eval(_, rec)))
       private var current: InternalRow = _
 
       override def next(): Boolean =

@@ -109,6 +109,33 @@ object EventsStream {
         col("c_ts"), col("v_ts"))
   }
 
+  /** Left-outer variant of [[clickViewJoin]]: unattributed clicks survive
+    * with a null view. Outer results are watermark-GATED — a click can only
+    * be declared view-less once the watermark proves no admissible view can
+    * still arrive inside its horizon — so null rows emit `lateness` behind
+    * the matched ones; state bounds are identical to the inner join.
+    */
+  def clickViewJoinOuter(events: DataFrame, horizonSeconds: Long = 600L,
+      lateness: String = "30 minutes"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", lateness)
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", lateness)
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   // ------------------------------------------------- streaming API sink
 
   /** Streaming → batched-API sink bridge: every micro-batch runs through

@@ -44,6 +44,35 @@ class ExportSourceV2Spec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected pruned scan, got ${scans.head.scan.readSchema()}")
   }
 
+  test("supported filters push to the source; unsupported stay post-scan") {
+    val df = read(pages = 2, pageSize = 6)
+      .filter(col("project_id") === "p1" && length(col("global_key")) > 3)
+    val rows = df.collect()
+    assert(rows.length == 4 && rows.forall(_.getAs[String]("project_id") == "p1"))
+
+    val scan = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BatchScanExec => b.scan
+    }.head
+    // The equality predicate is evaluated at the source (the description
+    // carries the pushed set); the length() predicate is not pushable and
+    // must remain a post-scan Filter.
+    assert(scan.description().contains("EqualTo(project_id,p1)"),
+      s"pushed filters missing from ${scan.description()}")
+    assert(!scan.description().contains("length"),
+      s"unexpected pushed filter in ${scan.description()}")
+    val hasPostFilter = df.queryExecution.executedPlan.toString.contains("Filter")
+    assert(hasPostFilter, "length() predicate should stay as a post-scan Filter")
+  }
+
+  test("fully-pushed scans return exactly the filtered records") {
+    val got = read(pages = 3, pageSize = 4)
+      .filter(col("project_id").isin("p0", "p2"))
+      .select("global_key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    val want = (0 until 12).filter(i => i % 3 != 1).map(i => s"gk-$i").toSet
+    assert(got == want)
+  }
+
   test("feeds compose with ordinary relational ops") {
     val agg = read(pages = 2, pageSize = 6)
       .groupBy("project_id").agg(count(lit(1)).as("n"))

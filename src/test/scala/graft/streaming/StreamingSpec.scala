@@ -164,6 +164,43 @@ class StreamingSpec extends SparkSpec {
       s"stream join: ${emitted.size} pairs, batch join: ${want.size}")
   }
 
+  test("left-outer stream-stream join: matches equal batch; nulls only for unmatched clicks") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val got = runToCompletion(
+      EventsStream.clickViewJoinOuter(stream, horizonSeconds = 600L),
+      "stream_click_view_outer", "append")
+
+    val ev = graft.Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr("INTERVAL 600 SECONDS"), "left_outer")
+      .select(col("click_id"), col("view_id"))
+      .collect()
+    val wantMatched = batch.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantNullClicks = batch.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    val emitted = got.select(col("click_id"), col("view_id")).collect()
+    val gotMatched = emitted.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotNullClicks = emitted.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    // Inner matches emit ungated and must be complete; outer (null) rows are
+    // watermark-gated, so every emitted one must be a genuine batch
+    // non-match, and none may duplicate a matched click.
+    assert(gotMatched == wantMatched)
+    assert(gotNullClicks.subsetOf(wantNullClicks),
+      s"spurious null-view clicks: ${gotNullClicks -- wantNullClicks}")
+    assert((gotNullClicks & wantMatched.map(_._1)).isEmpty)
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
