@@ -365,6 +365,65 @@ object QRound4 {
       |                           ORDER BY raw DESC, token) <= 3
       |ORDER BY doc_id, token""".stripMargin
 
+  /** End-to-end corpus curation as ONE declarative plan — the composed
+    * training-data pipeline: exact dedup (keep min doc_id per text) →
+    * quality gate → deterministic split assignment → per-(split, lang)
+    * stats. Catalyst sees the whole chain, so the scan reads each column
+    * once, the dedup window and final aggregate are the only shuffles, and
+    * the split/quality kernels are per-row codegen. This is the "a user of
+    * the reference switches their whole curation job to one .select" story.
+    */
+  def q59Curation(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Splits, TextAnalysis}
+    val deduped = graft.core.ops.TableOps.dedupeLastWins(
+      documents(s, d), Seq("text"), Seq(col("doc_id").asc))
+    deduped
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("quality") >= 0.5)
+      .withColumn("split", Splits.assignSplit(
+        Splits.hashBucketMd5(col("doc_id"), 100),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  private val q59Sql = {
+    val stop = graft.ext.TextAnalysis.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH deduped AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    floor((0.5 * least(length(text) / 500.0, 1.0)
+       |        + 0.3 * least((len(list_filter(string_split(text, ' '), t -> t IN ($stop)))::DOUBLE
+       |                       / len(string_split(text, ' '))) * 5.0, 1.0)
+       |        + 0.2 * (1.0 - least(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+       |                             * 10.0 / length(text), 1.0))) * 10000.0) / 10000.0 AS quality,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM deduped),
+       |assigned AS (
+       |  SELECT lang, quality, n_tokens,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |            % 100 AS bucket
+       |        FROM scored WHERE quality >= 0.5))
+       |SELECT split, lang, count(*) AS n_docs,
+       |  round(avg(quality), 4) AS avg_quality,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM assigned
+       |GROUP BY 1, 2
+       |ORDER BY split, lang""".stripMargin
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -377,7 +436,8 @@ object QRound4 {
     "q55_grouping_sets"   -> (q55GroupingSets _),
     "q56_mode"            -> (q56Mode _),
     "q57_hash_split"      -> (q57HashSplit _),
-    "q58_tfidf"           -> (q58Tfidf _))
+    "q58_tfidf"           -> (q58Tfidf _),
+    "q59_curation"        -> (q59Curation _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -391,5 +451,6 @@ object QRound4 {
     "q55_grouping_sets"   -> q55Text,
     "q56_mode"            -> q56Sql,
     "q57_hash_split"      -> q57Sql,
-    "q58_tfidf"           -> q58Sql)
+    "q58_tfidf"           -> q58Sql,
+    "q59_curation"        -> q59Sql)
 }
