@@ -70,4 +70,51 @@ class PlanRegressionSpec extends SparkSpec {
     val df = SparkEntry.queries("q27_cosine_topk")(spark, sf)
     assert(df.queryExecution.optimizedPlan.toString.contains("graft_self_dot"))
   }
+
+  test("q49: histogram is one exchange (bin id computed in the scan stage)") {
+    val p = plan("q49_histogram")
+    // one shuffle for the groupBy, one for the final orderBy — nothing else
+    assert(count(p, "Exchange") <= 2, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q51: unpivot plans as Expand with no join and no extra shuffle") {
+    val p = plan("q51_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(count(p, "Join") == 0, p)
+  }
+
+  test("q47: merge upsert is a single shuffled join, never a broadcast of a fact side") {
+    val p = plan("q47_merge_upsert")
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin") == 1, p)
+    assert(count(p, "BroadcastHashJoin") == 0, p)
+  }
+
+  test("q54: both window specs share one shuffle on the key") {
+    val p = plan("q54_window_distinct")
+    // dense_rank + max windows over the same partitioning: 1 exchange for
+    // the windows + 1 for the final orderBy
+    assert(count(p, "Exchange") <= 2, p)
+  }
+
+  test("q58: tf-idf cuts per-doc terms with the heap operator, broadcasts the corpus size") {
+    val p = plan("q58_tfidf")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q59: curation reads documents once; the quality gate pushes below the dedup") {
+    val p = plan("q59_curation")
+    assert(count(p, "Scan parquet") == 1, p)
+    // codegen stages print as *(n) in executedPlan.toString
+    assert(count(p, """\*\(\d+\)""") >= 1, p)
+    // quality depends only on the dedup's partition key (text), so Catalyst
+    // may push the gate below the window — the row cut happens at the scan
+    // stage, before any shuffle. Pin that the first Filter precedes the
+    // dedup Window in the tree (parents print first, so Window < Filter).
+    val firstWindow = p.indexOf("WindowGroupLimit")
+    val scanFilter = p.lastIndexOf("Filter")
+    assert(firstWindow >= 0 && scanFilter > firstWindow,
+      "quality gate should evaluate before the dedup shuffle\n" + p)
+  }
 }
