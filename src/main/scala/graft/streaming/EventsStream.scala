@@ -158,6 +158,24 @@ object EventsStream {
       }
       .start()
 
+  /** Stream → date-partitioned parquet layout (graft.io.PartitionedLayout's
+    * streaming producer): each micro-batch appends into
+    * `path/event_date=.../`, so downstream date-filtered batch readers prune
+    * at planning time while the stream is still running. Exactly-once per
+    * file via the checkpoint + file-sink manifest. Returns the started
+    * query; the caller owns awaitTermination/stop.
+    */
+  def partitionedSink(events: DataFrame, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .start()
+
   // --------------------------------- custom state: flatMapGroupsWithState
 
   /** One in-flight event for the custom-state path. */

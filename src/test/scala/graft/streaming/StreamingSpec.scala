@@ -201,6 +201,29 @@ class StreamingSpec extends SparkSpec {
     assert((gotNullClicks & wantMatched.map(_._1)).isEmpty)
   }
 
+  test("partitioned parquet sink: stream lands in date dirs, reads prune") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_layout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_layout_ckpt").toString
+    val q = EventsStream.partitionedSink(stream, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val dateDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("event_date="))
+    assert(dateDirs.length > 1, "expected multiple date partitions")
+
+    val day = dateDirs.map(_.getName.stripPrefix("event_date=")).sorted.head
+    val sliced = graft.io.PartitionedLayout.readDay(spark, out, day)
+    val want = graft.Tables.events(spark, sf)
+      .filter(to_date(col("ts")) === lit(day)).count()
+    assert(sliced.count() == want && want > 0)
+    val scan = sliced.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no scan"))
+    assert(scan.partitionFilters.nonEmpty, "date filter should prune partitions")
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
