@@ -224,6 +224,29 @@ class StreamingSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty, "date filter should prune partitions")
   }
 
+  test("stateful ops run unchanged on the RocksDB state store provider") {
+    // HDFS-backed state must fit executor heaps; RocksDB spills state to
+    // local disk — the 100 TB-keyspace path. Same query code, one conf.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = EventsStream.readEvents(spark, eventsDir)
+      val deduped = runToCompletion(
+        EventsStream.dedupEvents(stream.union(stream)), "rocksdb_dedup", "append")
+      assert(deduped.count() == graft.Tables.events(spark, sf).count())
+
+      val sessions = runToCompletion(
+        EventsStream.sessionAgg(stream.filter(col("user_id") === 2),
+          "10 minutes", "30 minutes"),
+        "rocksdb_sessions", "append")
+      assert(sessions.count() > 0)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
