@@ -424,6 +424,64 @@ object QRound4 {
        |ORDER BY split, lang""".stripMargin
   }
 
+  /** Deterministic stratified sampling: exactly `n` rows per stratum,
+    * chosen by md5-hash order — reproducible (no rand()), portable (the
+    * oracle mirrors the hash), and unbiased w.r.t. any data ordering. Runs
+    * through the TopKPerKey heap operator: at most n rows per (partition,
+    * stratum) shuffle, so sampling 50/stratum from a petabyte moves
+    * ~50 x strata rows, not the corpus.
+    */
+  def q60StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val withHash = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerKey.topKPerKey(
+        withHash, Seq("lang"), Seq(col("h"), col("doc_id")), 50)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val q60Sql =
+    """SELECT lang, doc_id
+      |FROM (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      |      FROM documents)
+      |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 50
+      |ORDER BY lang, doc_id""".stripMargin
+
+  /** Conversion funnel over the event stream: per user, the first timestamp
+    * of each stage; a user converts at stage k if the first occurrences are
+    * in order. ONE groupBy shuffle (conditional min aggregates — no joins,
+    * no per-stage passes), then a tiny stage-count aggregate.
+    */
+  def q61Funnel(s: SparkSession, d: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val perUser = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+    perUser.select(
+        when(col("t_view").isNotNull, 1L).otherwise(0L).as("s1"),
+        when(col("t_view") < col("t_click"), 1L).otherwise(0L).as("s2"),
+        when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
+          .otherwise(0L).as("s3"))
+      .agg(
+        sum(col("s1")).as("n_view"),
+        sum(col("s2")).as("n_view_click"),
+        sum(col("s3")).as("n_view_click_purchase"))
+  }
+
+  private val q61Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+      |FROM (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |      FROM events GROUP BY 1)""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -437,7 +495,9 @@ object QRound4 {
     "q56_mode"            -> (q56Mode _),
     "q57_hash_split"      -> (q57HashSplit _),
     "q58_tfidf"           -> (q58Tfidf _),
-    "q59_curation"        -> (q59Curation _))
+    "q59_curation"        -> (q59Curation _),
+    "q60_stratified_sample" -> (q60StratifiedSample _),
+    "q61_funnel"          -> (q61Funnel _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -452,5 +512,7 @@ object QRound4 {
     "q56_mode"            -> q56Sql,
     "q57_hash_split"      -> q57Sql,
     "q58_tfidf"           -> q58Sql,
-    "q59_curation"        -> q59Sql)
+    "q59_curation"        -> q59Sql,
+    "q60_stratified_sample" -> q60Sql,
+    "q61_funnel"          -> q61Sql)
 }
