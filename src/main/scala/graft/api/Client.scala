@@ -182,6 +182,29 @@ object Client {
     UpsertResult(base, actions, predictionsDs, annByProject)
   }
 
+  // ------------------------------------------- stored-table path variants
+
+  /** Path variant of [[createDataRowsFromTable]]
+    * (client.py:341-348 create_data_rows_from_delta_table): read the stored
+    * table, delegate. Parquet stands in for Delta in this env (S6).
+    */
+  def createDataRowsFromPath(
+      spark: SparkSession, tablePath: String,
+      cfg: UploadBuilder.Config, transport: UploadTransport,
+      batchSize: Int = BatchedSink.DefaultBatchSize): ImportResult =
+    createDataRowsFromTable(Sources.readTable(spark, tablePath), cfg, transport, batchSize)
+
+  /** Path variant of [[upsertDataRowsFromTable]]
+    * (client.py:476-483 upsert_data_rows_from_delta_table).
+    */
+  def upsertDataRowsFromPath(
+      spark: SparkSession, tablePath: String,
+      cfg: UploadBuilder.Config, transport: UploadTransport,
+      modelRunId: Option[String] = None,
+      batchSize: Int = BatchedSink.DefaultBatchSize): UpsertResult =
+    upsertDataRowsFromTable(Sources.readTable(spark, tablePath), cfg, transport,
+      modelRunId, batchSize)
+
   // ------------------------------------------------- metadata upsert
 
   /** J4 (labelspark/update_metadata.py:25-51): upsert a metadata column from

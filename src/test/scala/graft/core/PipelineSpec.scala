@@ -116,6 +116,25 @@ class PipelineSpec extends SparkSpec {
       nd.head.geometry == """{"bbox":{"left":1,"top":2,"width":3,"height":4}}""")
   }
 
+  test("path-variant import reads the stored table and matches the in-memory run") {
+    val table = Seq(
+      ("url1", "gk1", "ext1"),
+      ("url2", "gk2", "ext2")
+    ).toDF("row_data", "global_key", "external_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_import_tbl")
+      .resolve("t.parquet").toString
+    graft.io.Sources.writeTable(table, path, "overwrite")
+
+    val sent = new ConcurrentLinkedQueue[String]()
+    val transport = new UploadTransport {
+      def send(batch: Seq[String]): Int = { batch.foreach(sent.add); batch.size }
+    }
+    val res = Client.createDataRowsFromPath(
+      spark, path, UploadBuilder.Config(datasetId = Some("ds9")), transport)
+    assert(res.accepted == 2L)
+    assert(sent.toArray.map(_.toString).forall(_.contains(""""dataset_id":"ds9"""")))
+  }
+
   test("import facade requires a dataset id") {
     val df = Seq(("u", "g")).toDF("row_data", "global_key")
     val t = new UploadTransport { def send(b: Seq[String]): Int = b.size }
