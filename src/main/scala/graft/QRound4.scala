@@ -482,6 +482,37 @@ object QRound4 {
       |        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
       |      FROM events GROUP BY 1)""".stripMargin
 
+  /** Gap fill via last-observation-carried-forward: each event carries its
+    * user's most recent purchase value (NULL until the first purchase).
+    * `last(_, ignoreNulls)` over a running frame — one shuffle on user_id,
+    * one Tungsten sort, single pass; the standard time-series feature
+    * backfill for training data.
+    */
+  def q62Locf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("purchase_value"))
+      .withColumn("last_purchase",
+        round(last(col("purchase_value"), ignoreNulls = true).over(w), 4))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("last_purchase"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  private val q62Sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |                   IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+      |    AS last_purchase
+      |FROM events
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -497,7 +528,8 @@ object QRound4 {
     "q58_tfidf"           -> (q58Tfidf _),
     "q59_curation"        -> (q59Curation _),
     "q60_stratified_sample" -> (q60StratifiedSample _),
-    "q61_funnel"          -> (q61Funnel _))
+    "q61_funnel"          -> (q61Funnel _),
+    "q62_locf"            -> (q62Locf _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -514,5 +546,6 @@ object QRound4 {
     "q58_tfidf"           -> q58Sql,
     "q59_curation"        -> q59Sql,
     "q60_stratified_sample" -> q60Sql,
-    "q61_funnel"          -> q61Sql)
+    "q61_funnel"          -> q61Sql,
+    "q62_locf"            -> q62Sql)
 }

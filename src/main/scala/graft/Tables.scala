@@ -40,13 +40,18 @@ object Tables {
     * rejects by default. With `spark.sql.legacy.parquet.nanosAsLong=true` the
     * column arrives as LongType nanos; convert to a microsecond timestamp the
     * same way DuckDB does (truncation), so oracle comparisons line up.
+    *
+    * INTEGER division (`div`), not `floor(_ / 1000)`: `/` on longs is double
+    * division, and epoch NANOS (~1.7e18) exceed a double's 53-bit mantissa —
+    * the rounded quotient is off by ±1µs on about half the rows (caught by
+    * the q62 gate, the first query to emit raw microseconds).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () } // static conf on some builds; builder sets it too
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

@@ -39,7 +39,9 @@ object EventsStream {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer division — `/` on epoch nanos loses µs precision (see
+      // graft.Tables.events)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window counts + sums per event type with a watermark that
