@@ -513,6 +513,39 @@ object QRound4 {
       |FROM events
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  /** Calendar resampling: a generated daily spine per user (sequence +
+    * explode — rows that never existed in the data), left-joined against
+    * per-day counts with zero-fill. The spine is |users| x |days| rows built
+    * by a Generator (no driver loop, no data shuffle to build it); the
+    * aggregate side is map-side combined before its one shuffle. The
+    * standard densification step before windowed feature extraction.
+    */
+  def q63Resample(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val days = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(
+          lit("2024-01-01").cast("date"), lit("2024-01-30").cast("date"))).as("day"))
+    val perDay = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    days.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q63Sql =
+    """SELECT u.user_id, s.day, coalesce(c.cnt, 0) AS n_events
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |CROSS JOIN (SELECT unnest(generate_series(DATE '2024-01-01',
+      |                                          DATE '2024-01-30',
+      |                                          INTERVAL 1 DAY))::DATE AS day) s
+      |LEFT JOIN (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |           FROM events GROUP BY 1, 2) c
+      |  ON u.user_id = c.user_id AND s.day = c.day
+      |ORDER BY u.user_id, s.day""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -529,7 +562,8 @@ object QRound4 {
     "q59_curation"        -> (q59Curation _),
     "q60_stratified_sample" -> (q60StratifiedSample _),
     "q61_funnel"          -> (q61Funnel _),
-    "q62_locf"            -> (q62Locf _))
+    "q62_locf"            -> (q62Locf _),
+    "q63_resample"        -> (q63Resample _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -547,5 +581,6 @@ object QRound4 {
     "q59_curation"        -> q59Sql,
     "q60_stratified_sample" -> q60Sql,
     "q61_funnel"          -> q61Sql,
-    "q62_locf"            -> q62Sql)
+    "q62_locf"            -> q62Sql,
+    "q63_resample"        -> q63Sql)
 }
