@@ -52,6 +52,31 @@ object Sources {
     df.write.mode(mode).parquet(path)
   }
 
+  /** S6/S7 are format-agnostic: the same validated read/write surface over
+    * any columnar format Spark ships (parquet default, ORC here as the
+    * second witness — at scale the choice is a table property, not code).
+    */
+  def readTableAs(spark: SparkSession, path: String, format: String): DataFrame =
+    spark.read.format(format).load(path)
+
+  def writeTableAs(df: DataFrame, path: String, mode: String, format: String): Unit = {
+    require(mode == "append" || mode == "overwrite",
+      s"write_mode must be append or overwrite, got $mode")
+    df.write.format(format).mode(mode).save(path)
+  }
+
+  /** Raw-text corpus ingest: one document per line, content-addressed ids
+    * (xxhash64 of the text — stable across reruns/partitioning, unlike
+    * monotonically_increasing_id, and duplicate lines share an id, which is
+    * exactly what exact-dedup wants downstream).
+    */
+  def readTextCorpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("value")).as("doc_id"),
+        org.apache.spark.sql.functions.col("value").as("text"))
+
   /** S9: temp-view registration for the SQL surface. */
   def registerTempView(df: DataFrame, name: String): Unit =
     df.createOrReplaceTempView(name)
