@@ -546,6 +546,40 @@ object QRound4 {
       |  ON u.user_id = c.user_id AND s.day = c.day
       |ORDER BY u.user_id, s.day""".stripMargin
 
+  /** Forward as-of join (graft.operators.AsOfJoin.asOfJoinForward): each
+    * click enriched with the user's NEXT purchase at-or-after it — time-to-
+    * conversion per interaction. DuckDB has no forward ASOF, so the oracle
+    * is the equivalent QUALIFY-over-join; our side is the mirrored
+    * tagged-union window (one shuffle, one sort).
+    */
+  def q64AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    graft.operators.AsOfJoin.asOfJoinForward(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+        Seq("p_event_id", "p_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("p_event_id").as("next_purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q64Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS p_event_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id,
+      |  p.p_event_id AS next_purchase_id,
+      |  epoch_us(p.p_ts) - epoch_us(c.ts) AS gap_us
+      |FROM c LEFT JOIN p ON c.user_id = p.p_user AND p.p_ts >= c.ts
+      |QUALIFY row_number() OVER (PARTITION BY c.event_id ORDER BY p.p_ts) = 1
+      |ORDER BY c.event_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_merge_upsert"    -> (q47MergeUpsert _),
     "q48_array_hof"       -> (q48ArrayHof _),
@@ -563,7 +597,8 @@ object QRound4 {
     "q60_stratified_sample" -> (q60StratifiedSample _),
     "q61_funnel"          -> (q61Funnel _),
     "q62_locf"            -> (q62Locf _),
-    "q63_resample"        -> (q63Resample _))
+    "q63_resample"        -> (q63Resample _),
+    "q64_asof_forward"    -> (q64AsofForward _))
 
   val sql: Map[String, String] = Map(
     "q47_merge_upsert"    -> q47Sql,
@@ -582,5 +617,6 @@ object QRound4 {
     "q60_stratified_sample" -> q60Sql,
     "q61_funnel"          -> q61Sql,
     "q62_locf"            -> q62Sql,
-    "q63_resample"        -> q63Sql)
+    "q63_resample"        -> q63Sql,
+    "q64_asof_forward"    -> q64Sql)
 }

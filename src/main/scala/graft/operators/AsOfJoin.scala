@@ -74,4 +74,54 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"`$c`")) ++
         rightPayload.map(c => col("__payload").getField(c).as(c)): _*)
   }
+
+  /** Forward as-of: for each left row, the right row with the SMALLEST
+    * `rightTs >= leftTs` within the key ("next event at or after") — the
+    * mirror of [[asOfJoin]], which DuckDB's native ASOF cannot express.
+    * Same shape: tagged union, one shuffle, one window sort; the carry runs
+    * over the FOLLOWING frame with `first(_, ignoreNulls)`, and left rows
+    * (side 0) sort before right rows (side 1) at equal ts so `>=` matches.
+    * Right must be unique per (key, ts), as in the backward join.
+    */
+  def asOfJoinForward(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!rightPayload.exists(leftCols.contains),
+      s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
+
+    val payloadType = StructType(rightPayload.map(c => right.schema(c)))
+
+    val l = left
+      .withColumn("__key", col(s"`$leftKey`"))
+      .withColumn("__ts", col(s"`$leftTs`").cast("timestamp"))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(payloadType))
+
+    val r = right
+      .select(
+        col(s"`$rightKey`").as("__key"),
+        col(s"`$rightTs`").cast("timestamp").as("__ts"),
+        struct(rightPayload.map(c => col(s"`$c`")): _*).as("__payload"))
+      .withColumn("__side", lit(1))
+    val rPadded = leftCols.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unionCols = "__key" +: "__ts" +: "__side" +: "__payload" +: leftCols
+    val all = l.select(unionCols.map(c => col(s"`$c`")): _*)
+      .unionByName(rPadded.select(unionCols.map(c => col(s"`$c`")): _*))
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = all.withColumn("__payload",
+      first(col("__payload"), ignoreNulls = true).over(w))
+
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        rightPayload.map(c => col("__payload").getField(c).as(c)): _*)
+  }
 }

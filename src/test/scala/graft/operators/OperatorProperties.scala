@@ -132,4 +132,27 @@ object OperatorProperties extends Properties("graft.operators") {
       }.toMap
       got == want
     }
+
+  property("asOfJoinForward == per-row earliest-right lookup") =
+    forAll(leftGen, rightGen) { (lraw, rraw) =>
+      import spark.implicits._
+      val r = rraw.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val l = lraw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000L))
+      }
+      val got = AsOfJoin.asOfJoinForward(
+          l.toDF("lid", "key", "lts"),
+          r.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v) }
+            .toDF("rkey", "rts", "v"),
+          "key", "rkey", "lts", "rts", Seq("v"))
+        .select(col("lid"), col("v"))
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val want = l.map { case (lid, k, lts) =>
+        val cand = r.filter(x => x._1 == k && x._2 * 1000L >= lts.getTime)
+        lid -> (if (cand.isEmpty) None else Some(cand.minBy(_._2)._3))
+      }.toMap
+      got == want
+    }
 }
