@@ -323,8 +323,11 @@ object QRound4 {
 
   /** Corpus TF-IDF, top-3 terms per document. Only (doc, token, count)
     * triples leave the explode stage (map-side combined); document frequency
-    * reuses the token shuffle of the tf aggregate; the corpus size joins as
-    * a broadcast scalar; the per-doc cut runs through the TopKPerKey heap
+    * derives FROM the tf frame, and at runtime AQE's ReusedExchange computes
+    * the explode+partial-agg shuffle ONCE for both consumers (static explain
+    * shows the subtree twice; the executed plan has reused_exchange=1 and
+    * one fewer scan — tools/ProfileReuse q58_tfidf). The corpus size joins
+    * as a broadcast scalar; the per-doc cut runs through the TopKPerKey heap
     * operator (<= 3 rows per key shuffle, no full sort). Deterministic ties
     * via (score DESC, token); output ordered by (doc_id, token) so the
     * rounded score never has to order rows.

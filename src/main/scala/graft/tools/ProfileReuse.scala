@@ -2,7 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: executed-plan reuse check for the LSH pipeline. */
+/** Scratch: executed-plan (post-AQE) reuse check — `ProfileReuse [query]`,
+  * default the LSH pipeline. AQE's ReusedExchange only exists in the FINAL
+  * plan, so static explain undercounts reuse.
+  */
 object ProfileReuse {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -13,7 +16,8 @@ object ProfileReuse {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.Bench.fastVariants("b31_minhash_lsh_fast")(spark, sfDir)
+    val name = args.headOption.getOrElse("b31_minhash_lsh_fast")
+    val df = graft.Bench.fastVariants.getOrElse(name, graft.SparkEntry.queries(name))(spark, sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val cut = p.indexOf("== Initial Plan ==")
