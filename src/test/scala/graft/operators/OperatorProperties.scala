@@ -155,4 +155,36 @@ object OperatorProperties extends Properties("graft.operators") {
       }.toMap
       got == want
     }
+
+  // -------------------------------------------------- connected components
+
+  // Random sparse pair graphs: long chains, stars, self-loops, duplicates.
+  private val pairsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+
+  property("dupClusters == driver-side union-find components") =
+    forAll(pairsGen) { pairs =>
+      import spark.implicits._
+      val got = graft.ext.Dedup
+        .dupClusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member id, matching the operator's contract
+      val members = parent.keys.toSeq
+      val want = members.groupBy(find).flatMap { case (_, ms) =>
+        val label = ms.min; ms.map(_ -> label)
+      }
+
+      got == want
+    }
 }
