@@ -93,11 +93,15 @@ object QRelational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_cust"),
-        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        // floor-truncate, not round: an avg landing exactly on .xx5 rounds
+        // differently in Spark (decimal string) vs DuckDB (binary) — hit at
+        // sf0.001 (ASIA/NATION_17 avg = 4201.315)
+        (floor(avg(col("c_acctbal")) * 100.0) / 100.0).as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
 
   private[graft] val q05Sql =
-    """SELECT r_name, n_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |  floor(avg(c_acctbal) * 100.0) / 100.0 AS avg_bal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
