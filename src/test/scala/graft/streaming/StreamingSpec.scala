@@ -224,6 +224,24 @@ class StreamingSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty, "date filter should prune partitions")
   }
 
+  test("complete-mode windowed agg emits the final state of every window") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .filter(col("event_type") === "purchase")
+    // complete mode re-emits the whole result table; after AvailableNow the
+    // memory sink holds exactly the batch aggregation (no watermark cut).
+    val streamed = runToCompletion(
+      EventsStream.windowedAgg(stream, "1 hour", "30 minutes"),
+      "stream_windowed_complete", "complete")
+    val want = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0) -> r.getLong(1)).toMap
+    val got = streamed.collect()
+      .map(r => r.getAs[java.sql.Timestamp]("wstart") -> r.getAs[Long]("n")).toMap
+    assert(got == want)
+  }
+
   test("stateful ops run unchanged on the RocksDB state store provider") {
     // HDFS-backed state must fit executor heaps; RocksDB spills state to
     // local disk — the 100 TB-keyspace path. Same query code, one conf.
