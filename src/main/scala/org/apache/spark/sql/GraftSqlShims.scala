@@ -19,6 +19,13 @@ object GraftSqlShims {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Wrap a raw Catalyst expression back into a public Column (the inverse
+    * of [[expression]]) — needed for expressions Spark ships but does not
+    * expose through `functions` (e.g. the runtime-filter bloom pair).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Spark's floating-point key normalization (-0.0 → 0.0, canonical NaN),
     * applied to Aggregate/Join/Window keys by the NormalizeFloatingNumbers
     * rule — custom operators that group or hash-partition on raw

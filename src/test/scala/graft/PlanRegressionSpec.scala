@@ -117,4 +117,26 @@ class PlanRegressionSpec extends SparkSpec {
     assert(firstWindow >= 0 && scanFilter > firstWindow,
       "quality gate should evaluate before the dedup shuffle\n" + p)
   }
+
+  test("q65: the eval gram set broadcasts; the corpus side never shuffles for the join") {
+    val p = plan("q65_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("q70: the probe scan is pre-reduced by the bloom filter before the join") {
+    val p = plan("q70_bloom_join")
+    assert(p.contains("might_contain"), p)
+    // the bloom test must sit under the scan stage (a Filter over the
+    // parquet scan), not after the join
+    assert(p.indexOf("Join") < p.indexOf("might_contain"), p)
+  }
+
+  test("q68: shard-parallel packing — window partitioned by source, no global sort below the agg") {
+    val p = plan("q68_seq_packing")
+    assert(p.contains("Window"), p)
+    // one exchange for the source-partitioned window, one for the final
+    // orderBy; the groupBy reuses the window's partitioning-compatible data
+    assert(count(p, "Exchange") <= 3, p)
+  }
 }

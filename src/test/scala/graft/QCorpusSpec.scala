@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the corpus-pipeline batch (q65–q71), checked against
+  * independent Scala recomputations on the sf0.001 fixture — the DuckDB
+  * oracle proves engine-equivalence; these prove the SEMANTICS are the
+  * intended ones (not just the same on both engines).
+  */
+class QCorpusSpec extends SparkSpec {
+
+  private def docs: Seq[(Long, String, String)] =
+    Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def grams(text: String, n: Int): Set[String] =
+    text.split(" ").sliding(n).map(_.mkString(" ")).toSet
+
+  test("q65: flagged docs share a 13-gram with the eval slice — and only they do") {
+    val evalG = docs.filter(_._2 == "src0").flatMap(d => grams(d._3, 13)).toSet
+    val expected = docs.filter(d => d._2 != "src0" && grams(d._3, 13).exists(evalG))
+      .map(d => d._1 -> grams(d._3, 13).count(evalG).toLong).toMap
+    val got = SparkEntry.queries("q65_decontaminate")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("q66: ten rows, scores strictly ordered, every scored doc contains a query term") {
+    val rows = SparkEntry.queries("q66_bm25")(spark, sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    rows.foreach { r =>
+      val t = byId(r.getLong(0)).split(" ").toSet
+      assert(t.contains("join") || t.contains("scan") || t.contains("filter"))
+    }
+  }
+
+  test("q67: postings head is the first five sorted doc ids; df/ctf exact") {
+    val perToken = docs.flatMap { case (id, _, text) => text.split(" ").map(t => (t, id)) }
+    val expected = perToken.groupBy(_._1).map { case (t, xs) =>
+      t -> ((xs.map(_._2).distinct.size.toLong, xs.size.toLong,
+             xs.map(_._2).distinct.sorted.take(5).mkString(",")))
+    }
+    val got = SparkEntry.queries("q67_inverted_index")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("q68: per-source token totals are preserved and every seq except the last is full") {
+    val nTokens = docs.map { case (_, src, text) => src -> text.split(" ").length.toLong }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val rows = SparkEntry.queries("q68_seq_packing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._4).sum } == nTokens)
+    // cumsum packing: every bin boundary is below 512 tokens of slack —
+    // a doc starts in bin floor(pre/512), so bins are contiguous 0..max
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      val ids = xs.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq)
+    }
+  }
+
+  test("q69: change classes partition the key space by the snapshot predicates") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val ins = keys.count(k => k % 7 == 0 && k % 5 != 0).toLong
+    val del = keys.count(k => k % 7 != 0 && k % 5 == 0).toLong
+    val upd = keys.count(k => k % 7 != 0 && k % 5 != 0 && k % 3 == 0).toLong
+    val got = SparkEntry.queries("q69_cdc_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("insert" -> ins, "delete" -> del, "update" -> upd))
+  }
+
+  test("q70: bloom pre-reduction returns exactly the plain-join result") {
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority")).collect().toSeq
+    val got = SparkEntry.queries("q70_bloom_join")(spark, sf).collect().toSeq
+    assert(got == plain)
+  }
+
+  test("q71: metrics match a direct recomputation on a sample of docs") {
+    val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    docs.take(10).foreach { case (id, _, text) =>
+      val w = text.split(" ")
+      val topFrac = w.groupBy(identity).values.map(_.length).max.toDouble / w.length
+      val bg = w.sliding(2).map(_.mkString(" ")).toSeq
+      val dupFrac = 1.0 - bg.distinct.size.toDouble / bg.size
+      val r = got(id)
+      assert(math.abs(r.getDouble(1) - topFrac) < 1e-5, s"doc $id top_word_frac")
+      assert(math.abs(r.getDouble(2) - dupFrac) < 1e-5, s"doc $id dup_bigram_frac")
+      assert(r.getBoolean(3) == (topFrac > 0.2 || dupFrac > 0.08), s"doc $id flag")
+    }
+  }
+}
