@@ -333,6 +333,69 @@ object QCorpus {
       |  (top_word_frac > 0.2 OR dup_bigram_frac > 0.08) AS rejected
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis): top-20 documents by ln(u)/w with u hash-derived from the
+    * doc key and w = n_chars — longer documents proportionally likelier,
+    * yet the sample is a pure function of the keys (reproducible across
+    * runs/engines/partitionings, no rand()). Plans as one scan + a
+    * TakeOrderedAndProject: only 20×partitions candidate rows ever reach
+    * the driver-side merge, so sampling a petabyte moves kilobytes.
+    */
+  def q72WeightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        graft.ext.Splits.weightedSampleKeyMd5(col("doc_id"), col("n_chars")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q72Sql =
+    """SELECT doc_id, n_chars
+      |FROM (SELECT doc_id, n_chars,
+      |        ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+      |           / 4294967296.0) / n_chars AS es_key
+      |      FROM documents
+      |      ORDER BY es_key DESC, doc_id LIMIT 20)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Equi-depth (quantile) binning: ntile(10) over the event values —
+    * feature discretization where every bin holds the same row count.
+    * The ntile runs on a single total order (value, event_id tiebreak =
+    * deterministic frames both engines); per-bin stats are the one
+    * aggregate after it. For 100 TB you'd swap the global ntile for
+    * approx-quantile cut points + a codegen'd bin lookup (the q49 shape);
+    * this is the exact-rank variant both engines can agree on bit-for-bit.
+    */
+  def q73EquidepthBins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(s, d)
+      .select(col("event_id"), col("value"),
+        // mean from exact integer cents: a double avg at the 4th decimal
+        // can land ON the rounding boundary and split across engines
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("value"), col("event_id"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("lo"),
+        round(max(col("value")), 6).as("hi"),
+        round(sum(col("cents")) / 100.0 / count(lit(1)), 4).as("mean"))
+      .orderBy(col("bin"))
+  }
+
+  private val q73Sql =
+    """SELECT bin, count(*) AS n,
+      |  round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+      |  round(CAST(sum(cents) AS BIGINT) / 100.0 / count(*), 4) AS mean
+      |FROM (SELECT event_id, value,
+      |        CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |        CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
+      |      FROM events)
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -341,7 +404,9 @@ object QCorpus {
     "q68_seq_packing"    -> (q68SeqPacking _),
     "q69_cdc_diff"       -> (q69CdcDiff _),
     "q70_bloom_join"     -> (q70BloomJoin _),
-    "q71_repetition"     -> (q71Repetition _))
+    "q71_repetition"     -> (q71Repetition _),
+    "q72_weighted_sample" -> (q72WeightedSample _),
+    "q73_equidepth_bins" -> (q73EquidepthBins _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -350,5 +415,7 @@ object QCorpus {
     "q68_seq_packing"    -> q68Sql,
     "q69_cdc_diff"       -> q69Sql,
     "q70_bloom_join"     -> q70Sql,
-    "q71_repetition"     -> q71Sql)
+    "q71_repetition"     -> q71Sql,
+    "q72_weighted_sample" -> q72Sql,
+    "q73_equidepth_bins" -> q73Sql)
 }

@@ -28,6 +28,17 @@ object Splits {
   def hashBucket(key: Column, granularity: Int = 100): Column =
     pmod(xxhash64(key.cast("string")), lit(granularity.toLong))
 
+  /** Efraimidis–Spirakis weighted-sampling key (md5 family): rows ordered
+    * by this key DESCENDING are a weighted sample without replacement —
+    * taking the top k selects each row with probability proportional to
+    * `weight`, deterministically (same hash → same sample on any engine,
+    * any partitioning). key = ln(u)/w with u = (h+1)/2^32 ∈ (0,1] from the
+    * row key's md5 prefix; maximizing ln(u)/w is maximizing u^(1/w).
+    */
+  def weightedSampleKeyMd5(key: Column, weight: Column): Column =
+    log((conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") + 1.0)
+      / 4294967296.0) / weight
+
   /** Assign named splits by cumulative weight over the hash bucket, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (weights sum to
     * `granularity`). Deterministic, leakage-free by key.

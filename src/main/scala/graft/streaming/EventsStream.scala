@@ -58,6 +58,18 @@ object EventsStream {
         col("window.start").as("wstart"), col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment: join each micro-batch against a (small)
+    * static dimension with an explicit broadcast — the planner re-plans the
+    * static side per batch, so the join is stateless (no watermarks, no
+    * state store) and the stream never shuffles. The classic "attach user /
+    * ontology attributes to the event firehose" stage: at 100 TB/day of
+    * events the dimension rides along as a broadcast variable while the
+    * stream stays embarrassingly parallel.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left_outer"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   /** Session windows per user: a session closes after `gap` of inactivity.
     * State per active (user, session), GC'd by the watermark.
     */

@@ -85,6 +85,38 @@ class QCorpusSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("q72: sample equals the brute-force Efraimidis–Spirakis top-20 and is weight-biased") {
+    val withKey = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val w = r.getLong(1)
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+        (id, w, math.log((h + 1.0) / 4294967296.0) / w)
+      }
+    val expected = withKey.sortBy(t => (-t._3, t._1)).take(20).map(_._1).sorted.toSeq
+    val got = SparkEntry.queries("q72_weighted_sample")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // weight bias: the sample's mean weight should exceed the corpus mean
+    val all = withKey.map(_._2.toDouble)
+    val sel = withKey.filter(t => expected.contains(t._1)).map(_._2.toDouble)
+    assert(sel.sum / sel.length > all.sum / all.length)
+  }
+
+  test("q73: ten equal-depth bins with non-overlapping, ordered value ranges") {
+    val rows = SparkEntry.queries("q73_equidepth_bins")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.map(_._2).distinct.length <= 2) // equal depth (±1 on remainder)
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

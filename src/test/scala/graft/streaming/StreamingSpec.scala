@@ -69,6 +69,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static broadcast enrichment matches the batch join, stateless") {
+    import spark.implicits._
+    val dim = Seq(("click", "interactive"), ("view", "passive"), ("purchase", "converting"))
+      .toDF("event_type", "kind")
+    val enriched = EventsStream.enrich(
+      EventsStream.readEvents(spark, eventsDir), dim, "event_type")
+      .select(col("event_id"), col("kind"))
+    val got = runToCompletion(enriched, "stream_enriched", "append")
+    val exp = graft.Tables.events(spark, sf)
+      .join(broadcast(dim), Seq("event_type"), "left_outer")
+      .select(col("event_id"), col("kind"))
+    assert(got.count() == exp.count())
+    val gm = got.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    exp.collect().foreach { r =>
+      assert(gm(r.getLong(0)) == Option(r.getString(1)))
+    }
+  }
+
   test("within-watermark dedup drops duplicate event ids") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val doubled = stream.union(stream) // every event twice
