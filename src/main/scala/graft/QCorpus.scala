@@ -69,50 +69,61 @@ object QCorpus {
     */
   def q66Bm25(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("join", "scan", "filter")
-    val k1 = 1.2; val b = 0.75
-    val toks = documents(s, d)
+    // Single pass: tokenize ONCE, then per-doc length + per-term tf come
+    // out of one groupBy (conditional counts); df and the corpus constants
+    // are a one-row aggregate over that, broadcast back. The naive shape —
+    // separate dl / tf / df branches — scans and re-explodes the corpus
+    // three times.
+    val perDoc = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("token").isin(terms: _*))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val consts = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val contrib = tf.join(broadcast(dfreq), "token")
-      .join(dl, "doc_id").crossJoin(broadcast(consts))
-      .select(col("doc_id"), col("token"),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * (col("tf") * (k1 + 1.0))
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("c"))
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("token") === t, col("c")).otherwise(lit(0.0))).as(s"c$i")
-    }
-    val score = terms.indices.map(i => col(s"c$i")).reduce(_ + _)
-    contrib.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
-      .select(col("doc_id"), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          count(when(col("token") === t, lit(1))).as(s"tf$i")
+        }: _*)
+    val constCols = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val consts = perDoc.agg(constCols.head, constCols.tail: _*)
+    // c_i at tf=0 is exactly 0 (zero numerator), so no per-term CASE is
+    // needed; the additions happen in fixed index order for portability.
+    def c(i: Int): Column =
+      log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val score = terms.indices.map(c).reduce(_ + _)
+    perDoc.crossJoin(broadcast(consts))
+      .select(col("doc_id"), score.as("raw"))
+      .orderBy(col("raw").desc, col("doc_id"))
       .limit(10)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
   }
 
   private val q66Sql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
-      |       WHERE token IN ('join','scan','filter') GROUP BY 1, 2),
-      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-      |consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-      |contrib AS (
-      |  SELECT doc_id, token,
-      |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
-      |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN consts),
-      |agg AS (
+      |per_doc AS (
+      |  SELECT doc_id, count(*) AS dl,
+      |    count(*) FILTER (WHERE token = 'join') AS tf0,
+      |    count(*) FILTER (WHERE token = 'scan') AS tf1,
+      |    count(*) FILTER (WHERE token = 'filter') AS tf2
+      |  FROM toks GROUP BY 1),
+      |consts AS (
+      |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+      |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+      |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM per_doc),
+      |scored AS (
       |  SELECT doc_id,
-      |    sum(CASE WHEN token = 'join' THEN c ELSE 0.0 END) AS c0,
-      |    sum(CASE WHEN token = 'scan' THEN c ELSE 0.0 END) AS c1,
-      |    sum(CASE WHEN token = 'filter' THEN c ELSE 0.0 END) AS c2
-      |  FROM contrib GROUP BY 1)
-      |SELECT doc_id, round(c0 + c1 + c2, 6) AS score
-      |FROM agg ORDER BY c0 + c1 + c2 DESC, doc_id LIMIT 10""".stripMargin
+      |    ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+      |      * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+      |      * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+      |      * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS raw
+      |  FROM per_doc CROSS JOIN consts)
+      |SELECT doc_id, round(raw, 6) AS score
+      |FROM (SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id LIMIT 10)
+      |ORDER BY raw DESC, doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** Inverted index build: token → document frequency, corpus frequency,
