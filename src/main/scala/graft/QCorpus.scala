@@ -407,6 +407,72 @@ object QCorpus {
       |      FROM events)
       |GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Per-label embedding centroids via posexplode → (label, dim) partial
+    * aggregation — the oracle-portable formulation (both engines see the
+    * identical per-dimension stream). The production-scale path for wide
+    * vectors is the [[graft.ext.Similarity]] VecSum partial aggregate (one
+    * array-summing pass, no 64× row expansion); this query pins the
+    * SEMANTICS that path must reproduce, and the ExtSpec IVF tests pin
+    * VecSum against it.
+    */
+  def q74LabelCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x").cast("double")), 6).as("centroid"))
+      .filter(col("dim") < 8) // keep the gate output compact; all dims same path
+      .orderBy(col("label"), col("dim"))
+
+  private val q74Sql =
+    """SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+      |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+      |WHERE i - 1 < 8
+      |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Approximate-quantile engine-relative bound check (q50 pattern): each
+    * engine computes its own approx_percentile AND its own exact
+    * percentile, and reports whether the sketch landed within ±5% of
+    * exact — the exact values cross-check between engines, the approximate
+    * ones only have to honor their error contract. The approx sketch is
+    * the 100 TB path (mergeable, one pass, bounded memory); the exact
+    * interpolated percentile is the spillable-sort q39 path.
+    */
+  def q75ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("a95"))
+      .select(col("event_type"),
+        round(col("p50"), 6).as("p50"),
+        round(col("p95"), 6).as("p95"),
+        when(col("a50") >= col("p50") * 0.95 && col("a50") <= col("p50") * 1.05, 1L)
+          .otherwise(0L).as("a50_ok"),
+        when(col("a95") >= col("p95") * 0.95 && col("a95") <= col("p95") * 1.05, 1L)
+          .otherwise(0L).as("a95_ok"))
+      .orderBy(col("event_type"))
+
+  private val q75Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95,
+      |  CAST(CASE WHEN approx_quantile(value, 0.5)
+      |              BETWEEN quantile_cont(value, 0.5) * 0.95
+      |                  AND quantile_cont(value, 0.5) * 1.05
+      |            THEN 1 ELSE 0 END AS BIGINT) AS a50_ok,
+      |  CAST(CASE WHEN approx_quantile(value, 0.95)
+      |              BETWEEN quantile_cont(value, 0.95) * 0.95
+      |                  AND quantile_cont(value, 0.95) * 1.05
+      |            THEN 1 ELSE 0 END AS BIGINT) AS a95_ok
+      |FROM events
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -417,7 +483,9 @@ object QCorpus {
     "q70_bloom_join"     -> (q70BloomJoin _),
     "q71_repetition"     -> (q71Repetition _),
     "q72_weighted_sample" -> (q72WeightedSample _),
-    "q73_equidepth_bins" -> (q73EquidepthBins _))
+    "q73_equidepth_bins" -> (q73EquidepthBins _),
+    "q74_label_centroids" -> (q74LabelCentroids _),
+    "q75_approx_quantile" -> (q75ApproxQuantile _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -428,5 +496,7 @@ object QCorpus {
     "q70_bloom_join"     -> q70Sql,
     "q71_repetition"     -> q71Sql,
     "q72_weighted_sample" -> q72Sql,
-    "q73_equidepth_bins" -> q73Sql)
+    "q73_equidepth_bins" -> q73Sql,
+    "q74_label_centroids" -> q74Sql,
+    "q75_approx_quantile" -> q75Sql)
 }

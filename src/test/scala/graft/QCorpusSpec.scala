@@ -117,6 +117,30 @@ class QCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q74: centroid for one (label, dim) matches the manual mean") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val (label0, _) = vecs.head
+    val xs = vecs.filter(_._1 == label0).map(_._2(3).toDouble)
+    val exp = BigDecimal(xs.sum / xs.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q74_label_centroids")(spark, sf)
+      .filter(col("label") === label0 && col("dim") === 3)
+      .head()
+    assert(got.getLong(2) == xs.length)
+    assert(math.abs(got.getDouble(3) - exp) < 1e-6)
+  }
+
+  test("q75: the sketch honors its error contract at fixture scale (all bounds ok)") {
+    val rows = SparkEntry.queries("q75_approx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L, s"${r.getString(0)} out of bound")
+      assert(r.getDouble(1) <= r.getDouble(2)) // p50 <= p95
+    }
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
