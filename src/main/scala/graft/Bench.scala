@@ -19,7 +19,8 @@ import graft.ext.Dedup
   */
 object Bench {
   private val skip =
-    Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters")
+    Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
+      "q76_cluster_split") // md5 minhash family; b31/b35 bench the fast path
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>

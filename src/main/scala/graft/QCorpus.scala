@@ -473,6 +473,81 @@ object QCorpus {
       |FROM events
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Leakage-free train/val/test splits: near-duplicate documents MUST land
+    * in the same split (hash-splitting raw doc ids — q57 — leaks a near-dup
+    * of a test doc into train). Pipeline: MinHash-LSH pairs → connected
+    * components ([[graft.ext.Dedup.dupClusters]]) → every member inherits
+    * its cluster representative's split; singletons are their own
+    * representative. One extra join vs q57 — the cluster map is a tiny
+    * fraction of the corpus (only docs with a near-dup), so it broadcasts.
+    * The DuckDB oracle recomputes components with a recursive CTE and must
+    * agree split-for-split.
+    */
+  def q76ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Dedup, Splits}
+    val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs, "id_a", "id_b") // (id, cluster)
+    documents(s, d).select(col("doc_id"))
+      .join(broadcast(clusters), col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .withColumn("split", Splits.assignSplit(
+        Splits.hashBucketMd5(col("rep"), 100),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  private val q76Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> list_aggregate(string_split(text, ' ')[i:i+2], 'string_agg', ' '))) AS s
+      |  FROM documents),
+      |sig AS (
+      |  SELECT id, s,
+      |    list_transform(range(0, 16),
+      |      j -> list_min(list_transform(s,
+      |             x -> md5('mh' || lpad(j::VARCHAR, 2, '0') || ':' || x)))) AS sg
+      |  FROM sh),
+      |banded AS (
+      |  SELECT id,
+      |    list_transform(range(0, 4),
+      |      b -> md5(list_aggregate(sg[b*4+1 : b*4+4], 'string_agg', '|'))) AS bh
+      |  FROM sig),
+      |expl AS (
+      |  SELECT id, generate_subscripts(bh, 1) AS band, unnest(bh) AS h FROM banded),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM expl a JOIN expl b ON a.band = b.band AND a.h = b.h AND a.id < b.id),
+      |pairs AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh sa ON c.id_a = sa.id JOIN sh sb ON c.id_b = sb.id
+      |  WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |        / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+      |lbl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS rep
+      |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+      |bucketed AS (
+      |  SELECT rep,
+      |    ('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM assigned)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT rep) AS n_groups
+      |FROM bucketed GROUP BY 1 ORDER BY split""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -485,7 +560,8 @@ object QCorpus {
     "q72_weighted_sample" -> (q72WeightedSample _),
     "q73_equidepth_bins" -> (q73EquidepthBins _),
     "q74_label_centroids" -> (q74LabelCentroids _),
-    "q75_approx_quantile" -> (q75ApproxQuantile _))
+    "q75_approx_quantile" -> (q75ApproxQuantile _),
+    "q76_cluster_split"  -> (q76ClusterSplit _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -498,5 +574,6 @@ object QCorpus {
     "q72_weighted_sample" -> q72Sql,
     "q73_equidepth_bins" -> q73Sql,
     "q74_label_centroids" -> q74Sql,
-    "q75_approx_quantile" -> q75Sql)
+    "q75_approx_quantile" -> q75Sql,
+    "q76_cluster_split"  -> q76Sql)
 }

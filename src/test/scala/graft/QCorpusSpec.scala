@@ -141,6 +141,29 @@ class QCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q76: no near-dup pair ever straddles a split (leak-free by construction)") {
+    import graft.ext.{Dedup, Splits}
+    val d = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+    val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+    val perDoc = d.select(col("doc_id"))
+      .join(clusters, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      .withColumn("split", Splits.assignSplit(
+        Splits.hashBucketMd5(col("rep"), 100),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture should contain near-dups")
+    ps.foreach { case (a, b) =>
+      assert(perDoc(a) == perDoc(b), s"pair ($a,$b) split across ${perDoc(a)}/${perDoc(b)}")
+    }
+    // and the aggregate query accounts for every document exactly once
+    val agg = SparkEntry.queries("q76_cluster_split")(spark, sf).collect()
+    assert(agg.map(_.getLong(1)).sum == d.count())
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
