@@ -34,7 +34,7 @@ object Bench {
         nBits = 12, k = 3, dim = 64)),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
-        nCells = 16, k = 3, iters = 2)),
+        nCells = 16, k = 3, iters = 2, trainOnSample = true)),
     "b35_dup_clusters_fast" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -193,36 +193,83 @@ object Similarity {
       .orderBy(col("__h")).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "cannot seed centroids from an empty input")
+    farthestPointSweep(sample, nCells).map(_.toSeq).toSeq
+  }
 
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
+  /** Sample-trained IVF coarse quantizer — the production posture (FAISS
+    * trains its quantizer on a bounded subsample, not the corpus): ONE
+    * distributed job collects the hash-ordered sample, then seeding AND
+    * every Lloyd's iteration run driver-side over it. O(iters × sample ×
+    * nCells × dim) flops on the driver, zero additional cluster jobs; the
+    * corpus only ever sees the final assign. Deterministic: the sample is
+    * hash-ordered, ties in the sweep resolve by position.
+    */
+  def ivfCentroidsSampled(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int, seed: Long = 42L,
+      sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    val sample = df
+      .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
+      .orderBy(col("__h")).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "cannot train centroids on an empty input")
+    var centroids = farthestPointSweep(sample, nCells).map(_.clone())
+    (1 to iters).foreach { _ =>
+      val dim = centroids.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < centroids.length) {
+          val d = sqDist(v, centroids(j))
+          if (d < bestD) { bestD = d; best = j } // first-wins tie: deterministic
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        if (counts(j) > 0) sums(j).map(_ / counts(j)) else old
+      }
     }
+    centroids.map(_.toSeq).toSeq
+  }
 
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Farthest-point sweep over an in-memory sample (shared by the seeding
+    * paths). Ties resolve to the lowest position: deterministic.
+    */
+  private def farthestPointSweep(sample: Array[Array[Double]], nCells: Int)
+      : Array[Array[Double]] = {
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
-    val nearest = sample.map(d2(_, sample.head))
+    val nearest = sample.map(sqDist(_, sample.head))
     while (seeds.size < math.min(nCells, sample.length)) {
-      // Ties resolve to the lowest sample (= hash) position: deterministic.
       val next = nearest.indices.maxBy(i => (nearest(i), -i))
       seeds += sample(next)
       var i = 0
       while (i < sample.length) {
-        val d = d2(sample(i), sample(next))
+        val d = sqDist(sample(i), sample(next))
         if (d < nearest(i)) nearest(i) = d
         i += 1
       }
     }
-    seeds.map(_.toSeq).toSeq
+    seeds.toArray
   }
 
   /** IVF coarse quantizer: Lloyd's k-means, deterministic throughout —
     * farthest-point seeding, then every iteration is one distributed
     * assign (argmin over literal centroids) + one aggregate (VecSum per
     * cell); only nCells × dim doubles ever reach the driver. Empty cells
-    * keep their previous centroid.
+    * keep their previous centroid. (For the bounded-sample training pass —
+    * the FAISS-style default at corpus scale — see [[ivfCentroidsSampled]].)
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, seed: Long = 42L): Seq[Seq[Double]] = {
@@ -258,8 +305,11 @@ object Similarity {
     * its partition to the data distribution — the standard trade.
     */
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, k: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nCells, iters, seed)
+      nCells: Int, k: Int, iters: Int = 2, seed: Long = 42L,
+      trainOnSample: Boolean = false): DataFrame = {
+    val centroids =
+      if (trainOnSample) ivfCentroidsSampled(df, idCol, vecCol, nCells, iters, seed)
+      else ivfCentroids(df, idCol, vecCol, nCells, iters, seed)
     bucketedKnn(df.withColumn("__cell", assignCell(col(vecCol), centroids)),
       idCol, vecCol, "__cell", k)
   }

@@ -171,6 +171,12 @@ class ExtSpec extends SparkSpec {
     assert(centroids.size == 3 && centroids.forall(_.size == 3))
     // Deterministic: same seed → same centroids.
     assert(centroids == Similarity.ivfCentroids(vecs, "vec_id", "embedding", 3, 3))
+    // The sample fits the fixture entirely, so the sample-trained quantizer
+    // (driver-side Lloyd's) converges to the same centroids as the
+    // distributed iterations.
+    assert(Similarity.ivfCentroidsSampled(vecs, "vec_id", "embedding", 3, 3)
+      .map(_.map(x => math.rint(x * 1e9) / 1e9))
+      == centroids.map(_.map(x => math.rint(x * 1e9) / 1e9)))
 
     // Every ground-truth cluster maps to one cell.
     val cells = vecs
