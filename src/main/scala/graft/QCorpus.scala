@@ -548,6 +548,46 @@ object QCorpus {
       |  count(*) AS n_docs, count(DISTINCT rep) AS n_groups
       |FROM bucketed GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Null-semantics pinning: the three places engines silently diverge —
+    * (1) GROUP BY keeps a NULL group, (2) `=` never matches NULL but the
+    * null-safe `<=>` / IS NOT DISTINCT FROM does, (3) null ORDER position
+    * must be spelled out (Spark defaults NULLS FIRST ascending, DuckDB
+    * NULLS LAST). One derived nullable key, one aggregate, the same
+    * aggregate joined back under both equality semantics.
+    */
+  def q77NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(
+      when(col("l_discount") > 0.02, round(col("l_discount") * 100, 0).cast("long"))
+        .as("dk"),
+      col("l_quantity"))
+    val agg = base.groupBy(col("dk")).agg(count(lit(1)).as("n_rows"))
+    val eqSide = agg.select(col("dk").as("dk_e"), col("n_rows").as("n_e"))
+    val nsSide = agg.select(col("dk").as("dk_n"), col("n_rows").as("n_n"))
+    agg
+      .join(eqSide, col("dk") === col("dk_e"), "left_outer")
+      .join(nsSide, col("dk") <=> col("dk_n"), "left_outer")
+      .select(col("dk"), col("n_rows"),
+        coalesce(col("n_e"), lit(0L)).as("eq_match_rows"),
+        coalesce(col("n_n"), lit(0L)).as("ns_match_rows"))
+      .orderBy(col("dk").asc_nulls_first)
+  }
+
+  private val q77Sql =
+    """WITH base AS (
+      |  SELECT CASE WHEN l_discount > 0.02
+      |              THEN CAST(round(l_discount * 100, 0) AS BIGINT) END AS dk,
+      |         l_quantity
+      |  FROM lineitem),
+      |agg AS (SELECT dk, count(*) AS n_rows FROM base GROUP BY 1)
+      |SELECT a.dk, a.n_rows,
+      |  coalesce(e.n_rows, 0) AS eq_match_rows,
+      |  coalesce(n.n_rows, 0) AS ns_match_rows
+      |FROM agg a
+      |LEFT JOIN agg e ON a.dk = e.dk
+      |LEFT JOIN agg n ON a.dk IS NOT DISTINCT FROM n.dk
+      |ORDER BY a.dk NULLS FIRST""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -561,7 +601,8 @@ object QCorpus {
     "q73_equidepth_bins" -> (q73EquidepthBins _),
     "q74_label_centroids" -> (q74LabelCentroids _),
     "q75_approx_quantile" -> (q75ApproxQuantile _),
-    "q76_cluster_split"  -> (q76ClusterSplit _))
+    "q76_cluster_split"  -> (q76ClusterSplit _),
+    "q77_null_semantics" -> (q77NullSemantics _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -575,5 +616,6 @@ object QCorpus {
     "q73_equidepth_bins" -> q73Sql,
     "q74_label_centroids" -> q74Sql,
     "q75_approx_quantile" -> q75Sql,
-    "q76_cluster_split"  -> q76Sql)
+    "q76_cluster_split"  -> q76Sql,
+    "q77_null_semantics" -> q77Sql)
 }

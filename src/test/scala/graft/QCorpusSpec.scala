@@ -164,6 +164,18 @@ class QCorpusSpec extends SparkSpec {
     assert(agg.map(_.getLong(1)).sum == d.count())
   }
 
+  test("q77: the NULL group joins under <=> but never under =") {
+    val rows = SparkEntry.queries("q77_null_semantics")(spark, sf).collect()
+    assert(rows.head.isNullAt(0), "NULL key must sort first")
+    val nullRow = rows.head
+    assert(nullRow.getLong(2) == 0L, "= must not match NULL")
+    assert(nullRow.getLong(3) == nullRow.getLong(1), "<=> must match the NULL group")
+    rows.tail.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == r.getLong(1))
+    }
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
