@@ -87,6 +87,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("update-mode windowed agg: last emission per window equals the batch result") {
+    val streamed = runToCompletion(
+      EventsStream.windowedAgg(
+        EventsStream.readEvents(spark, eventsDir).filter(col("event_type") === "view"),
+        "1 hour", "30 minutes"),
+      "stream_windowed_update", "update")
+    // update mode re-emits a window each trigger it changes; the LAST
+    // emission per window is the final state.
+    val lastPerWindow = streamed.collect()
+      .zipWithIndex
+      .groupBy(r => (r._1.getAs[java.sql.Timestamp]("wstart"), r._1.getString(2)))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1 }
+    val batch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect()
+    assert(batch.nonEmpty && lastPerWindow.size == batch.length)
+    batch.foreach { b =>
+      val k = (b.getTimestamp(0), b.getString(1))
+      val got = lastPerWindow(k)
+      assert(got.getAs[Long]("n") == b.getLong(2)
+        && got.getAs[Double]("sum_value") == b.getDouble(3), s"window $k differs")
+    }
+  }
+
   test("within-watermark dedup drops duplicate event ids") {
     val stream = EventsStream.readEvents(spark, eventsDir)
     val doubled = stream.union(stream) // every event twice
