@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,9 +83,19 @@ private[io] class ExportTable(schema: StructType, options: CaseInsensitiveString
 
 private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT reaches the feed (the JDBC-source pattern): each page reader
+    * stops after `limit` post-filter rows instead of draining its page.
+    * Partial push — pages fetch in parallel, so Spark keeps its global
+    * limit on top; the saving is per-page fetch volume, which is what an
+    * export API bills for.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands back a subset of `full` in field order; empty (count-only
@@ -110,7 +120,7 @@ private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveSt
     options.get("feed"),
     Option(options.get("pages")).map(_.toInt).getOrElse(1),
     Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
-    required, pushed)
+    required, pushed, limit)
 }
 
 /** Source-side evaluation of pushed filters over raw export records (the
@@ -138,29 +148,33 @@ private[io] object ExportFilterEval {
 private[io] case class ExportPagePartition(page: Int) extends InputPartition
 
 private[io] class ExportScan(feed: String, pages: Int, pageSize: Int,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter], limit: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_export feed=$feed pages=$pages " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s" PushedLimit: $limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     Array.tabulate(pages)(ExportPagePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ExportReaderFactory(feed, pageSize, required.fieldNames, pushed)
+    new ExportReaderFactory(feed, pageSize, required.fieldNames, pushed, limit)
 }
 
 private[io] class ExportReaderFactory(feed: String, pageSize: Int,
-    fields: Array[String], pushed: Array[Filter])
+    fields: Array[String], pushed: Array[Filter], limit: Int)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[ExportPagePartition].page
     new PartitionReader[InternalRow] {
-      private val records = ExportFeedRegistry(feed)(page, pageSize).iterator
-        .filter(rec => pushed.forall(ExportFilterEval.eval(_, rec)))
+      private val records = {
+        val base = ExportFeedRegistry(feed)(page, pageSize).iterator
+          .filter(rec => pushed.forall(ExportFilterEval.eval(_, rec)))
+        if (limit >= 0) base.take(limit) else base
+      }
       private var current: InternalRow = _
 
       override def next(): Boolean =

@@ -73,6 +73,20 @@ class ExportSourceV2Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == want)
   }
 
+  test("LIMIT pushes into the feed: readers stop early, result stays exact") {
+    val df = read(pages = 3, pageSize = 4).limit(5)
+    assert(df.count() == 5)
+    val scans = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.exists(_.contains("PushedLimit: 5")), scans.mkString("\n"))
+    // with a residual-free pushed filter the limit applies post-filter
+    val filtered = read(pages = 3, pageSize = 4)
+      .filter(col("project_id") === "p0").limit(2)
+    assert(filtered.count() == 2)
+    assert(filtered.collect().forall(_.getAs[String]("project_id") == "p0"))
+  }
+
   test("feeds compose with ordinary relational ops") {
     val agg = read(pages = 2, pageSize = 6)
       .groupBy("project_id").agg(count(lit(1)).as("n"))
