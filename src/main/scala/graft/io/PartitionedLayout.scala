@@ -36,4 +36,25 @@ object PartitionedLayout {
   /** One day's slice — the filter is a partition filter, never a data scan. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     read(spark, path).filter(col("event_date") === lit(day))
+
+  /** Append one day (an incremental load) without touching other dirs:
+    * dynamic partition overwrite replaces ONLY the dates present in `df` —
+    * the idempotent daily-backfill write (re-running a day never duplicates
+    * it, and never rewrites the other 364 days).
+    */
+  def overwriteDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+
+  /** Schema-evolved read: newer days may carry columns older days lack
+    * (pipelines add fields mid-history); `mergeSchema` unions the file
+    * schemas and nulls the missing columns — the read-side half of additive
+    * schema evolution. Costs a footer read per file at planning, so keep it
+    * for evolved tables and use [[read]] on stable ones.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

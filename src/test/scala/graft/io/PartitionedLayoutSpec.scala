@@ -57,4 +57,40 @@ class PartitionedLayoutSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("dynamic day overwrite is idempotent and leaves other days untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-dyn").toString
+    val events = graft.Tables.events(spark, sf)
+    PartitionedLayout.writeDailyPartitioned(events, "ts", dir)
+    val before = PartitionedLayout.read(spark, dir).count()
+    val day = PartitionedLayout.read(spark, dir)
+      .select(col("event_date").cast("string")).orderBy("event_date").head().getString(0)
+    // re-load exactly that day twice; counts must not change
+    val dayRows = events.filter(to_date(col("ts")) === lit(day))
+    PartitionedLayout.overwriteDay(dayRows, "ts", dir)
+    PartitionedLayout.overwriteDay(dayRows, "ts", dir)
+    assert(PartitionedLayout.read(spark, dir).count() == before)
+  }
+
+  test("schema-evolved read unions columns across days, nulling the missing ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout-evo").toString
+    val events = graft.Tables.events(spark, sf)
+    val days = events.select(to_date(col("ts")).cast("string").as("d"))
+      .distinct().orderBy("d").collect().map(_.getString(0))
+    val (d0, d1) = (days(0), days(1))
+    PartitionedLayout.writeDailyPartitioned(
+      events.filter(to_date(col("ts")) === lit(d0)), "ts", dir)
+    // a later day ships a NEW column
+    PartitionedLayout.overwriteDay(
+      events.filter(to_date(col("ts")) === lit(d1))
+        .withColumn("quality", round(col("value") / 10.0, 2)),
+      "ts", dir)
+    val merged = PartitionedLayout.readMerged(spark, dir)
+    assert(merged.columns.contains("quality"))
+    val byDay = merged.groupBy(col("event_date").cast("string").as("d"))
+      .agg(count(col("quality")).as("n_q"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byDay(d0)._1 == 0L && byDay(d0)._2 > 0L, "old day: column all null")
+    assert(byDay(d1)._1 == byDay(d1)._2 && byDay(d1)._2 > 0L, "new day: column populated")
+  }
 }
