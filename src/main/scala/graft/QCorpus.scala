@@ -588,6 +588,40 @@ object QCorpus {
       |LEFT JOIN agg n ON a.dk IS NOT DISTINCT FROM n.dk
       |ORDER BY a.dk NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Map-typed column surface: per-user event-type→count maps built with
+    * map_from_entries over a SORTED entry array (deterministic key order on
+    * any engine), then key listing and null-tolerant lookup. Maps stay
+    * in-row — building one is a per-group fold after the normal two-key
+    * aggregate, no extra shuffle beyond the user_id regroup.
+    */
+  def q78MapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("n"))))).as("em"))
+      .select(col("user_id"),
+        concat_ws(",", map_keys(col("em"))).as("types_csv"),
+        coalesce(element_at(col("em"), "click"), lit(0L)).as("n_click"),
+        size(map_keys(col("em"))).cast("long").as("n_types"))
+      .orderBy(col("user_id"))
+
+  private val q78Sql =
+    """WITH agg AS (
+      |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id,
+      |    map(list(event_type ORDER BY event_type),
+      |        list(n ORDER BY event_type)) AS em
+      |  FROM agg GROUP BY 1)
+      |SELECT user_id,
+      |  array_to_string(map_keys(em), ',') AS types_csv,
+      |  coalesce(em['click'][1], 0) AS n_click,
+      |  CAST(len(map_keys(em)) AS BIGINT) AS n_types
+      |FROM m ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -602,7 +636,8 @@ object QCorpus {
     "q74_label_centroids" -> (q74LabelCentroids _),
     "q75_approx_quantile" -> (q75ApproxQuantile _),
     "q76_cluster_split"  -> (q76ClusterSplit _),
-    "q77_null_semantics" -> (q77NullSemantics _))
+    "q77_null_semantics" -> (q77NullSemantics _),
+    "q78_map_funcs"      -> (q78MapFuncs _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -617,5 +652,6 @@ object QCorpus {
     "q74_label_centroids" -> q74Sql,
     "q75_approx_quantile" -> q75Sql,
     "q76_cluster_split"  -> q76Sql,
-    "q77_null_semantics" -> q77Sql)
+    "q77_null_semantics" -> q77Sql,
+    "q78_map_funcs"      -> q78Sql)
 }
