@@ -130,4 +130,51 @@ object GraftProperties extends Properties("graft") {
         parsed.path("text_answer").path("content").asText() == content
       }
     }
+
+  // ------------------------------------------------------- bit interleave
+
+  /** Morton interleave must be invertible: extracting even/odd bits of the
+    * z-value recovers each dimension exactly (locality claims rest on it).
+    */
+  property("z-order interleave round-trips both 16-bit inputs") =
+    forAll(Gen.choose(0, 65535), Gen.choose(0, 65535)) { (x, y) =>
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((x.toLong >> i) & 1L) << (2 * i)
+        z |= ((y.toLong >> i) & 1L) << (2 * i + 1)
+      }
+      var rx = 0; var ry = 0
+      (0 until 16).foreach { i =>
+        rx |= (((z >> (2 * i)) & 1L) << i).toInt
+        ry |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+      }
+      rx == x && ry == y
+    }
+
+  // --------------------------------------------------- incremental monoid
+
+  private case class S(n: Long, sum: Double, mn: Double, mx: Double)
+  private def partial(xs: List[Double]): S =
+    S(xs.length.toLong, xs.sum, if (xs.isEmpty) Double.NaN else xs.min,
+      if (xs.isEmpty) Double.NaN else xs.max)
+  private def comb(a: S, b: S): S =
+    if (a.n == 0) b else if (b.n == 0) a
+    else S(a.n + b.n, a.sum + b.sum, math.min(a.mn, b.mn), math.max(a.mx, b.mx))
+
+  /** The state Incremental.merge carries must be a commutative monoid for
+    * refresh order not to matter: any grouping/order of deltas gives the
+    * full recompute (sum compared with tolerance — double addition).
+    */
+  property("incremental agg state combines associatively and commutatively") =
+    forAll(Gen.listOf(Gen.choose(-1e6, 1e6)), Gen.listOf(Gen.choose(-1e6, 1e6)),
+      Gen.listOf(Gen.choose(-1e6, 1e6))) { (xs, ys, zs) =>
+      val all = partial(xs ++ ys ++ zs)
+      val left = comb(comb(partial(xs), partial(ys)), partial(zs))
+      val right = comb(partial(xs), comb(partial(ys), partial(zs)))
+      val swapped = comb(partial(ys), comb(partial(zs), partial(xs)))
+      def eq(a: S, b: S) = a.n == b.n &&
+        (a.n == 0 || (math.abs(a.sum - b.sum) <= 1e-6 * math.max(1.0, math.abs(a.sum))
+          && a.mn == b.mn && a.mx == b.mx))
+      eq(left, all) && eq(right, all) && eq(swapped, all)
+    }
 }
