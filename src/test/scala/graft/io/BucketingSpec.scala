@@ -43,5 +43,16 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
     assert(agg == plain)
+
+    // Bucket pruning: an equality filter on the bucket key reads 1 of the
+    // 4 buckets — the scan itself reports the cut.
+    val pruned = spark.table("b_orders").filter(col("o_orderkey") === 42L)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan"))
+    assert(scan.optionalBucketSet.isDefined
+        && scan.optionalBucketSet.get.cardinality() == 1,
+      s"expected 1 selected bucket:\n$scan")
   }
 }
