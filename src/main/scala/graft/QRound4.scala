@@ -391,7 +391,10 @@ object QRound4 {
       .groupBy(col("split"), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 4).as("avg_quality"),
+        // exact integer ten-thousandths: avg of floor-truncated qualities
+        // can land ON the round(4) boundary and split across engines
+        round(sum(round(col("quality") * 10000, 0).cast("long")) / 10000.0
+          / count(lit(1)), 4).as("avg_quality"),
         sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("split"), col("lang"))
   }
@@ -420,7 +423,8 @@ object QRound4 {
        |            % 100 AS bucket
        |        FROM scored WHERE quality >= 0.5))
        |SELECT split, lang, count(*) AS n_docs,
-       |  round(avg(quality), 4) AS avg_quality,
+       |  round(CAST(sum(CAST(round(quality * 10000, 0) AS BIGINT)) AS BIGINT)
+       |        / 10000.0 / count(*), 4) AS avg_quality,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
        |FROM assigned
        |GROUP BY 1, 2
