@@ -622,6 +622,68 @@ object QCorpus {
       |  CAST(len(map_keys(em)) AS BIGINT) AS n_types
       |FROM m ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Statistical aggregates with EXACT moment arithmetic: correlation and
+    * sample stddev computed from integer-cents moment sums carried in
+    * DECIMAL(38,0) — bit-identical on any engine, no Welford-vs-naive
+    * drift — plus the engine's native corr() checked against the exact
+    * value to 1e-9 (the q50 engine-relative pattern). One partial-agg
+    * shuffle; the moments are plain sums, so the map side combines.
+    */
+  def q79StatsAggs(s: SparkSession, d: String): DataFrame = {
+    val c = lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100, 0).cast("long").as("xc"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("yc"),
+      col("l_quantity"), col("l_extendedprice"))
+    val dec = (x: Column) => x.cast("decimal(18,0)")
+    val agg = c.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+      sum(dec(col("xc")) * dec(col("yc"))).as("sxy"),
+      sum(dec(col("xc")) * dec(col("xc"))).as("sxx"),
+      sum(dec(col("yc")) * dec(col("yc"))).as("syy"),
+      corr(col("l_extendedprice"), col("l_quantity")).as("corr_native"))
+    val (nD, sxD, syD) = (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+    val (sxyD, sxxD, syyD) =
+      (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val corrExact = (nD * sxyD - sxD * syD) /
+      sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))
+    agg.select(col("l_returnflag"), col("n"),
+      round(corrExact, 6).as("corr_exact"),
+      round(sqrt((nD * sxxD - sxD * sxD) / nD / (nD - 1)) / 100.0, 4).as("sd_qty"),
+      when(abs(col("corr_native") - corrExact) < 1e-9, 1L).otherwise(0L).as("native_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q79Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS xc,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc,
+      |    l_quantity, l_extendedprice
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+      |    sum(CAST(xc AS DECIMAL(18,0)) * yc) AS sxy,
+      |    sum(CAST(xc AS DECIMAL(18,0)) * xc) AS sxx,
+      |    sum(CAST(yc AS DECIMAL(18,0)) * yc) AS syy,
+      |    corr(l_extendedprice, l_quantity) AS corr_native
+      |  FROM c GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_exact,
+      |  round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |             / CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1)) / 100.0, 4) AS sd_qty,
+      |  CAST(CASE WHEN abs(corr_native -
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+      |    < 1e-9 THEN 1 ELSE 0 END AS BIGINT) AS native_ok
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -637,7 +699,8 @@ object QCorpus {
     "q75_approx_quantile" -> (q75ApproxQuantile _),
     "q76_cluster_split"  -> (q76ClusterSplit _),
     "q77_null_semantics" -> (q77NullSemantics _),
-    "q78_map_funcs"      -> (q78MapFuncs _))
+    "q78_map_funcs"      -> (q78MapFuncs _),
+    "q79_stats_aggs"     -> (q79StatsAggs _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -653,5 +716,6 @@ object QCorpus {
     "q75_approx_quantile" -> q75Sql,
     "q76_cluster_split"  -> q76Sql,
     "q77_null_semantics" -> q77Sql,
-    "q78_map_funcs"      -> q78Sql)
+    "q78_map_funcs"      -> q78Sql,
+    "q79_stats_aggs"     -> q79Sql)
 }
