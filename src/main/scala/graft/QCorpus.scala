@@ -684,6 +684,68 @@ object QCorpus {
       |    < 1e-9 THEN 1 ELSE 0 END AS BIGINT) AS native_ok
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Multiset set-operations: INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (q14 covers the distinct variants) — Spark plans both
+    * as a single aggregate-join on (row, side-count), one shuffle each, no
+    * row explosion. Output is the cardinality fingerprint of each result.
+    */
+  def q80SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey").as("k"))
+    val i = a.intersectAll(b).agg(count(lit(1)).as("n"),
+      countDistinct(col("k")).as("nd")).withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).agg(count(lit(1)).as("n"),
+      countDistinct(col("k")).as("nd")).withColumn("op", lit("except_all"))
+    i.unionByName(e).select(col("op"), col("n"), col("nd")).orderBy(col("op"))
+  }
+
+  private val q80Sql =
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+      |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+      |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |SELECT 'intersect_all' AS op, count(*) AS n, count(DISTINCT k) AS nd FROM i
+      |UNION ALL
+      |SELECT 'except_all', count(*), count(DISTINCT k) FROM e
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Schema-evolving union: unionByName(allowMissingColumns) aligns two
+    * differently-shaped extracts BY NAME, nulling what either side lacks —
+    * the append path when a pipeline adds fields mid-history (the write
+    * side of PartitionedLayout.readMerged). No shuffle: the union is a
+    * plan concatenation; only the final aggregate moves data.
+    */
+  def q81UnionByName(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100, 0).cast("long").as("cents")
+    val old = orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), cents)
+    val nw = orders(s, d).filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), cents, col("o_orderpriority"))
+    old.unionByName(nw, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cents")) / 100.0, 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
+  private val q81Sql =
+    """WITH old AS (SELECT o_orderkey,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |       FROM orders WHERE o_orderkey % 2 = 0),
+      |nw AS (SELECT o_orderkey,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderpriority
+      |       FROM orders WHERE o_orderkey % 2 <> 0),
+      |u AS (SELECT *, NULL AS o_orderpriority FROM old
+      |      UNION ALL BY NAME SELECT * FROM nw)
+      |SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+      |  count(*) AS n,
+      |  round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total
+      |FROM u GROUP BY 1 ORDER BY priority""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -700,7 +762,9 @@ object QCorpus {
     "q76_cluster_split"  -> (q76ClusterSplit _),
     "q77_null_semantics" -> (q77NullSemantics _),
     "q78_map_funcs"      -> (q78MapFuncs _),
-    "q79_stats_aggs"     -> (q79StatsAggs _))
+    "q79_stats_aggs"     -> (q79StatsAggs _),
+    "q80_set_ops_all"    -> (q80SetOpsAll _),
+    "q81_union_by_name"  -> (q81UnionByName _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -717,5 +781,7 @@ object QCorpus {
     "q76_cluster_split"  -> q76Sql,
     "q77_null_semantics" -> q77Sql,
     "q78_map_funcs"      -> q78Sql,
-    "q79_stats_aggs"     -> q79Sql)
+    "q79_stats_aggs"     -> q79Sql,
+    "q80_set_ops_all"    -> q80Sql,
+    "q81_union_by_name"  -> q81Sql)
 }
