@@ -304,6 +304,34 @@ class StreamingSpec extends SparkSpec {
     assert(all.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("incremental agg sink: stream-maintained state equals the batch aggregate; replay is idempotent") {
+    val stream = EventsStream.readEvents(spark, eventsDir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_incr_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_incr_ckpt").toString
+    val q = IncrementalSink.run(stream, Seq("user_id", "event_type"), "value", stateDir, ckpt)
+    q.awaitTermination(120000)
+
+    val got = IncrementalSink.currentState(spark, stateDir)
+      .orderBy("user_id", "event_type").collect()
+    val want = graft.ext.Incremental.partialAgg(
+        graft.Tables.events(spark, sf).select("user_id", "event_type", "value"),
+        Seq("user_id", "event_type"), "value")
+      .orderBy("user_id", "event_type").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(2) == w.getLong(2), "n")
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9, "sum")
+      assert(g.getDouble(4) == w.getDouble(4) && g.getDouble(5) == w.getDouble(5))
+    }
+
+    // restart with the same checkpoint and no new data: state unchanged
+    val vBefore = IncrementalSink.currentVersion(spark, stateDir)
+    val q2 = IncrementalSink.run(stream, Seq("user_id", "event_type"), "value", stateDir, ckpt)
+    q2.awaitTermination(120000)
+    assert(IncrementalSink.currentVersion(spark, stateDir) == vBefore)
+  }
+
   test("complete-mode windowed agg emits the final state of every window") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("event_type") === "purchase")
