@@ -176,6 +176,30 @@ class QCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q79: exact correlation is in [-1,1] and the native aggregate honors the bound") {
+    val rows = SparkEntry.queries("q79_stats_aggs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0)
+      assert(r.getDouble(3) > 0.0)
+      assert(r.getLong(4) == 1L, s"${r.getString(0)}: native corr drifted")
+    }
+  }
+
+  test("q80: multiset identities — |A ∩all B| + |A \\all B| = |A|") {
+    val m = SparkEntry.queries("q80_set_ops_all")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val aCount = Tables.orders(spark, sf).filter(col("o_orderkey") % 3 === 0).count()
+    assert(m("intersect_all")._1 + m("except_all")._1 == aCount)
+    m.values.foreach { case (n, nd) => assert(n >= nd) }
+  }
+
+  test("q81: evolving union accounts for every order exactly once") {
+    val rows = SparkEntry.queries("q81_union_by_name")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    assert(rows.exists(_.getString(0) == "<legacy>"))
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
