@@ -132,6 +132,24 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.indexOf("Join") < p.indexOf("might_contain"), p)
   }
 
+  test("q72: weighted sampling plans as TakeOrderedAndProject — no global sort") {
+    val p = plan("q72_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "Exchange") <= 1, p)
+  }
+
+  test("q79: moment sums are map-side partial before the one shuffle") {
+    val p = plan("q79_stats_aggs")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert(count(p, "Scan parquet") == 1, p)
+  }
+
+  test("q81: evolving union is plan concatenation — no join, one agg shuffle") {
+    val p = plan("q81_union_by_name")
+    assert(p.contains("Union"), p)
+    assert(count(p, "Join") == 0, p)
+  }
+
   test("q68: shard-parallel packing — window partitioned by source, no global sort below the agg") {
     val p = plan("q68_seq_packing")
     assert(p.contains("Window"), p)
