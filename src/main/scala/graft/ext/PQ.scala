@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory side of billion-scale ANN: a
+  * `dim`-float vector (256 B at dim=64) compresses to `m` code bytes
+  * (8 B at m=8), so a corpus whose raw embeddings need a cluster's worth
+  * of RAM fits its PQ codes in one executor's memory, and distance
+  * evaluation becomes `m` table lookups instead of `dim` multiplies.
+  *
+  * Spark-first split of the work:
+  *   - TRAIN driver-side on the deterministic hash-ordered sample (the
+  *     same FAISS-style posture as [[Similarity.ivfCentroidsSampled]]):
+  *     one distributed job, then m independent little k-means runs.
+  *   - ENCODE distributed: one `mapPartitions` pass (partition-local, no
+  *     shuffle) mapping each vector to its m nearest-subcentroid codes.
+  *   - QUERY (ADC — asymmetric distance computation): the query builds an
+  *     m × nCodes lookup table ONCE driver-side; each row's approximate
+  *     distance is m array reads, and the top-k is a TakeOrdered heap.
+  *
+  * Everything is deterministic: sample order is hash-fixed, argmin ties
+  * resolve first-wins, no rand().
+  */
+object PQ {
+
+  /** Trained codebooks: `centers(j)(c)` is the dsub-dim centroid of code c
+    * in subspace j.
+    */
+  case class Codebooks(m: Int, dsub: Int, nCodes: Int,
+      centers: Array[Array[Array[Double]]]) extends Serializable {
+    def encodeVec(v: Array[Float]): Array[Byte] = {
+      val code = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers(j).length) {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v(j * dsub + i) - centers(j)(c)(i)
+            d += diff * diff
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c } // first-wins: deterministic
+          c += 1
+        }
+        code(j) = best.toByte
+        j += 1
+      }
+      code
+    }
+
+    /** Reconstruction (decode): concatenated code centroids. */
+    def decode(code: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](m * dsub)
+      var j = 0
+      while (j < m) {
+        System.arraycopy(centers(j)(code(j) & 0xff), 0, out, j * dsub, dsub)
+        j += 1
+      }
+      out
+    }
+
+    /** ADC lookup table for one query: lut(j)(c) = ||q_j - center_jc||². */
+    def lut(q: Array[Double]): Array[Array[Double]] =
+      Array.tabulate(m) { j =>
+        Array.tabulate(centers(j).length) { c =>
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = q(j * dsub + i) - centers(j)(c)(i)
+            d += diff * diff
+            i += 1
+          }
+          d
+        }
+      }
+  }
+
+  /** Train codebooks: one sample job + m driver-side k-means runs. */
+  def train(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      nCodes: Int = 16, iters: Int = 3, seed: Long = 42L,
+      sampleSize: Int = 4096): Codebooks = {
+    require(nCodes <= 256, "codes must fit one byte")
+    val sample = Similarity.sampleVectors(df, idCol, vecCol, seed, sampleSize)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val centers = Array.tabulate(m) { j =>
+      Similarity.lloydOnSample(
+        sample.map(_.slice(j * dsub, (j + 1) * dsub)), nCodes, iters)
+    }
+    Codebooks(m, dsub, nCodes, centers)
+  }
+
+  /** Distributed encode: (id, pq_code) — one partition-local pass. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, cb: Codebooks): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, cb.encodeVec(v)) })
+      .toDF(idCol, "pq_code")
+  }
+
+  /** ADC top-k against a raw query vector over the encoded table: the
+    * 2 KB lookup table rides the task closure; per row the distance is m
+    * byte-indexed reads; the k smallest distances come back through a
+    * TakeOrdered heap (never a global sort).
+    */
+  def adcTopK(encoded: DataFrame, idCol: String, query: Array[Double],
+      cb: Codebooks, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val lut = cb.lut(query)
+    encoded.select(col(idCol).cast("long"), col("pq_code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, code) =>
+        var d = 0.0
+        var j = 0
+        while (j < code.length) { d += lut(j)(code(j) & 0xff); j += 1 }
+        (id, math.rint(d * 1e6) / 1e6)
+      })
+      .toDF(idCol, "adist")
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+}

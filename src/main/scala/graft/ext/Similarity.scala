@@ -207,12 +207,29 @@ object Similarity {
   def ivfCentroidsSampled(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int, seed: Long = 42L,
       sampleSize: Int = 4096): Seq[Seq[Double]] = {
+    val sample = sampleVectors(df, idCol, vecCol, seed, sampleSize)
+    lloydOnSample(sample, nCells, iters).map(_.toSeq).toSeq
+  }
+
+  /** One distributed job: the deterministic hash-ordered vector sample all
+    * driver-side trainers (IVF seeding/Lloyd's, PQ codebooks) run on.
+    */
+  private[ext] def sampleVectors(df: DataFrame, idCol: String, vecCol: String,
+      seed: Long, sampleSize: Int): Array[Array[Double]] = {
     val sample = df
       .select(col(vecCol).as("__v"), xxhash64(col(idCol), lit(seed)).as("__h"))
       .orderBy(col("__h")).limit(sampleSize)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "cannot train centroids on an empty input")
-    var centroids = farthestPointSweep(sample, nCells).map(_.clone())
+    require(sample.nonEmpty, "cannot train on an empty input")
+    sample
+  }
+
+  /** Deterministic Lloyd's k-means over an in-memory sample: farthest-point
+    * seeds, first-wins argmin ties, empty clusters keep their centroid.
+    */
+  private[ext] def lloydOnSample(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    var centroids = farthestPointSweep(sample, k).map(_.clone())
     (1 to iters).foreach { _ =>
       val dim = centroids.head.length
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
@@ -233,10 +250,10 @@ object Similarity {
         if (counts(j) > 0) sums(j).map(_ / counts(j)) else old
       }
     }
-    centroids.map(_.toSeq).toSeq
+    centroids
   }
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[ext] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -247,7 +264,7 @@ object Similarity {
   /** Farthest-point sweep over an in-memory sample (shared by the seeding
     * paths). Ties resolve to the lowest position: deterministic.
     */
-  private def farthestPointSweep(sample: Array[Array[Double]], nCells: Int)
+  private[ext] def farthestPointSweep(sample: Array[Array[Double]], nCells: Int)
       : Array[Array[Double]] = {
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
     val nearest = sample.map(sqDist(_, sample.head))
