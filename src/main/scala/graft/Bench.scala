@@ -35,6 +35,14 @@ object Bench {
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),
+    "b36_pq_adc" -> ((s, dir) => {
+      import graft.ext.PQ
+      val emb = Tables.embeddings(s, dir)
+      val cb = PQ.train(emb, "vec_id", "embedding", m = 8, nCodes = 16, iters = 2)
+      val q = emb.orderBy("vec_id").select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      PQ.adcTopK(PQ.encode(emb, "vec_id", "embedding", cb), "vec_id", q, cb, 10)
+    }),
     "b35_dup_clusters_fast" -> ((s, dir) =>
       Dedup.dupClusters(
         Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
