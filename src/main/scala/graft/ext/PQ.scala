@@ -105,6 +105,39 @@ object PQ {
       .toDF(idCol, "pq_code")
   }
 
+  /** IVF-PQ (the full FAISS composition): coarse IVF cells prune the scan
+    * to the `nProbe` cells nearest the query — a partition-pruning filter
+    * when the encoded index is written partitioned by cell — and PQ codes
+    * rank what's left via the ADC lookup table. At a billion vectors:
+    * scan nProbe/nCells of the corpus, at m bytes per vector, zero
+    * full-precision vectors touched at query time.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], nCells: Int, nProbe: Int, m: Int,
+      nCodes: Int = 16, k: Int = 10, iters: Int = 3, seed: Long = 42L): DataFrame = {
+    require(nProbe > 0 && nProbe <= nCells)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.ivfCentroidsSampled(df, idCol, vecCol, nCells, iters, seed)
+    val cb = train(df, idCol, vecCol, m, nCodes, iters, seed)
+    // one pass builds the (id, cell, code) index
+    val indexed = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        Similarity.assignCell(col(vecCol), centroids).as("cell"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions(_.map { case (id, v, cell) => (id, cell, cb.encodeVec(v)) })
+      .toDF("id", "cell", "pq_code")
+    // driver-side probe selection: distance of the query to each centroid
+    val probed = centroids.zipWithIndex
+      .map { case (c, j) =>
+        (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }
+      .sorted.take(nProbe).map(_._2)
+    adcTopK(
+      indexed.filter(col("cell").isin(probed.map(Integer.valueOf): _*)).drop("cell"),
+      "id", query, cb, k)
+  }
+
   /** ADC top-k against a raw query vector over the encoded table: the
     * 2 KB lookup table rides the task closure; per row the distance is m
     * byte-indexed reads; the k smallest distances come back through a

@@ -50,6 +50,24 @@ class PQSpec extends SparkSpec {
       s"expected cluster 1 (10..15), got ${top.toSeq}")
   }
 
+  test("IVF-PQ: nProbe=1 stays in the query's cluster; nProbe=nCells matches flat ADC") {
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val query = raw(10L).map(_.toDouble)
+    val one = PQ.ivfPqTopK(vecs, "vec_id", "embedding", query,
+      nCells = 3, nProbe = 1, m = 4, nCodes = 4, k = 6)
+      .collect().map(_.getLong(0))
+    assert(one.toSet == (10L until 16L).toSet, s"nProbe=1: ${one.toSeq}")
+
+    val all = PQ.ivfPqTopK(vecs, "vec_id", "embedding", query,
+      nCells = 3, nProbe = 3, m = 4, nCodes = 4, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val cb = PQ.train(vecs, "vec_id", "embedding", m = 4, nCodes = 4, iters = 3)
+    val flat = PQ.adcTopK(PQ.encode(vecs, "vec_id", "embedding", cb),
+        "vec_id", query, cb, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(all.toSeq == flat.toSeq, "probing every cell must equal the flat scan")
+  }
+
   test("ADC distances separate clusters on the real embeddings table") {
     val emb = Tables.embeddings(spark, sf)
     val cb = PQ.train(emb, "vec_id", "embedding", m = 8, nCodes = 16, iters = 3)
