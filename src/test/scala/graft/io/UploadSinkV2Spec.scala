@@ -1,0 +1,54 @@
+package graft.io
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+/** Object-held transport: one JVM-wide instance visible to local-mode
+  * executor threads (the CountingTransport pattern).
+  */
+object V2SinkTransport extends UploadTransport {
+  val sent = new ConcurrentLinkedQueue[String]()
+  val maxBatch = new AtomicLong(0)
+  override def send(batch: Seq[String]): Int = {
+    batch.foreach(sent.add)
+    maxBatch.getAndUpdate(m => math.max(m, batch.size))
+    batch.size
+  }
+}
+
+class UploadSinkV2Spec extends SparkSpec {
+
+  test("DSv2 write: every payload sent once, batches capped, commit total exact") {
+    UploadTransportRegistry.register("v2test", V2SinkTransport)
+    V2SinkTransport.sent.clear(); V2SinkTransport.maxBatch.set(0)
+
+    val src = Tables.customer(spark, sf)
+    val n = src.count().toInt
+    val df = src
+      .select(to_json(struct(col("c_custkey"), col("c_name"))).as("payload"))
+      .repartition(7) // several tasks → several commit messages
+    df.write.format("graft.io.UploadSinkV2")
+      .option("transport", "v2test").option("batchSize", "40")
+      .mode("append").save()
+
+    val sent = V2SinkTransport.sent.toArray.map(_.toString)
+    assert(sent.length == n, s"expected $n payloads, got ${sent.length}")
+    assert(sent.distinct.length == n, "no payload may be sent twice")
+    assert(V2SinkTransport.maxBatch.get() <= 40, "batch cap violated")
+    assert(UploadSinkV2.lastCommitted.get("v2test") == n.toLong)
+  }
+
+  test("schema contract: a non-single-string-column frame is rejected") {
+    UploadTransportRegistry.register("v2test2", V2SinkTransport)
+    val bad = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    val e = intercept[Exception] {
+      bad.write.format("graft.io.UploadSinkV2")
+        .option("transport", "v2test2").mode("append").save()
+    }
+    assert(e.getMessage.contains("payload") || e.getMessage.contains("string"),
+      e.getMessage)
+  }
+}
