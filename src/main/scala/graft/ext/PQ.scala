@@ -30,6 +30,8 @@ object PQ {
   case class Codebooks(m: Int, dsub: Int, nCodes: Int,
       centers: Array[Array[Array[Double]]]) extends Serializable {
     def encodeVec(v: Array[Float]): Array[Byte] = {
+      require(v != null && v.length >= m * dsub,
+        s"vector of ${if (v == null) "null" else v.length} floats; codebooks need ${m * dsub}")
       val code = new Array[Byte](m)
       var j = 0
       while (j < m) {

@@ -45,7 +45,9 @@ object Compaction {
     */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long,
               clusterBy: Seq[String] = Nil): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val total = dataBytes(spark, dir)
+    if (total == 0) return dataFileCount(spark, dir) // nothing to rewrite
     val nFiles = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(dir)
     val repacked =

@@ -8,6 +8,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
   Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -68,7 +70,8 @@ private[io] class UploadSinkTable extends Table with SupportsWrite {
   override def name(): String = "graft_upload_sink"
   override def schema(): StructType = UploadSinkV2.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
@@ -100,6 +103,32 @@ private[io] class UploadWrite(transportKey: String, batchSize: Int) extends Writ
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
+
+  /** Streaming epochs reuse the same task writer; per-epoch commit
+    * ACCUMULATES into the transport's running total (each epoch's messages
+    * are that epoch's accepted counts). The engine tracks epoch ids in the
+    * checkpoint, so a replayed epoch re-commits — transports must be
+    * idempotent per batch, as the trait already requires.
+    */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new UploadStreamingWriterFactory(transportKey, batchSize)
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val total = messages.collect { case UploadCommit(n) => n }.sum
+      UploadSinkV2.lastCommitted.merge(transportKey, total, (a, b) => a + b)
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+private[io] class UploadStreamingWriterFactory(transportKey: String, batchSize: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new UploadWriterFactory(transportKey, batchSize).createWriter(partitionId, taskId)
 }
 
 private[io] class UploadWriterFactory(transportKey: String, batchSize: Int)

@@ -41,6 +41,30 @@ class UploadSinkV2Spec extends SparkSpec {
     assert(UploadSinkV2.lastCommitted.get("v2test") == n.toLong)
   }
 
+  test("streaming write: micro-batches drain through the same contract, totals accumulate") {
+    UploadTransportRegistry.register("v2stream", V2SinkTransport)
+    V2SinkTransport.sent.clear(); V2SinkTransport.maxBatch.set(0)
+    UploadSinkV2.lastCommitted.remove("v2stream")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2s")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
+    val stream = graft.streaming.EventsStream.readEvents(spark, dir.toString)
+      .select(to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_v2s_ckpt").toString
+    val q = stream.writeStream.format("graft.io.UploadSinkV2")
+      .option("transport", "v2stream").option("batchSize", "200")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val n = graft.Tables.events(spark, sf).count()
+    assert(V2SinkTransport.sent.size() == n)
+    assert(V2SinkTransport.maxBatch.get() <= 200)
+    assert(UploadSinkV2.lastCommitted.get("v2stream") == n)
+  }
+
   test("schema contract: a non-single-string-column frame is rejected") {
     UploadTransportRegistry.register("v2test2", V2SinkTransport)
     val bad = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
