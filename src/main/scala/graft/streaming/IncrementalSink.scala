@@ -38,8 +38,14 @@ object IncrementalSink {
     spark.read.parquet(s"$stateDir/v$v")
   }
 
+  /** `keepVersions` bounds on-disk history: after a version commits, all
+    * but the newest `keepVersions` version dirs are deleted (≥ 2 so the
+    * replayed-last-batch read always finds its predecessor). State size is
+    * therefore ~keepVersions × |keys|, independent of stream lifetime.
+    */
   def run(events: DataFrame, keyCols: Seq[String], valueCol: String,
-      stateDir: String, checkpoint: String): StreamingQuery =
+      stateDir: String, checkpoint: String, keepVersions: Int = 2): StreamingQuery = {
+    require(keepVersions >= 2, "keepVersions must be >= 2 (replay safety)")
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -61,7 +67,14 @@ object IncrementalSink {
           merged.write.mode("overwrite").parquet(tmp.toString)
           if (!fs.rename(tmp, target))
             throw new IllegalStateException(s"state version swap failed for $target")
+          // retention: drop everything but the newest keepVersions
+          fs.listStatus(new Path(stateDir)).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+            .map(s => s.getPath.getName.stripPrefix("v").toLong)
+            .sorted(Ordering[Long].reverse).drop(keepVersions)
+            .foreach(v => fs.delete(new Path(s"$stateDir/v$v"), true))
         }
       }
       .start()
+  }
 }

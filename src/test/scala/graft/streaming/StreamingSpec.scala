@@ -330,6 +330,10 @@ class StreamingSpec extends SparkSpec {
     val q2 = IncrementalSink.run(stream, Seq("user_id", "event_type"), "value", stateDir, ckpt)
     q2.awaitTermination(120000)
     assert(IncrementalSink.currentVersion(spark, stateDir) == vBefore)
+
+    // retention: never more than keepVersions dirs on disk
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("v"))
+    assert(dirs.length <= 2, s"retention leak: ${dirs.map(_.getName).toSeq}")
   }
 
   test("complete-mode windowed agg emits the final state of every window") {
