@@ -746,6 +746,35 @@ object QCorpus {
       |  round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total
       |FROM u GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Generator null semantics: explode_outer keeps a row (null element) for
+    * an EMPTY array where explode silently drops the parent — the
+    * difference between "document had no long tokens" being observable and
+    * vanishing. One higher-order filter (codegen) + one Generate; the
+    * summary pins row/token/empty-parent counts.
+    */
+  def q82ExplodeOuter(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) >= 8).as("longw"))
+      .select(col("doc_id"), explode_outer(col("longw")).as("w"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("w")).as("n_tokens"),
+        countDistinct(when(col("w").isNull, col("doc_id"))).as("n_empty_docs"))
+
+  private val q82Sql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) >= 8) AS longw
+      |  FROM documents),
+      |x AS (
+      |  SELECT t.doc_id, u.w
+      |  FROM t LEFT JOIN LATERAL UNNEST(t.longw) AS u(w) ON true)
+      |SELECT count(*) AS n_rows,
+      |  count(w) AS n_tokens,
+      |  count(DISTINCT CASE WHEN w IS NULL THEN doc_id END) AS n_empty_docs
+      |FROM x""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -764,7 +793,8 @@ object QCorpus {
     "q78_map_funcs"      -> (q78MapFuncs _),
     "q79_stats_aggs"     -> (q79StatsAggs _),
     "q80_set_ops_all"    -> (q80SetOpsAll _),
-    "q81_union_by_name"  -> (q81UnionByName _))
+    "q81_union_by_name"  -> (q81UnionByName _),
+    "q82_explode_outer"  -> (q82ExplodeOuter _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -783,5 +813,6 @@ object QCorpus {
     "q78_map_funcs"      -> q78Sql,
     "q79_stats_aggs"     -> q79Sql,
     "q80_set_ops_all"    -> q80Sql,
-    "q81_union_by_name"  -> q81Sql)
+    "q81_union_by_name"  -> q81Sql,
+    "q82_explode_outer"  -> q82Sql)
 }
