@@ -312,6 +312,11 @@ object QCorpus {
       .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
     val bigrams = documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // guard: sequence(1, size-1) DESCENDS for a 1-token doc (size-1=0),
+      // hitting a slice(_, 0, _) error — the range-join bin-explode hazard.
+      // Dropping those docs mirrors the oracle (its bigram CTE inner-joins
+      // back, so bigram-less docs fall out of the result there too).
+      .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
         transform(sequence(lit(1), size(col("w")) - 1),
           i => concat_ws(" ", slice(col("w"), i, lit(2)))).as("bg"))
