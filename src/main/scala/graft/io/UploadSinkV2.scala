@@ -69,9 +69,10 @@ object UploadTransportRegistry {
 private[io] class UploadSinkTable extends Table with SupportsWrite {
   override def name(): String = "graft_upload_sink"
   override def schema(): StructType = UploadSinkV2.schema
+  // append-only: an upload API has no truncate, so SaveMode.Overwrite must
+  // fail at planning rather than silently behave like append
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val s = info.schema()
