@@ -173,11 +173,37 @@ object Dedup {
     * replicated, so an executor loss mid-loop fails the job.)
     */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverThreshold: Long = 100000L): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint()
+    // Size-adaptive strategy (the broadcast-join decision, applied to
+    // connected components): near-dup edge sets are a vanishing fraction
+    // of the corpus — if the materialized edge list is small, a driver
+    // union-find finishes in microseconds instead of O(log diameter)
+    // join+checkpoint ROUNDS. Identical semantics (min reachable id);
+    // above the threshold the distributed propagation below takes over.
+    if (edges.count() <= driverThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
     // Convergence via observe(): labels only ever DECREASE, so an unchanged
     // label sum between rounds means a fixpoint. The metric rides the
     // localCheckpoint materialization — no extra job per round (a

@@ -47,12 +47,17 @@ class ExtSpec extends SparkSpec {
       (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 23L)
     ).toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    val got = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // distributed propagation path (forced): identical labels
+    val gotDist = Dedup.dupClusters(pairs, "id_a", "id_b", driverThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want)
   }
 
   test("simhash: identical docs hash equal; near-dups differ in few bits; md5/fast agree on equality") {

@@ -162,13 +162,21 @@ object OperatorProperties extends Properties("graft.operators") {
   private val pairsGen: Gen[List[(Long, Long)]] =
     Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
 
-  property("dupClusters == driver-side union-find components") =
+  property("dupClusters == driver-side union-find components (BOTH strategies)") =
     forAll(pairsGen) { pairs =>
       import spark.implicits._
       val got = graft.ext.Dedup
         .dupClusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driverThreshold = -1 forces the distributed propagation path; both
+      // strategies must produce identical labels
+      val gotDistributed = graft.ext.Dedup
+        .dupClusters(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+          driverThreshold = -1L)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == gotDistributed, s"strategy divergence: $got vs $gotDistributed")
 
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
