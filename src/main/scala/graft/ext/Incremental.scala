@@ -26,9 +26,12 @@ object Incremental {
     df.groupBy(keyCols.map(col): _*)
       .agg(
         count(col(valueCol)).as("n"),
-        sum(col(valueCol)).as("sum"),
-        min(col(valueCol)).as("mn"),
-        max(col(valueCol)).as("mx"))
+        // sum in double from the start: merge() coalesces with 0.0, and an
+        // integer-typed value column would otherwise flip the state schema
+        // long→double between version v0 and v1
+        sum(col(valueCol).cast("double")).as("sum"),
+        min(col(valueCol).cast("double")).as("mn"),
+        max(col(valueCol).cast("double")).as("mx"))
 
   /** Merge a new delta's partial aggregates into the existing state. Both
     * sides are already one row per key, so this is a single full-outer

@@ -44,6 +44,8 @@ object ZOrder {
     val b = df.agg(
       min(col(colX).cast("double")), max(col(colX).cast("double")),
       min(col(colY).cast("double")), max(col(colY).cast("double"))).head()
+    require(!b.anyNull,
+      s"z-order bounds undefined: $colX/$colY is empty or all-null")
     val (xLo, xHi, yLo, yHi) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     df.withColumn("__z",
         interleaveBits(rank16(col(colX), xLo, xHi), rank16(col(colY), yLo, yHi)))
