@@ -780,6 +780,82 @@ object QCorpus {
       |  count(DISTINCT CASE WHEN w IS NULL THEN doc_id END) AS n_empty_docs
       |FROM x""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Time-weighted average (TWAP): each event's value holds until the next
+    * event, so the average weights by the holding interval — the standard
+    * sensor/price/feature-store aggregate that a plain avg() silently gets
+    * wrong on irregular streams. One lead() window per user, then exact
+    * integer arithmetic: cents × whole seconds summed in longs, ONE double
+    * division at the end (engine-identical).
+    */
+  def q83Twap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("secs", expr("(next_us - us) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("secs")).as("total_secs"),
+        round(sum(col("cents") * col("secs")) / 100.0 / sum(col("secs")), 4).as("twap"))
+      .filter(col("total_secs") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  private val q83Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, cents, (next_us - us) // 1000000 AS secs
+      |  FROM seq WHERE next_us IS NOT NULL)
+      |SELECT user_id,
+      |  CAST(sum(secs) AS BIGINT) AS total_secs,
+      |  round(CAST(sum(cents * secs) AS BIGINT) / 100.0 / CAST(sum(secs) AS BIGINT), 4) AS twap
+      |FROM w GROUP BY 1 HAVING sum(secs) > 0 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Cohort retention: users grouped by first-seen date; dN = how many were
+    * active exactly N days later. One min-aggregate for cohorts (broadcast
+    * back — cohorts are one row per user), one distinct-activity frame,
+    * conditional distinct counts per offset. The whole analysis is two
+    * shuffles regardless of corpus size.
+    */
+  def q84Cohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(firsts, "user_id")
+      .select(col("user_id"), col("cohort"), datediff(col("day"), col("cohort")).as("day_k"))
+      .distinct()
+      .groupBy(col("cohort"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day_k") === 1, col("user_id"))).as("d1"),
+        countDistinct(when(col("day_k") === 3, col("user_id"))).as("d3"))
+      .select(col("cohort").cast("string").as("cohort_day"),
+        col("n_users"), col("d1"), col("d3"))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val q84Sql =
+    """WITH firsts AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, f.cohort,
+      |    date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_k
+      |  FROM events e JOIN firsts f USING (user_id))
+      |SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(count(DISTINCT CASE WHEN day_k = 1 THEN user_id END) AS BIGINT) AS d1,
+      |  CAST(count(DISTINCT CASE WHEN day_k = 3 THEN user_id END) AS BIGINT) AS d3
+      |FROM activity GROUP BY cohort ORDER BY cohort_day""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -799,7 +875,9 @@ object QCorpus {
     "q79_stats_aggs"     -> (q79StatsAggs _),
     "q80_set_ops_all"    -> (q80SetOpsAll _),
     "q81_union_by_name"  -> (q81UnionByName _),
-    "q82_explode_outer"  -> (q82ExplodeOuter _))
+    "q82_explode_outer"  -> (q82ExplodeOuter _),
+    "q83_twap"           -> (q83Twap _),
+    "q84_cohorts"        -> (q84Cohorts _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -819,5 +897,7 @@ object QCorpus {
     "q79_stats_aggs"     -> q79Sql,
     "q80_set_ops_all"    -> q80Sql,
     "q81_union_by_name"  -> q81Sql,
-    "q82_explode_outer"  -> q82Sql)
+    "q82_explode_outer"  -> q82Sql,
+    "q83_twap"           -> q83Sql,
+    "q84_cohorts"        -> q84Sql)
 }
