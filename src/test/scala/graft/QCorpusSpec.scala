@@ -200,6 +200,31 @@ class QCorpusSpec extends SparkSpec {
     assert(rows.exists(_.getString(0) == "<legacy>"))
   }
 
+  test("q83: TWAP lies within each user's value envelope and weights sum to the span") {
+    val rows = SparkEntry.queries("q83_twap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val env = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span_us"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    rows.foreach { r =>
+      val (lo, hi, spanUs) = env(r.getLong(0))
+      assert(r.getDouble(2) >= lo - 1e-9 && r.getDouble(2) <= hi + 1e-9,
+        s"user ${r.getLong(0)}: twap outside [lo,hi]")
+      // total weighted seconds ≤ the user's whole active span
+      assert(r.getLong(1) <= spanUs / 1000000L + 1)
+    }
+  }
+
+  test("q84: cohorts partition the user base; dN never exceeds cohort size") {
+    val rows = SparkEntry.queries("q84_cohorts")(spark, sf).collect()
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalUsers, "cohorts must partition users")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    }
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap

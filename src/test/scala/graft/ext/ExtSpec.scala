@@ -319,6 +319,20 @@ class ExtSpec extends SparkSpec {
     val top = Similarity.topKNeighbors(emb.toDF(), "media_id", "embedding", 0L, 1)
       .collect().head
     assert(top.getLong(0) == 3L && math.abs(top.getDouble(1) - 1.0) < 1e-6)
+
+    // ...and the same embeddings run through the compressed path: PQ codes
+    // of identical docs are identical, and ADC ranks the exact dup first
+    val cb = PQ.train(emb.toDF(), "media_id", "embedding", m = 4, nCodes = 4, iters = 2,
+      sampleSize = 16)
+    val codes = PQ.encode(emb.toDF(), "media_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes(0L) == codes(3L), "exact-dup docs must share a PQ code")
+    val q0 = emb.toDF().filter(col("media_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val adc = PQ.adcTopK(PQ.encode(emb.toDF(), "media_id", "embedding", cb),
+        "media_id", q0, cb, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(adc.contains(3L), s"dup doc must rank in ADC top-2: $adc")
   }
 
   test("splits: deterministic, leakage-free by key, weights roughly honored") {
