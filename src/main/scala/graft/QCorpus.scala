@@ -856,6 +856,61 @@ object QCorpus {
       |  CAST(count(DISTINCT CASE WHEN day_k = 3 THEN user_id END) AS BIGINT) AS d3
       |FROM activity GROUP BY cohort ORDER BY cohort_day""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** Graph analytics: two unrolled PageRank iterations over the user ↔
+    * event-type engagement graph, in FIXED-POINT integer arithmetic —
+    * ranks are scaled to 1e9 and every step is integer DIV, so the result
+    * is bit-exact on any engine (float PageRank sums in
+    * partition-dependent order). Each iteration is the classic one-shuffle
+    * shape: edges join ranks, contributions aggregate per target. The
+    * edge threshold (≥12 interactions) keeps the graph from degenerating
+    * to complete-bipartite on the synthetic data.
+    */
+  def q85PageRank(s: SparkSession, d: String): DataFrame = {
+    val e0 = events(s, d)
+      .groupBy(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 12)
+      .select(col("src"), col("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
+    (1 to 2).foreach { _ =>
+      val contrib = sym.join(rank, sym("src") === rank("node")).join(deg, "src")
+        .select(col("dst").as("node"), expr("rank DIV deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("incoming"))
+      rank = deg.select(col("src").as("node"))
+        .join(contrib, Seq("node"), "left_outer")
+        .crossJoin(broadcast(nn))
+        .select(col("node"),
+          expr("(150000000 DIV n) + (85 * coalesce(incoming, CAST(0 AS BIGINT))) DIV 100")
+            .as("rank"))
+    }
+    rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
+  private val q85Sql =
+    """WITH e0 AS (
+      |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst
+      |  FROM events GROUP BY 1, 2 HAVING count(*) >= 12),
+      |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank FROM deg),
+      |c1 AS (SELECT s.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS incoming
+      |       FROM sym s JOIN r0 r ON s.src = r.node JOIN deg d ON s.src = d.src GROUP BY 1),
+      |r1 AS (SELECT d.src AS node,
+      |         CAST((150000000 // n) + (85 * coalesce(c.incoming, 0)) // 100 AS BIGINT) AS rank
+      |       FROM deg d LEFT JOIN c1 c ON d.src = c.node CROSS JOIN nn),
+      |c2 AS (SELECT s.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS incoming
+      |       FROM sym s JOIN r1 r ON s.src = r.node JOIN deg d ON s.src = d.src GROUP BY 1),
+      |r2 AS (SELECT d.src AS node,
+      |         CAST((150000000 // n) + (85 * coalesce(c.incoming, 0)) // 100 AS BIGINT) AS rank
+      |       FROM deg d LEFT JOIN c2 c ON d.src = c.node CROSS JOIN nn)
+      |SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -877,7 +932,8 @@ object QCorpus {
     "q81_union_by_name"  -> (q81UnionByName _),
     "q82_explode_outer"  -> (q82ExplodeOuter _),
     "q83_twap"           -> (q83Twap _),
-    "q84_cohorts"        -> (q84Cohorts _))
+    "q84_cohorts"        -> (q84Cohorts _),
+    "q85_pagerank"       -> (q85PageRank _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -899,5 +955,6 @@ object QCorpus {
     "q81_union_by_name"  -> q81Sql,
     "q82_explode_outer"  -> q82Sql,
     "q83_twap"           -> q83Sql,
-    "q84_cohorts"        -> q84Sql)
+    "q84_cohorts"        -> q84Sql,
+    "q85_pagerank"       -> q85Sql)
 }

@@ -225,6 +225,19 @@ class QCorpusSpec extends SparkSpec {
     }
   }
 
+  test("q85: fixed-point ranks are positive, bounded, and hub types outrank leaf users") {
+    val rows = SparkEntry.queries("q85_pagerank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, r) => assert(r > 0L && r < 100L * 1000000000L) }
+    // event-type nodes aggregate many users' rank: hubs surface in the top-20
+    assert(rows.exists(_._1.startsWith("t:")), s"expected a type hub in ${rows.toSeq}")
+    // deterministic: rerun bit-identical
+    val again = SparkEntry.queries("q85_pagerank")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
