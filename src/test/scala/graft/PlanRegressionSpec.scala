@@ -150,6 +150,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(count(p, "Join") == 0, p)
   }
 
+  test("q85: iterative rank joins stay hash/broadcast joins — no cartesian blowup") {
+    val p = plan("q85_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row node-count side rides a broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q83: TWAP is one window shuffle plus one aggregate shuffle") {
+    val p = plan("q83_twap")
+    assert(p.contains("Window"), p)
+    assert(count(p, "Exchange") <= 3, p)
+  }
+
   test("q68: shard-parallel packing — window partitioned by source, no global sort below the agg") {
     val p = plan("q68_seq_packing")
     assert(p.contains("Window"), p)
