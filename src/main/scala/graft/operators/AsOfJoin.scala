@@ -124,4 +124,40 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"`$c`")) ++
         rightPayload.map(c => col("__payload").getField(c).as(c)): _*)
   }
+
+  /** Broadcast as-of join — the "rates table" case: when the right side is
+    * dimension-sized (currency rates, config versions, model checkpoints),
+    * the fact side should not shuffle AT ALL. The right side packs into one
+    * sorted array per key (tiny aggregate), broadcasts, and each left row
+    * picks its match with codegen'd array functions (filter + element_at) —
+    * zero exchanges of the 100 TB side, same `<=` semantics as [[asOfJoin]].
+    * Per-left-row cost is O(right rows per key): use the shuffled
+    * [[asOfJoin]] when the right side is large or deep per key.
+    */
+  def asOfJoinBroadcast(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!rightPayload.exists(leftCols.contains),
+      s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
+
+    // sort_array orders lexicographically by (__t, __p); right must be
+    // unique per (key, ts) — the same contract as asOfJoin
+    val packed = right.groupBy(col(s"`$rightKey`").as("__rk"))
+      .agg(sort_array(collect_list(struct(
+        col(s"`$rightTs`").cast("timestamp").as("__t"),
+        struct(rightPayload.map(c => col(s"`$c`")): _*).as("__p")))).as("__arr"))
+
+    val lts = col(s"`$leftTs`").cast("timestamp")
+    val eligible = filter(col("__arr"), x => x.getField("__t") <= lts)
+    val matched = when(size(eligible) > 0, element_at(eligible, size(eligible)))
+
+    left.join(broadcast(packed), col(s"`$leftKey`") === col("__rk"), "left_outer")
+      .withColumn("__m", matched)
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        rightPayload.map(c => col("__m").getField("__p").getField(c).as(c)): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 class AsOfJoinSpec extends SparkSpec {
@@ -50,5 +51,23 @@ class AsOfJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsOfJoin.asOfJoin(l, r, "k", "k2", "t", "t2", Seq("v"))
     }
+  }
+
+  test("broadcast as-of: the fact side never shuffles — only the packed dim exchanges") {
+    val l = graft.Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val r = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("rk"), col("ts").as("rts"), col("value").as("signup_value"))
+    val joined = AsOfJoin.asOfJoinBroadcast(
+      l, r, "user_id", "rk", "ts", "rts", Seq("signup_value"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    val shuffles = helper.collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 1, s"only the dim-side agg may shuffle:\n$plan")
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
   }
 }

@@ -133,6 +133,26 @@ object OperatorProperties extends Properties("graft.operators") {
       got == want
     }
 
+  property("asOfJoinBroadcast == asOfJoin (zero-shuffle variant, same semantics)") =
+    forAll(leftGen, rightGen) { (lraw, rraw) =>
+      import spark.implicits._
+      val r = rraw.groupBy(x => (x._1, x._2)).map(_._2.head).toList
+      val l = lraw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000L))
+      }
+      val rdf = r.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000L), v) }
+        .toDF("rkey", "rts", "v")
+      def toMapOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("lid"), col("v")).collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val shuffled = toMapOf(AsOfJoin.asOfJoin(
+        l.toDF("lid", "key", "lts"), rdf, "key", "rkey", "lts", "rts", Seq("v")))
+      val bcast = toMapOf(AsOfJoin.asOfJoinBroadcast(
+        l.toDF("lid", "key", "lts"), rdf, "key", "rkey", "lts", "rts", Seq("v")))
+      shuffled == bcast
+    }
+
   property("asOfJoinForward == per-row earliest-right lookup") =
     forAll(leftGen, rightGen) { (lraw, rraw) =>
       import spark.implicits._
