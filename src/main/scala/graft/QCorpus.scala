@@ -911,6 +911,38 @@ object QCorpus {
       |       FROM deg d LEFT JOIN c2 c ON d.src = c.node CROSS JOIN nn)
       |SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Broadcast as-of join through the gate: identical semantics to q33 (the
+    * DuckDB oracle is the same native ASOF LEFT JOIN) but executed by
+    * [[graft.operators.AsOfJoin.asOfJoinBroadcast]] — the right side packs
+    * into per-key sorted arrays and broadcasts, so the event side runs with
+    * ZERO exchanges (AsOfJoinSpec pins the plan). The rates-table shape:
+    * right is dimension-sized, left is the firehose.
+    */
+  def q86AsofBroadcast(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val ord = orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(
+        max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    graft.operators.AsOfJoin.asOfJoinBroadcast(
+        ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q86Sql =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |         max_by(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -933,7 +965,8 @@ object QCorpus {
     "q82_explode_outer"  -> (q82ExplodeOuter _),
     "q83_twap"           -> (q83Twap _),
     "q84_cohorts"        -> (q84Cohorts _),
-    "q85_pagerank"       -> (q85PageRank _))
+    "q85_pagerank"       -> (q85PageRank _),
+    "q86_asof_broadcast" -> (q86AsofBroadcast _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -956,5 +989,6 @@ object QCorpus {
     "q82_explode_outer"  -> q82Sql,
     "q83_twap"           -> q83Sql,
     "q84_cohorts"        -> q84Sql,
-    "q85_pagerank"       -> q85Sql)
+    "q85_pagerank"       -> q85Sql,
+    "q86_asof_broadcast" -> q86Sql)
 }
