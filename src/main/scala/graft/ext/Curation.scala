@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The assembled training-corpus curation pipeline — the "switch your whole
+  * job to one call" surface over the individual operators: quality gate →
+  * exact dedup → near-dup collapse (MinHash-LSH components, keep the
+  * minimum-id representative) → benchmark decontamination → deterministic
+  * split assignment → optional sequence packing.
+  *
+  * Every stage is declarative and shuffle-disciplined (the same shapes the
+  * gate queries pin: q21/q59 quality, q20 exact dedup, q25/q43 near-dup,
+  * q65 decontamination, q57/q76 splits, q68 packing), so Catalyst sees one
+  * composed plan per stage boundary and the whole run is a handful of
+  * shuffles regardless of corpus size. Near-dup collapse removes
+  * duplicates ACROSS split boundaries before assignment, so the
+  * assignment itself cannot leak (what q76 proves for the keep-all
+  * variant).
+  */
+object Curation {
+
+  case class NearDupCfg(shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, fast: Boolean = true)
+
+  case class Config(
+      minQuality: Double = 0.5,
+      exactDedup: Boolean = true,
+      nearDup: Option[NearDupCfg] = Some(NearDupCfg()),
+      decontaminateNgram: Int = 13,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+      packTokens: Option[Int] = None)
+
+  /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
+    * columns), when given, removes any doc sharing an n-gram with it.
+    * Output: the surviving rows with `quality`, `split`, and (when packing)
+    * `seq_id` appended.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      evalDocs: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+
+    // 1. quality gate — per-row codegen, cuts rows at the scan stage
+    var cur = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality)
+
+    // 2. exact dedup — keep the smallest id per identical text
+    if (cfg.exactDedup)
+      cur = graft.core.ops.TableOps.dedupeLastWins(
+        cur, Seq(textCol), Seq(col(idCol).asc))
+
+    // 3. near-dup collapse — keep each component's min-id representative
+    cfg.nearDup.foreach { nd =>
+      val pairs = Dedup.minhashLshPairs(cur, idCol, textCol,
+        nd.shingleN, nd.k, nd.bands, nd.threshold, nd.fast)
+      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+      val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
+      cur = cur.join(broadcast(losers), cur(idCol) === losers("id"), "left_anti")
+    }
+
+    // 4. decontamination — drop docs sharing any n-gram with the eval set
+    evalDocs.foreach { ev =>
+      val n = cfg.decontaminateNgram
+      def grams(df: DataFrame, id: String, text: String): DataFrame = df
+        .select(col(id).as("__gid"), split(col(text), " ").as("__w"))
+        .filter(size(col("__w")) >= n)
+        .select(col("__gid"), explode(transform(
+          sequence(lit(1), size(col("__w")) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as("__g"))
+      val evalG = grams(ev, idCol, textCol).select(col("__g")).distinct()
+      val hit = grams(cur, idCol, textCol)
+        .join(broadcast(evalG), "__g").select(col("__gid")).distinct()
+      cur = cur.join(broadcast(hit), cur(idCol) === hit("__gid"), "left_anti")
+    }
+
+    // 5. deterministic split — duplicates are gone, so a plain id hash is
+    // leakage-free by construction
+    cur = cur.withColumn("split", Splits.assignSplit(
+      Splits.hashBucketMd5(col(idCol), 100), cfg.splits))
+
+    // 6. optional packing — per-split cumsum bins (the q68 shape)
+    cfg.packTokens.foreach { budget =>
+      cur = cur
+        .withColumn("__tok", size(split(col(textCol), " ")).cast("long"))
+        .withColumn("seq_id", expr(
+          s"coalesce(sum(__tok) OVER (PARTITION BY split ORDER BY `$idCol` " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV $budget"))
+        .drop("__tok")
+    }
+    cur
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val eval = docs.filter(col("source") === "src0").select("doc_id", "text")
+  private lazy val curated = Curation.curate(
+    docs.filter(col("source") =!= "src0"), "doc_id", "text",
+    evalDocs = Some(eval),
+    cfg = Curation.Config(packTokens = Some(512))).cache()
+
+  test("curated corpus: quality floor, no exact or near duplicates, decontaminated") {
+    val rows = curated.select("doc_id", "text", "quality").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    val texts = rows.map(_.getString(1))
+    assert(texts.distinct.length == texts.length, "exact dups must be gone")
+    // no near-dup pair among survivors
+    val pairs = Dedup.minhashLshPairs(
+      curated.select("doc_id", "text"), "doc_id", "text", 3, 16, 4, 0.5, fast = true)
+    assert(pairs.count() == 0, "near-dup survivors found")
+    // no 13-gram overlap with the eval slice
+    val evalG = eval.collect().flatMap(_.getString(1).split(" ").sliding(13).map(_.mkString(" "))).toSet
+    rows.foreach { r =>
+      val g = r.getString(1).split(" ").sliding(13).map(_.mkString(" "))
+      assert(!g.exists(evalG), s"doc ${r.getLong(0)} contaminated")
+    }
+  }
+
+  test("splits partition the survivors; packing bins are contiguous per split") {
+    val bySplit = curated.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == curated.count())
+    curated.select("split", "seq_id").distinct().collect()
+      .groupBy(_.getString(0)).foreach { case (_, rs) =>
+        val ids = rs.map(_.getLong(1)).sorted.toSeq
+        assert(ids == (0L until ids.length).toSeq, s"gappy bins: $ids")
+      }
+  }
+
+  test("pipeline equals the hand-composed stages") {
+    val manual = {
+      var d = docs.filter(col("source") =!= "src0")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      d = graft.core.ops.TableOps.dedupeLastWins(d, Seq("text"), Seq(col("doc_id").asc))
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 16, 4, 0.5, fast = true)
+      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+      val losers = clusters.filter(col("id") =!= col("cluster")).select("id")
+      d.join(losers, d("doc_id") === losers("id"), "left_anti")
+    }
+    // decontamination is independently verified above; compare the
+    // dedup-stage survivors
+    val got = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val manualIds = manual.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(manualIds), "pipeline must not resurrect removed docs")
+    assert((manualIds -- got).forall { id =>
+      // anything extra that manual kept was removed by decontamination
+      val txt = docs.filter(col("doc_id") === id).head().getAs[String]("text")
+      val evalG = eval.collect().flatMap(_.getString(1).split(" ").sliding(13).map(_.mkString(" "))).toSet
+      txt.split(" ").sliding(13).map(_.mkString(" ")).exists(evalG)
+    }, "only contaminated docs may differ between pipeline and manual stages")
+  }
+}
