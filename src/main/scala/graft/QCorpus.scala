@@ -921,13 +921,16 @@ object QCorpus {
     */
   def q86AsofBroadcast(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    // monthly reference table — the broadcast regime: FEW entries per key
+    // (a deep-per-key right side belongs on the shuffled q33 path, where
+    // the window scan is O(n) total instead of O(n) per probing row)
     val ord = orders(s, d)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .groupBy(col("o_custkey"), date_trunc("month", col("o_orderdate")).as("o_month"))
       .agg(
         max(col("o_orderkey")).as("o_orderkey"),
         max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
     graft.operators.AsOfJoin.asOfJoinBroadcast(
-        ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        ev, ord, "user_id", "o_custkey", "ts", "o_month",
         Seq("o_orderkey", "o_totalprice"))
       .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("event_id"))
@@ -935,12 +938,13 @@ object QCorpus {
 
   private val q86Sql =
     """WITH r AS (
-      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS o_month,
+      |         max(o_orderkey) AS o_orderkey,
       |         max_by(o_totalprice, o_orderkey) AS o_totalprice
       |  FROM orders GROUP BY 1, 2)
       |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice
       |FROM events e ASOF LEFT JOIN r
-      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_month
       |ORDER BY e.event_id""".stripMargin
 
   // -------------------------------------------------------------- registry
