@@ -947,6 +947,39 @@ object QCorpus {
       |  ON e.user_id = r.o_custkey AND e.ts >= r.o_month
       |ORDER BY e.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Sliding (hopping) windows through Spark's native `window()` — every
+    * event lands in size/slide overlapping windows (here 2), generated by
+    * the built-in expression, aggregated in one shuffle; the oracle
+    * reconstructs the same epoch-aligned grid with integer µs arithmetic.
+    * The streaming analog is the same expression with a watermark
+    * (EventsStream.windowedAgg's sliding form); q30 is the tumbling
+    * special case.
+    */
+  def q87SlidingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cents")) / 100.0, 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val q87Sql =
+    """WITH cand AS (
+      |  SELECT event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    epoch_us(ts) AS us,
+      |    unnest([ (epoch_us(ts) // 1800000000) * 1800000000,
+      |             (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 ]) AS ws_us
+      |  FROM events),
+      |w AS (SELECT * FROM cand WHERE us >= ws_us AND us < ws_us + 3600000000)
+      |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M') AS wstart, event_type,
+      |  count(*) AS n, round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -970,7 +1003,8 @@ object QCorpus {
     "q83_twap"           -> (q83Twap _),
     "q84_cohorts"        -> (q84Cohorts _),
     "q85_pagerank"       -> (q85PageRank _),
-    "q86_asof_broadcast" -> (q86AsofBroadcast _))
+    "q86_asof_broadcast" -> (q86AsofBroadcast _),
+    "q87_sliding_window" -> (q87SlidingWindow _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -994,5 +1028,6 @@ object QCorpus {
     "q83_twap"           -> q83Sql,
     "q84_cohorts"        -> q84Sql,
     "q85_pagerank"       -> q85Sql,
-    "q86_asof_broadcast" -> q86Sql)
+    "q86_asof_broadcast" -> q86Sql,
+    "q87_sliding_window" -> q87Sql)
 }

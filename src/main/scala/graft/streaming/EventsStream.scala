@@ -58,6 +58,21 @@ object EventsStream {
         col("window.start").as("wstart"), col("window.end").as("wend"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding (hopping) windowed aggregation: same state/watermark contract
+    * as [[windowedAgg]], but each event contributes to size/slide
+    * overlapping windows — q87 is the batch analog. State holds
+    * size/slide× more open windows; the watermark GCs them identically.
+    */
+  def slidingAgg(events: DataFrame, size: String = "1 hour",
+      slide: String = "30 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Stream-static enrichment: join each micro-batch against a (small)
     * static dimension with an explicit broadcast — the planner re-plans the
     * static side per batch, so the join is stateless (no watermarks, no

@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sliding windowed agg over the stream matches the batch hopping aggregation") {
+    val streamed = runToCompletion(
+      EventsStream.slidingAgg(
+        EventsStream.readEvents(spark, eventsDir).filter(col("event_type") === "purchase")),
+      "stream_sliding", "append")
+    val batch = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("n"), col("sum_value"))
+      .collect().map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val emitted = streamed.collect()
+    assert(emitted.nonEmpty)
+    emitted.foreach { r =>
+      val k = r.getAs[java.sql.Timestamp]("wstart")
+      assert(batch.contains(k), s"window $k not in batch")
+      assert(batch(k) == ((r.getAs[Long]("n"), r.getAs[Double]("sum_value"))), s"window $k differs")
+    }
+  }
+
   test("stream-static broadcast enrichment matches the batch join, stateless") {
     import spark.implicits._
     val dim = Seq(("click", "interactive"), ("view", "passive"), ("purchase", "converting"))
