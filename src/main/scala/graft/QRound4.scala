@@ -334,12 +334,18 @@ object QRound4 {
     */
   def q58Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+    // tf computed IN-ROW: per-doc distinct tokens with their counts come
+    // out of array HOFs (O(|vocab|·|doc|) codegen per row), so the exploded
+    // stream is one row per (doc, DISTINCT token) — ~|vocab| per doc — and
+    // needs NO shuffle at all; the old explode-every-token shape shuffled
+    // the full token stream (|doc| rows per doc) into a 2-key aggregate.
     val tf = docs
       .select(col("doc_id"),
-        explode(split(lower(col("text")), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+        filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("w"))
+      .select(col("doc_id"), explode(transform(array_distinct(col("w")),
+        t => struct(t.as("token"),
+          size(filter(col("w"), x => x === t)).cast("long").as("tf")))).as("e"))
+      .select(col("doc_id"), col("e.token").as("token"), col("e.tf").as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dfreq, "token")
