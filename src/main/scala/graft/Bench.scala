@@ -35,6 +35,14 @@ object Bench {
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),
+    "b37_curation_pipeline" -> ((s, dir) => {
+      import graft.ext.Curation
+      val docs = Tables.documents(s, dir)
+      Curation.curate(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        evalDocs = Some(docs.filter(col("source") === "src0").select(col("doc_id"), col("text"))),
+        cfg = Curation.Config(packTokens = Some(512)))
+    }),
     "b36_pq_adc" -> ((s, dir) => {
       import graft.ext.PQ
       val emb = Tables.embeddings(s, dir)

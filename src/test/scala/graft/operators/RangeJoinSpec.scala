@@ -54,6 +54,24 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("corrupt intervals (end <= start) are dropped, never exploded") {
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")), // valid
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00")), // zero-length
+      (3L, ts("2024-06-01 00:00:00"), ts("2024-01-01 00:00:00"))  // end FAR before start
+    ).toDF("iid", "start", "end")
+    val points = Seq(
+      (10L, ts("2024-01-01 10:30:00")),
+      (11L, ts("2024-01-01 12:00:00")),
+      (12L, ts("2024-03-01 00:00:00"))  // inside the inverted interval's span
+    ).toDF("pid", "pts")
+    val got = RangeJoin.binnedRangeJoin(intervals, points, "start", "end", "pts")
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    // only the valid interval matches; the inverted one neither errors (a
+    // descending 5-month bin sequence) nor emits rows
+    assert(got == Set((1L, 10L)))
+  }
+
   test("empty sides produce empty results") {
     val intervals = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")))
       .toDF("iid", "start", "end")
