@@ -980,6 +980,64 @@ object QCorpus {
       |  count(*) AS n, round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Percent-of-total (ratio_to_report): each priority's share of its
+    * order-status group — an UNORDERED whole-partition window (no sort, no
+    * frame; the group total joins each row "for free" inside one window
+    * exchange), distinct from q44's ordered frames. Shares come from one
+    * exact integer division per row.
+    */
+  def q88PercentOfTotal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .withColumn("grp_cents",
+        sum(col("cents")).over(Window.partitionBy(col("o_orderstatus"))))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("cents") / col("grp_cents").cast("double") * 100.0, 4).as("pct_of_status"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val q88Sql =
+    """WITH agg AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus, o_orderpriority,
+      |  round(cents / 100.0, 2) AS revenue,
+      |  round(cents / CAST(sum(cents) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+      |        * 100.0, 4) AS pct_of_status
+      |FROM agg
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Correlated scalar subquery through the SQL surface (the q34 pattern:
+    * IDENTICAL SQL text on both engines via temp views): each customer's
+    * latest order date and how many of their orders beat their own average.
+    * Catalyst decorrelates both subqueries into joins — pinning that the
+    * rewrite exists and agrees with an engine that evaluates them as
+    * written.
+    */
+  def q89CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q89Sql)
+  }
+
+  private val q89Sql =
+    """SELECT c_custkey,
+      |  (SELECT CAST(max(o_orderdate) AS DATE) FROM orders
+      |   WHERE o_custkey = c_custkey) AS last_order,
+      |  (SELECT count(*) FROM orders o1
+      |   WHERE o1.o_custkey = c_custkey
+      |     AND o1.o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
+      |                            WHERE o2.o_custkey = o1.o_custkey)) AS n_above_avg
+      |FROM customer
+      |WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -1004,7 +1062,9 @@ object QCorpus {
     "q84_cohorts"        -> (q84Cohorts _),
     "q85_pagerank"       -> (q85PageRank _),
     "q86_asof_broadcast" -> (q86AsofBroadcast _),
-    "q87_sliding_window" -> (q87SlidingWindow _))
+    "q87_sliding_window" -> (q87SlidingWindow _),
+    "q88_pct_of_total"   -> (q88PercentOfTotal _),
+    "q89_correlated_subq" -> (q89CorrelatedSubquery _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -1029,5 +1089,7 @@ object QCorpus {
     "q84_cohorts"        -> q84Sql,
     "q85_pagerank"       -> q85Sql,
     "q86_asof_broadcast" -> q86Sql,
-    "q87_sliding_window" -> q87Sql)
+    "q87_sliding_window" -> q87Sql,
+    "q88_pct_of_total"   -> q88Sql,
+    "q89_correlated_subq" -> q89Sql)
 }
