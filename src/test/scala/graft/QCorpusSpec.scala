@@ -238,6 +238,28 @@ class QCorpusSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("q88: shares sum to 100% within every status group") {
+    val rows = SparkEntry.queries("q88_pct_of_total")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (st, xs) =>
+      val total = xs.map(_._2).sum
+      assert(math.abs(total - 100.0) < 0.01, s"$st shares sum to $total")
+    }
+  }
+
+  test("q89: above-own-average counts are strictly below each customer's order count") {
+    val rows = SparkEntry.queries("q89_correlated_subq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perCust = Tables.orders(spark, sf).groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = perCust.getOrElse(r.getLong(0), 0L)
+      assert(r.getLong(2) <= n, s"cust ${r.getLong(0)}")
+      if (n > 0) assert(r.getLong(2) < n, "not every order can beat the average")
+      else assert(r.isNullAt(1) && r.getLong(2) == 0L)
+    }
+  }
+
   test("q71: metrics match a direct recomputation on a sample of docs") {
     val got = SparkEntry.queries("q71_repetition")(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
