@@ -1038,6 +1038,39 @@ object QCorpus {
       |WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Referential-integrity audit — the constraint checks a lakehouse runs
+    * because nothing enforces FKs at write time: orphaned fact rows (anti
+    * join), FK coverage, and key uniqueness on the dimension, in ONE pass
+    * over each table (the anti join and the distinct count share the
+    * orders-side aggregate). All-integer output.
+    */
+  def q90Integrity(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"))
+    val ord = orders(s, d).select(col("o_orderkey"))
+    val orphans = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val stats = li.agg(count(lit(1)).as("n_lineitem")).crossJoin(
+      orphans.agg(count(lit(1)).as("n_orphan"))).crossJoin(
+      ord.agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_orderkey")).as("n_distinct_keys")))
+    stats.select(
+      col("n_lineitem"), col("n_orphan"),
+      col("n_orders"), col("n_distinct_keys"),
+      (col("n_orders") - col("n_distinct_keys")).as("n_dup_keys"))
+  }
+
+  private val q90Sql =
+    """WITH li AS (SELECT l_orderkey FROM lineitem),
+      |ord AS (SELECT o_orderkey FROM orders),
+      |orphans AS (SELECT count(*) AS n_orphan FROM li
+      |            WHERE NOT EXISTS (SELECT 1 FROM ord WHERE o_orderkey = l_orderkey)),
+      |l AS (SELECT count(*) AS n_lineitem FROM li),
+      |o AS (SELECT count(*) AS n_orders, count(DISTINCT o_orderkey) AS n_distinct_keys
+      |      FROM ord)
+      |SELECT n_lineitem, n_orphan, n_orders, n_distinct_keys,
+      |  n_orders - n_distinct_keys AS n_dup_keys
+      |FROM l CROSS JOIN orphans CROSS JOIN o""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -1064,7 +1097,8 @@ object QCorpus {
     "q86_asof_broadcast" -> (q86AsofBroadcast _),
     "q87_sliding_window" -> (q87SlidingWindow _),
     "q88_pct_of_total"   -> (q88PercentOfTotal _),
-    "q89_correlated_subq" -> (q89CorrelatedSubquery _))
+    "q89_correlated_subq" -> (q89CorrelatedSubquery _),
+    "q90_integrity"      -> (q90Integrity _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -1091,5 +1125,6 @@ object QCorpus {
     "q86_asof_broadcast" -> q86Sql,
     "q87_sliding_window" -> q87Sql,
     "q88_pct_of_total"   -> q88Sql,
-    "q89_correlated_subq" -> q89Sql)
+    "q89_correlated_subq" -> q89Sql,
+    "q90_integrity"      -> q90Sql)
 }
