@@ -1071,6 +1071,42 @@ object QCorpus {
       |  n_orders - n_distinct_keys AS n_dup_keys
       |FROM l CROSS JOIN orphans CROSS JOIN o""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Multi-aggregate pivot: count AND revenue per pivoted order status in
+    * one pass — `pivot(values)` with an explicit value list (no extra
+    * distinct-scan job to discover them) and two aggregates per cell,
+    * flattened to stable column names. Plans as ONE aggregate (pivot cells
+    * are conditional aggregates), matching the oracle's explicit CASE
+    * formulation.
+    */
+  def q91MultiAggPivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), round(sum(col("cents")) / 100.0, 2).as("rev"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), coalesce(col("F_rev"), lit(0.0)).as("f_rev"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), coalesce(col("O_rev"), lit(0.0)).as("o_rev"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), coalesce(col("P_rev"), lit(0.0)).as("p_rev"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q91Sql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+      |  coalesce(round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    FILTER (WHERE o_orderstatus = 'F') AS BIGINT) / 100.0, 2), 0.0) AS f_rev,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+      |  coalesce(round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    FILTER (WHERE o_orderstatus = 'O') AS BIGINT) / 100.0, 2), 0.0) AS o_rev,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+      |  coalesce(round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    FILTER (WHERE o_orderstatus = 'P') AS BIGINT) / 100.0, 2), 0.0) AS p_rev
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------- registry
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_decontaminate"  -> (q65Decontaminate _),
@@ -1098,7 +1134,8 @@ object QCorpus {
     "q87_sliding_window" -> (q87SlidingWindow _),
     "q88_pct_of_total"   -> (q88PercentOfTotal _),
     "q89_correlated_subq" -> (q89CorrelatedSubquery _),
-    "q90_integrity"      -> (q90Integrity _))
+    "q90_integrity"      -> (q90Integrity _),
+    "q91_multiagg_pivot" -> (q91MultiAggPivot _))
 
   val sql: Map[String, String] = Map(
     "q65_decontaminate"  -> q65Sql,
@@ -1126,5 +1163,6 @@ object QCorpus {
     "q87_sliding_window" -> q87Sql,
     "q88_pct_of_total"   -> q88Sql,
     "q89_correlated_subq" -> q89Sql,
-    "q90_integrity"      -> q90Sql)
+    "q90_integrity"      -> q90Sql,
+    "q91_multiagg_pivot" -> q91Sql)
 }
