@@ -424,18 +424,33 @@ object QCorpus {
   def q74LabelCentroids(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      // exact micro-unit integers: sum order cannot perturb the mean
+      // (the q69/q73 cents convention, at 1e-6 granularity), and the
+      // half-up rounding of the mean itself happens in INTEGER arithmetic
+      // — floor((2s+n)/(2n)) — because a symmetric value set lands the
+      // mean exactly ON the 1e-6 boundary, where round(double) diverges
+      // between engines (sf0.1 label 9 dim 6 taught this: 616992/192
+      // micro = 3213.5).
+      .withColumn("micro", round(col("x").cast("double") * 1e6, 0).cast("long"))
       .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("x").cast("double")), 6).as("centroid"))
+      .agg(count(lit(1)).as("n"), sum(col("micro")).as("s"))
       .filter(col("dim") < 8) // keep the gate output compact; all dims same path
+      .select(col("label"), col("dim"), col("n"),
+        (floor((lit(2) * col("s") + col("n")) / (lit(2) * col("n"))).cast("long")
+          / lit(1e6)).as("centroid"))
       .orderBy(col("label"), col("dim"))
 
   private val q74Sql =
-    """SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
-      |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
-      |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
-      |WHERE i - 1 < 8
-      |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+    """SELECT label, dim, n,
+      |  CAST(floor((2 * s + n) / (2 * n)) AS BIGINT) / 1e6 AS centroid
+      |FROM (
+      |  SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+      |    CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT))
+      |         AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+      |  WHERE i - 1 < 8
+      |  GROUP BY 1, 2)
+      |ORDER BY label, dim""".stripMargin
 
   // ---------------------------------------------------------------- q75
   /** Approximate-quantile engine-relative bound check (q50 pattern): each
@@ -1032,8 +1047,11 @@ object QCorpus {
       |   WHERE o_custkey = c_custkey) AS last_order,
       |  (SELECT count(*) FROM orders o1
       |   WHERE o1.o_custkey = c_custkey
-      |     AND o1.o_totalprice > (SELECT avg(o_totalprice) FROM orders o2
-      |                            WHERE o2.o_custkey = o1.o_custkey)) AS n_above_avg
+      |     AND CAST(round(o1.o_totalprice * 100, 0) AS BIGINT) *
+      |         (SELECT CAST(count(*) AS BIGINT) FROM orders o2
+      |          WHERE o2.o_custkey = o1.o_custkey)
+      |       > (SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |          FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)) AS n_above_avg
       |FROM customer
       |WHERE c_mktsegment = 'MACHINERY'
       |ORDER BY c_custkey""".stripMargin

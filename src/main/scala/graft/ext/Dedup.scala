@@ -174,8 +174,20 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
       maxIters: Int = 20, driverThreshold: Long = 100000L): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Integral id columns are widened to long up front so BOTH strategies
+    // below see one type (and the driver fast path's getLong cannot
+    // ClassCastException on int ids); non-integral ids (strings, …) keep
+    // their type and always take the type-agnostic distributed path.
+    val integralIds = pairs.schema(idA).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val (srcCol, dstCol) =
+      if (integralIds) (col(idA).cast("long"), col(idB).cast("long"))
+      else (col(idA), col(idB))
+    val edges = pairs.select(srcCol.as("src"), dstCol.as("dst"))
+      .union(pairs.select(dstCol.as("src"), srcCol.as("dst")))
       .distinct()
       .localCheckpoint()
     // Size-adaptive strategy (the broadcast-join decision, applied to
@@ -184,7 +196,7 @@ object Dedup {
     // union-find finishes in microseconds instead of O(log diameter)
     // join+checkpoint ROUNDS. Identical semantics (min reachable id);
     // above the threshold the distributed propagation below takes over.
-    if (edges.count() <= driverThreshold) {
+    if (integralIds && edges.count() <= driverThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -208,10 +220,18 @@ object Dedup {
     // label sum between rounds means a fixpoint. The metric rides the
     // localCheckpoint materialization — no extra job per round (a
     // join-and-compare check would roughly double each round's cost).
-    def checkpointed(df: DataFrame, it: Int): (DataFrame, Long) = {
+    // Non-numeric ids sum a 64-bit label hash instead — any label change
+    // perturbs the sum except under a 2^-64 collision (non-adversarial:
+    // labels are the caller's own ids).
+    // decimal(38,0) accumulator: exact, and immune to ANSI long-overflow
+    // on pathological id/hash magnitudes.
+    val metric =
+      if (integralIds) sum(col("cluster").cast("decimal(38,0)"))
+      else sum(xxhash64(col("cluster")).cast("decimal(38,0)"))
+    def checkpointed(df: DataFrame, it: Int): (DataFrame, Any) = {
       val obs = new org.apache.spark.sql.Observation(s"dup_clusters_$it")
-      val out = df.observe(obs, sum(col("cluster")).as("s")).localCheckpoint()
-      (out, obs.get("s").asInstanceOf[Long])
+      val out = df.observe(obs, metric.as("s")).localCheckpoint()
+      (out, obs.get("s"))
     }
     var (labels, prevSum) = checkpointed(
       edges.select(col("src").as("id")).distinct().withColumn("cluster", col("id")), -1)

@@ -14,29 +14,39 @@ import org.apache.spark.sql.functions._
   * job — `repartition(n)` round-robin for plain layouts (equal-sized output
   * files, no skew), or `repartitionByRange(n, cols)` when the table should
   * stay clustered so min/max stats keep pruning after the rewrite. The
-  * rewrite lands in `<dir>__compact` and swaps in atomically (rename), so
-  * readers never observe a half-written directory.
+  * rewrite lands in `<dir>__compact` and swaps in via two renames. Readers
+  * never observe a HALF-WRITTEN directory, but the swap is not atomic: a
+  * concurrent reader can catch the brief window between the two renames
+  * where the path is absent (and a listing taken before the swap can
+  * reference since-deleted files). Run compaction in the ingest's own
+  * maintenance window, or front the path with a catalog/manifest
+  * indirection when readers are truly concurrent.
   */
 object Compaction {
 
-  /** Bytes currently under `dir` (data files only, dot/underscore files
-    * skipped — Spark's own _SUCCESS etc).
+  /** Data files under `dir`, RECURSIVE (Hive-partitioned layouts keep data
+    * in subdirectories), dot/underscore files skipped — Spark's own
+    * _SUCCESS etc.
     */
-  def dataBytes(spark: SparkSession, dir: String): Long = {
+  private def dataFiles(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(_.getLen).sum
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) out += s
+    }
+    out.toSeq
   }
 
-  def dataFileCount(spark: SparkSession, dir: String): Int = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_")
-      && !s.getPath.getName.startsWith("."))
-  }
+  /** Bytes currently under `dir` (recursive data files only). */
+  def dataBytes(spark: SparkSession, dir: String): Long =
+    dataFiles(spark, dir).map(_.getLen).sum
+
+  def dataFileCount(spark: SparkSession, dir: String): Int =
+    dataFiles(spark, dir).size
 
   /** Compact `dir` (a parquet directory) to ~`targetFileBytes` files.
     * `clusterBy` non-empty keeps the layout range-clustered on those
@@ -46,6 +56,15 @@ object Compaction {
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long,
               clusterBy: Seq[String] = Nil): Int = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val p0 = new Path(dir)
+    val fs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A flat rewrite of a Hive-partitioned directory would FLATTEN it
+    // (drop the partition layout); fail loudly instead of silently
+    // restructuring — compact each leaf partition directory, or use
+    // PartitionedLayout's writer to re-emit the partitioned shape.
+    require(!fs0.listStatus(p0).exists(_.isDirectory),
+      s"compact: $dir has subdirectories (Hive-partitioned layout); " +
+        "compact leaf partition directories individually")
     val total = dataBytes(spark, dir)
     if (total == 0) return dataFileCount(spark, dir) // nothing to rewrite
     val nFiles = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)

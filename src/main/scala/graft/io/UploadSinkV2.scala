@@ -50,6 +50,20 @@ object UploadSinkV2 {
     * surfaced for callers/tests (commit runs on the driver).
     */
   val lastCommitted = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Epoch ids already folded into [[lastCommitted]] per transport key.
+    * A crash-replayed epoch re-commits; without this guard the surfaced
+    * total double-counts even when the transport dedupes idempotently
+    * (the file sink's manifest idempotence, mirrored for the metric).
+    */
+  private[io] val committedEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[java.lang.Long]]()
+
+  private[io] def markEpoch(key: String, epochId: Long): Boolean =
+    committedEpochs
+      .computeIfAbsent(key, _ => java.util.concurrent.ConcurrentHashMap.newKeySet())
+      .add(epochId)
 }
 
 /** Pluggable upload transports, keyed by the `transport` writer option. */
@@ -109,17 +123,19 @@ private[io] class UploadWrite(transportKey: String, batchSize: Int) extends Writ
     * ACCUMULATES into the transport's running total (each epoch's messages
     * are that epoch's accepted counts). The engine tracks epoch ids in the
     * checkpoint, so a replayed epoch re-commits — transports must be
-    * idempotent per batch, as the trait already requires.
+    * idempotent per batch, and the surfaced total skips epochs it has
+    * already folded in so recovery cannot over-report.
     */
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new UploadStreamingWriterFactory(transportKey, batchSize)
 
-    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-      val total = messages.collect { case UploadCommit(n) => n }.sum
-      UploadSinkV2.lastCommitted.merge(transportKey, total, (a, b) => a + b)
-    }
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      if (UploadSinkV2.markEpoch(transportKey, epochId)) {
+        val total = messages.collect { case UploadCommit(n) => n }.sum
+        UploadSinkV2.lastCommitted.merge(transportKey, total, (a, b) => a + b)
+      }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }

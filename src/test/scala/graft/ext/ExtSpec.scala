@@ -60,6 +60,21 @@ class ExtSpec extends SparkSpec {
     assert(gotDist == want)
   }
 
+  test("dupClusters: integer and string id columns both work under the driver threshold") {
+    // IntegerType ids exercise the widen-to-long path through the driver
+    // fast path (was a ClassCastException before r5)
+    val intPairs = Seq((2, 1), (2, 3), (10, 11)).toDF("id_a", "id_b")
+    val gotInt = Dedup.dupClusters(intPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotInt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // string ids: driver fast path must be skipped; distributed path is
+    // type-agnostic (min = lexicographic)
+    val strPairs = Seq(("b", "a"), ("b", "c")).toDF("id_a", "id_b")
+    val gotStr = Dedup.dupClusters(strPairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotStr == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("simhash: identical docs hash equal; near-dups differ in few bits; md5/fast agree on equality") {
     val out = docs.select(col("doc_id"),
         Dedup.simhash32(col("text")).as("s32"),

@@ -65,6 +65,17 @@ class UploadSinkV2Spec extends SparkSpec {
     assert(UploadSinkV2.lastCommitted.get("v2stream") == n)
   }
 
+  test("replayed streaming epoch does not double-count the committed total") {
+    UploadSinkV2.lastCommitted.remove("v2replay")
+    val sw = new UploadWrite("v2replay", 100).toStreaming
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(UploadCommit(7L))
+    sw.commit(0L, msgs)
+    sw.commit(0L, msgs) // crash-replay of epoch 0 — must be a no-op for the metric
+    sw.commit(1L, msgs)
+    assert(UploadSinkV2.lastCommitted.get("v2replay") == 14L)
+  }
+
   test("schema contract: a non-single-string-column frame is rejected") {
     UploadTransportRegistry.register("v2test2", V2SinkTransport)
     val bad = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
