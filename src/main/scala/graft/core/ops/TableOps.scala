@@ -99,4 +99,43 @@ object TableOps {
     val w = Window.partitionBy(key.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Size-adaptive join side (count-then-choose, the dupClusters pattern):
+    * materialize `df` once (localCheckpoint — also stops the side's plan
+    * from being recomputed by the count AND the join), then broadcast-hint
+    * it only when it actually holds ≤ `maxBroadcastRows` rows.
+    *
+    * The Catalyst costing alternative under-serves exactly the case this
+    * exists for: a COMPUTED side (distinct ids out of a dedup/contamination
+    * pipeline) has no stats, so the optimizer either guesses from the scan
+    * underneath (wrong by the dup rate) or falls back to defaults. Counting
+    * the materialized result is exact. At benchmark dup rates the side is
+    * thousands of ids → broadcast; on a 40%-dup web crawl it is O(corpus)
+    * → shuffled join, where the old unconditional broadcast hint OOMed the
+    * driver. Default threshold 4M rows ≈ 32–64 MB of ids, comfortably
+    * inside executor memory and far beyond the point where a broadcast
+    * stops paying.
+    *
+    * (On a real cluster prefer reliable `checkpoint` — localCheckpoint
+    * blocks are unreplicated; an executor loss recomputes nothing and fails
+    * the job.)
+    */
+  private val adaptiveSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  def adaptiveJoinSide(df: DataFrame, maxBroadcastRows: Long = 4000000L,
+      materialize: Boolean = true): DataFrame = {
+    // materialize=false when `df` is a cheap derivation of an
+    // already-materialized frame (a filter over a checkpointed cluster
+    // table): the count and the join each re-run the derivation, which is
+    // cheaper than another checkpoint write.
+    val (mat, n) =
+      if (materialize) {
+        // the count rides the checkpoint job via observe() — no second job
+        val obs = new org.apache.spark.sql.Observation(
+          s"adaptive_join_side_${adaptiveSeq.incrementAndGet()}")
+        val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        (out, obs.get("n").asInstanceOf[Long])
+      } else (df, df.count())
+    if (n <= maxBroadcastRows) broadcast(mat) else mat
+  }
 }

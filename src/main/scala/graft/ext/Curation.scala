@@ -29,7 +29,10 @@ object Curation {
       nearDup: Option[NearDupCfg] = Some(NearDupCfg()),
       decontaminateNgram: Int = 13,
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
-      packTokens: Option[Int] = None)
+      packTokens: Option[Int] = None,
+      // broadcast-vs-shuffle cutover for the computed id sets (losers,
+      // contamination hits); see TableOps.adaptiveJoinSide
+      maxBroadcastIds: Long = 4000000L)
 
   /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
     * columns), when given, removes any doc sharing an n-gram with it.
@@ -53,10 +56,16 @@ object Curation {
     // 3. near-dup collapse — keep each component's min-id representative
     cfg.nearDup.foreach { nd =>
       val pairs = Dedup.minhashLshPairs(cur, idCol, textCol,
-        nd.shingleN, nd.k, nd.bands, nd.threshold, nd.fast)
+        nd.shingleN, nd.k, nd.bands, nd.threshold, nd.fast, cfg.maxBroadcastIds)
       val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
-      val losers = clusters.filter(col("id") =!= col("cluster")).select(col("id"))
-      cur = cur.join(broadcast(losers), cur(idCol) === losers("id"), "left_anti")
+      // size-adaptive: loser volume is the corpus DUP RATE, not a constant
+      // — broadcast when counted small, shuffled left_anti otherwise
+      // clusters is already materialized by dupClusters — the filter is a
+      // cheap re-derivation, no second checkpoint needed
+      val losers = graft.core.ops.TableOps.adaptiveJoinSide(
+        clusters.filter(col("id") =!= col("cluster")).select(col("id")),
+        cfg.maxBroadcastIds, materialize = false)
+      cur = cur.join(losers, cur(idCol) === losers("id"), "left_anti")
     }
 
     // 4. decontamination — drop docs sharing any n-gram with the eval set
@@ -68,10 +77,15 @@ object Curation {
         .select(col("__gid"), explode(transform(
           sequence(lit(1), size(col("__w")) - (n - 1)),
           i => xxhash64(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as("__g"))
+      // eval benchmarks are small by nature — the gram set broadcast is the
+      // correct regime (q65); the HIT set scales with the corpus'
+      // contamination rate, so it chooses adaptively
       val evalG = grams(ev, idCol, textCol).select(col("__g")).distinct()
-      val hit = grams(cur, idCol, textCol)
-        .join(broadcast(evalG), "__g").select(col("__gid")).distinct()
-      cur = cur.join(broadcast(hit), cur(idCol) === hit("__gid"), "left_anti")
+      val hit = graft.core.ops.TableOps.adaptiveJoinSide(
+        grams(cur, idCol, textCol)
+          .join(broadcast(evalG), "__g").select(col("__gid")).distinct(),
+        cfg.maxBroadcastIds)
+      cur = cur.join(hit, cur(idCol) === hit("__gid"), "left_anti")
     }
 
     // 5. deterministic split — duplicates are gone, so a plain id hash is

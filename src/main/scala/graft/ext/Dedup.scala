@@ -105,7 +105,7 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      fast: Boolean = false): DataFrame = {
+      fast: Boolean = false, maxBroadcastIds: Long = 4000000L): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val bh =
@@ -119,15 +119,24 @@ object Dedup {
     // and makes both self-join children identical exchanges so the plan
     // computes the signatures ONCE (ReusedExchange).
     val banded = df.select(col(idCol).as("id"), bh.as("bh")).repartition(col("id"))
-    val cands = candidatePairs(banded, "id", "bh")
+    // materialized once: the adaptive candidate-id count below and the
+    // final verification joins both read it without re-running the band
+    // self-join
+    val cands = candidatePairs(banded, "id", "bh").localCheckpoint()
     // Jaccard verification only touches candidate docs: semi-join the corpus
-    // down to candidate ids (broadcast — candidate volume is band-bounded),
-    // THEN compute shingle sets. At scale this is the difference between
-    // shingling the whole corpus twice and shingling a few thousand docs.
-    val candIds = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // down to candidate ids, THEN compute shingle sets. At scale this is the
+    // difference between shingling the whole corpus twice and shingling a
+    // few thousand docs. The candidate-id side is size-ADAPTIVE: candidate
+    // volume grows with the corpus dup rate (not the band count), so a
+    // high-dup crawl gets a shuffled semi-join instead of an O(corpus)
+    // broadcast.
+    // cands is already checkpointed — explode+distinct re-runs cheaply for
+    // the count, so no second materialization
+    val candIds = graft.core.ops.TableOps.adaptiveJoinSide(cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
+      maxBroadcastIds, materialize = false)
     val sh = df
-      .join(broadcast(candIds), col(idCol) === candIds("id"), "left_semi")
+      .join(candIds, col(idCol) === candIds("id"), "left_semi")
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     // SHUFFLE_HASH on the shingle sides: the optimizer sizes them by the
     // small parquet scan underneath and would otherwise BROADCAST them —

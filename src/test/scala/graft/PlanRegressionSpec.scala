@@ -163,6 +163,42 @@ class PlanRegressionSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 3, p)
   }
 
+  test("adaptive join side: computed id sets broadcast when small, shuffle above the threshold") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val ids = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("id"))
+    def antiPlan(threshold: Long): String = {
+      val side = graft.core.ops.TableOps.adaptiveJoinSide(ids, threshold)
+      val out = docs.join(side, docs("doc_id") === side("id"), "left_anti")
+      out.collect()
+      val s = out.queryExecution.executedPlan.toString
+      val cut = s.indexOf("== Initial Plan ==")
+      if (cut >= 0) s.substring(0, cut) else s
+    }
+    // The claim under test is that adaptiveJoinSide no longer FORCES a
+    // broadcast above its threshold. At sandbox scale Catalyst's own
+    // costing would broadcast the tiny side anyway (correctly), so turn
+    // auto-broadcast off: any BroadcastExchange left can only come from
+    // the hint.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // under the row threshold: the hint fires → broadcast anti-join
+      val small = antiPlan(Long.MaxValue)
+      assert(small.contains("BroadcastHashJoin"), small)
+      // above the threshold (forced with 0): NO BroadcastExchange — the
+      // 40%-dup-crawl regime must get a shuffled anti-join, not a driver OOM
+      val big = antiPlan(0L)
+      assert(!big.contains("BroadcastExchange"), big)
+      assert(count(big, "ShuffledHashJoin|SortMergeJoin") >= 1, big)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+    }
+  }
+
   test("q68: shard-parallel packing — window partitioned by source, no global sort below the agg") {
     val p = plan("q68_seq_packing")
     assert(p.contains("Window"), p)
