@@ -360,11 +360,27 @@ object QPipelineExt {
   /** Corpus-level similarity via the MinHash sketch AGGREGATE: one k-wide
     * signature per source (map-side partial + merge — k longs per group
     * regardless of corpus size), then pairwise source similarity estimates.
-    * xxhash64-based → not DuckDB-expressible: rows-only check (no oracle).
+    *
+    * Oracle via the q50/q75 sketch-vs-exact pattern: the estimate itself is
+    * xxhash64-based (not DuckDB-expressible), so BOTH engines compute the
+    * EXACT pairwise 2-shingle Jaccard (cross-checked value-for-value) and
+    * the Spark side additionally asserts its sketch estimate landed within
+    * `bound` of exact, emitting an `in_bound` flag the oracle pins to 1. A
+    * sketch regression flips the flag and fails the gate. The exact
+    * shingle-set join is verification-sized (|sources|² pairs); the SKETCH
+    * is the 100 TB path — k longs per group, mergeable, one pass.
+    *
+    * bound=0.2 at k=128: per-pair std ≤ 1/(2√128)≈0.044, and the max over
+    * 190 pairs reaches ~3σ by order statistics alone (k=32 measured 0.30 —
+    * too loose to pin anything). Measured max deviation at k=128 across
+    * all three SFs: 0.131 (sf0.01) / 0.122 / 0.019 — tools/SketchDeviation
+    * reproduces these. 0.2 is ~4.5σ: never trips on sampling noise, trips
+    * immediately on a systematic sketch bug.
     */
   def q32SourceSketch(s: SparkSession, d: String): DataFrame = {
     import graft.functions.MinHashSketch
-    val k = 32
+    val k = 128
+    val bound = 0.2
     // Per-doc signature in the codegen'd native expression; the aggregate
     // merges k longs per doc (elementwise min — same sketch values as
     // hashing every shingle string inside the aggregator, without pushing
@@ -375,13 +391,50 @@ object QPipelineExt {
         call_function("graft_minhash_sig",
           graft.ext.TextAnalysis.tokens(col("text")), lit(2), lit(k)).as("sh"))
       .groupBy(col("source"))
-      .agg(sketch(col("sh")).as("sig"), count(lit(1)).as("n_docs"))
-    sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+      .agg(sketch(col("sh")).as("sig"))
+    val est = sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
       .select(
         col("a.source").as("source_a"), col("b.source").as("source_b"),
-        MinHashSketch.estimateJaccard(col("a.sig"), col("b.sig"), k).as("est_jac"))
+        MinHashSketch.estimateJaccard(col("a.sig"), col("b.sig"), k).as("est"))
+    // exact source-level shingle sets: distinct (source, 2-gram)
+    val sh = documents(s, d)
+      .select(col("source"),
+        explode(graft.ext.Dedup.shingles(col("text"), 2)).as("g"))
+      .distinct()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("ni"))
+    val pairs = sz.as("p").join(sz.as("q"), col("p.source") < col("q.source"))
+      .select(col("p.source").as("source_a"), col("q.source").as("source_b"),
+        col("p.n").as("na"), col("q.n").as("nb"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .select(col("source_a"), col("source_b"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("exact_jac"))
+    pairs.join(est, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"), col("exact_jac"),
+        when(abs(col("est") - col("exact_jac")) <= bound, 1).otherwise(0)
+          .cast("int").as("in_bound"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  private val q32Sql =
+    """WITH tok AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i + 1] AS g
+      |       FROM tok, UNNEST(range(1, len(w))) t(i)),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT x.source AS source_a, y.source AS source_b,
+      |            CAST(count(*) AS BIGINT) AS ni
+      |          FROM sh x JOIN sh y ON x.g = y.g AND x.source < y.source
+      |          GROUP BY 1, 2)
+      |SELECT p.source AS source_a, q.source AS source_b,
+      |  round(coalesce(ni, 0) / (p.n + q.n - coalesce(ni, 0)), 6) AS exact_jac,
+      |  CAST(1 AS INT) AS in_bound
+      |FROM sz p JOIN sz q ON p.source < q.source
+      |LEFT JOIN inter ON inter.source_a = p.source AND inter.source_b = q.source
+      |ORDER BY source_a, source_b""".stripMargin
 
   /** Range join via bin bucketing (graft.operators.RangeJoin): clicks
     * within one hour after each purchase, no equi key — the binned plan
@@ -480,6 +533,7 @@ object QPipelineExt {
 
   val sql: Map[String, String] = Map(
     "q31_embedding_neardup" -> q31Sql,
+    "q32_source_sketch"     -> q32Sql,
     "q33_asof_join"         -> q33Sql,
     "q37_range_join"        -> q37Sql,
     "q43_dup_clusters"      -> q43Sql,
