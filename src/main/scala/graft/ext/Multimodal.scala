@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * plus typed metadata, with decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing is real — schema, partition-preserving batch
-  * shape, codegen'd metadata expressions. The actual media decode is STUBBED
-  * (deterministic fake: no image/audio libraries in this environment); the
-  * stub sits behind [[decodeStub]] so a real decoder slots into the same
-  * `mapPartitions` seam. At 100 TB the decode stage is embarrassingly
+  * shape, codegen'd metadata expressions. IMAGE dimension decode is real
+  * (JDK ImageIO header parse: PNG/BMP/GIF/JPEG, zero added deps);
+  * audio/video decode is STUBBED (deterministic fake: no demuxer libraries
+  * in this environment) behind the same `mapPartitions` seam a real
+  * decoder slots into. At 100 TB the decode stage is embarrassingly
   * parallel and partition-local: no shuffle enters or leaves it.
   */
 object Multimodal {
@@ -54,13 +55,41 @@ object Multimodal {
       substring(content, i * sliceLen + 1, sliceLen)
     }: _*)
 
+  /** REAL image-header decode via the JDK's ImageIO (PNG, BMP, GIF, JPEG,
+    * WBMP — the standard plugins, zero added dependencies). Header-only:
+    * `ImageReader.getWidth/getHeight(0)` parses the container header
+    * without materializing pixel buffers, which is the right cost model
+    * when the decode stage only needs dimensions — a 100 MB image costs a
+    * few hundred header bytes, not a full raster. Returns None when no
+    * installed reader recognizes the bytes (caller falls back).
+    */
+  private[ext] def imageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.isEmpty) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        try { rd.setInput(iis); Some((rd.getWidth(0), rd.getHeight(0))) }
+        finally rd.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
   /** Partition-local decode stage. Batch shape: one `Iterator[MediaRow] =>
     * Iterator[MediaFeatures]` per partition, so a real decoder can hold
     * native state (codec contexts, GPU handles) per partition and amortize
     * init across rows — the Scala analog of `mapInPandas` batching.
     *
-    * STUB: dimensions are derived deterministically from the content bytes
-    * (first/last byte + length); a real build replaces only the body.
+    * Image dimensions are REAL (ImageIO header parse — PNG/BMP/GIF/JPEG)
+    * whenever the bytes are a recognized image; audio/video and
+    * unrecognized content fall back to the deterministic stub arithmetic
+    * (no media demuxers exist in this environment; a real build replaces
+    * only that branch).
     */
   def decodeStub(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -70,12 +99,14 @@ object Multimodal {
         val n = bytes.length.toLong
         val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
         val tail = if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else 0
+        val (w, h) = imageDims(bytes)
+          .getOrElse((16 + head % 640, 16 + tail % 480))
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = n,
-          width = 16 + head % 640,
-          height = 16 + tail % 480,
+          width = w,
+          height = h,
           n_frames = if (r.kind == "video") 1 + (n % 300).toInt else 1,
           fingerprint = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString)

@@ -307,6 +307,29 @@ class ExtSpec extends SparkSpec {
     assert(feats.map(_.fingerprint).toSeq == again.map(_.fingerprint).toSeq)
   }
 
+  test("multimodal: real PNG and BMP bytes decode to their true dimensions") {
+    import spark.implicits._
+    // render real image fixtures with the same JDK codecs a reader uses
+    def imgBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", imgBytes("png", 37, 21), Map("codec" -> "png")),
+      Multimodal.MediaRow(2L, "image", imgBytes("bmp", 64, 48), Map("codec" -> "bmp")),
+      Multimodal.MediaRow(3L, "image", "not an image at all".getBytes("UTF-8"), Map())
+    ).toDS()
+    val feats = Multimodal.decodeStub(media)(spark).orderBy("media_id").collect()
+    assert(feats(0).width == 37 && feats(0).height == 21)
+    assert(feats(1).width == 64 && feats(1).height == 48)
+    // unrecognized bytes fall back to the deterministic stub, never throw
+    assert(feats(2).width >= 16 && feats(2).height >= 16)
+  }
+
   test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
