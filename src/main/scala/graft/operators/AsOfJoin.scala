@@ -133,6 +133,12 @@ object AsOfJoin {
     * zero exchanges of the 100 TB side, same `<=` semantics as [[asOfJoin]].
     * Per-left-row cost is O(right rows per key): use the shuffled
     * [[asOfJoin]] when the right side is large or deep per key.
+    *
+    * SIZE-GUARDED: the packed right side is counted and estimated against
+    * `spark.sql.autoBroadcastJoinThreshold`; when it would not fit, the
+    * call falls back to the shuffled [[asOfJoin]] instead of OOMing the
+    * driver — a caller who guessed "rates table" about a fact table gets
+    * the correct plan, not a crash.
     */
   def asOfJoinBroadcast(
       left: DataFrame, right: DataFrame,
@@ -143,6 +149,22 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!rightPayload.exists(leftCols.contains),
       s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
+
+    // guard: estimated packed bytes = right rows × per-row default size of
+    // what actually broadcasts (ts + payload struct). One cheap count of
+    // the DIMENSION side; the fact side is untouched.
+    val threshold = right.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
+        case s if s.endsWith("b") || s.endsWith("B") => s.dropRight(1).toLong
+        case s => s.toLong
+      }
+    if (threshold > 0) {
+      val perRow = (org.apache.spark.sql.types.TimestampType.defaultSize +
+        rightPayload.map(c => right.schema(c).dataType.defaultSize).sum).toLong
+      val estBytes = right.count() * perRow
+      if (estBytes > threshold)
+        return asOfJoin(left, right, leftKey, rightKey, leftTs, rightTs, rightPayload)
+    }
 
     // sort_array orders lexicographically by (__t, __p); right must be
     // unique per (key, ts) — the same contract as asOfJoin

@@ -70,4 +70,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(shuffles.size <= 1, s"only the dim-side agg may shuffle:\n$plan")
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString)
   }
+
+  test("broadcast as-of: an oversized right side falls back to the shuffled plan, same rows") {
+    val l = graft.Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val r = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("rk"), col("ts").as("rts"), col("value").as("signup_value"))
+    val expect = AsOfJoin.asOfJoin(l, r, "user_id", "rk", "ts", "rts", Seq("signup_value"))
+      .orderBy("event_id").collect()
+    // force the guard: any counted right side exceeds a 1-byte threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val guarded = AsOfJoin.asOfJoinBroadcast(
+        l, r, "user_id", "rk", "ts", "rts", Seq("signup_value"))
+      val rows = guarded.orderBy("event_id").collect()
+      assert(rows.toSeq == expect.toSeq)
+      guarded.collect()
+      val p = guarded.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
