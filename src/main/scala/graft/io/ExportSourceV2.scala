@@ -7,11 +7,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{
+  AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{
   Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit,
+  SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, StringStartsWith}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -69,6 +73,20 @@ object ExportFeedRegistry {
     require(f != null, s"no export feed registered under '$key'")
     f
   }
+
+  /** Feed-level statistics — the stand-in for an export API's metadata
+    * endpoint (total record count, per-field min/max). When registered,
+    * bare count/min/max queries are answered from here WITHOUT fetching a
+    * single page (SupportsPushDownAggregates).
+    */
+  final case class FeedStats(rowCount: Long,
+      min: Map[String, String] = Map.empty, max: Map[String, String] = Map.empty)
+
+  private val feedStats =
+    new java.util.concurrent.ConcurrentHashMap[String, FeedStats]()
+
+  def registerStats(key: String, st: FeedStats): Unit = feedStats.put(key, st)
+  def statsFor(key: String): Option[FeedStats] = Option(feedStats.get(key))
 }
 
 private[io] class ExportTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -83,10 +101,12 @@ private[io] class ExportTable(schema: StructType, options: CaseInsensitiveString
 
 private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: Option[(StructType, Array[Any], String)] = None
 
   /** LIMIT reaches the feed (the JDBC-source pattern): each page reader
     * stops after `limit` post-filter rows instead of draining its page.
@@ -116,11 +136,89 @@ private[io] class ExportScanBuilder(full: StructType, options: CaseInsensitiveSt
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ExportScan(
-    options.get("feed"),
-    Option(options.get("pages")).map(_.toInt).getOrElse(1),
-    Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
-    required, pushed, limit)
+  /** Aggregate pushdown (count(*)/min/max, no grouping): answered from the
+    * feed's registered [[ExportFeedRegistry.FeedStats]] — the catalog/
+    * DESCRIBE-style introspection queries skip the export fetch entirely.
+    * COMPLETE pushdown only, and only when it is sound: no group-by, no
+    * pushed filters and no pushed limit (stats describe the WHOLE feed —
+    * a filtered count must go through the pages), and every requested
+    * function answerable from the stats. Anything else declines and Spark
+    * aggregates the ordinary scan.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    resolveAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    resolveAgg(aggregation) match {
+      case some @ Some(_) => agg = some; true
+      case None => false
+    }
+  }
+
+  private def resolveAgg(aggregation: Aggregation): Option[(StructType, Array[Any], String)] = {
+    if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0) return None
+    val feed = options.get("feed")
+    ExportFeedRegistry.statsFor(feed).flatMap { st =>
+      def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+        e match {
+          case nr: NamedReference if nr.fieldNames.length == 1 &&
+            full.fieldNames.contains(nr.fieldNames.head) => Some(nr.fieldNames.head)
+          case _ => None
+        }
+      val resolved: Seq[Option[(StructField, Any)]] =
+        aggregation.aggregateExpressions.toSeq.map {
+          case _: CountStar =>
+            Some((StructField("count(*)", LongType, nullable = false), st.rowCount))
+          case m: Min => field(m.column).filter(st.min.contains).map(f =>
+            (StructField(s"min($f)", StringType), UTF8String.fromString(st.min(f))))
+          case m: Max => field(m.column).filter(st.max.contains).map(f =>
+            (StructField(s"max($f)", StringType), UTF8String.fromString(st.max(f))))
+          case _: AggregateFunc => None
+        }
+      if (resolved.exists(_.isEmpty)) None
+      else {
+        val rs = resolved.flatten
+        Some((StructType(rs.map(_._1)), rs.map(_._2).toArray,
+          aggregation.aggregateExpressions.map(_.describe).mkString(", ")))
+      }
+    }
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, values, desc)) =>
+      new ExportAggScan(options.get("feed"), schema, values, desc)
+    case None => new ExportScan(
+      options.get("feed"),
+      Option(options.get("pages")).map(_.toInt).getOrElse(1),
+      Option(options.get("pageSize")).map(_.toInt).getOrElse(1000),
+      required, pushed, limit)
+  }
+}
+
+/** One-row scan serving a completely-pushed aggregate from feed stats —
+  * zero page fetches, zero executor work beyond emitting the row.
+  */
+private[io] class ExportAggScan(feed: String, aggSchema: StructType,
+    values: Array[Any], desc: String) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_export feed=$feed PushedAggregates: [$desc]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ExportPagePartition(0))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportAggReaderFactory(values)
+}
+
+private[io] class ExportAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+      override def close(): Unit = ()
+    }
 }
 
 /** Source-side evaluation of pushed filters over raw export records (the

@@ -87,6 +87,37 @@ class ExportSourceV2Spec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(filtered.collect().forall(_.getAs[String]("project_id") == "p0"))
   }
 
+  test("bare count/min/max answer from feed stats: pushed aggregate, ZERO page fetches") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    ExportFeedRegistry.register("stats_feed", (page, pageSize) => {
+      fetches.incrementAndGet()
+      (0 until pageSize).map(i => Map("global_key" -> s"gk-${page * pageSize + i}"))
+    })
+    ExportFeedRegistry.registerStats("stats_feed", ExportFeedRegistry.FeedStats(
+      rowCount = 123456L,
+      min = Map("global_key" -> "gk-0"),
+      max = Map("global_key" -> "gk-99")))
+    def readStats = spark.read.format("graft.io.ExportSourceV2")
+      .option("feed", "stats_feed").option("pages", 50).option("pageSize", 1000).load()
+
+    val df = readStats.agg(
+      count(lit(1)).as("n"), min("global_key").as("lo"), max("global_key").as("hi"))
+    val row = df.collect().head
+    assert((row.getLong(0), row.getString(1), row.getString(2)) ==
+      ((123456L, "gk-0", "gk-99")))
+    val descs = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(descs.exists(_.contains("PushedAggregates")), descs.mkString("\n"))
+    assert(fetches.get() == 0, s"aggregate pushdown must not fetch pages, got ${fetches.get()}")
+
+    // a FILTERED count cannot be served from whole-feed stats — it must
+    // decline the pushdown and go through the pages
+    val filtered = readStats.filter(col("global_key") === "gk-5").count()
+    assert(fetches.get() > 0, "filtered count must fetch pages")
+    assert(filtered == 1L)
+  }
+
   test("feeds compose with ordinary relational ops") {
     val agg = read(pages = 2, pageSize = 6)
       .groupBy("project_id").agg(count(lit(1)).as("n"))
