@@ -58,7 +58,23 @@ object Bench {
         "id_a", "id_b")
         .groupBy(org.apache.spark.sql.functions.col("cluster"))
         .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n_docs"))))
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))),
+    // skewed-LSH stress: the corpus plus a 10k-copy near-dup family (one
+    // hot bucket in every band). Without the candidatePairs maxBucket
+    // chain guard this is ~50M candidate pairs out of one task; with it,
+    // pair volume stays linear and the run completes in b31-like time.
+    "b40_minhash_skew" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val template = docs.orderBy("doc_id").limit(1)
+        .select(col("text")).crossJoin(
+          s.range(10000).select((col("id") + 10000000L).as("doc_id")))
+        .select(col("doc_id"), col("text"))
+      val skewed = docs.select(col("doc_id"), col("text")).unionByName(template)
+        .repartition(col("doc_id"))
+      Dedup.minhashLshPairs(skewed, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true,
+        maxBucket = 1024)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -87,15 +87,35 @@ object Dedup {
   /** Candidate pairs from banded signatures: explode (bandIdx, bandHash),
     * self-join on both, keep id_a < id_b, distinct. The only shuffle keyed by
     * band hash — the core LSH trick that avoids the n² pair space.
+    *
+    * HOT-BUCKET GUARD (`maxBucket`): a bucket of b members contributes
+    * b²/2 pairs — one 10k-copy near-dup family is 50M pairs out of a
+    * single task, the one skew that breaks banded LSH at corpus scale.
+    * Buckets above `maxBucket` therefore emit a sorted id CHAIN (b-1
+    * edges) instead of all pairs: every member still lands in the same
+    * connected component (dupClusters semantics unchanged, transitivity
+    * supplies the rest), pair volume in the hot bucket drops from
+    * quadratic to linear, and the straggler task disappears. Buckets at
+    * or under the cap keep exact all-pairs semantics — at oracle scale
+    * nothing changes.
     */
-  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+  def candidatePairs(df: DataFrame, idCol: String, bandsCol: String,
+      maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = df.select(col(idCol).as("id"), posexplode(col(bandsCol)).as(Seq("band", "h")))
-    exploded.as("a")
-      .join(exploded.as("b"),
+    val bucket = Window.partitionBy(col("band"), col("h"))
+    val sized = exploded.withColumn("__bn", count(lit(1)).over(bucket))
+    val small = sized.filter(col("__bn") <= maxBucket).drop("__bn")
+    val allPairs = small.as("a")
+      .join(small.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val chained = sized.filter(col("__bn") > maxBucket)
+      .withColumn("__nxt", lead(col("id"), 1).over(bucket.orderBy(col("id"))))
+      .filter(col("__nxt").isNotNull)
+      .select(col("id").as("id_a"), col("__nxt").as("id_b"))
+    allPairs.unionByName(chained).distinct()
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
@@ -105,7 +125,8 @@ object Dedup {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
-      fast: Boolean = false, maxBroadcastIds: Long = 4000000L): DataFrame = {
+      fast: Boolean = false, maxBroadcastIds: Long = 4000000L,
+      maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val bh =
@@ -122,7 +143,7 @@ object Dedup {
     // materialized once: the adaptive candidate-id count below and the
     // final verification joins both read it without re-running the band
     // self-join
-    val cands = candidatePairs(banded, "id", "bh").localCheckpoint()
+    val cands = candidatePairs(banded, "id", "bh", maxBucket).localCheckpoint()
     // Jaccard verification only touches candidate docs: semi-join the corpus
     // down to candidate ids, THEN compute shingle sets. At scale this is the
     // difference between shingling the whole corpus twice and shingling a

@@ -40,6 +40,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hot LSH bucket: pair volume stays linear, the family still clusters as one component") {
+    import spark.implicits._
+    // skewed corpus: one 3000-copy near-dup family (all identical text →
+    // every band collides) over a small distinct background
+    val family = (0 until 3000).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog near the river"))
+    val background = (3000 until 3050).map(i =>
+      (i.toLong, s"distinct background document number $i with its own words ${i * 31}"))
+    val skewed = (family ++ background).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(skewed, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 4, threshold = 0.5, fast = true,
+      maxBucket = 256).localCheckpoint()
+    val n = pairs.count()
+    // all-pairs would be ~3000²/2 ≈ 4.5M from the hot bucket alone; the
+    // chain cap keeps it linear in the family size (×bands before distinct)
+    assert(n < 50000, s"hot bucket must not go quadratic: $n pairs")
+    assert(n >= 2999, s"the family must stay connected: only $n pairs")
+    // transitivity through the chain: the whole family is ONE component
+    val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+    val famClusters = clusters.filter(col("id") < 3000)
+      .select("cluster").distinct().collect()
+    assert(famClusters.length == 1 && famClusters.head.getLong(0) == 0L,
+      s"family split across ${famClusters.length} clusters")
+    // buckets under the cap keep exact all-pairs semantics
+    val exact = Dedup.minhashLshPairs(skewed.filter(col("doc_id") < 5),
+      "doc_id", "text", shingleN = 2, k = 16, bands = 4, threshold = 0.5,
+      fast = true).collect()
+    assert(exact.length == 10, s"5 identical docs → C(5,2)=10 pairs, got ${exact.length}")
+  }
+
   test("dupClusters: transitive chains collapse to one min-labeled component") {
     // chain 1-2-3 (via 1-2, 2-3), pair 10-11, chain 20-21-22-23 (diameter 3)
     val pairs = Seq(
