@@ -59,6 +59,35 @@ object Bench {
         .groupBy(org.apache.spark.sql.functions.col("cluster"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_docs"))),
+    // maintenance surface: small-file compaction (fragment 200 files →
+    // rewrite to the computed count; the fragmenting write is part of the
+    // timed region — the bench is the maintenance ROUND TRIP a streaming
+    // ingest pays, not the rewrite in isolation)
+    "b38_compaction" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_b38")
+        .toString + "/t"
+      Tables.events(s, dir).select("event_id", "user_id", "value")
+        .repartition(200).write.mode("overwrite").parquet(base)
+      val n = graft.io.Compaction.compact(s, base, targetFileBytes = 32L * 1024 * 1024)
+      s.range(n).toDF("n_files")
+    }),
+    // z-order pruning win, numerically: the same 2-D box predicate over a
+    // z-ordered layout (b39: file+row-group stats prune) vs a
+    // randomly-clustered copy of identical bytes (b41: stats are useless,
+    // every row group scans). Layouts build once (first pass; min-of-3
+    // discards it).
+    "b39_zorder_pruned" -> ((s, dir) => {
+      val (z, _) = BenchLayouts.dirs(s, dir)
+      s.read.parquet(z).filter(BenchLayouts.boxPredicate)
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          max(col("payload")).as("mp"))
+    }),
+    "b41_random_unpruned" -> ((s, dir) => {
+      val (_, r) = BenchLayouts.dirs(s, dir)
+      s.read.parquet(r).filter(BenchLayouts.boxPredicate)
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+          max(col("payload")).as("mp"))
+    }),
     // skewed-LSH stress: the corpus plus a 10k-copy near-dup family (one
     // hot bucket in every band). Without the candidatePairs maxBucket
     // chain guard this is ~50M candidate pairs out of one task; with it,
@@ -115,5 +144,48 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Once-per-JVM bench layouts for the z-order pruning comparison: the same
+  * events projection (replicated ×100 → ~10M rows, because at sf0.1 a full
+  * scan is all fixed overhead and pruning cannot show) written z-ordered on
+  * (user_id, value) and written randomly clustered — identical bytes,
+  * opposite stat quality. The box predicate selects ~1.5% of rows; the
+  * z-ordered layout prunes to a few files while the random one reads every
+  * row group.
+  */
+private[graft] object BenchLayouts {
+  import org.apache.spark.sql.functions._
+
+  @volatile private var cached: Option[(String, String)] = None
+
+  // quartile box over two near-uniform dims (~1/16 of rows): rank16 is
+  // linear in value space, so a skewed dim (`value`) would collapse into
+  // one quadrant and prune nothing
+  def boxPredicate: org.apache.spark.sql.Column =
+    col("user_id") < 375 && col("event_id") < 25000
+
+  def dirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
+    cached.getOrElse {
+      val base = java.nio.file.Files.createTempDirectory("graft_b39").toString
+      // ×300 + a 64-char payload: ~30M rows / ~2 GB raw, enough that an
+      // unpruned scan pays real IO+decode, not just task overhead
+      val df = Tables.events(s, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .crossJoin(s.range(300).select(col("id").as("__rep")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          sha2(concat_ws("|", col("event_id"), col("__rep")), 256).as("payload"))
+      val zdir = s"$base/zorder"
+      val rdir = s"$base/random"
+      // random layout first; the z-order rewrite then reads those bytes
+      // back instead of recomputing the replicated projection
+      df.repartition(128).write.mode("overwrite").parquet(rdir)
+      graft.io.ZOrder.write(s, s.read.parquet(rdir), zdir,
+        "user_id", "event_id", nFiles = 128)
+      val out = (zdir, rdir)
+      cached = Some(out)
+      out
+    }
   }
 }
