@@ -30,7 +30,14 @@ object Tables {
     */
   private def widened(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // estimate the scan's split count from plan statistics (file bytes /
+    // maxPartitionBytes) — `df.rdd.getNumPartitions` would be exact but
+    // materializes the plan-to-RDD conversion on EVERY table load
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (estBytes / maxPart).toLong + 1
+    if (estParts >= target) df else df.repartition(target)
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = widened(s, load(s, d, "documents"))
