@@ -41,9 +41,16 @@ object Sources {
       .csv(path)
   }
 
-  /** S6: managed-table read (parquet stand-in for the Delta path). */
-  def readTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** S6: managed-table read. A path carrying a `_delta_log` reads through
+    * the log-replay Delta reader ([[DeltaRead]] — public protocol, no
+    * delta jars); anything else is a plain parquet directory.
+    */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_delta_log")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) DeltaRead.readDeltaTable(spark, path)
+    else spark.read.parquet(path)
+  }
 
   /** S7: validated write (client.py:120-121 allows append/overwrite only). */
   def writeTable(df: DataFrame, path: String, mode: String): Unit = {
@@ -57,7 +64,8 @@ object Sources {
     * second witness — at scale the choice is a table property, not code).
     */
   def readTableAs(spark: SparkSession, path: String, format: String): DataFrame =
-    spark.read.format(format).load(path)
+    if (format == "delta") DeltaRead.readDeltaTable(spark, path)
+    else spark.read.format(format).load(path)
 
   def writeTableAs(df: DataFrame, path: String, mode: String, format: String): Unit = {
     require(mode == "append" || mode == "overwrite",

@@ -1,0 +1,142 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Delta-log reader against hand-built tables that follow the public
+  * protocol layout: versioned JSON commits, partitionValues, a parquet
+  * checkpoint + _last_checkpoint pointer, and tombstoned files.
+  */
+class DeltaReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `df` as ONE parquet file named `name` under `table`, returning
+    * the log-relative path.
+    */
+  private def addFile(table: String, name: String, df: DataFrame): String = {
+    val staging = Files.createTempDirectory("graft_delta_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = Files.list(Paths.get(staging)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val dest = Paths.get(table, name)
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    name
+  }
+
+  private implicit class IterWrap[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  private def writeCommit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = Paths.get(table, "_delta_log")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"$version%020d.json"), lines.mkString("\n"))
+  }
+
+  private def schemaJson(df: DataFrame): String = df.schema.json.replace("\"", "\\\"")
+
+  test("log replay: adds accumulate, removes tombstone, schema comes from metaData") {
+    val table = Files.createTempDirectory("graft_delta1").toString
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d1)
+    val f2 = addFile(table, "f2.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val f3 = addFile(table, "f3.parquet", Seq((4L, "d")).toDF("id", "v"))
+
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"m1","schemaString":"${schemaJson(d1)}","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"dataChange":true}}"""))
+    writeCommit(table, 1, Seq(
+      s"""{"remove":{"path":"$f2","dataChange":true}}""",
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    val head = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(head.toSeq == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // time travel: version 0 still sees f2, not f3
+    val v0 = DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L))
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(v0.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaRead.latestVersion(spark, table) == 1L)
+  }
+
+  test("partition columns are re-derived from partitionValues with schema types") {
+    val table = Files.createTempDirectory("graft_delta2").toString
+    // data files do NOT carry the partition column — the Delta layout
+    val full = Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-02"))
+      .toDF("id", "x", "day")
+    val f1 = addFile(table, "day=2024-01-01/p1.parquet",
+      Seq((1L, 10.0)).toDF("id", "x"))
+    val f2 = addFile(table, "day=2024-01-02/p2.parquet",
+      Seq((2L, 20.0)).toDF("id", "x"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"m2","schemaString":"${schemaJson(full)}","partitionColumns":["day"]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":1,"dataChange":true}}"""))
+
+    val got = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-02")))
+  }
+
+  test("checkpoint fast path: snapshot parquet + _last_checkpoint, later commits replay on top") {
+    val table = Files.createTempDirectory("graft_delta3").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val f2 = addFile(table, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = addFile(table, "f3.parquet", Seq((3L, "c")).toDF("id", "v"))
+
+    // versions 0..1 exist ONLY through the checkpoint (their JSON is gone,
+    // as after log cleanup) — add f1+f2 and the metaData
+    val sj = d.schema.json
+    val cp = spark.sql(
+      s"""SELECT named_struct('schemaString', '$sj',
+         |  'partitionColumns', array()) AS metaData,
+         |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f1.parquet',
+         |  'partitionValues', map())
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f2.parquet',
+         |  'partitionValues', map())""".stripMargin)
+    val cpStage = Files.createTempDirectory("graft_delta_cp").toString
+    cp.coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpFile = Files.list(Paths.get(cpStage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.move(cpFile, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":1,"size":3}""")
+    // version 2: plain JSON commit on top of the checkpoint
+    writeCommit(table, 2, Seq(
+      s"""{"remove":{"path":"$f1","dataChange":true}}""",
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L))
+    assert(DeltaRead.latestVersion(spark, table) == 2L)
+  }
+
+  test("not-a-delta-table and empty live set fail or return empty cleanly") {
+    val notDelta = Files.createTempDirectory("graft_delta4").toString
+    intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTable(spark, notDelta)
+    }
+    val table = Files.createTempDirectory("graft_delta5").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"m","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"dataChange":true}}"""))
+    writeCommit(table, 1, Seq(s"""{"remove":{"path":"$f1","dataChange":true}}"""))
+    val empty = DeltaRead.readDeltaTable(spark, table)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+}
