@@ -20,7 +20,8 @@ import graft.ext.Dedup
 object Bench {
   private val skip =
     Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
-      "q76_cluster_split") // md5 minhash family; b31/b35 bench the fast path
+      "q76_cluster_split", // md5 minhash family; b31/b35 bench the fast path
+      "q32_source_sketch") // its exact-Jaccard half is oracle-only; b42 benches the sketch
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>
@@ -59,6 +60,22 @@ object Bench {
         .groupBy(org.apache.spark.sql.functions.col("cluster"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n_docs"))),
+    // the q32 SCALE path alone: per-source MinHash sketch aggregate +
+    // pairwise estimates (k longs per group; the exact shingle-set join
+    // that q32 carries for its oracle is verification-sized by design)
+    "b42_source_sketch" -> ((s, dir) => {
+      import graft.functions.MinHashSketch
+      val k = 128
+      val sketch = MinHashSketch.ofSignatures(k)
+      val sigs = Tables.documents(s, dir)
+        .select(col("source"),
+          call_function("graft_minhash_sig",
+            graft.ext.TextAnalysis.tokens(col("text")), lit(2), lit(k)).as("sh"))
+        .groupBy(col("source")).agg(sketch(col("sh")).as("sig"))
+      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          MinHashSketch.estimateJaccard(col("a.sig"), col("b.sig"), k).as("est_jac"))
+    }),
     // maintenance surface: small-file compaction (fragment 200 files →
     // rewrite to the computed count; the fragmenting write is part of the
     // timed region — the bench is the maintenance ROUND TRIP a streaming

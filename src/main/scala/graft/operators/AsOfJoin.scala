@@ -151,19 +151,25 @@ object AsOfJoin {
       s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
 
     // guard: estimated packed bytes = right rows × per-row default size of
-    // what actually broadcasts (ts + payload struct). One cheap count of
-    // the DIMENSION side; the fact side is untouched.
+    // what actually broadcasts (ts + payload struct). Plan statistics
+    // decide for free when they are conclusive (a parquet-backed dim's
+    // size estimate is bytes-accurate); only an inconclusive estimate —
+    // stats above threshold can be a selectivity overestimate — pays one
+    // count job of the DIMENSION side. The fact side is untouched.
     val threshold = right.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
         case s if s.endsWith("b") || s.endsWith("B") => s.dropRight(1).toLong
         case s => s.toLong
       }
     if (threshold > 0) {
-      val perRow = (org.apache.spark.sql.types.TimestampType.defaultSize +
-        rightPayload.map(c => right.schema(c).dataType.defaultSize).sum).toLong
-      val estBytes = right.count() * perRow
-      if (estBytes > threshold)
-        return asOfJoin(left, right, leftKey, rightKey, leftTs, rightTs, rightPayload)
+      val statBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (statBytes > BigInt(threshold)) {
+        val perRow = (org.apache.spark.sql.types.TimestampType.defaultSize +
+          rightPayload.map(c => right.schema(c).dataType.defaultSize).sum).toLong
+        val estBytes = right.count() * perRow
+        if (estBytes > threshold)
+          return asOfJoin(left, right, leftKey, rightKey, leftTs, rightTs, rightPayload)
+      }
     }
 
     // sort_array orders lexicographically by (__t, __p); right must be

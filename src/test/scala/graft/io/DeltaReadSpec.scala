@@ -84,6 +84,26 @@ class DeltaReadSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-02")))
   }
 
+  test("partition pruning: a partition-column filter folds away the other partitions' scans") {
+    val table = Files.createTempDirectory("graft_delta_pp").toString
+    val full = Seq((1L, "2024-01-01")).toDF("id", "day")
+    val f1 = addFile(table, "day=2024-01-01/p1.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val f2 = addFile(table, "day=2024-01-02/p2.parquet", Seq(Tuple1(2L)).toDF("id"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mp","schemaString":"${schemaJson(full)}","partitionColumns":["day"]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":1,"dataChange":true}}"""))
+    val pruned = DeltaRead.readDeltaTable(spark, table)
+      .filter(col("day") === "2024-01-02")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the literal partition columns let Catalyst constant-fold the filter
+    // per union branch: the non-matching branch's scan disappears
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 surviving scan, plan:\n$plan")
+    assert(!plan.contains("day=2024-01-01"), s"pruned partition still scanned:\n$plan")
+  }
+
   test("checkpoint fast path: snapshot parquet + _last_checkpoint, later commits replay on top") {
     val table = Files.createTempDirectory("graft_delta3").toString
     val d = Seq((1L, "a")).toDF("id", "v")
