@@ -56,20 +56,40 @@ object DeltaRead {
 
     val dataSchema = StructType(
       schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
-    // one scan per distinct partition-value tuple (files grouped, so a
-    // table with P live partitions costs P plan branches, not one per
-    // file); within a group this is a plain multi-file parquet scan
-    val groups = files.groupBy(_.partitionValues).toSeq
-    val parts = groups.map { case (pv, fs) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fs.map(f => s"$path/${f.path}"): _*)
-      meta.partitionCols.foldLeft(base) { (df, c) =>
-        val raw = pv.get(c).orNull
-        val tpe = schema(c).dataType
-        df.withColumn(c, lit(raw).cast(tpe))
+
+    // Hive-style layouts (Delta's norm: `day=2024-01-01/part-...`) read as
+    // ONE scan relation with `basePath` — partition columns come from the
+    // directory structure, so the plan size is independent of the
+    // partition count (a 10k-partition table is still one scan, and
+    // partition filters prune inside it). Type inference is disabled for
+    // the load: Delta's partitionValues are authoritative STRINGS ("01"
+    // must not become 1), then each column casts to its schema type.
+    val hiveStyle = meta.partitionCols.nonEmpty && files.forall(f =>
+      meta.partitionCols.forall(c => f.path.contains(s"$c=")))
+    val merged =
+      if (meta.partitionCols.isEmpty) {
+        spark.read.schema(dataSchema).parquet(files.map(f => s"$path/${f.path}"): _*)
+      } else if (hiveStyle) {
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prev = spark.conf.get(inferKey, "true")
+        val raw = try {
+          spark.conf.set(inferKey, "false")
+          spark.read.schema(dataSchema).option("basePath", path)
+            .parquet(files.map(f => s"$path/${f.path}"): _*)
+        } finally spark.conf.set(inferKey, prev)
+        meta.partitionCols.foldLeft(raw)((df, c) =>
+          df.withColumn(c, col(c).cast(schema(c).dataType)))
+      } else {
+        // non-hive paths: one plan branch per distinct partition tuple
+        // (correct for any layout; intended for small partition counts)
+        files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(fs.map(f => s"$path/${f.path}"): _*)
+          meta.partitionCols.foldLeft(base) { (df, c) =>
+            df.withColumn(c, lit(pv.get(c).orNull).cast(schema(c).dataType))
+          }
+        }.reduce(_.unionByName(_))
       }
-    }
-    val merged = parts.reduce(_.unionByName(_))
     merged.select(schema.fieldNames.map(col).toSeq: _*)
   }
 

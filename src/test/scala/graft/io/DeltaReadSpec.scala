@@ -96,12 +96,31 @@ class DeltaReadSpec extends SparkSpec {
     val pruned = DeltaRead.readDeltaTable(spark, table)
       .filter(col("day") === "2024-01-02")
     assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
-    // the literal partition columns let Catalyst constant-fold the filter
-    // per union branch: the non-matching branch's scan disappears
-    val plan = pruned.queryExecution.executedPlan.toString
-    val scans = "Scan parquet|FileScan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 surviving scan, plan:\n$plan")
-    assert(!plan.contains("day=2024-01-01"), s"pruned partition still scanned:\n$plan")
+    // hive-style layout → one scan relation; the filter becomes a
+    // PARTITION filter inside it, so only the matching directory's rows
+    // are ever decoded (plan size independent of partition count)
+    val plan = pruned.queryExecution.executedPlan
+    val scans = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(plan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.length == 1, s"expected 1 scan, plan:\n$plan")
+    assert(scans.head.metrics("numOutputRows").value == 1L,
+      s"partition pruning must decode only the matching partition:\n$plan")
+  }
+
+  test("non-hive file layout falls back to literal partition branches, same answers") {
+    val table = Files.createTempDirectory("graft_delta_nh").toString
+    val full = Seq((1L, "x")).toDF("id", "grp")
+    val f1 = addFile(table, "flat1.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val f2 = addFile(table, "flat2.parquet", Seq(Tuple1(2L)).toDF("id"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mn","schemaString":"${schemaJson(full)}","partitionColumns":["grp"]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"grp":"g1"},"size":1,"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"grp":"g2"},"size":1,"dataChange":true}}"""))
+    val got = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "g1"), (2L, "g2")))
   }
 
   test("checkpoint fast path: snapshot parquet + _last_checkpoint, later commits replay on top") {
