@@ -112,4 +112,20 @@ object UploadBuilder {
   private def nonNullEntries(entries: Seq[Column], emptyType: String): Column =
     if (entries.isEmpty) array().cast(emptyType)
     else filter(array(entries: _*), _.isNotNull)
+
+  /** F8 (client.py:10 uuid4 import; metadata notebook cell 14): duplicate
+    * global keys get a `-<uuid>` suffix so the upload API accepts every
+    * row; the first occurrence per key keeps the original. One window
+    * shuffle on the key — each suffix is generated executor-side (uuid()
+    * is per-row codegen; no driver round trip).
+    */
+  def suffixDuplicateKeys(df: DataFrame, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"`$keyCol`")).orderBy(col(s"`$keyCol`"))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(keyCol,
+        when(col("__rn") === 1, col(s"`$keyCol`"))
+          .otherwise(concat(col(s"`$keyCol`"), lit("-"), expr("uuid()"))))
+      .drop("__rn")
+  }
 }

@@ -191,6 +191,26 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sources.writeTable(df, tmp, "error") }
   }
 
+  test("F8/F9 contracts: duplicate keys get executor-side uuid suffixes; now() is query-constant") {
+    import graft.core.payload.UploadBuilder
+    import spark.implicits._
+    val df = Seq("k1", "k1", "k1", "k2", "k3", "k3").toDF("global_key")
+    val out = UploadBuilder.suffixDuplicateKeys(df, "global_key")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    assert(out.length == 6 && out.distinct.length == 6, s"keys must be unique: ${out.toSeq}")
+    // first occurrence per key keeps the original
+    assert(Set("k1", "k2", "k3").subsetOf(out.toSet))
+    val uuidSuffix = "^(k1|k3)-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
+    val suffixed = out.filterNot(Set("k1", "k2", "k3"))
+    assert(suffixed.length == 3 && suffixed.forall(s => uuidSuffix.matches(s)), suffixed.toSeq)
+    // F9: current_timestamp is ONE value per query (the semantics a
+    // default dataset name / upload-time column relies on)
+    val ts = spark.range(1000).repartition(8)
+      .select(org.apache.spark.sql.functions.current_timestamp().as("t"))
+      .distinct().count()
+    assert(ts == 1L)
+  }
+
   test("sources: format-agnostic table IO (ORC) and text-corpus ingest") {
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
     val orc = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/t"
