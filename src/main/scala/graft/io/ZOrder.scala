@@ -36,6 +36,34 @@ object ZOrder {
       lit(65535.0)).cast("int")
   }
 
+  /** Quantile-binned z-order: [[write]]'s rank16 is LINEAR in value space,
+    * so a skewed dimension (a log-normal `value`, a power-law count)
+    * collapses into one quadrant and its half of the interleave prunes
+    * nothing. Here each dimension is ranked against its own approximate
+    * quantiles (`bins` equi-depth buckets from one approxQuantile pass —
+    * the mergeable sketch, bounded memory at any scale), so every bucket
+    * holds ~1/bins of the rows regardless of distribution and both halves
+    * of the z-value discriminate. The bin lookup compiles to a chain of
+    * `when` comparisons over literal boundaries — codegen, no UDF.
+    */
+  def writeRanked(spark: SparkSession, df: DataFrame, dir: String,
+      colX: String, colY: String, nFiles: Int, bins: Int = 256): Unit = {
+    require(bins > 1 && bins <= 65536, s"bins must be in (1, 65536], got $bins")
+    val probs = (1 until bins).map(_.toDouble / bins).toArray
+    val both = df.select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
+    val Array(bx, by) = both.stat.approxQuantile(Array("x", "y"), probs, 0.001)
+    def binOf(c: Column, bounds: Array[Double]): Column =
+      bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(c.cast("double") > lit(b), 1).otherwise(0)
+      }
+    df.withColumn("__z",
+        interleaveBits(binOf(col(colX), bx), binOf(col(colY), by)))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Rewrite `df` into `nFiles` parquet files at `dir`, z-ordered on
     * (colX, colY). One bounds aggregate + one range-partitioned write.
     */

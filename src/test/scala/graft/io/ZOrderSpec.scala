@@ -90,4 +90,34 @@ class ZOrderSpec extends SparkSpec {
     assert(zScanned * 2 < rScanned,
       s"z-ordered scan must decode under half the corpus: $zScanned vs $rScanned")
   }
+
+  test("quantile-binned z-order prunes on a SKEWED dimension where linear rank16 cannot") {
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val linDir = Files.createTempDirectory("graft-zlin").toString
+    val rnkDir = Files.createTempDirectory("graft-zrnk").toString
+    // `value` is skew-distributed: linear rank16 collapses it into the
+    // low quadrants; equi-depth bins spread it
+    ZOrder.write(spark, src, linDir, "user_id", "value", nFiles = 16)
+    ZOrder.writeRanked(spark, src, rnkDir, "user_id", "value", nFiles = 16, bins = 64)
+
+    // box on the MEDIANS: selective in rank space on both dims
+    val med = src.stat.approxQuantile(Array("user_id", "value"), Array(0.5), 0.001)
+    val box = col("user_id") < med(0)(0) && col("value") < med(1)(0)
+    def scanned(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(box)
+        .agg(count(lit(1)).as("n"))
+      df.collect()
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        .collectWithSubqueries(df.queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numOutputRows").value
+        }.sum
+    }
+    val lin = scanned(linDir)
+    val rnk = scanned(rnkDir)
+    // identical answers either way; the ranked layout must decode less
+    assert(spark.read.parquet(rnkDir).filter(box).count() ==
+      spark.read.parquet(linDir).filter(box).count())
+    assert(rnk < lin, s"ranked z-order must prune tighter on skew: $rnk vs $lin")
+  }
 }
