@@ -24,16 +24,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - schema comes from the LAST `metaData` action's `schemaString`
   *     (which is a Spark StructType JSON — Delta's own encoding), so reads
   *     survive schema evolution without inference.
-  *   - partition columns are re-derived from each file's
-  *     `partitionValues`, so files written under Hive-style directories
-  *     (the Delta layout) read back with their partition columns intact.
+  *   - the scan is ONE relation over a log-backed [[DeltaLogFileIndex]]
+  *     (the seam delta-core itself plugs into): partition columns come
+  *     from each file's `partitionValues` (any directory layout), pushed
+  *     partition filters prune inside the index, and pushed data filters
+  *     skip whole FILES via `add.stats` min/max before they are opened.
   *   - `versionAsOf` time travel is log replay cut at the version — free
   *     once replay exists.
   *
   * Scale notes: the log itself is driver-side (a Delta log is KBs..MBs —
   * one JSON action per file, checkpointed; this is true at any table
   * size), while the DATA read is an ordinary distributed parquet scan of
-  * the live files — pushdown, pruning, and codegen all apply as usual.
+  * the live files — pushdown, pruning, and codegen all apply as usual,
+  * with no directory listing (file sizes ride the log) and plan size
+  * independent of the partition count.
   * Writes stay on [[Sources.writeTable]] (an honest parquet path with mode
   * validation); implementing the Delta COMMIT protocol (optimistic
   * concurrency, atomic log append) is out of scope for a reader.
@@ -42,8 +46,13 @@ object DeltaRead {
 
   private final case class Meta(schemaJson: String, partitionCols: Seq[String])
 
-  /** One live file: path (log-relative) + partition values. */
-  private final case class LiveFile(path: String, partitionValues: Map[String, String])
+  /** One live file: path (log-relative), partition values, and the
+    * per-file size/mtime/stats the log carries (stats = the min/max JSON
+    * Delta writers embed — fuel for file-level data skipping).
+    */
+  private[io] final case class LiveFile(path: String,
+      partitionValues: Map[String, String], size: Long = 0L,
+      modificationTime: Long = 0L, stats: Option[String] = None)
 
   /** Read a Delta table at `path`, optionally at an historical version. */
   def readDeltaTable(spark: SparkSession, path: String,
@@ -54,43 +63,23 @@ object DeltaRead {
     if (files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+    val partitionSchema = StructType(
+      meta.partitionCols.map(c => schema(c)))
     val dataSchema = StructType(
       schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
 
-    // Hive-style layouts (Delta's norm: `day=2024-01-01/part-...`) read as
-    // ONE scan relation with `basePath` — partition columns come from the
-    // directory structure, so the plan size is independent of the
-    // partition count (a 10k-partition table is still one scan, and
-    // partition filters prune inside it). Type inference is disabled for
-    // the load: Delta's partitionValues are authoritative STRINGS ("01"
-    // must not become 1), then each column casts to its schema type.
-    val hiveStyle = meta.partitionCols.nonEmpty && files.forall(f =>
-      meta.partitionCols.forall(c => f.path.contains(s"$c=")))
-    val merged =
-      if (meta.partitionCols.isEmpty) {
-        spark.read.schema(dataSchema).parquet(files.map(f => s"$path/${f.path}"): _*)
-      } else if (hiveStyle) {
-        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prev = spark.conf.get(inferKey, "true")
-        val raw = try {
-          spark.conf.set(inferKey, "false")
-          spark.read.schema(dataSchema).option("basePath", path)
-            .parquet(files.map(f => s"$path/${f.path}"): _*)
-        } finally spark.conf.set(inferKey, prev)
-        meta.partitionCols.foldLeft(raw)((df, c) =>
-          df.withColumn(c, col(c).cast(schema(c).dataType)))
-      } else {
-        // non-hive paths: one plan branch per distinct partition tuple
-        // (correct for any layout; intended for small partition counts)
-        files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(fs.map(f => s"$path/${f.path}"): _*)
-          meta.partitionCols.foldLeft(base) { (df, c) =>
-            df.withColumn(c, lit(pv.get(c).orNull).cast(schema(c).dataType))
-          }
-        }.reduce(_.unionByName(_))
-      }
-    merged.select(schema.fieldNames.map(col).toSeq: _*)
+    // One scan relation over a LOG-BACKED FileIndex (the delta-core seam):
+    // plan size is independent of partition count and layout, partition
+    // pruning evaluates against the log's partitionValues, and pushed data
+    // filters skip whole FILES via add.stats min/max — a pruned file is
+    // never opened.
+    val index = new DeltaLogFileIndex(spark, path, files, partitionSchema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Latest version number in the log (`-1` if the directory is empty). */
@@ -133,11 +122,19 @@ object DeltaRead {
           .filter(col("metaData.schemaString").isNotNull).collect()
           .foreach(r => meta = Meta(r.getString(0), r.getSeq[String](1)))
       if (cols.contains("add"))
-        cp.select(col("add.path"), col("add.partitionValues"))
-          .filter(col("add.path").isNotNull).collect()
+        cp.select(col("add")).filter(col("add.path").isNotNull).collect()
           .foreach { r =>
-            val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
-            live.put(r.getString(0), LiveFile(r.getString(0), pv))
+            val row = r.getStruct(0)
+            def opt[T](name: String)(get: Int => T): Option[T] =
+              scala.util.Try(row.fieldIndex(name)).toOption
+                .filterNot(row.isNullAt).map(get)
+            val fp = row.getString(row.fieldIndex("path"))
+            val pv = opt("partitionValues")(i =>
+              row.getMap[String, String](i).toMap).getOrElse(Map.empty)
+            live.put(fp, LiveFile(fp, pv,
+              size = opt("size")(row.getLong).getOrElse(0L),
+              modificationTime = opt("modificationTime")(row.getLong).getOrElse(0L),
+              stats = opt("stats")(row.getString).filter(_.nonEmpty)))
           }
     }
 
@@ -171,7 +168,11 @@ object DeltaRead {
           val pv = Option(a.get("partitionValues"))
             .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty[String, String])
-          live.put(fp, LiveFile(fp, pv))
+          live.put(fp, LiveFile(fp, pv,
+            size = Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+            modificationTime =
+              Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+            stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty)))
         }
         if (node.has("remove"))
           live.remove(node.get("remove").get("path").asText())

@@ -40,6 +40,9 @@ class DeltaReadSpec extends SparkSpec {
 
   private def schemaJson(df: DataFrame): String = df.schema.json.replace("\"", "\\\"")
 
+  private def fsize(table: String, name: String): Long =
+    Files.size(Paths.get(table, name))
+
   test("log replay: adds accumulate, removes tombstone, schema comes from metaData") {
     val table = Files.createTempDirectory("graft_delta1").toString
     val d1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
@@ -49,11 +52,11 @@ class DeltaReadSpec extends SparkSpec {
 
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"m1","schemaString":"${schemaJson(d1)}","partitionColumns":[]}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"dataChange":true}}""",
-      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":${fsize(table, f2)},"dataChange":true}}"""))
     writeCommit(table, 1, Seq(
       s"""{"remove":{"path":"$f2","dataChange":true}}""",
-      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":${fsize(table, f3)},"dataChange":true}}"""))
 
     val head = DeltaRead.readDeltaTable(spark, table)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
@@ -76,8 +79,8 @@ class DeltaReadSpec extends SparkSpec {
       Seq((2L, 20.0)).toDF("id", "x"))
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"m2","schemaString":"${schemaJson(full)}","partitionColumns":["day"]}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":1,"dataChange":true}}""",
-      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":${fsize(table, f2)},"dataChange":true}}"""))
 
     val got = DeltaRead.readDeltaTable(spark, table).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
@@ -91,8 +94,8 @@ class DeltaReadSpec extends SparkSpec {
     val f2 = addFile(table, "day=2024-01-02/p2.parquet", Seq(Tuple1(2L)).toDF("id"))
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"mp","schemaString":"${schemaJson(full)}","partitionColumns":["day"]}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":1,"dataChange":true}}""",
-      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f1","partitionValues":{"day":"2024-01-01"},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"day":"2024-01-02"},"size":${fsize(table, f2)},"dataChange":true}}"""))
     val pruned = DeltaRead.readDeltaTable(spark, table)
       .filter(col("day") === "2024-01-02")
     assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
@@ -109,18 +112,51 @@ class DeltaReadSpec extends SparkSpec {
       s"partition pruning must decode only the matching partition:\n$plan")
   }
 
-  test("non-hive file layout falls back to literal partition branches, same answers") {
+  test("non-hive file layout: partition values come from the log, not the paths") {
     val table = Files.createTempDirectory("graft_delta_nh").toString
     val full = Seq((1L, "x")).toDF("id", "grp")
     val f1 = addFile(table, "flat1.parquet", Seq(Tuple1(1L)).toDF("id"))
     val f2 = addFile(table, "flat2.parquet", Seq(Tuple1(2L)).toDF("id"))
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"mn","schemaString":"${schemaJson(full)}","partitionColumns":["grp"]}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{"grp":"g1"},"size":1,"dataChange":true}}""",
-      s"""{"add":{"path":"$f2","partitionValues":{"grp":"g2"},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f1","partitionValues":{"grp":"g1"},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"grp":"g2"},"size":${fsize(table, f2)},"dataChange":true}}"""))
     val got = DeltaRead.readDeltaTable(spark, table).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "g1"), (2L, "g2")))
+  }
+
+  test("data skipping: add.stats min/max prune whole files before they are opened") {
+    val table = Files.createTempDirectory("graft_delta_ds").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "r1.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val f2 = addFile(table, "r2.parquet", Seq((10L, "c"), (20L, "d")).toDF("id", "v"))
+    val f3 = addFile(table, "r3.parquet", Seq((100L, "e")).toDF("id", "v"))
+    def add(f: String, lo: Long, hi: Long, n: Int) =
+      s"""{"add":{"path":"$f","partitionValues":{},"size":${fsize(table, f)},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":$hi}}"}}"""
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"md","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      add(f1, 1L, 2L, 2), add(f2, 10L, 20L, 2), add(f3, 100L, 100L, 1)))
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+        .collectWithSubqueries(df.queryExecution.executedPlan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+    }
+    // id < 5 → only r1's [1,2] range can match; r2/r3 must never be opened
+    val lt = DeltaRead.readDeltaTable(spark, table).filter(col("id") < 5)
+    assert(lt.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("id") < 5)) == 1L)
+    // equality inside one file's range
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("id") === 100)) == 1L)
+    // range spanning two files
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("id") >= 10)) == 2L)
+    // no filter → every file
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table)) == 3L)
   }
 
   test("checkpoint fast path: snapshot parquet + _last_checkpoint, later commits replay on top") {
@@ -154,7 +190,7 @@ class DeltaReadSpec extends SparkSpec {
     // version 2: plain JSON commit on top of the checkpoint
     writeCommit(table, 2, Seq(
       s"""{"remove":{"path":"$f1","dataChange":true}}""",
-      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":${fsize(table, f3)},"dataChange":true}}"""))
 
     val got = DeltaRead.readDeltaTable(spark, table)
       .orderBy("id").collect().map(_.getLong(0))
@@ -172,7 +208,7 @@ class DeltaReadSpec extends SparkSpec {
     val f1 = addFile(table, "f1.parquet", d)
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"m","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}"""))
     writeCommit(table, 1, Seq(s"""{"remove":{"path":"$f1","dataChange":true}}"""))
     val empty = DeltaRead.readDeltaTable(spark, table)
     assert(empty.count() == 0)
