@@ -159,6 +159,43 @@ class DeltaReadSpec extends SparkSpec {
     assert(filesRead(DeltaRead.readDeltaTable(spark, table)) == 3L)
   }
 
+  test("typed partition columns: int values parse from the log and prune correctly") {
+    val table = Files.createTempDirectory("graft_delta_tp").toString
+    val full = Seq((1L, 7)).toDF("id", "bucket")
+    val f1 = addFile(table, "b7.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val f2 = addFile(table, "b8.parquet", Seq(Tuple1(2L)).toDF("id"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mt","schemaString":"${schemaJson(full)}","partitionColumns":["bucket"]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"bucket":"7"},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"bucket":"8"},"size":${fsize(table, f2)},"dataChange":true}}"""))
+    val df = DeltaRead.readDeltaTable(spark, table)
+    assert(df.schema("bucket").dataType.typeName == "integer")
+    val got = df.filter(col("bucket") === 8).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(got.head.getInt(1) == 8)
+  }
+
+  test("IsNotNull skips a file whose stats say the column is entirely null") {
+    val table = Files.createTempDirectory("graft_delta_nn").toString
+    val d = Seq((1L, Option("a"))).toDF("id", "v")
+    val f1 = addFile(table, "n1.parquet", Seq((1L, Option("a"))).toDF("id", "v"))
+    val f2 = addFile(table, "n2.parquet", Seq((2L, None: Option[String])).toDF("id", "v"))
+    def add(f: String, nulls: Int, n: Int) =
+      s"""{"add":{"path":"$f","partitionValues":{},"size":${fsize(table, f)},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":$n,\\"nullCount\\":{\\"v\\":$nulls}}"}}"""
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mn2","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      add(f1, 0, 1), add(f2, 1, 1)))
+    val df = DeltaRead.readDeltaTable(spark, table).filter(col("v").isNotNull)
+    df.collect()
+    val files = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    assert(files == 1L, s"all-null file must be skipped, read $files files")
+  }
+
   test("checkpoint fast path: snapshot parquet + _last_checkpoint, later commits replay on top") {
     val table = Files.createTempDirectory("graft_delta3").toString
     val d = Seq((1L, "a")).toDF("id", "v")
