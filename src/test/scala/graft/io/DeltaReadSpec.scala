@@ -235,6 +235,35 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.latestVersion(spark, table) == 2L)
   }
 
+  test("changesSince reads only newly added files; a remove in the range fails loudly") {
+    val table = Files.createTempDirectory("graft_delta_cs").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "c1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    val f2 = addFile(table, "c2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = addFile(table, "c3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mc","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}"""))
+    writeCommit(table, 1, Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":${fsize(table, f2)},"dataChange":true}}"""))
+    writeCommit(table, 2, Seq(
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":${fsize(table, f3)},"dataChange":true}}"""))
+    // the poll pattern: remember latestVersion, read only what landed after
+    val since0 = DeltaRead.changesSince(spark, table, fromVersion = 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(since0.toSeq == Seq(2L, 3L))
+    val since1to2 = DeltaRead.changesSince(spark, table, 1L, toVersion = Some(2L))
+      .collect().map(_.getLong(0))
+    assert(since1to2.toSeq == Seq(3L))
+    assert(DeltaRead.changesSince(spark, table, 2L).count() == 0)
+    // a rewrite in the range must fail, not double-count
+    writeCommit(table, 3, Seq(s"""{"remove":{"path":"$f1","dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.changesSince(spark, table, 0L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
     val notDelta = Files.createTempDirectory("graft_delta4").toString
     intercept[IllegalArgumentException] {
