@@ -137,21 +137,28 @@ object DeltaRead {
       content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("add")) {
-          val a = node.get("add")
-          val fp = a.get("path").asText()
-          val pv = Option(a.get("partitionValues"))
-            .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty[String, String])
-          adds.put(fp, LiveFile(fp, pv,
-            size = Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-            modificationTime =
-              Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty)))
+          val f = parseAdd(node.get("add"))
+          adds.put(f.path, f)
         }
         if (node.has("remove")) removes += node.get("remove").get("path").asText()
       }
     }
     (adds.values.toSeq, removes.toSeq)
+  }
+
+  /** One `add` action node → [[LiveFile]] (shared by replay and
+    * range-scan parsing).
+    */
+  private def parseAdd(a: com.fasterxml.jackson.databind.JsonNode): LiveFile = {
+    val fp = a.get("path").asText()
+    val pv = Option(a.get("partitionValues"))
+      .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    LiveFile(fp, pv,
+      size = Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+      modificationTime =
+        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+      stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty))
   }
 
   /** Latest version number in the log (`-1` if the directory is empty). */
@@ -235,16 +242,8 @@ object DeltaRead {
           meta = Meta(m.get("schemaString").asText(), pcols)
         }
         if (node.has("add")) {
-          val a = node.get("add")
-          val fp = a.get("path").asText()
-          val pv = Option(a.get("partitionValues"))
-            .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty[String, String])
-          live.put(fp, LiveFile(fp, pv,
-            size = Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-            modificationTime =
-              Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty)))
+          val f = parseAdd(node.get("add"))
+          live.put(f.path, f)
         }
         if (node.has("remove"))
           live.remove(node.get("remove").get("path").asText())
