@@ -186,7 +186,9 @@ object Client {
 
   /** Path variant of [[createDataRowsFromTable]]
     * (client.py:341-348 create_data_rows_from_delta_table): read the stored
-    * table, delegate. Parquet stands in for Delta in this env (S6).
+    * table, delegate. `Sources.readTable` serves REAL Delta tables (log
+    * replay + stats skipping, `io.DeltaRead`) when the path carries a
+    * `_delta_log`, plain parquet otherwise (S6).
     */
   def createDataRowsFromPath(
       spark: SparkSession, tablePath: String,

@@ -340,4 +340,65 @@ object Dedup {
     */
   def simhash64Fast(text: Column): Column =
     call_function("graft_simhash64", TextAnalysis.tokens(text))
+
+  // ------------------------------------------- incremental (ingest-time)
+
+  /** Persistable LSH band index of a corpus: one (id, band, h) row per
+    * band per document. Write it bucketed/partitioned by (band, h) and the
+    * ingest-time join below becomes a co-located lookup. Building it is
+    * one pass over the corpus — done ONCE, then maintained by appending
+    * each accepted batch's own index rows.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, fast: Boolean = true): DataFrame = {
+    val r = k / bands
+    val bh =
+      if (fast) minhashBandsFast(TextAnalysis.tokens(col(textCol)), shingleN, k, bands)
+      else bandHashes(minhashSignature(shingles(col(textCol), shingleN), k), bands, r)
+    df.select(col(idCol).as("id"), bh.as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
+  }
+
+  /** Ingest-time near-dup check: `newDocs` (one arriving batch) against an
+    * EXISTING corpus via its precomputed [[bandIndex]] — the batch is
+    * banded and joined against the index, and ONLY candidate corpus docs
+    * are semi-joined out of `corpus` for exact-Jaccard verification. The
+    * corpus is never re-shingled, never re-hashed, never fully scanned
+    * (with a (band,h)-bucketed index the band join is also shuffle-free on
+    * the index side) — cost scales with the BATCH, not the corpus, which
+    * is the difference between ingest in seconds and re-running b31 on
+    * 100 TB per batch. Returns (new_id, old_id, jac) pairs ≥ threshold.
+    *
+    * New-vs-new duplicates inside the batch are [[minhashLshPairs]] on the
+    * batch alone (cheap); compose both for full ingest dedup.
+    */
+  def nearDupsAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, corpus: DataFrame,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      fast: Boolean = true, maxBroadcastIds: Long = 4000000L): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val newBanded = bandIndex(newDocs, idCol, textCol, shingleN, k, bands, fast)
+      .withColumnsRenamed(Map("id" -> "new_id", "band" -> "nband", "h" -> "nh"))
+    val cands = newBanded
+      .join(index, col("nband") === col("band") && col("nh") === col("h") &&
+        col("new_id") =!= col("id"))
+      .select(col("new_id"), col("id").as("old_id"))
+      .distinct()
+      .localCheckpoint()
+    val oldIds = graft.core.ops.TableOps.adaptiveJoinSide(
+      cands.select(col("old_id").as("cid")).distinct(),
+      maxBroadcastIds, materialize = false)
+    val oldSh = corpus
+      .join(oldIds, col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("oid"), shingles(col(textCol), shingleN).as("osh"))
+    val newSh = newDocs
+      .select(col(idCol).as("nid"), shingles(col(textCol), shingleN).as("nsh"))
+    cands
+      .join(newSh.hint("shuffle_hash"), col("new_id") === col("nid"))
+      .join(oldSh.hint("shuffle_hash"), col("old_id") === col("oid"))
+      .select(col("new_id"), col("old_id"),
+        round(jaccard(col("nsh"), col("osh")), 4).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
 }

@@ -70,6 +70,35 @@ class ExtSpec extends SparkSpec {
     assert(exact.length == 10, s"5 identical docs → C(5,2)=10 pairs, got ${exact.length}")
   }
 
+  test("incremental near-dup: a new batch checks against the corpus band index, corpus never re-hashed") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different words about spark shuffles and partition pruning"),
+      (2L, "yet another unrelated document describing columnar storage formats")
+    ).toDF("doc_id", "text")
+    val index = Dedup.bandIndex(corpus, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, fast = true).localCheckpoint()
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (101L, "entirely novel content with no counterpart in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsAgainstIndex(batch, "doc_id", "text",
+      index, corpus, shingleN = 2, k = 16, bands = 8, threshold = 0.4, fast = true)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((100L, 0L)), got.toSeq.toString)
+    // maintaining the index = appending the accepted batch's own rows
+    val grown = index.unionByName(Dedup.bandIndex(batch, "doc_id", "text",
+      shingleN = 2, k = 16, bands = 8, fast = true))
+    val next = Seq((200L,
+      "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val nextPairs = Dedup.nearDupsAgainstIndex(next, "doc_id", "text",
+      grown, corpus.unionByName(batch), 2, 16, 8, 0.4, fast = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    assert(nextPairs.toSeq == Seq((200L, 0L), (200L, 100L)), nextPairs.toSeq.toString)
+  }
+
   test("dupClusters: transitive chains collapse to one min-labeled component") {
     // chain 1-2-3 (via 1-2, 2-3), pair 10-11, chain 20-21-22-23 (diameter 3)
     val pairs = Seq(
