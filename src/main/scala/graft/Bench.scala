@@ -105,6 +105,19 @@ object Bench {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
           max(col("payload")).as("mp"))
     }),
+    // ingest-time near-dup: a 500-doc batch against the PRE-BUILT corpus
+    // band index (built once, first pass — min-of-3 discards it). The
+    // point of comparison is b31: per-batch cost must not scale with the
+    // corpus, so this should land well under a full-corpus LSH run.
+    "b43_ingest_neardup" -> ((s, dir) => {
+      val index = BenchLayouts.nearDupIndex(s, dir)
+      val docs = Tables.documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 97 === 0).limit(500)
+        .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+      graft.ext.Dedup.nearDupsAgainstIndex(batch, "doc_id", "text",
+        index, docs.select(col("doc_id"), col("text")),
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true)
+    }),
     // skewed-LSH stress: the corpus plus a 10k-copy near-dup family (one
     // hot bucket in every band). Without the candidatePairs maxBucket
     // chain guard this is ~50M candidate pairs out of one task; with it,
@@ -176,6 +189,22 @@ private[graft] object BenchLayouts {
   import org.apache.spark.sql.functions._
 
   @volatile private var cached: Option[(String, String)] = None
+  @volatile private var ndIndex: Option[org.apache.spark.sql.DataFrame] = None
+
+  /** Corpus band index for b43, built once per JVM (what production
+    * persists as a bucketed table and maintains incrementally).
+    */
+  def nearDupIndex(s: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    synchronized {
+      ndIndex.getOrElse {
+        val idx = graft.ext.Dedup.bandIndex(Tables.documents(s, sfDir),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4, fast = true)
+          .repartition(col("band"), col("h"))
+          .localCheckpoint()
+        ndIndex = Some(idx)
+        idx
+      }
+    }
 
   // quartile box over two near-uniform dims (~1/16 of rows): rank16 is
   // linear in value space, so a skewed dim (`value`) would collapse into

@@ -363,11 +363,15 @@ object Dedup {
     * EXISTING corpus via its precomputed [[bandIndex]] — the batch is
     * banded and joined against the index, and ONLY candidate corpus docs
     * are semi-joined out of `corpus` for exact-Jaccard verification. The
-    * corpus is never re-shingled, never re-hashed, never fully scanned
-    * (with a (band,h)-bucketed index the band join is also shuffle-free on
-    * the index side) — cost scales with the BATCH, not the corpus, which
-    * is the difference between ingest in seconds and re-running b31 on
-    * 100 TB per batch. Returns (new_id, old_id, jac) pairs ≥ threshold.
+    * corpus is never re-shingled and never re-hashed (with a
+    * (band,h)-bucketed index the band join is also shuffle-free on the
+    * index side) — hashing/banding cost scales with the BATCH, not the
+    * corpus, which is the difference between ingest in seconds and
+    * re-running the full LSH pipeline on 100 TB per batch. The one
+    * corpus-proportional step left is the candidate-text fetch: a single
+    * two-column filtered scan — keep the corpus id-clustered (bucketed or
+    * z-ordered on the id) and it prunes to the candidate files. Returns
+    * (new_id, old_id, jac) pairs ≥ threshold.
     *
     * New-vs-new duplicates inside the batch are [[minhashLshPairs]] on the
     * batch alone (cheap); compose both for full ingest dedup.
