@@ -20,7 +20,7 @@ import graft.ext.Dedup
 object Bench {
   private val skip =
     Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
-      "q76_cluster_split", // md5 minhash family; b31/b35 bench the fast path
+      "q76_cluster_split", "q92_simhash_pairs", // md5 family; b31/b35/b44 bench the fast path
       "q32_source_sketch") // its exact-Jaccard half is oracle-only; b42 benches the sketch
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -30,6 +30,9 @@ object Bench {
     "b32_simhash64_fast" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash64Fast(col("text")).as("simhash"))),
+    "b44_simhash_pairs_fast" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)),
     "b33_ann_lsh" -> ((s, dir) =>
       graft.ext.Similarity.annLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         nBits = 12, k = 3, dim = 64)),

@@ -233,6 +233,54 @@ object QPipelineExt {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup PAIRS (md5 family, oracle-portable): the
+    * block-pigeonhole candidate join — 4 substring blocks of the 32-bit
+    * fingerprint; two prints within Hamming distance 3 must share a whole
+    * block — then EXACT hamming verification, kept at <= 2. Pins the
+    * candidate-generation + verification semantics the production 64-bit
+    * [[graft.ext.Dedup.simhashNearDupPairs]] (native expression, bench
+    * b44) must honor.
+    */
+  def q92SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id").as("id"), Dedup.simhash32(col("text")).as("sh"))
+      .repartition(col("id")) // one signature computation, reused exchanges
+    val banded = sh.select(col("id"),
+      array((0 until 4).map(b => substring(col("sh"), 1 + 8 * b, 8)): _*).as("bh"))
+    Dedup.candidatePairs(banded, "id", "bh")
+      .join(sh.select(col("id").as("ia"), col("sh").as("sa")), col("id_a") === col("ia"))
+      .join(sh.select(col("id").as("ib"), col("sh").as("sb")), col("id_b") === col("ib"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(conv(col("sa"), 2, 10).cast("long")
+          .bitwiseXOR(conv(col("sb"), 2, 10).cast("long"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q92Sql =
+    """WITH m AS (
+      |  SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS md5s
+      |  FROM documents),
+      |sh AS (SELECT doc_id AS id,
+      |  list_aggregate(list_transform(range(0, 32), b ->
+      |    CASE WHEN list_sum(list_transform(md5s, h ->
+      |      2 * (((position(substring(h, 1 + b//4, 1) IN '0123456789abcdef') - 1)
+      |            >> (3 - b%4)) & 1) - 1)) > 0
+      |    THEN '1' ELSE '0' END), 'string_agg', '') AS sh
+      |  FROM m),
+      |bl AS (SELECT id, i AS band, substring(sh, CAST(1 + 8 * i AS INT), 8) AS h
+      |       FROM sh, UNNEST(range(0, 4)) t(i)),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |         FROM bl a JOIN bl b ON a.band = b.band AND a.h = b.h AND a.id < b.id),
+      |j AS (SELECT id_a, id_b,
+      |  CAST(list_sum(list_transform(range(1, 33), i ->
+      |    CASE WHEN substring(x.sh, CAST(i AS INT), 1) <> substring(y.sh, CAST(i AS INT), 1)
+      |    THEN 1 ELSE 0 END)) AS INT) AS hamming
+      |  FROM cand JOIN sh x ON cand.id_a = x.id JOIN sh y ON cand.id_b = y.id)
+      |SELECT id_a, id_b, hamming FROM j
+      |WHERE hamming <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding — broadcast
     * query vector, one codegen'd scan, TakeOrdered heap.
     */
@@ -526,6 +574,7 @@ object QPipelineExt {
     "q24_ngram_jaccard"    -> (q24NgramJaccard _),
     "q25_minhash_lsh"      -> (q25MinhashLsh _),
     "q26_simhash"          -> (q26Simhash _),
+    "q92_simhash_pairs"    -> (q92SimhashPairs _),
     "q27_cosine_topk"      -> (q27CosineTopK _),
     "q28_bucketed_knn"     -> (q28BucketedKnn _),
     "q29_binary_meta"      -> (q29BinaryMeta _),
@@ -546,6 +595,7 @@ object QPipelineExt {
     "q24_ngram_jaccard"    -> q24Sql,
     "q25_minhash_lsh"      -> q25Sql,
     "q26_simhash"          -> q26Sql,
+    "q92_simhash_pairs"    -> q92Sql,
     "q27_cosine_topk"      -> q27Sql,
     "q28_bucketed_knn"     -> q28Sql,
     "q29_binary_meta"      -> q29Sql,

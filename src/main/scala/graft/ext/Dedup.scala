@@ -341,6 +341,47 @@ object Dedup {
   def simhash64Fast(text: Column): Column =
     call_function("graft_simhash64", TextAnalysis.tokens(text))
 
+  /** SimHash near-dup PAIRS by the block-pigeonhole trick (Manku et al.,
+    * WWW'07): split the 64-bit fingerprint into `maxHamming + 1` blocks —
+    * any two prints within Hamming distance d agree on at least one whole
+    * block — bucket-join on (blockIdx, blockValue) via [[candidatePairs]]
+    * (inheriting its hot-bucket chain guard), then verify
+    * `bit_count(a ^ b) <= maxHamming` exactly. One fingerprint pass + one
+    * block-keyed shuffle; never the n² pair space. Complements MinHash-LSH:
+    * SimHash candidates cost ONE long per doc of state instead of k
+    * signature entries — the cheaper index when memory, not recall,
+    * binds.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val blocks = maxHamming + 1
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    def blockCol(sh: Column, b: Int): Column = {
+      val len = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      // candidatePairs keys on (band POSITION, value) — no cross-block
+      // collision is possible, the raw block value suffices
+      shiftrightunsigned(sh, start).bitwiseAND(lit(mask))
+    }
+    val sh = df.select(col(idCol).as("id"),
+        simhash64Fast(col(textCol)).as("sh"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val banded = sh.select(col("id"),
+      array((0 until blocks).map(b => blockCol(col("sh"), b)): _*).as("bh"))
+    val cands = candidatePairs(banded, "id", "bh", maxBucket)
+    cands
+      .join(sh.select(col("id").as("ia"), col("sh").as("sha")), col("id_a") === col("ia"))
+      .join(sh.select(col("id").as("ib"), col("sh").as("shb")), col("id_b") === col("ib"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------- incremental (ingest-time)
 
   /** Persistable LSH band index of a corpus: one (id, band, h) row per

@@ -146,6 +146,20 @@ class ExtSpec extends SparkSpec {
     assert(hamming32(out(0).getString(1), out(2).getString(1)) > 6)
   }
 
+  test("simhash near-dup pairs: block pigeonhole finds close prints, verifies exact hamming") {
+    // identical docs (0, 3) collide at hamming 0
+    val exact = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(exact.toSeq == Seq((0L, 3L, 0)), exact.toSeq.toString)
+    // a wider budget also captures the one-word-changed near-dup (0, 1)
+    // and its transitive twin (1, 3), never the unrelated doc 2
+    val near = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.contains((0L, 1L)), near.toSeq.toString)
+    assert(near.contains((0L, 3L)))
+    assert(!near.exists(p => p._1 == 2L || p._2 == 2L), near.toSeq.toString)
+  }
+
   test("ngram jaccard pairs respect blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 2, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
