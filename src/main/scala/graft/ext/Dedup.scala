@@ -384,6 +384,53 @@ object Dedup {
 
   // ------------------------------------------- incremental (ingest-time)
 
+  /** Persistable SimHash index of a corpus: (id, sh) — ONE long per
+    * document, the most compact near-dup state there is (vs k signature
+    * entries for the MinHash [[bandIndex]]). Maintained by appending each
+    * accepted batch's rows.
+    */
+  def simhashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simhash64Fast(col(textCol)).as("sh"))
+
+  /** Ingest-time SimHash near-dup check of `newDocs` against a persisted
+    * [[simhashIndex]]: both sides band into the d+1 pigeonhole blocks, the
+    * batch joins the index on (block, value), and exact hamming verifies —
+    * the corpus is never re-hashed and verification needs NO corpus text
+    * (the fingerprints already in the index suffice), so per-batch cost is
+    * the batch hash + one block-keyed join. Returns
+    * (new_id, old_id, hamming) with hamming <= maxHamming.
+    */
+  def simhashAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val blocks = maxHamming + 1
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    def blockCol(sh: Column, b: Int): Column = {
+      val len = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val mask = if (len >= 64) -1L else (1L << len) - 1L
+      shiftrightunsigned(sh, start).bitwiseAND(lit(mask))
+    }
+    def banded(df: DataFrame, id: String, sh: String): DataFrame = df
+      .select(col(id), col(sh),
+        posexplode(array((0 until blocks).map(b => blockCol(col(sh), b)): _*))
+          .as(Seq("band", "h")))
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      simhash64Fast(col(textCol)).as("nsh"))
+    banded(newSh, "new_id", "nsh")
+      .withColumnsRenamed(Map("band" -> "nband", "h" -> "nh"))
+      .join(banded(index.select(col("id").as("old_id"), col("sh").as("osh")),
+          "old_id", "osh"),
+        col("nband") === col("band") && col("nh") === col("h") &&
+          col("new_id") =!= col("old_id"))
+      .select(col("new_id"), col("old_id"),
+        bit_count(col("nsh").bitwiseXOR(col("osh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Persistable LSH band index of a corpus: one (id, band, h) row per
     * band per document. Write it bucketed/partitioned by (band, h) and the
     * ingest-time join below becomes a co-located lookup. Building it is

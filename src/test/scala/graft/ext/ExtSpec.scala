@@ -99,6 +99,22 @@ class ExtSpec extends SparkSpec {
     assert(nextPairs.toSeq == Seq((200L, 0L), (200L, 100L)), nextPairs.toSeq.toString)
   }
 
+  test("simhash incremental index: batch checks against stored fingerprints, no corpus text needed") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "completely different words about spark shuffles and partition pruning")
+    ).toDF("doc_id", "text")
+    val index = Dedup.simhashIndex(corpus, "doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "entirely novel content with no counterpart in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.simhashAgainstIndex(batch, "doc_id", "text", index, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hits.toSeq == Seq((100L, 0L, 0)), hits.toSeq.toString)
+  }
+
   test("dupClusters: transitive chains collapse to one min-labeled component") {
     // chain 1-2-3 (via 1-2, 2-3), pair 10-11, chain 20-21-22-23 (diameter 3)
     val pairs = Seq(
