@@ -397,6 +397,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest dedup: batches admit only novel docs, index grows append-only") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val srcDir = s"$base/src"
+    val indexDir = s"$base/index"
+    val acceptedDir = s"$base/accepted"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage_$name")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$name"))
+        .iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+          moved = true
+        }
+      }
+    }
+
+    val novel = "the quick brown fox jumps over the lazy dog near the river bank today"
+    stage("b0", Seq(
+      (1L, novel),
+      (2L, novel), // within-batch dup of 1 → rejected (smaller id wins)
+      (3L, "completely different words about spark shuffles and partition pruning")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = IngestDedupSink.run(stream, "doc_id", "text",
+        indexDir, acceptedDir, s"$base/ckpt")
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val accepted1 = spark.read.parquet(s"$acceptedDir/b0")
+      .select("doc_id").as[Long].collect().sorted
+    assert(accepted1.toSeq == Seq(1L, 3L), accepted1.toSeq.toString)
+
+    // second batch: a corpus dup (vs doc 1) and a fresh doc
+    stage("b1", Seq(
+      (10L, novel), // near-dups the ACCEPTED corpus → rejected via the index
+      (11L, "yet another unrelated document describing columnar storage formats")))
+    runOnce()
+    val allAccepted = spark.read.parquet(s"$acceptedDir/b*")
+      .select("doc_id").as[Long].collect().sorted
+    assert(allAccepted.toSeq == Seq(1L, 3L, 11L), allAccepted.toSeq.toString)
+    val idx = IngestDedupSink.readIndex(spark, indexDir).get
+    assert(idx.count() == 3L)
+    assert(idx.columns.toSeq == Seq("id", "sh"))
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
