@@ -95,4 +95,38 @@ object TextAnalysis {
     */
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** C4/RefinedWeb-style boilerplate LINE removal: a line occurring in at
+    * least `minDocs` distinct documents (cookie banners, nav chrome,
+    * subscribe prompts) is dropped from EVERY document; per-document line
+    * order is preserved on reassembly. Documents left with zero lines
+    * disappear from the output (fully-boilerplate pages).
+    *
+    * Scale shape: only 8-byte line hashes shuffle for the occurrence
+    * count (never line text), and the boilerplate-hash set joins back
+    * size-adaptively (broadcast when counted small, shuffled anti-join on
+    * a boilerplate-heavy crawl) — the [[graft.core.ops.TableOps
+    * .adaptiveJoinSide]] discipline.
+    */
+  def removeBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, sep: String = "\n",
+      minDocs: Long = 2, maxBroadcastIds: Long = 4000000L): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val boiler = graft.core.ops.TableOps.adaptiveJoinSide(
+      lines.groupBy(col("__h"))
+        .agg(countDistinct(col("__id")).as("__nd"))
+        .filter(col("__nd") >= minDocs)
+        .select(col("__h").as("__bh")),
+      maxBroadcastIds)
+    lines.join(boiler, col("__h") === col("__bh"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(sep, transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        x => x.getField("__line"))).as(textCol))
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -99,6 +99,23 @@ class ExtSpec extends SparkSpec {
     assert(nextPairs.toSeq == Seq((200L, 0L), (200L, 100L)), nextPairs.toSeq.toString)
   }
 
+  test("boilerplate line removal: shared lines drop everywhere, order survives, empty docs vanish") {
+    import spark.implicits._
+    val boiler = "SUBSCRIBE to our newsletter"
+    val docsL = Seq(
+      (1L, s"real content one\n$boiler\nmore real content"),
+      (2L, s"$boiler\nunique second doc line"),
+      (3L, s"only here once\nanother unique line"),
+      (4L, boiler) // fully boilerplate → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplateLines(docsL, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "real content one\nmore real content"),
+      (2L, "unique second doc line"),
+      (3L, "only here once\nanother unique line")), out.toSeq.toString)
+  }
+
   test("simhash incremental index: batch checks against stored fingerprints, no corpus text needed") {
     import spark.implicits._
     val corpus = Seq(
