@@ -281,6 +281,39 @@ object QPipelineExt {
       |WHERE hamming <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Gopher-style repetition quality signals per document: duplicate-2gram
+    * fraction (1 − distinct/total) and top-2gram occupancy — pure per-row
+    * integer ratios, so both engines compute bit-identical doubles (no sum
+    * order, no rounding-boundary class).
+    */
+  def q93Repetition(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    documents(s, d).select(
+      col("doc_id"),
+      round(TextAnalysis.dupNgramFraction(col("text"), 2), 6).as("dup2"),
+      round(TextAnalysis.topNgramFraction(col("text"), 2), 6).as("top2"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q93Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+      |      list_transform(range(1, len(string_split(text, ' '))),
+      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])
+      |    ELSE [] END AS grams
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(CASE WHEN len(grams) > 0
+      |    THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+      |    ELSE 0.0 END, 6) AS dup2,
+      |  round(CASE WHEN len(grams) > 0
+      |    THEN CAST(list_max(list_transform(list_distinct(grams),
+      |           d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE) / len(grams)
+      |    ELSE 0.0 END, 6) AS top2
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding — broadcast
     * query vector, one codegen'd scan, TakeOrdered heap.
     */
@@ -575,6 +608,7 @@ object QPipelineExt {
     "q25_minhash_lsh"      -> (q25MinhashLsh _),
     "q26_simhash"          -> (q26Simhash _),
     "q92_simhash_pairs"    -> (q92SimhashPairs _),
+    "q93_repetition"       -> (q93Repetition _),
     "q27_cosine_topk"      -> (q27CosineTopK _),
     "q28_bucketed_knn"     -> (q28BucketedKnn _),
     "q29_binary_meta"      -> (q29BinaryMeta _),
@@ -596,6 +630,7 @@ object QPipelineExt {
     "q25_minhash_lsh"      -> q25Sql,
     "q26_simhash"          -> q26Sql,
     "q92_simhash_pairs"    -> q92Sql,
+    "q93_repetition"       -> q93Sql,
     "q27_cosine_topk"      -> q27Sql,
     "q28_bucketed_knn"     -> q28Sql,
     "q29_binary_meta"      -> q29Sql,

@@ -96,6 +96,48 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " ")))
 
+  /** ALL word n-grams (non-distinct, order kept) — the occurrence stream
+    * the repetition signals below count over.
+    */
+  def ngramsAll(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier one (1 − distinct/total). Machine-generated
+    * and template text scores high; 0 for docs shorter than n tokens.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column =
+    bind(ngramsAll(c, n)) { g =>
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+        .otherwise(lit(0.0))
+    }
+
+  /** Gopher-style repetition signal: fraction of n-gram occurrences taken
+    * by the single most frequent n-gram — catches "keyword stuffing" that
+    * dupNgramFraction's global ratio smooths over. 0 for short docs.
+    */
+  def topNgramFraction(c: Column, n: Int): Column =
+    bind(ngramsAll(c, n)) { g =>
+      when(size(g) > 0,
+        aggregate(array_distinct(g), lit(0),
+          (acc, gram) => greatest(acc, size(filter(g, x => x === gram))))
+          .cast("double") / size(g))
+        .otherwise(lit(0.0))
+    }
+
+  /** Evaluate `c` once per row and feed the bound value to `f` (the
+    * Dedup.bind let-binding trick — CollapseProject would otherwise inline
+    * `c` into every use site).
+    */
+  private def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** C4/RefinedWeb-style boilerplate LINE removal: a line occurring in at
     * least `minDocs` distinct documents (cookie banners, nav chrome,
     * subscribe prompts) is dropped from EVERY document; per-document line

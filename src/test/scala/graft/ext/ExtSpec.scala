@@ -99,6 +99,21 @@ class ExtSpec extends SparkSpec {
     assert(nextPairs.toSeq == Seq((200L, 0L), (200L, 100L)), nextPairs.toSeq.toString)
   }
 
+  test("repetition signals: duplicate and top n-gram fractions computed exactly") {
+    import spark.implicits._
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → 5 total, 2 distinct
+    val r = Seq((1L, "a b a b a b"), (2L, "w x y z"), (3L, "one"))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextAnalysis.dupNgramFraction(col("t"), 2).as("dup"),
+        TextAnalysis.topNgramFraction(col("t"), 2).as("top"))
+      .orderBy("id").collect()
+    assert(r(0).getDouble(1) == 1.0 - 2.0 / 5.0)
+    assert(r(0).getDouble(2) == 3.0 / 5.0)
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 1.0 / 3.0)
+    assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.0) // below n tokens
+  }
+
   test("boilerplate line removal: shared lines drop everywhere, order survives, empty docs vanish") {
     import spark.implicits._
     val boiler = "SUBSCRIBE to our newsletter"
