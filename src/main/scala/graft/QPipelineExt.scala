@@ -242,9 +242,11 @@ object QPipelineExt {
     * b44) must honor.
     */
   def q92SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // materialized once — banding AND both verification joins read it;
+    // without this the md5-per-token fingerprint computes three times
     val sh = documents(s, d)
       .select(col("doc_id").as("id"), Dedup.simhash32(col("text")).as("sh"))
-      .repartition(col("id")) // one signature computation, reused exchanges
+      .localCheckpoint()
     val banded = sh.select(col("id"),
       array((0 until 4).map(b => substring(col("sh"), 1 + 8 * b, 8)): _*).as("bh"))
     Dedup.candidatePairs(banded, "id", "bh")
