@@ -138,6 +138,23 @@ object TextAnalysis {
   private def bind(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** PII scrubbing for training corpora: masks emails, IPv4 addresses, and
+    * long digit runs (phone/card shapes) with fixed placeholder tokens —
+    * the standard pre-training redaction pass. Pure codegen'd
+    * regexp_replace chain (no UDF); deterministic placeholders so dedup
+    * downstream still collapses documents that differed only in the PII.
+    */
+  def scrubPii(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val digitRun = "\\b(?:\\d[ -]?){7,}\\d\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      digitRun, "<NUMBER>")
+  }
+
   /** C4/RefinedWeb-style boilerplate LINE removal: a line occurring in at
     * least `minDocs` distinct documents (cookie banners, nav chrome,
     * subscribe prompts) is dropped from EVERY document; per-document line

@@ -82,6 +82,23 @@ object DeltaRead {
       .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
+  /** STREAMING read of an append-only Delta table: a FileStreamSource over
+    * the data files with the schema taken from the LOG's metaData (never
+    * inferred — reads survive schema evolution), leaning on Spark's
+    * convention that underscore-prefixed paths (`_delta_log/`) are
+    * invisible to file listing. Micro-batches surface files as they are
+    * WRITTEN, which for a writer that writes-then-commits promptly is the
+    * commit order; tables that rewrite files (compaction, DML) need the
+    * poll-based [[changesSince]] instead — this is the ingest-tail shape,
+    * not CDC.
+    */
+  def readStreamAppendOnly(spark: SparkSession, path: String): DataFrame = {
+    val (meta, _) = replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    spark.readStream.schema(schema).parquet(path)
+  }
+
   /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
     * (inclusive; default head) — the incremental-ingest surface that pairs
     * with [[graft.ext.Incremental]]: a consumer remembers its last

@@ -99,6 +99,22 @@ class ExtSpec extends SparkSpec {
     assert(nextPairs.toSeq == Seq((200L, 0L), (200L, 100L)), nextPairs.toSeq.toString)
   }
 
+  test("pii scrub masks emails, ips, digit runs; clean text untouched; dedup-stable") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or 192.168.1.100 today"),
+      (2L, "call 415-555-0123 4567 about the order"),
+      (3L, "perfectly clean text with the number 42 and version 1.2"),
+      (4L, "contact bob@other.org or 10.0.0.1 today")
+    ).toDF("id", "t").select(col("id"), TextAnalysis.scrubPii(col("t")).as("t"))
+    val got = rows.orderBy("id").collect().map(_.getString(1))
+    assert(got(0) == "contact <EMAIL> or <IP> today", got(0))
+    assert(got(1) == "call <NUMBER> about the order", got(1))
+    assert(got(2) == "perfectly clean text with the number 42 and version 1.2", got(2))
+    // deterministic placeholders: docs differing only in PII now collide
+    assert(got(3) == got(0))
+  }
+
   test("repetition signals: duplicate and top n-gram fractions computed exactly") {
     import spark.implicits._
     // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → 5 total, 2 distinct

@@ -264,6 +264,26 @@ class DeltaReadSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"), e.getMessage)
   }
 
+  test("streaming read: log-derived schema, data files stream in, _delta_log stays invisible") {
+    val table = Files.createTempDirectory("graft_delta_st").toString
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val f1 = addFile(table, "s1.parquet", d)
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"ms","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}"""))
+    val stream = DeltaRead.readStreamAppendOnly(spark, table)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq == Seq("id", "v"))
+    val q = stream.writeStream.format("memory").queryName("delta_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // only the data file's rows arrive — the checkpoint parquet under
+    // _delta_log (underscore-prefixed) must never be listed
+    val got = spark.table("delta_stream").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
     val notDelta = Files.createTempDirectory("graft_delta4").toString
     intercept[IllegalArgumentException] {
