@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The assembled training-corpus curation pipeline — the "switch your whole
-  * job to one call" surface over the individual operators: quality gate →
+  * job to one call" surface over the individual operators: [optional PII
+  * mask → boilerplate line removal → repetition gate] → quality gate →
   * exact dedup → near-dup collapse (MinHash-LSH components, keep the
   * minimum-id representative) → benchmark decontamination → deterministic
   * split assignment → optional sequence packing.
@@ -32,7 +33,15 @@ object Curation {
       packTokens: Option[Int] = None,
       // broadcast-vs-shuffle cutover for the computed id sets (losers,
       // contamination hits); see TableOps.adaptiveJoinSide
-      maxBroadcastIds: Long = 4000000L)
+      maxBroadcastIds: Long = 4000000L,
+      // optional pre-stages: PII masking (deterministic placeholders so
+      // the dedup stages still collapse PII-only variants), corpus-wide
+      // boilerplate line removal (give the line separator), and a
+      // repetition gate (drop docs whose duplicate-2gram fraction exceeds
+      // the bound — the Gopher filter)
+      scrubPii: Boolean = false,
+      boilerplateSep: Option[String] = None,
+      maxDupNgramFrac: Option[Double] = None)
 
   /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
     * columns), when given, removes any doc sharing an n-gram with it.
@@ -43,8 +52,22 @@ object Curation {
       evalDocs: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
 
-    // 1. quality gate — per-row codegen, cuts rows at the scan stage
+    // 0. optional normalization pre-stages, in cleaning order: PII mask
+    // (per-row), boilerplate line removal (one corpus-wide hash agg),
+    // repetition gate (per-row)
     var cur = docs
+    if (cfg.scrubPii)
+      cur = cur.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    cfg.boilerplateSep.foreach { sep =>
+      cur = TextAnalysis.removeBoilerplateLines(cur, idCol, textCol, sep)
+        .join(cur.drop(textCol), Seq(idCol))
+    }
+    cfg.maxDupNgramFrac.foreach { bound =>
+      cur = cur.filter(TextAnalysis.dupNgramFraction(col(textCol), 2) <= bound)
+    }
+
+    // 1. quality gate — per-row codegen, cuts rows at the scan stage
+    cur = cur
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
 

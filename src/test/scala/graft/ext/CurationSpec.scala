@@ -65,4 +65,23 @@ class CurationSpec extends SparkSpec {
       txt.split(" ").sliding(13).map(_.mkString(" ")).exists(evalG)
     }, "only contaminated docs may differ between pipeline and manual stages")
   }
+
+  test("normalization pre-stages: pii masked, boilerplate stripped, repetitive docs gated") {
+    import spark.implicits._
+    val boiler = "SUBSCRIBE to our newsletter"
+    val raw = Seq(
+      (1L, s"genuinely useful content about data systems from alice@example.com today\n$boiler"),
+      (2L, s"different but also real content worth keeping around for training\n$boiler"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam") // repetition-gated
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(raw, "doc_id", "text",
+      cfg = Curation.Config(
+        minQuality = 0.0, nearDup = None, scrubPii = true,
+        boilerplateSep = Some("\n"), maxDupNgramFrac = Some(0.5)))
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.keySet == Set(1L, 2L), byId.keySet.toString)
+    assert(byId(1L).contains("<EMAIL>") && !byId(1L).contains("alice@"), byId(1L))
+    assert(!byId(1L).contains(boiler) && !byId(2L).contains(boiler))
+  }
 }
