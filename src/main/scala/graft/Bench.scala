@@ -36,6 +36,12 @@ object Bench {
     "b33_ann_lsh" -> ((s, dir) =>
       graft.ext.Similarity.annLsh(Tables.embeddings(s, dir), "vec_id", "embedding",
         nBits = 12, k = 3, dim = 64)),
+    // banded sign-LSH candidates + exact cosine verify at a near-dup
+    // threshold (0.8) — the sub-quadratic regime; q31's exact tiled join
+    // covers the low-threshold range-join regime on the same table
+    "b45_embedding_banded" -> ((s, dir) =>
+      graft.ext.Similarity.nearDupPairsBanded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.8, dim = 64)),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

@@ -421,11 +421,19 @@ object QPipelineExt {
       |GROUP BY 1, 2
       |ORDER BY wstart, event_type""".stripMargin
 
-  /** Embedding-cosine near-dup pairs, exact full-corpus baseline (the LSH
-    * bucketed variant is the scale path — Similarity.annLsh, bench b33).
+  /** Embedding-cosine near-dup pairs, exact full-corpus baseline. Tiled
+    * block self-join (Similarity.nearDupPairsBlocked): same rows as the
+    * naive all-pairs form, but the quadratic work spreads over K(K+1)/2
+    * uniform shuffle tasks with NOTHING broadcast — the naive non-equi
+    * self-join plans as a BroadcastNestedLoopJoin, which ships the whole
+    * table to every executor. The measured threshold here (0.45 ≈ 3.6σ of
+    * the isotropic background) is why this stays exact rather than
+    * LSH-banded: banding with recall ≈ 1 at p₁ = 0.649 costs more than the
+    * tiled join (see Similarity.nearDupPairsBanded scaladoc for the regime
+    * split; bench b45 measures both on this table).
     */
   def q31EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(embeddings(s, d), "vec_id", "embedding", 0.45)
+    Similarity.nearDupPairsBlocked(embeddings(s, d), "vec_id", "embedding", 0.45)
       .orderBy(col("id_a"), col("id_b"))
 
   private val q31Sql =

@@ -97,6 +97,106 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), sim.as("sim"))
   }
 
+  /** Exact threshold self-join as a TILED block join — the 100 TB shape for
+    * [[nearDupPairs]] with `bucket = None`. A plain self-join under a
+    * non-equi condition plans as a BroadcastNestedLoopJoin: the whole table
+    * is broadcast to every executor (driver OOM at scale) and the n² work
+    * lands in one task per partition of the streamed side. Here each row is
+    * assigned a block `blk = hash(id) mod K`, the LEFT copy explodes to tile
+    * coordinates (blk, j) for j ∈ [blk, K) and the RIGHT copy to (i, blk)
+    * for i ∈ [0, blk], and ONE shuffled equi-join on the tile key (i, j)
+    * meets every unordered row pair in exactly one of the K(K+1)/2 tiles:
+    * off-diagonal tiles pair distinct blocks once; the diagonal keeps
+    * `id_a < id_b`. Same output as the naive form — the n²/2 dot products
+    * still run (with qualifying pairs at ~3.6σ of an isotropic background
+    * nothing can certifiably prune; see [[nearDupPairsBanded]] for the
+    * high-similarity regime) — but nothing is broadcast, shuffle volume is
+    * (K+1)/2 × table (the standard replicate-√T trade), and the work is
+    * spread over K(K+1)/2 uniform tasks. K should grow with corpus size so
+    * a tile's pair count fits a task; the default suits local[32].
+    */
+  def nearDupPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBlocks: Int = 32): DataFrame = {
+    require(nBlocks >= 1, "nBlocks must be positive")
+    val k = lit(nBlocks)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"),
+      pmod(xxhash64(col(idCol)), k).cast("int").as("blk"))
+    // sequence() bounds are safe by construction: blk ∈ [0, K) so both
+    // sequences ascend (the q37/q71 descending-sequence trap).
+    val left = base
+      .withColumn("tj", explode(sequence(col("blk"), k - 1)))
+      .select(col("id"), col("vec"), col("nrm"), col("blk").as("ti"), col("tj"))
+    val right = base
+      .withColumn("ti", explode(sequence(lit(0), col("blk"))))
+      .select(col("id"), col("vec"), col("nrm"), col("ti"), col("blk").as("tj"))
+    val sim = round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 6)
+    // Cheap conjuncts first so the O(dim) dot only runs on surviving pairs;
+    // the diagonal tile sees both orders of a pair, so it alone needs the
+    // id order test.
+    val cond = col("a.ti") === col("b.ti") && col("a.tj") === col("b.tj") &&
+      (col("a.ti") < col("a.tj") || col("a.id") < col("b.id")) &&
+      sim >= threshold
+    left.as("a").join(right.as("b"), cond)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), sim.as("sim"))
+  }
+
+  /** Per-band sign-LSH bucket ids: `bands` values, each packing `r`
+    * consecutive hyperplane sign bits (planes.size = bands × r). Two
+    * vectors are band-g candidates iff all r signs of band g agree. One
+    * native kernel pass (see [[graft.functions.HashExpressions.SignBands]]
+    * for why this is not composed from per-plane literals).
+    */
+  def signBandBuckets(vec: Column, planes: Seq[Seq[Double]], bands: Int): Column = {
+    require(bands >= 1 && planes.size % bands == 0,
+      s"planes (${planes.size}) must split evenly into $bands bands")
+    require(planes.nonEmpty && planes.map(_.size).distinct.size == 1,
+      "all planes must share one dimensionality")
+    val dim = planes.head.size
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.HashExpressions.SignBands(
+        org.apache.spark.sql.GraftSqlShims.expression(vec),
+        planes.flatten.toIndexedSeq, dim, bands))
+  }
+
+  /** Banded sign-LSH candidate pairs + exact cosine verify — the
+    * candidates-then-verify shape of [[Dedup.minhashLshPairs]], for
+    * embedding near-dup at HIGH thresholds (true near-duplicates, cosine ≳
+    * 0.8). A pair at cosine t agrees per hyperplane with p = 1 − arccos(t)/π
+    * and survives banding with 1 − (1 − pʳ)ᴮ; at t = 0.8 (p ≈ 0.80),
+    * r = 8 × B = 32 misses a pair sitting exactly AT the threshold with
+    * probability (1 − 0.16)³² ≈ 4e-3 (a true dup at cosine 0.9 with ≈ 3e-5)
+    * while a random orthogonal pair collides in only B·2⁻ʳ = ⅛ of a band —
+    * candidate volume scales with the dup families, not n². At thresholds near the
+    * isotropic background (t ≈ 3–4σ, e.g. 0.45 on 64-dim where σ = 1/√d =
+    * 0.125: p₁ = 0.649 vs p_rand = 0.5) NO (r, B) gives recall ≈ 1 cheaper
+    * than the exact tiled join — B must exceed (p_rand/p₁)⁻ʳ ≫ 1/2·2ʳ — so
+    * exact range joins at low thresholds belong on [[nearDupPairsBlocked]].
+    * Shares [[Dedup.candidatePairs]] (band-keyed shuffle, hot-bucket chain
+    * guard) and verifies every surviving pair with the exact rounded cosine.
+    */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, bands: Int = 32, rowsPerBand: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
+    val planes = hyperplanes(dim, bands * rowsPerBand, seed)
+    val banded = df.select(col(idCol).as("id"),
+      signBandBuckets(col(vecCol), planes, bands).as("bh"))
+      .repartition(col("id"))
+    val cands = Dedup.candidatePairs(banded, "id", "bh", maxBucket)
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"))
+    val sim = round(dot(col("sa.vec"), col("sb.vec")) / (col("sa.nrm") * col("sb.nrm")), 6)
+    // shuffle_hash on the vector sides for the same reason as minhashLshPairs:
+    // the optimizer under-costs array columns from the parquet scan size and
+    // would broadcast the embedding arrays.
+    cands
+      .join(side.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.id"))
+      .join(side.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Deterministic pseudo-random hyperplanes for cosine LSH (fixed seed →
     * identical plan every run). Returned as plain literals so the signature
     * expression is pure codegen.

@@ -295,6 +295,80 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** sign_bands(vec): per-band random-hyperplane sign buckets in ONE kernel
+    * pass — band g packs the sign bits of its `r` consecutive planes into a
+    * long. The plane matrix rides in the expression instance (one
+    * `addReferenceObj` per task), NOT as plan literals: composing this from
+    * B×r `typedlit` planes put ~16k double literals into the projection,
+    * inflating the task binary to ~1 MB and blowing the codegen budget.
+    * Bit-compatible with the composed form: bit j of band g is
+    * sign(v · plane[g·r+j]) > 0.
+    */
+  case class SignBands(child: Expression, planes: IndexedSeq[Double], dim: Int, bands: Int)
+      extends UnaryExpression {
+    require(bands > 0 && dim > 0 && planes.length % (dim * bands) == 0,
+      s"planes (${planes.length}) must be (bands=$bands × r) rows of dim=$dim")
+    require(planes.length / (dim * bands) <= 63, "rowsPerBand must fit a signed long")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_sign_bands"
+
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case other => throw new IllegalArgumentException(
+        s"graft_sign_bands expects array<float|double>, got $other")
+    }
+    @transient private lazy val mat: Array[Double] = planes.toArray
+
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.signBandsEval(
+        input.asInstanceOf[ArrayData], mat, dim, bands, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("signPlanes", mat, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.signBandsEval($a, $matRef, $dim, $bands, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Kernel for [[SignBands]]: the vector is materialized once, then each
+    * plane is one tight dot loop. Public for the generated-code static call.
+    */
+  def signBandsEval(arr: ArrayData, mat: Array[Double], dim: Int, bands: Int,
+      isFloat: Boolean): ArrayData = {
+    val v = new Array[Double](dim)
+    val n = math.min(arr.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val r = mat.length / (dim * bands)
+    val out = new Array[Long](bands)
+    var p = 0
+    var g = 0
+    while (g < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < r) {
+        val base = p * dim
+        var dot = 0.0
+        var c = 0
+        while (c < dim) { dot += mat(base + c) * v(c); c += 1 }
+        if (dot > 0) acc |= (1L << j)
+        p += 1
+        j += 1
+      }
+      out(g) = acc
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

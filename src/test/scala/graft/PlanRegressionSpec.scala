@@ -157,6 +157,12 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q31: tiled all-pairs is a shuffled/hash equi-join — the table is never nested-loop broadcast") {
+    val p = plan("q31_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1, p)
+  }
+
   test("q83: TWAP is one window shuffle plus one aggregate shuffle") {
     val p = plan("q83_twap")
     assert(p.contains("Window"), p)

@@ -545,4 +545,44 @@ class ExtSpec extends SparkSpec {
     assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 6L)
     assert(rng.getLong(2) >= 0L && rng.getLong(3) <= 6L)
   }
+
+  test("tiled block self-join emits exactly the naive all-pairs rows at several block counts") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val naive = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    assert(naive.nonEmpty)
+    // K > n, K = 1 (single tile degenerates to the diagonal case), K = 8
+    for (k <- Seq(1, 8, 1024)) {
+      val blocked = Similarity.nearDupPairsBlocked(emb, "vec_id", "embedding", 0.45, nBlocks = k)
+        .collect().map(key).toSet
+      assert(blocked == naive, s"nBlocks=$k: ${blocked.size} vs ${naive.size} pairs")
+    }
+  }
+
+  test("banded sign-LSH finds every pair >= threshold in the near-dup regime") {
+    import spark.implicits._
+    // planted near-dup families over an isotropic background: base vectors
+    // are seeded gaussians; each dup = base + small noise (cosine ~0.95+)
+    val rnd = new scala.util.Random(7L)
+    val dim = 32
+    def gauss(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.zip(Array.fill(dim)(rnd.nextGaussian() * 0.15)).map { case (a, e) => (a + e).toFloat }
+    val bases = (0 until 20).map(_ => gauss())
+    val rows =
+      bases.zipWithIndex.flatMap { case (v, i) =>
+        Seq((i.toLong * 10, v.toSeq), (i.toLong * 10 + 1, perturb(v).toSeq)) } ++
+      (0 until 150).map(i => (1000L + i, gauss().toSeq))
+    val df = rows.toDF("id", "vec")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.nearDupPairs(df, "id", "vec", 0.8)
+      .collect().map(key).toSet
+    assert(exact.size >= 15, s"fixture must plant enough near-dup pairs: ${exact.size}")
+    val banded = Similarity.nearDupPairsBanded(df, "id", "vec", 0.8, dim = dim)
+      .collect().map(key).toSet
+    // recall = 1 on every pair >= threshold; verification kills the rest
+    assert(banded == exact,
+      s"missed: ${(exact -- banded).take(5)}; extra: ${(banded -- exact).take(5)}")
+  }
 }
