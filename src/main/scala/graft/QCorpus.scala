@@ -880,6 +880,12 @@ object QCorpus {
     * shape: edges join ranks, contributions aggregate per target. The
     * edge threshold (≥12 interactions) keeps the graph from degenerating
     * to complete-bipartite on the synthetic data.
+    *
+    * The loop-invariant edge list and degree table are localCheckpoint'd
+    * ONCE before the loop (the Dedup.dupClusters pattern): without the
+    * lineage cut, every iteration's plan re-reads events and re-aggregates
+    * the graph — PlanAudit measured 18 scans / 36 exchanges for 2
+    * iterations; at 100× the fact table is re-scanned ~9× for nothing.
     */
   def q85PageRank(s: SparkSession, d: String): DataFrame = {
     val e0 = events(s, d)
@@ -888,8 +894,9 @@ object QCorpus {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 12)
       .select(col("src"), col("dst"))
+      .localCheckpoint()
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val nn = deg.agg(count(lit(1)).as("n"))
     var rank = deg.select(col("src").as("node"), lit(1000000000L).as("rank"))
     (1 to 2).foreach { _ =>

@@ -157,6 +157,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q85: loop-invariant graph state is checkpointed — iterations never re-scan events") {
+    val p = plan("q85_pagerank")
+    // edges/degrees come from the localCheckpoint RDDs; the only events
+    // scan happens once, at checkpoint materialization, outside this plan
+    assert(count(p, "Scan parquet") == 0, p)
+    assert(count(p, "Exchange") <= 18, p) // was 36 with full lineage replay
+  }
+
   test("q31: tiled all-pairs is a shuffled/hash equi-join — the table is never nested-loop broadcast") {
     val p = plan("q31_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
