@@ -93,9 +93,12 @@ object Dedup {
     * single task, the one skew that breaks banded LSH at corpus scale.
     * Buckets above `maxBucket` therefore emit a sorted id CHAIN (b-1
     * edges) instead of all pairs: every member still lands in the same
-    * connected component (dupClusters semantics unchanged, transitivity
-    * supplies the rest), pair volume in the hot bucket drops from
-    * quadratic to linear, and the straggler task disappears. Buckets at
+    * connected component OF THE CANDIDATE GRAPH (transitivity supplies the
+    * rest — for UNVERIFIED candidates dupClusters semantics are unchanged;
+    * after per-edge verification a failed chain edge can disconnect a
+    * member, see the [[minhashLshPairs]] recall caveat), pair volume in
+    * the hot bucket drops from quadratic to linear, and the straggler task
+    * disappears. Buckets at
     * or under the cap keep exact all-pairs semantics — at oracle scale
     * nothing changes.
     */
@@ -121,6 +124,18 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * pairs → exact-Jaccard verification at `threshold`. Returns
     * (id_a, id_b, jaccard_rounded).
+    *
+    * RECALL CAVEAT under the hot-bucket chain guard: for buckets over
+    * `maxBucket`, [[candidatePairs]] emits a sorted-id CHAIN instead of all
+    * pairs, and verification here is per-EDGE — a chain member whose two
+    * neighbors both fail the Jaccard test disconnects from the component,
+    * dropping pairs all-pairs emission would have verified (not just an
+    * approximation of pair volume). This is the deliberate trade: a hot
+    * bucket is near-always one family of near-identical docs (where every
+    * chain edge verifies), and the alternative is the b²/2 straggler task.
+    * Callers clustering MIXED-content hot buckets at high thresholds
+    * should raise `maxBucket` (exact semantics below the cap) rather than
+    * trust chain transitivity.
     */
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -345,7 +360,11 @@ object Dedup {
     * WWW'07): split the 64-bit fingerprint into `maxHamming + 1` blocks —
     * any two prints within Hamming distance d agree on at least one whole
     * block — bucket-join on (blockIdx, blockValue) via [[candidatePairs]]
-    * (inheriting its hot-bucket chain guard), then verify
+    * (inheriting its hot-bucket chain guard — and with it the
+    * [[minhashLshPairs]] recall caveat: a chained hot-bucket member whose
+    * sorted-id neighbors both fail the Hamming verify disconnects even
+    * when a non-neighbor pair would have passed; raise `maxBucket` when
+    * hot buckets can hold mixed content), then verify
     * `bit_count(a ^ b) <= maxHamming` exactly. One fingerprint pass + one
     * block-keyed shuffle; never the n² pair space. Complements MinHash-LSH:
     * SimHash candidates cost ONE long per doc of state instead of k

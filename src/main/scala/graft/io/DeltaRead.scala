@@ -95,6 +95,15 @@ object DeltaRead {
   def readStreamAppendOnly(spark: SparkSession, path: String): DataFrame = {
     val (meta, _) = replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    // Delta data files do NOT contain the partition columns — their values
+    // live in each add's partitionValues, which a FileStreamSource never
+    // sees. Streaming a partitioned table here would emit those columns as
+    // all-NULL silently; refuse instead ([[changesSince]] reads partition
+    // values from the log and is the poll-based alternative).
+    require(meta.partitionCols.isEmpty,
+      s"readStreamAppendOnly only supports unpartitioned tables; $path is " +
+        s"partitioned by ${meta.partitionCols.mkString(", ")} and partition " +
+        "values exist only in the log — use changesSince instead")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     spark.readStream.schema(schema).parquet(path)
   }
@@ -205,13 +214,21 @@ object DeltaRead {
     // checkpoint fast path: _last_checkpoint names a parquet snapshot of
     // the log; only commits AFTER it need JSON replay. Skipped when time
     // traveling to a version before the checkpoint.
-    val lastCp = readLastCheckpoint(spark, fs, dir).filter(_ <= cut)
+    val lastCp = readLastCheckpoint(spark, fs, dir).filter(_.version <= cut)
     var meta: Meta = null
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
 
-    lastCp.foreach { cpVersion =>
-      val cpPath = new Path(dir, f"$cpVersion%020d.checkpoint.parquet")
-      val cp = spark.read.parquet(cpPath.toString)
+    lastCp.foreach { cpRef =>
+      // single-file NNN.checkpoint.parquet, or a multi-part checkpoint
+      // (_last_checkpoint carries "parts": N naming
+      // NNN.checkpoint.MMM.PPP.parquet slices) — all parts are one scan
+      val cpPaths = cpRef.parts match {
+        case Some(n) => (1 to n).map(i => new Path(dir,
+          f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+        case None =>
+          Seq(new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet").toString)
+      }
+      val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
       if (cols.contains("metaData"))
         cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
@@ -237,11 +254,29 @@ object DeltaRead {
     val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
         n.dropRight(5).toLong }
-      .filter(v => v <= cut && lastCp.forall(v > _))
+      .filter(v => v <= cut && lastCp.forall(v > _.version))
       .toSeq.sorted
+    // The requested version must actually EXIST — "any commit <= cut" is
+    // not enough (versionAsOf=99 on a 2-version table would silently
+    // return the head otherwise; Delta raises a time-travel error).
     versionAsOf.foreach { v =>
-      require(versions.nonEmpty || lastCp.contains(v),
-        s"version $v not present in $dir")
+      require(versions.contains(v) || lastCp.exists(_.version == v),
+        s"cannot time travel to version $v: no commit ${f"$v%020d"}.json and no " +
+          s"checkpoint at that version in $dir")
+    }
+    // Replay must be ANCHORED: either it starts from a checkpoint at/below
+    // the cut, or the JSON history is complete from version 0. A log whose
+    // pre-checkpoint JSON was cleaned replays truncated (missing adds)
+    // when the checkpoint is skipped by time travel — fail instead.
+    versions.headOption.foreach { first =>
+      val base = lastCp.map(_.version).getOrElse(-1L)
+      require(first == base + 1,
+        s"cannot replay $dir: JSON history starts at version $first but " +
+          (if (base >= 0) s"the usable checkpoint covers only up to $base"
+           else "there is no checkpoint at or below the requested version") +
+          " — intermediate commits were cleaned")
+      require(versions == (first to versions.last),
+        s"commit gap in $dir: have ${versions.mkString(",")}")
     }
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -269,14 +304,20 @@ object DeltaRead {
     (meta, live.values.toSeq)
   }
 
+  /** A `_last_checkpoint` pointer: version, plus `parts` when the
+    * checkpoint is split into NNN.checkpoint.MMM.PPP.parquet slices.
+    */
+  private final case class CheckpointRef(version: Long, parts: Option[Int])
+
   private def readLastCheckpoint(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[Long] = {
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[CheckpointRef] = {
     val p = new Path(dir, "_last_checkpoint")
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
-    Option(node.get("version")).map(_.asLong())
+    Option(node.get("version")).map(v => CheckpointRef(v.asLong(),
+      Option(node.get("parts")).map(_.asInt()).filter(_ > 0)))
   }
 }

@@ -156,10 +156,15 @@ object AsOfJoin {
     // size estimate is bytes-accurate); only an inconclusive estimate —
     // stats above threshold can be a selectivity overestimate — pays one
     // count job of the DIMENSION side. The fact side is untouched.
+    // conf.get returns the value as the user set it — possibly unit-suffixed
+    // ("10MB", "1g") — so parse with Spark's own byte-string parser;
+    // byteStringAsBytes rejects a leading '-', so the disable sentinel
+    // ("-1") strips its sign first (same split Spark's bytesConf applies).
     val threshold = right.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
-        case s if s.endsWith("b") || s.endsWith("B") => s.dropRight(1).toLong
-        case s => s.toLong
+        case s if s.startsWith("-") =>
+          -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.substring(1))
+        case s => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
       }
     if (threshold > 0) {
       val statBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -284,6 +284,101 @@ class DeltaReadSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L))
   }
 
+  test("time travel to a nonexistent or cleaned version fails loudly, never returns wrong data") {
+    val table = Files.createTempDirectory("graft_delta_tt").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val f2 = addFile(table, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"mtt","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}"""))
+    writeCommit(table, 1, Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":${fsize(table, f2)},"dataChange":true}}"""))
+    // beyond head: version 99 on a 2-version table must throw (was: silently
+    // the latest snapshot)
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(99L))
+    }
+    assert(e.getMessage.contains("time travel"), e.getMessage)
+    // in-range versions still resolve
+    assert(DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L)).count() == 1L)
+
+    // cleaned pre-checkpoint JSON: travel BELOW the checkpoint must fail
+    // (replay would be truncated), travel AT the checkpoint works
+    val logDir = Paths.get(table, "_delta_log")
+    val cp = spark.sql(
+      s"""SELECT named_struct('schemaString', '${d.schema.json}',
+         |  'partitionColumns', array()) AS metaData,
+         |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f1.parquet', 'partitionValues', map())
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f2.parquet', 'partitionValues', map())""".stripMargin)
+    val cpStage = Files.createTempDirectory("graft_delta_tt_cp").toString
+    cp.coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpFile = Files.list(Paths.get(cpStage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(cpFile, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":1,"size":3}""")
+    Files.delete(logDir.resolve(f"${0L}%020d.json")) // log cleanup
+    assert(DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(1L)).count() == 2L)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L))
+    }
+    assert(e2.getMessage.contains("time travel") || e2.getMessage.contains("cleaned"),
+      e2.getMessage)
+  }
+
+  test("multi-part checkpoint: _last_checkpoint parts field loads all slices") {
+    val table = Files.createTempDirectory("graft_delta_mp").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val f2 = addFile(table, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = addFile(table, "f3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    // part 1: the metaData; part 2: the two adds — no JSON for 0..1 at all
+    def cpSlice(sql: String, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft_delta_mp_cp").toString
+      spark.sql(sql).coalesce(1).write.mode("overwrite").parquet(stage)
+      val file = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(file, logDir.resolve(name))
+    }
+    cpSlice(
+      s"""SELECT named_struct('schemaString', '${d.schema.json}',
+         |  'partitionColumns', array()) AS metaData,
+         |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add""".stripMargin,
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    cpSlice(
+      s"""SELECT CAST(null AS STRUCT<schemaString: STRING, partitionColumns: ARRAY<STRING>>) AS metaData,
+         |  named_struct('path', 'f1.parquet',
+         |    'partitionValues', CAST(map() AS MAP<STRING, STRING>)) AS add
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f2.parquet',
+         |  'partitionValues', CAST(map() AS MAP<STRING, STRING>))""".stripMargin,
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":1,"size":3,"parts":2}""")
+    writeCommit(table, 2, Seq(
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":${fsize(table, f3)},"dataChange":true}}"""))
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming a partitioned table is refused — partition values exist only in the log") {
+    val table = Files.createTempDirectory("graft_delta_sp").toString
+    val full = Seq((1L, "g1")).toDF("id", "grp")
+    val f1 = addFile(table, "p1.parquet", Seq(Tuple1(1L)).toDF("id"))
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"msp","schemaString":"${schemaJson(full)}","partitionColumns":["grp"]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"grp":"g1"},"size":${fsize(table, f1)},"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readStreamAppendOnly(spark, table)
+    }
+    assert(e.getMessage.contains("unpartitioned"), e.getMessage)
+  }
+
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
     val notDelta = Files.createTempDirectory("graft_delta4").toString
     intercept[IllegalArgumentException] {

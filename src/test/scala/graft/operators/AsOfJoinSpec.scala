@@ -91,4 +91,22 @@ class AsOfJoinSpec extends SparkSpec {
       assert(!p.contains("BroadcastExchange"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("broadcast as-of: unit-suffixed broadcast thresholds parse (10MB, 1g, 100k, -1)") {
+    val l = graft.Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val r = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("rk"), col("ts").as("rts"), col("value").as("signup_value"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // "100k" (102400 bytes) is big enough for the tiny dim → broadcast
+      // path; "-1" disables the guard entirely; all must parse, not throw
+      for (t <- Seq("10MB", "1g", "100k", "-1")) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t)
+        val out = AsOfJoin.asOfJoinBroadcast(
+          l, r, "user_id", "rk", "ts", "rts", Seq("signup_value"))
+        assert(out.limit(1).collect().nonEmpty, s"threshold=$t")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
