@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaRead {
 
-  private final case class Meta(schemaJson: String, partitionCols: Seq[String])
+  private[io] final case class Meta(schemaJson: String, partitionCols: Seq[String])
 
   /** One live file: path (log-relative), partition values, and the
     * per-file size/mtime/stats the log carries (stats = the min/max JSON
@@ -201,7 +201,7 @@ object DeltaRead {
   /** Replay the log up to (and including) `versionAsOf` (default: head).
     * Returns the last metaData and the live file set.
     */
-  private def replayLog(spark: SparkSession, path: String,
+  private[io] def replayLog(spark: SparkSession, path: String,
       versionAsOf: Option[Long]): (Meta, Seq[LiveFile]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)

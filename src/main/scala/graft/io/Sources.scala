@@ -70,7 +70,10 @@ object Sources {
   def writeTableAs(df: DataFrame, path: String, mode: String, format: String): Unit = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
-    df.write.format(format).mode(mode).save(path)
+    // the reference's primary sink (client.py:146) — our own commit
+    // protocol, since no delta jars resolve in this environment
+    if (format == "delta") DeltaWrite.writeDeltaTable(df, path, mode)
+    else df.write.format(format).mode(mode).save(path)
   }
 
   /** Raw-text corpus ingest: one document per line, content-addressed ids

@@ -1,0 +1,164 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Write→read round trips of the single-writer Delta commit protocol:
+  * every table written by [[DeltaWrite]] must read back exactly through
+  * [[DeltaRead]] — replay, time travel, changesSince, pruning, skipping.
+  */
+class DeltaWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("overwrite then append round-trip: replay, time travel, changesSince, latestVersion") {
+    val table = tmp("graft_dw1")
+    val d0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v0 = DeltaWrite.writeDeltaTable(d0, table, "overwrite")
+    assert(v0 == 0L)
+    val d1 = Seq((3L, "c")).toDF("id", "v")
+    val v1 = DeltaWrite.writeDeltaTable(d1, table, "append")
+    assert(v1 == 1L)
+
+    val head = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(head.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val at0 = DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L))
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(at0.toSeq == Seq(1L, 2L))
+    val changes = DeltaRead.changesSince(spark, table, fromVersion = 0L)
+      .collect().map(_.getLong(0))
+    assert(changes.toSeq == Seq(3L))
+    assert(DeltaRead.latestVersion(spark, table) == 1L)
+  }
+
+  test("overwrite tombstones the previous live set; time travel still sees it") {
+    val table = tmp("graft_dw2")
+    DeltaWrite.writeDeltaTable(Seq((1L, "old")).toDF("id", "v"), table, "overwrite")
+    DeltaWrite.writeDeltaTable(Seq((2L, "new")).toDF("id", "v"), table, "overwrite")
+    val head = DeltaRead.readDeltaTable(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(head.toSeq == Seq((2L, "new")))
+    val at0 = DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(at0.toSeq == Seq((1L, "old")))
+  }
+
+  test("partitioned write: hive layout, values ride the log, pruning decodes one partition") {
+    val table = tmp("graft_dw3")
+    val d = Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("id", "day")
+    DeltaWrite.writeDeltaTable(d, table, "overwrite", partitionBy = Seq("day"))
+    val back = DeltaRead.readDeltaTable(spark, table)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02")))
+    val pruned = back.filter(col("day") === "2024-01-01")
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val scans = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(pruned.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }
+    assert(scans.sum == 1L, "partition pruning must decode only the matching partition")
+  }
+
+  test("footer stats skip whole files on the writer's own output") {
+    val table = tmp("graft_dw4")
+    // three appends → three files with disjoint id ranges
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), table, "overwrite")
+    DeltaWrite.writeDeltaTable(
+      Seq((10L, "c"), (20L, "d")).toDF("id", "v").coalesce(1), table, "append")
+    DeltaWrite.writeDeltaTable(
+      Seq((100L, "e")).toDF("id", "v").coalesce(1), table, "append")
+    val df = DeltaRead.readDeltaTable(spark, table).filter(col("id") < 5)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val files = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    assert(files == 1L, s"stats must prune the out-of-range files, read $files")
+  }
+
+  test("checkpoint bounds replay: pre-checkpoint JSON can be cleaned, reads stay exact") {
+    val table = tmp("graft_dw5")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), table, "append")
+    val cpV = DeltaWrite.checkpoint(spark, table)
+    assert(cpV == 1L)
+    DeltaWrite.writeDeltaTable(Seq((3L, "c")).toDF("id", "v"), table, "append")
+    // simulate log cleanup of everything the checkpoint covers
+    Files.delete(Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(table, "_delta_log", f"${1L}%020d.json"))
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+    // incremental consumers keep working past the checkpoint
+    assert(DeltaRead.changesSince(spark, table, 1L).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+  }
+
+  test("append with a different schema or partitioning is refused; bad modes are refused") {
+    val table = tmp("graft_dw6")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((1L, 2.0)).toDF("id", "x"), table, "append")
+    }
+    assert(e1.getMessage.contains("schema"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append",
+        partitionBy = Seq("v"))
+    }
+    assert(e2.getMessage.contains("partitioning"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "errorifexists")
+    }
+    // overwrite MAY change the schema
+    DeltaWrite.writeDeltaTable(Seq((1L, 2.0)).toDF("id", "x"), table, "overwrite")
+    assert(DeltaRead.readDeltaTable(spark, table).schema.fieldNames.toSeq == Seq("id", "x"))
+  }
+
+  test("single-writer guard: a concurrent commit at the same version fails loudly") {
+    val table = tmp("graft_dw7")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
+    // this writer computed version 1; another writer lands it first — the
+    // publish must fail, not clobber (drive the race window directly)
+    Files.writeString(Paths.get(table, "_delta_log", f"${1L}%020d.json"),
+      """{"commitInfo":{"operation":"WRITE"}}""")
+    val logDir = new org.apache.hadoop.fs.Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[java.util.ConcurrentModificationException] {
+      DeltaWrite.publishCommit(fs, logDir, 1L, Seq("""{"commitInfo":{}}"""))
+    }
+    // the losing commit leaves no tmp debris behind
+    val leftovers = Files.list(Paths.get(table, "_delta_log")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".tmp")).toSeq
+    assert(leftovers.isEmpty, leftovers.toString)
+  }
+
+  private implicit class IterWrap[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
+  }
+
+  test("Sources.writeTableAs(delta) + readTable auto-detection round-trips sf0.01 documents") {
+    val table = tmp("graft_dw8")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"), col("text"))
+    Sources.writeTableAs(docs, table, "overwrite", "delta")
+    val back = Sources.readTable(spark, table) // detects _delta_log
+    assert(back.count() == docs.count())
+    // exact content equality, not just counts
+    val diff = back.unionByName(docs).groupBy("doc_id", "source", "text")
+      .count().filter(col("count") =!= 2)
+    assert(diff.isEmpty, "write->read must be lossless")
+    // appends accumulate
+    Sources.writeTableAs(docs.limit(10), table, "append", "delta")
+    assert(Sources.readTable(spark, table).count() == docs.count() + 10)
+  }
+}
