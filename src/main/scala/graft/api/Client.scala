@@ -92,7 +92,8 @@ object Client {
         explode_outer(col("uploads.annotations")).as("a"))
         .select(col("global_key"), col("a.tool_type").as("tool_type"),
           col("a.name").as("name"), col("a.cell").as("cell"))
-        .filter(col("cell").isNotNull))
+        .filter(col("cell").isNotNull),
+      cfg.maskMethod)
 
     val accepted = BatchedSink.uploadDriverSide(
       deduped, to_json(col("uploads")), transport, batchSize)
@@ -161,7 +162,8 @@ object Client {
           df.select(UploadBuilder.globalKeyColumn(rc).as("global_key"),
               explode(filter(predCells, _.isNotNull)).as("a"))
             .select(col("global_key"), col("a.tool_type").as("tool_type"),
-              col("a.name").as("name"), col("a.cell").as("cell")))
+              col("a.name").as("name"), col("a.cell").as("cell")),
+          cfg.maskMethod)
       } else spark.emptyDataset(
         org.apache.spark.sql.Encoders.product[NdjsonKernel.AnnotationNdjson])
 

@@ -127,8 +127,20 @@ object NdjsonKernel {
     case other => throw new IllegalArgumentException(s"expected [x,y], got $other")
   }
 
-  /** Geometry JSON for one instance of `kind`. */
-  def geometryJson(kind: String, geom: Any): String = (kind, geom) match {
+  /** The reference's three mask input formats (client.py:49-52,
+    * uploader.py:65-68): "png" = the cell carries a png string; "url" = the
+    * cell carries an accessible URL (color required); "array" = the cell
+    * carries a raster (list of rows of pixel values — the numpy form;
+    * color required), which we encode to a real grayscale PNG via
+    * javax.imageio on the executor.
+    */
+  val MaskMethods: Set[String] = Set("png", "url", "array")
+
+  /** Geometry JSON for one instance of `kind`. `maskMethod` selects how a
+    * mask cell's first element is interpreted; non-mask kinds ignore it.
+    */
+  def geometryJson(kind: String, geom: Any, maskMethod: String = "png"): String =
+    (kind, geom) match {
     case ("bbox", List(l, t, w, h)) =>
       s"""{"bbox":{"left":${num(l)},"top":${num(t)},"width":${num(w)},"height":${num(h)}}}"""
     case ("polygon", pts: List[_]) =>
@@ -137,14 +149,57 @@ object NdjsonKernel {
       s"""{"line":[${pts.map(pointJson).mkString(",")}]}"""
     case ("point", List(x, y)) =>
       s"""{"point":{"x":${num(x)},"y":${num(y)}}}"""
-    case ("mask", List(png: String, color)) => color match {
-      case List(r, g, b) =>
-        s"""{"mask":{"png":${jsonStr(png)},"colorRGB":[${num(r)},${num(g)},${num(b)}]}}"""
-      case _ => // fixture encodes "no color" as the string 'null'
-        s"""{"mask":{"png":${jsonStr(png)}}}"""
-    }
+    case ("mask", List(payload, color)) =>
+      require(MaskMethods.contains(maskMethod),
+        s"mask_method must be one of ${MaskMethods.mkString(", ")}, got $maskMethod")
+      def colorJson: Option[String] = color match {
+        case List(r, g, b) => Some(s"""[${num(r)},${num(g)},${num(b)}]""")
+        case _ => None // fixture encodes "no color" as the string 'null'
+      }
+      (maskMethod, payload) match {
+        case ("png", png: String) =>
+          val c = colorJson.map(c => s""","colorRGB":$c""").getOrElse("")
+          s"""{"mask":{"png":${jsonStr(png)}$c}}"""
+        case ("url", url: String) =>
+          val c = colorJson.getOrElse(throw new IllegalArgumentException(
+            "mask_method=url requires a [r,g,b] color"))
+          s"""{"mask":{"instanceURI":${jsonStr(url)},"colorRGB":$c}}"""
+        case ("array", rows: List[_]) =>
+          val c = colorJson.getOrElse(throw new IllegalArgumentException(
+            "mask_method=array requires a [r,g,b] color"))
+          s"""{"mask":{"png":${jsonStr(pngFromArray(rows))},"colorRGB":$c}}"""
+        case (m, p) => throw new IllegalArgumentException(
+          s"mask_method=$m cannot interpret a ${p.getClass.getSimpleName} mask cell")
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported geometry for $other")
+  }
+
+  /** Raster rows (list of rows of integral pixel values, the numpy-array
+    * mask form) → base64 of a real grayscale PNG. Deterministic: pixel
+    * values clamp to [0, 255]; every row must share the first row's width.
+    */
+  def pngFromArray(rows: List[_]): String = {
+    require(rows.nonEmpty, "array mask must have at least one row")
+    val grid = rows.map {
+      case r: List[_] => r.map(v => num(v).toDouble.toInt)
+      case other => throw new IllegalArgumentException(
+        s"array mask rows must be lists, got $other")
+    }
+    val w = grid.head.length
+    require(w > 0 && grid.forall(_.length == w),
+      s"array mask rows must be non-empty and rectangular (width $w)")
+    val img = new java.awt.image.BufferedImage(
+      w, grid.length, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    grid.zipWithIndex.foreach { case (row, y) =>
+      row.zipWithIndex.foreach { case (v, x) =>
+        raster.setSample(x, y, 0, math.max(0, math.min(255, v)))
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
   }
 
   /** "q///a" (or "branch///subq///suba" chains) → SubClassification. */
@@ -158,13 +213,13 @@ object NdjsonKernel {
 
   /** Parse one annotation cell into its ndjson records. */
   def cellToNdjsons(globalKey: String, kind: String, name: String,
-      cell: String): Seq[AnnotationNdjson] = {
+      cell: String, maskMethod: String = "png"): Seq[AnnotationNdjson] = {
     if (cell == null || cell.isEmpty) return Seq.empty
     if (GeometryKinds.contains(kind)) {
       parsePyLiteral(cell) match {
         case instances: List[_] => instances.map {
           case List(geom, nested: List[_]) =>
-            AnnotationNdjson(globalKey, name, kind, geometryJson(kind, geom),
+            AnnotationNdjson(globalKey, name, kind, geometryJson(kind, geom, maskMethod),
               nested.map(n => parseNested(n.toString)))
           case other => throw new IllegalArgumentException(
             s"expected [geometry, [nested...]], got $other")
@@ -215,7 +270,10 @@ object NdjsonKernel {
     * records. Input needs columns (global_key, tool_type, name, cell) — the
     * shape UploadBuilder.annotationCells produces.
     */
-  def explodeAnnotations(df: DataFrame)(implicit spark: SparkSession): Dataset[AnnotationNdjson] = {
+  def explodeAnnotations(df: DataFrame, maskMethod: String = "png")(
+      implicit spark: SparkSession): Dataset[AnnotationNdjson] = {
+    require(MaskMethods.contains(maskMethod),
+      s"mask_method must be one of ${MaskMethods.mkString(", ")}, got $maskMethod")
     import spark.implicits._
     df.select(
         col("global_key").cast("string"),
@@ -223,6 +281,7 @@ object NdjsonKernel {
         col("name").cast("string"),
         col("cell").cast("string"))
       .as[(String, String, String, String)]
-      .flatMap { case (gk, kind, name, cell) => cellToNdjsons(gk, kind, name, cell) }
+      .flatMap { case (gk, kind, name, cell) =>
+        cellToNdjsons(gk, kind, name, cell, maskMethod) }
   }
 }

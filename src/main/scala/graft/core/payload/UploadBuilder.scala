@@ -28,7 +28,9 @@ object UploadBuilder {
       /** metadata display name → schema id (the reference fetches this map
         * from the API at uploader.py:154-155; callers supply it here). */
       metadataSchemaIds: Map[String, String] = Map.empty,
-      divider: String = ColumnSpec.DefaultDivider)
+      divider: String = ColumnSpec.DefaultDivider,
+      /** Mask cell format (client.py:49-52): png | url | array. */
+      maskMethod: String = "png")
 
   /** Resolved global-key column (defaulting contract: global_key ←
     * row_data, client.py:227-235).

@@ -73,6 +73,50 @@ class FixtureSpec extends SparkSpec {
     assert(nd.exists(_.classifications.nonEmpty))
   }
 
+  test("mask methods: png passes through, url emits instanceURI, array encodes a real PNG") {
+    import graft.core.payload.NdjsonKernel
+    // png: the cell carries the png string (the existing fixture form)
+    val png = NdjsonKernel.cellToNdjsons("gk1", "mask", "seg",
+      "[[['iVBORw0KGgo=', [255, 0, 0]], []]]", maskMethod = "png")
+    assert(png.map(_.geometry) ==
+      Seq("""{"mask":{"png":"iVBORw0KGgo=","colorRGB":[255,0,0]}}"""))
+    // url: the same cell shape, first element read as an accessible URL
+    val url = NdjsonKernel.cellToNdjsons("gk1", "mask", "seg",
+      "[[['https://x.test/m.png', [0, 255, 0]], []]]", maskMethod = "url")
+    assert(url.map(_.geometry) ==
+      Seq("""{"mask":{"instanceURI":"https://x.test/m.png","colorRGB":[0,255,0]}}"""))
+    // array: a raster → a REAL grayscale png (decode it back and check
+    // dimensions + pixels round-trip)
+    val arr = NdjsonKernel.cellToNdjsons("gk1", "mask", "seg",
+      "[[[[[0, 255, 0], [255, 0, 255]], [0, 0, 255]], []]]", maskMethod = "array")
+    assert(arr.size == 1)
+    val geomJson = arr.head.geometry
+    assert(geomJson.contains(""""colorRGB":[0,0,255]"""), geomJson)
+    val b64 = geomJson.split("\"png\":\"")(1).split("\"")(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    assert(img.getRaster.getSample(0, 0, 0) == 0)
+    assert(img.getRaster.getSample(1, 0, 0) == 255)
+    assert(img.getRaster.getSample(2, 1, 0) == 255)
+    // url/array require a color; unknown methods are rejected
+    intercept[IllegalArgumentException] {
+      NdjsonKernel.cellToNdjsons("gk", "mask", "seg",
+        "[[['https://x.test/m.png', 'null'], []]]", maskMethod = "url")
+    }
+    intercept[IllegalArgumentException] {
+      NdjsonKernel.cellToNdjsons("gk", "mask", "seg",
+        "[[['x', [1,2,3]], []]]", maskMethod = "nope")
+    }
+    // the distributed kernel honors the method end-to-end
+    import spark.implicits._
+    implicit val s = spark
+    val df = Seq(("gk9", "mask", "seg", "[[['https://y.test/m.png', [9, 9, 9]], []]]"))
+      .toDF("global_key", "tool_type", "name", "cell")
+    val out = NdjsonKernel.explodeAnnotations(df, maskMethod = "url").collect()
+    assert(out.head.geometry.contains("instanceURI"), out.head.geometry)
+  }
+
   test("full-import.csv — the whole payload builder at once (full-demo.ipynb flow)") {
     val (payloads, res) = runImport("full-import.csv")
     assert(res.accepted == 3L)
