@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real — schema, partition-preserving batch
   * shape, codegen'd metadata expressions. IMAGE dimension decode is real
-  * (JDK ImageIO header parse: PNG/BMP/GIF/JPEG, zero added deps);
-  * audio/video decode is STUBBED (deterministic fake: no demuxer libraries
-  * in this environment) behind the same `mapPartitions` seam a real
-  * decoder slots into. At 100 TB the decode stage is embarrassingly
-  * parallel and partition-local: no shuffle enters or leaves it.
+  * (JDK ImageIO header parse: PNG/BMP/GIF/JPEG) and AUDIO header decode is
+  * real (javax.sound.sampled: WAV/AIFF/AU sample rate, channels, bit
+  * depth, frame count — zero added deps); video and compressed-audio
+  * decode is STUBBED (deterministic fake: no demuxer libraries in this
+  * environment) behind the same `mapPartitions` seam a real decoder slots
+  * into. At 100 TB the decode stage is embarrassingly parallel and
+  * partition-local: no shuffle enters or leaves it.
   */
 object Multimodal {
 
@@ -110,6 +112,60 @@ object Multimodal {
           n_frames = if (r.kind == "video") 1 + (n % 300).toInt else 1,
           fingerprint = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
+  /** REAL audio-header decode via the JDK's javax.sound.sampled (WAV,
+    * AIFF, AU — the standard providers, zero added dependencies).
+    * Header-only like [[imageDims]]: `AudioSystem.getAudioFileFormat`
+    * parses the container header without decoding samples. Returns
+    * (sampleRateHz, channels, bitsPerSample, frameLength, containerType),
+    * or None when no installed provider recognizes the bytes.
+    */
+  private[ext] def audioInfo(bytes: Array[Byte])
+      : Option[(Float, Int, Int, Long, String)] = {
+    if (bytes.isEmpty) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((f.getSampleRate, f.getChannels, f.getSampleSizeInBits,
+        aff.getFrameLength.toLong, aff.getType.toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded audio features. `duration_sec` is frames / sample-rate; -1
+    * when the container does not declare a frame count.
+    */
+  final case class AudioFeatures(
+      media_id: Long, n_bytes: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_frames: Long, duration_sec: Double, codec: String)
+
+  /** Partition-local audio decode stage — REAL for WAV/AIFF/AU headers
+    * (javax.sound.sampled), deterministic stub arithmetic for containers
+    * the JDK cannot demux (mp3/ogg/flac need codec libraries this
+    * environment does not ship; a real build replaces only the fallback
+    * branch). Same batch shape as [[decodeStub]]: one iterator per
+    * partition, no shuffle in or out.
+    */
+  def decodeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.content
+        audioInfo(bytes) match {
+          case Some((rate, ch, bits, frames, codec)) =>
+            AudioFeatures(r.media_id, bytes.length.toLong, rate.toInt, ch, bits,
+              frames, if (frames >= 0 && rate > 0) frames / rate.toDouble else -1.0,
+              codec)
+          case None =>
+            val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+            AudioFeatures(r.media_id, bytes.length.toLong,
+              sample_rate = 8000 + (head % 8) * 4000, channels = 1 + head % 2,
+              bits_per_sample = 16, n_frames = bytes.length.toLong,
+              duration_sec = -1.0, codec = "stub")
+        }
       }
     }
   }

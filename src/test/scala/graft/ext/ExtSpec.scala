@@ -467,6 +467,41 @@ class ExtSpec extends SparkSpec {
     assert(feats(2).width >= 16 && feats(2).height >= 16)
   }
 
+  test("multimodal: real WAV and AIFF bytes decode to true sample-rate/channels/duration") {
+    import spark.implicits._
+    // render real audio fixtures with the JDK's own writers
+    def audioBytes(fileType: javax.sound.sampled.AudioFileFormat.Type,
+        rateHz: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true,
+        fileType == javax.sound.sampled.AudioFileFormat.Type.AIFF) // AIFF is big-endian
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      var i = 0
+      while (i < pcm.length) { pcm(i) = ((i * 37) & 0xff).toByte; i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, fileType, bos)
+      bos.toByteArray
+    }
+    val wav = audioBytes(javax.sound.sampled.AudioFileFormat.Type.WAVE, 8000f, 1, 4000)
+    val aiff = audioBytes(javax.sound.sampled.AudioFileFormat.Type.AIFF, 44100f, 2, 22050)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, Map("codec" -> "wav")),
+      Multimodal.MediaRow(2L, "audio", aiff, Map("codec" -> "aiff")),
+      Multimodal.MediaRow(3L, "audio", "not audio at all".getBytes("UTF-8"), Map())
+    ).toDS()
+    val feats = Multimodal.decodeAudio(media)(spark).orderBy("media_id").collect()
+    assert(feats(0).sample_rate == 8000 && feats(0).channels == 1)
+    assert(feats(0).bits_per_sample == 16 && feats(0).n_frames == 4000L)
+    assert(math.abs(feats(0).duration_sec - 0.5) < 1e-9)
+    assert(feats(0).codec == "WAVE", feats(0).codec)
+    assert(feats(1).sample_rate == 44100 && feats(1).channels == 2)
+    assert(math.abs(feats(1).duration_sec - 0.5) < 1e-9)
+    assert(feats(1).codec == "AIFF", feats(1).codec)
+    // unrecognized bytes fall back to the deterministic stub, never throw
+    assert(feats(2).codec == "stub" && feats(2).duration_sec == -1.0)
+  }
+
   test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
