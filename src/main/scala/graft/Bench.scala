@@ -42,6 +42,18 @@ object Bench {
     "b45_embedding_banded" -> ((s, dir) =>
       graft.ext.Similarity.nearDupPairsBanded(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.8, dim = 64)),
+    // broadcast as-of against a DEEP per-key rate table (every event is a
+    // rate row → ~hundreds of rates per user): exercises the binary-search
+    // pick, which replaced the O(m)-per-fact-row filter+element_at walk
+    "b46_asof_deep_rates" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val facts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val rates = ev.select(col("user_id").as("rk"), col("ts").as("rts"),
+        col("value").as("rate_value"))
+        .groupBy(col("rk"), col("rts")).agg(max(col("rate_value")).as("rate_value"))
+      graft.operators.AsOfJoin.asOfJoinBroadcast(
+        facts, rates, "user_id", "rk", "ts", "rts", Seq("rate_value"))
+    }),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

@@ -185,8 +185,14 @@ object AsOfJoin {
         struct(rightPayload.map(c => col(s"`$c`")): _*).as("__p")))).as("__arr"))
 
     val lts = col(s"`$leftTs`").cast("timestamp")
-    val eligible = filter(col("__arr"), x => x.getField("__t") <= lts)
-    val matched = when(size(eligible) > 0, element_at(eligible, size(eligible)))
+    // The packed array is sorted by (__t, __p), so the match is a BINARY
+    // SEARCH (graft_asof_pick): O(log m) per fact row, no filtered-copy
+    // allocation — the composed filter+element_at form walked all m
+    // entries per row (advisor-flagged on deep rate keys).
+    val matched = org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.AsOfPick(
+        org.apache.spark.sql.GraftSqlShims.expression(col("__arr")),
+        org.apache.spark.sql.GraftSqlShims.expression(lts)))
 
     left.join(broadcast(packed), col(s"`$leftKey`") === col("__rk"), "left_outer")
       .withColumn("__m", matched)

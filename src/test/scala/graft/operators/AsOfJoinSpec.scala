@@ -92,6 +92,37 @@ class AsOfJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("broadcast as-of: binary-search pick equals the shuffled join on a deep rates table") {
+    import spark.implicits._
+    // 5 keys x 1000 rates each (deep per key), facts probing before the
+    // first rate (null match), exactly ON rate timestamps (<= must match),
+    // between rates, and after the last
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val rates = (0 until 5).flatMap { k =>
+      (0 until 1000).map(i =>
+        (k.toLong, new java.sql.Timestamp(base + i * 60000L), k * 10000 + i))
+    }.toDF("rk", "rts", "rate")
+    val facts = (0 until 5).flatMap { k =>
+      Seq(
+        (k.toLong * 10 + 1, k.toLong, new java.sql.Timestamp(base - 1000L)), // before all
+        (k.toLong * 10 + 2, k.toLong, new java.sql.Timestamp(base + 17 * 60000L)), // exact hit
+        (k.toLong * 10 + 3, k.toLong, new java.sql.Timestamp(base + 17 * 60000L + 30000L)), // between
+        (k.toLong * 10 + 4, k.toLong, new java.sql.Timestamp(base + 10000 * 60000L))) // after all
+    }.toDF("fact_id", "key", "ts")
+    val expect = AsOfJoin.asOfJoin(facts, rates, "key", "rk", "ts", "rts", Seq("rate"))
+      .orderBy("fact_id").collect().map(r => (r.getLong(0), Option(r.get(3))))
+    val got = AsOfJoin.asOfJoinBroadcast(facts, rates, "key", "rk", "ts", "rts", Seq("rate"))
+      .orderBy("fact_id").collect().map(r => (r.getLong(0), Option(r.get(3))))
+    assert(got.toSeq == expect.toSeq)
+    // spot-check the semantics directly: exact hit carries rate i=17,
+    // between carries 17 too, before-all is null, after-all is the last
+    val byId = got.toMap
+    assert(byId(1L).isEmpty)
+    assert(byId(2L).contains(17))
+    assert(byId(3L).contains(17))
+    assert(byId(4L).contains(999))
+  }
+
   test("broadcast as-of: unit-suffixed broadcast thresholds parse (10MB, 1g, 100k, -1)") {
     val l = graft.Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
     val r = graft.Tables.events(spark, sf)
