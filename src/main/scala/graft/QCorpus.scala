@@ -377,23 +377,52 @@ object QCorpus {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q73
-  /** Equi-depth (quantile) binning: ntile(10) over the event values —
+  /** Equi-depth (quantile) binning: exact ntile(10) over the event values —
     * feature discretization where every bin holds the same row count.
-    * The ntile runs on a single total order (value, event_id tiebreak =
-    * deterministic frames both engines); per-bin stats are the one
-    * aggregate after it. For 100 TB you'd swap the global ntile for
-    * approx-quantile cut points + a codegen'd bin lookup (the q49 shape);
-    * this is the exact-rank variant both engines can agree on bit-for-bit.
+    *
+    * DISTRIBUTED exact ranks, no single-partition window: range-partition on
+    * the total order (value, event_id tiebreak — no ties), sort WITHIN each
+    * partition, read the partition-local rank off
+    * `monotonically_increasing_id` (partition id in the high 31 bits, local
+    * row position in the low 33), then lift local→global rank with the
+    * per-partition row counts (≤ shuffle.partitions rows, broadcast back).
+    * The ntile bucket is then a closed form over (rank, N): the first N%10
+    * buckets hold ceil(N/10) rows, the rest floor(N/10) — bit-identical to
+    * the oracle's ntile, but every stage is parallel. `localCheckpoint`
+    * freezes the sampled range boundaries + ids so the counts job and the
+    * main job see the same partitioning.
     */
   def q73EquidepthBins(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    events(s, d)
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = events(s, d)
       .select(col("event_id"), col("value"),
         // mean from exact integer cents: a double avg at the 4th decimal
         // can land ON the rounding boundary and split across engines
         round(col("value") * 100, 0).cast("long").as("cents"))
-      .withColumn("bin",
-        ntile(10).over(Window.orderBy(col("value"), col("event_id"))).cast("long"))
+      .repartitionByRange(p, col("value"), col("event_id"))
+      .sortWithinPartitions(col("value"), col("event_id"))
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid")).count()
+      .orderBy("__pid").collect()
+    val total = counts.map(_.getLong(1)).sum
+    val offsets = counts
+      .scanLeft((-1L, 0L, 0L)) { case ((_, off, cnt), row) =>
+        (row.getLong(0), off + cnt, row.getLong(1))
+      }
+      .tail.map { case (pid, off, _) => s"WHEN $pid THEN ${off}L" }
+    val nBins = 10L
+    val q = total / nBins // rows per small bin; big bins (first N%10) get q+1
+    val r = total % nBins
+    val rank = expr(s"CASE shiftright(__mid, 33) ${offsets.mkString(" ")} END") +
+      (col("__mid").bitwiseAND(lit((1L << 33) - 1))) + lit(1L)
+    val bin = expr(
+      s"""CASE WHEN __rank <= ${(q + 1) * r}L THEN 1L + (__rank - 1L) div ${q + 1}L
+         |ELSE ${r + 1}L + (__rank - ${r * (q + 1) + 1}L) div ${math.max(q, 1L)}L END""".stripMargin)
+    sorted
+      .withColumn("__rank", rank)
+      .withColumn("bin", bin)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         round(min(col("value")), 6).as("lo"),

@@ -220,4 +220,14 @@ class PlanRegressionSpec extends SparkSpec {
     // orderBy; the groupBy reuses the window's partitioning-compatible data
     assert(count(p, "Exchange") <= 3, p)
   }
+
+  test("q73: exact equi-depth ranks stay distributed — no global window, no single partition") {
+    val p = plan("q73_equidepth_bins")
+    // the old ntile-over-everything plan was `Exchange SinglePartition` +
+    // `Window`; the rank now comes off the checkpointed range partitioning
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // groupBy(bin) + final orderBy only — the ranking itself adds no shuffle
+    assert(count(p, "Exchange") <= 2, p)
+  }
 }
