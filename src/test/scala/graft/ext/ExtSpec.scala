@@ -502,6 +502,57 @@ class ExtSpec extends SparkSpec {
     assert(feats(2).codec == "stub" && feats(2).duration_sec == -1.0)
   }
 
+  test("multimodal: real MP4 container bytes decode to true brand/dims/frames/duration") {
+    import spark.implicits._
+    // build a real ISO-BMFF tree by hand: length-prefixed boxes, exactly
+    // the layout an MP4 muxer writes (no JDK muxer exists to render one)
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tpe.getBytes("ISO-8859-1")).put(body)
+      bb.array()
+    }
+    def u32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def fix1616(v: Int): Array[Byte] = u32(v.toLong << 16)
+    val mvhd = box("mvhd", new Array[Byte](4), // version 0 + flags
+      u32(0), u32(0), u32(600), u32(3000), // created, modified, timescale, duration (5 s)
+      new Array[Byte](80)) // rate..next_track_id — irrelevant here
+    val tkhd = box("tkhd", new Array[Byte](4),
+      u32(0), u32(0), u32(1), u32(0), u32(3000), // created, modified, id, rsvd, duration
+      new Array[Byte](52), // reserved, layer, alt group, volume, rsvd, matrix
+      fix1616(640), fix1616(360))
+    val hdlr = box("hdlr", new Array[Byte](8), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](12))
+    val stsz = box("stsz", new Array[Byte](4), u32(0), u32(150)) // 150 samples
+    val stbl = box("stbl", stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), u32(512),
+      "isomavc1".getBytes("ISO-8859-1"))
+    val mdat = box("mdat", new Array[Byte](64))
+    val mp4 = ftyp ++ moov ++ mdat
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mp4, Map("container" -> "mp4")),
+      Multimodal.MediaRow(2L, "video", "not a video".getBytes("UTF-8"), Map())
+    ).toDS()
+    val feats = Multimodal.decodeVideo(media)(spark).orderBy("media_id").collect()
+    assert(feats(0).brand == "isom", feats(0).brand)
+    assert(feats(0).width == 640 && feats(0).height == 360, feats(0))
+    assert(feats(0).n_frames == 150L, feats(0))
+    assert(math.abs(feats(0).duration_sec - 5.0) < 1e-9, feats(0))
+    assert(math.abs(feats(0).fps - 30.0) < 1e-9, feats(0))
+    // unrecognized bytes fall back to the deterministic stub, never throw
+    assert(feats(1).brand == "stub" && feats(1).duration_sec == -1.0)
+    // the generic decode stage picks up the same real facts for video kind
+    val generic = Multimodal.decodeStub(media)(spark).orderBy("media_id").collect()
+    assert(generic(0).width == 640 && generic(0).height == 360, generic(0))
+    assert(generic(0).n_frames == 150, generic(0))
+  }
+
   test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
