@@ -602,7 +602,44 @@ object QPipelineExt {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** Delta write→read round trip under the correctness gate (S7): two
+    * appends into a fresh Delta table (orderkey%3 split) with a checkpoint
+    * between them, then the aggregate runs over the LOG-REPLAYED read and
+    * the v0 row count over a TIME-TRAVEL read — commit protocol,
+    * checkpoint replay, and version pinning all sit in the hashed data
+    * path. The oracle computes the same numbers straight from the source
+    * parquet, so any row lost, duplicated, or mistyped by the writer or
+    * reader breaks the hash. Money stays in integer cents end-to-end (the
+    * q69/q73 convention).
+    */
+  def q94DeltaRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q94_").toFile,
+      "orders_delta").getAbsolutePath
+    val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      src.filter(col("o_orderkey") % 3 === 0), path, "append")
+    graft.io.DeltaWrite.checkpoint(s, path)
+    graft.io.DeltaWrite.writeDeltaTable(
+      src.filter(col("o_orderkey") % 3 =!= 0), path, "append")
+    val v0 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
+      .agg(count(lit(1)).as("v0_rows"))
+    graft.io.DeltaRead.readDeltaTable(s, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(v0))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q94Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS v0_rows
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_delta_roundtrip"   -> (q94DeltaRoundtrip _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q32_source_sketch"     -> (q32SourceSketch _),
     "q33_asof_join"         -> (q33AsofJoin _),
@@ -625,6 +662,7 @@ object QPipelineExt {
     "q30_event_window_agg" -> (q30EventWindowAgg _))
 
   val sql: Map[String, String] = Map(
+    "q94_delta_roundtrip"   -> q94Sql,
     "q31_embedding_neardup" -> q31Sql,
     "q32_source_sketch"     -> q32Sql,
     "q33_asof_join"         -> q33Sql,
