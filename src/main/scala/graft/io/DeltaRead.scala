@@ -162,11 +162,18 @@ object DeltaRead {
         finally in.close()
       content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("add")) {
+        // dataChange=false actions (OPTIMIZE/compaction rewrites) move rows
+        // between files without changing them — transparent to incremental
+        // readers: their adds carry no new data, their removes break no
+        // exactness. Missing dataChange defaults to true per the spec.
+        def dataChange(a: com.fasterxml.jackson.databind.JsonNode): Boolean =
+          Option(a.get("dataChange")).forall(_.asBoolean(true))
+        if (node.has("add") && dataChange(node.get("add"))) {
           val f = parseAdd(node.get("add"))
           adds.put(f.path, f)
         }
-        if (node.has("remove")) removes += node.get("remove").get("path").asText()
+        if (node.has("remove") && dataChange(node.get("remove")))
+          removes += node.get("remove").get("path").asText()
       }
     }
     (adds.values.toSeq, removes.toSeq)
@@ -187,15 +194,22 @@ object DeltaRead {
       stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty))
   }
 
-  /** Latest version number in the log (`-1` if the directory is empty). */
+  /** Latest version number in the log (`-1` if the directory is empty).
+    * The checkpoint version counts too: once log cleanup has dropped every
+    * pre-checkpoint JSON, the checkpoint may be the only record of the
+    * head — a writer ignoring it would re-issue version 0 and corrupt the
+    * table.
+    */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "_delta_log")
     if (!fs.exists(dir)) return -1L
-    fs.listStatus(dir).iterator.map(_.getPath.getName)
+    val fromJson = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
         n.dropRight(5).toLong }
       .foldLeft(-1L)(math.max)
+    math.max(fromJson,
+      readLastCheckpoint(spark, fs, dir).map(_.version).getOrElse(-1L))
   }
 
   /** Replay the log up to (and including) `versionAsOf` (default: head).
@@ -307,9 +321,9 @@ object DeltaRead {
   /** A `_last_checkpoint` pointer: version, plus `parts` when the
     * checkpoint is split into NNN.checkpoint.MMM.PPP.parquet slices.
     */
-  private final case class CheckpointRef(version: Long, parts: Option[Int])
+  private[io] final case class CheckpointRef(version: Long, parts: Option[Int])
 
-  private def readLastCheckpoint(spark: SparkSession,
+  private[io] def readLastCheckpoint(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[CheckpointRef] = {
     val p = new Path(dir, "_last_checkpoint")
     if (!fs.exists(p)) return None

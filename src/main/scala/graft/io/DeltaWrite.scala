@@ -51,8 +51,22 @@ object DeltaWrite {
   /** Write `df` to the Delta table at `path`. `mode` ∈ {append, overwrite}
     * (the reference's validated surface). Returns the committed version.
     */
+  /** Write `df` to the Delta table at `path` with an idempotence token:
+    * the commit carries a `txn` action `{appId, version}` (the public
+    * protocol's application-transaction marker), and [[lastTxnVersion]]
+    * reads the high-water mark back — the exactly-once handshake
+    * streaming sinks use to skip replayed epochs.
+    */
   def writeDeltaTable(df: DataFrame, path: String, mode: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String], txn: Option[(String, Long)]): Long =
+    writeDeltaTableImpl(df, path, mode, partitionBy, txn)
+
+  def writeDeltaTable(df: DataFrame, path: String, mode: String,
+      partitionBy: Seq[String] = Nil): Long =
+    writeDeltaTableImpl(df, path, mode, partitionBy, None)
+
+  private def writeDeltaTableImpl(df: DataFrame, path: String, mode: String,
+      partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
     val spark = df.sparkSession
@@ -114,6 +128,9 @@ object DeltaWrite {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${js(mode)}},"engineInfo":"graft"}}"""
     if (version == 0L)
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    txn.foreach { case (appId, txnVersion) =>
+      lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
+    }
     val schemaChanged = existing.forall { case (meta, _) =>
       !DataType.equalsStructurally(df.schema,
         DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], ignoreNullability = true) ||
@@ -169,12 +186,18 @@ object DeltaWrite {
     require(version >= 0, s"$path has no commits to checkpoint")
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
+    // txn high-water marks must survive the checkpoint: once a later
+    // cleanup drops pre-checkpoint JSON commits, these rows are the only
+    // record the idempotent streaming sink can consult (spec: checkpoints
+    // carry txn actions)
+    val txns = txnVersions(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val logDir = new Path(new Path(path), "_delta_log")
     val fs = logDir.getFileSystem(conf)
 
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    val txnType = "struct<appId:string,version:bigint,lastUpdated:bigint>"
     val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
       f.size, f.modificationTime, f.stats.orNull))
     val addsDf = addRows.toDF()
@@ -184,14 +207,25 @@ object DeltaWrite {
         "struct<id:string,schemaString:string,partitionColumns:array<string>>"))
       .withColumn("protocol", lit(null).cast(
         "struct<minReaderVersion:int,minWriterVersion:int>"))
+      .withColumn("txn", lit(null).cast(txnType))
     val metaDf = Seq(1).toDF("__one")
       .select(
         lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
         struct(lit(UUID.randomUUID().toString).as("id"),
           lit(meta.schemaJson).as("schemaString"),
           typedlit(meta.partitionCols).as("partitionColumns")).as("metaData"),
-        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"))
-    val cpDf = metaDf.unionByName(addsDf.select(col("add"), col("metaData"), col("protocol")))
+        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+        lit(null).cast(txnType).as("txn"))
+    val txnDf = txns.toSeq.toDF("__a", "__v")
+      .select(
+        lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
+        lit(null).cast("struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
+        lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        struct(col("__a").as("appId"), col("__v").as("version"),
+          lit(0L).as("lastUpdated")).as("txn"))
+    val cpDf = metaDf
+      .unionByName(txnDf)
+      .unionByName(addsDf.select(col("add"), col("metaData"), col("protocol"), col("txn")))
 
     val staging = new Path(new Path(path), s".cp-staging-${UUID.randomUUID()}")
     cpDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
@@ -203,11 +237,170 @@ object DeltaWrite {
     val lc = new Path(logDir, "_last_checkpoint")
     val tmp = new Path(logDir, s".tmp-lc-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"version":$version,"size":${live.size + 2}}""".getBytes("UTF-8"))
+    try out.write(s"""{"version":$version,"size":${live.size + 2 + txns.size}}""".getBytes("UTF-8"))
     finally out.close()
     fs.delete(lc, false)
     require(fs.rename(tmp, lc), s"failed to update $lc")
     version
+  }
+
+  /** Highest committed `txn` version per appId — checkpoint `txn` rows
+    * (the only record once log cleanup drops pre-checkpoint JSONs) merged
+    * with every JSON commit after the checkpoint. Empty map for a fresh
+    * path. Cost: driver-side, O(log tail), never O(rows).
+    */
+  private[io] def txnVersions(spark: SparkSession, path: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val dir = new Path(root, "_delta_log")
+    if (!fs.exists(dir)) return Map.empty
+    val acc = scala.collection.mutable.Map[String, Long]()
+    def bump(appId: String, v: Long): Unit =
+      acc(appId) = math.max(acc.getOrElse(appId, Long.MinValue), v)
+    val lastCp = DeltaRead.readLastCheckpoint(spark, fs, dir)
+    lastCp.foreach { cpRef =>
+      val cpPaths = cpRef.parts match {
+        case Some(n) => (1 to n).map(i => new Path(dir,
+          f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+        case None =>
+          Seq(new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet").toString)
+      }
+      val cp = spark.read.parquet(cpPaths: _*)
+      if (cp.columns.contains("txn"))
+        cp.select(col("txn")).filter(col("txn.appId").isNotNull).collect()
+          .foreach { r =>
+            val t = r.getStruct(0)
+            bump(t.getString(t.fieldIndex("appId")), t.getLong(t.fieldIndex("version")))
+          }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(dir).iterator.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) &&
+          lastCp.forall(n.dropRight(5).toLong > _.version)
+      }
+      .toSeq.sortBy(_.getName)
+      .foreach { p =>
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.linesIterator.filter(_.contains("\"txn\"")).foreach { line =>
+          val t = mapper.readTree(line).get("txn")
+          if (t != null && t.get("appId") != null)
+            bump(t.get("appId").asText(), t.get("version").asLong())
+        }
+      }
+    acc.toMap
+  }
+
+  /** The high-water `txn` version committed for `appId`, -1 when none —
+    * the read half of the exactly-once streaming handshake: a sink whose
+    * epoch id is <= this has already committed and must skip the replay.
+    */
+  def lastTxnVersion(spark: SparkSession, path: String, appId: String): Long =
+    txnVersions(spark, path).getOrElse(appId, -1L)
+
+  /** OPTIMIZE: bin-pack each partition's small live files (< `targetBytes`)
+    * into ~`targetBytes` outputs and commit the swap as remove+add with
+    * `dataChange=false` — readers see identical rows before and after, and
+    * streams tailing the log know no data changed. Only partitions holding
+    * at least `minFiles` small files rewrite; returns the committed
+    * version, or -1 when nothing qualified.
+    *
+    * Scale: each partition's rewrite is one distributed coalesce job over
+    * just its small files (never the whole table); the log work is
+    * O(files touched). Time travel to pre-OPTIMIZE versions still works —
+    * the old files stay on disk until [[vacuum]] passes their retention.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2): Long = {
+    require(targetBytes > 0 && minFiles >= 2,
+      s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
+    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    val groups = live.groupBy(_.partitionValues)
+      .map { case (pv, files) => (pv, files.filter(_.size < targetBytes)) }
+      .filter(_._2.size >= minFiles)
+    if (groups.isEmpty) return -1L
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
+
+    groups.foreach { case (pv, smalls) =>
+      val dirSegs = meta.partitionCols.collect {
+        case c if pv.contains(c) => s"$c=${pv(c)}"
+      }
+      val nOut = math.max(1,
+        math.ceil(smalls.map(_.size).sum.toDouble / targetBytes).toInt)
+      val staging = new Path(root, s".opt-staging-${UUID.randomUUID()}")
+      spark.read.schema(dataSchema)
+        .parquet(smalls.map(f => new Path(root, f.path).toString): _*)
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(staging.toString)
+      listParquet(fs, staging).foreach { p =>
+        val fresh = (dirSegs :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
+        val dest = new Path(root, fresh)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(p, dest), s"failed to move $p to $dest")
+        val size = fs.getFileStatus(dest).getLen
+        val pvJson = pv.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+        val statsField = footerStats(conf, dest)
+          .map(s => s""","stats":${js(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField}}"""
+      }
+      fs.delete(staging, true)
+      smalls.foreach { f =>
+        lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
+    version
+  }
+
+  /** VACUUM: physically delete data files that are no longer referenced by
+    * the CURRENT snapshot and whose modification time is older than
+    * `retentionMs` — tombstoned by overwrite/OPTIMIZE, or orphaned by a
+    * crashed write. Time travel to versions needing a deleted file stops
+    * working (the Delta trade); the default 7-day retention keeps recent
+    * versions replayable. Returns the table-relative paths it deleted.
+    * Never touches `_delta_log` or in-flight dot-prefixed staging dirs.
+    */
+  def vacuum(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
+    val (_, live) = DeltaRead.replayLog(spark, path, None)
+    val liveSet = live.map(_.path).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = relativize(root, st.getPath)
+      val segs = rel.split('/')
+      val skip = segs.head == "_delta_log" || segs.exists(_.startsWith("."))
+      if (!skip && rel.endsWith(".parquet") && !liveSet.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += rel
+      }
+    }
+    deleted.toSeq
   }
 
   private def listParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {

@@ -146,6 +146,118 @@ class DeltaWriteSpec extends SparkSpec {
     def asScala: Iterator[T] = scala.jdk.CollectionConverters.IteratorHasAsScala(it).asScala
   }
 
+  test("txn markers: exactly-once epochs survive replay, checkpoint, and log cleanup") {
+    val table = tmp("graft_dw_txn")
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+    assert(graft.streaming.DeltaStreamSink.writeBatch(
+      Seq((1L, "a")).toDF("id", "v"), table, "app1", 0L))
+    assert(graft.streaming.DeltaStreamSink.writeBatch(b1, table, "app1", 1L))
+    // crash-replay of epoch 1: the txn high-water mark skips it
+    assert(!graft.streaming.DeltaStreamSink.writeBatch(b1, table, "app1", 1L))
+    assert(DeltaWrite.lastTxnVersion(spark, table, "app1") == 1L)
+    assert(DeltaWrite.lastTxnVersion(spark, table, "elsewhere") == -1L)
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // the checkpoint carries the mark; replay stays skipped after cleanup
+    DeltaWrite.checkpoint(spark, table)
+    Files.delete(Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(table, "_delta_log", f"${1L}%020d.json"))
+    assert(DeltaWrite.lastTxnVersion(spark, table, "app1") == 1L)
+    assert(!graft.streaming.DeltaStreamSink.writeBatch(b1, table, "app1", 1L))
+    // an independent appId has its own epoch counter on the same table
+    assert(graft.streaming.DeltaStreamSink.writeBatch(
+      Seq((3L, "c")).toDF("id", "v"), table, "app2", 0L))
+    assert(DeltaWrite.lastTxnVersion(spark, table, "app2") == 0L)
+  }
+
+  test("streaming append sink: a real stream commits per epoch and a rerun adds nothing") {
+    val base = tmp("graft_dw_stream")
+    val srcDir = s"$base/src"
+    val table = s"$base/table"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$srcDir/b0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def runOnce(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$srcDir/b*")
+      val q = graft.streaming.DeltaStreamSink.append(stream, table, "ingest", ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce(s"$base/ckpt")
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // a FRESH checkpoint replays batch 0 from scratch — the txn guard must
+    // make the redelivery a no-op instead of doubling every row
+    runOnce(s"$base/ckpt2")
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("OPTIMIZE bin-packs small files as dataChange=false; rows, travel, tail stay exact") {
+    val table = tmp("graft_dw_opt")
+    (0 until 5).foreach { i =>
+      DeltaWrite.writeDeltaTable(Seq((i.toLong, s"v$i")).toDF("id", "v"), table, "append")
+    }
+    val (_, liveBefore) = DeltaRead.replayLog(spark, table, None)
+    assert(liveBefore.size == 5)
+    val v = DeltaWrite.compact(spark, table, targetBytes = 8L * 1024 * 1024)
+    assert(v == 5L)
+    val (_, liveAfter) = DeltaRead.replayLog(spark, table, None)
+    assert(liveAfter.size == 1, liveAfter.map(_.path).toString)
+    // rewritten file keeps footer stats (skipping works on compacted output)
+    assert(liveAfter.head.stats.nonEmpty)
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (0 until 5).map(i => (i.toLong, s"v$i")))
+    // time travel to the pre-OPTIMIZE version still replays the small files
+    assert(DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(4L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == (0L to 4L))
+    // the maintenance commit is invisible to incremental consumers
+    assert(DeltaRead.changesSince(spark, table, fromVersion = 4L).count() == 0L)
+    // appends after the OPTIMIZE flow through the tail as usual
+    DeltaWrite.writeDeltaTable(Seq((9L, "v9")).toDF("id", "v"), table, "append")
+    assert(DeltaRead.changesSince(spark, table, fromVersion = 4L)
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    // nothing small left to do (the lone compacted file is under target)
+    assert(DeltaWrite.compact(spark, table, 8L * 1024 * 1024, minFiles = 3) == -1L)
+  }
+
+  test("OPTIMIZE is partition-scoped: each partition packs to one file, pruning still works") {
+    val table = tmp("graft_dw_opt_p")
+    (0 until 3).foreach { i =>
+      DeltaWrite.writeDeltaTable(
+        Seq((i.toLong, "x"), (i + 10L, "y")).toDF("id", "day"),
+        table, "append", partitionBy = Seq("day"))
+    }
+    assert(DeltaWrite.compact(spark, table, 8L * 1024 * 1024) == 3L)
+    val (_, live) = DeltaRead.replayLog(spark, table, None)
+    assert(live.size == 2, live.map(_.path).toString)
+    assert(live.forall(f => f.partitionValues.keySet == Set("day")))
+    val back = DeltaRead.readDeltaTable(spark, table)
+    assert(back.count() == 6L)
+    assert(back.filter(col("day") === "x").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
+  test("VACUUM deletes tombstoned files past retention; the head keeps reading exactly") {
+    val table = tmp("graft_dw_vac")
+    DeltaWrite.writeDeltaTable(Seq((1L, "old")).toDF("id", "v"), table, "overwrite")
+    DeltaWrite.writeDeltaTable(Seq((2L, "new")).toDF("id", "v"), table, "overwrite")
+    // default 7-day retention protects everything this young
+    assert(DeltaWrite.vacuum(spark, table).isEmpty)
+    Thread.sleep(20) // let mtimes fall strictly before the zero-retention cutoff
+    val deleted = DeltaWrite.vacuum(spark, table, retentionMs = 0L)
+    assert(deleted.nonEmpty)
+    assert(DeltaRead.readDeltaTable(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "new")))
+    // idempotent: nothing left to reap
+    assert(DeltaWrite.vacuum(spark, table, retentionMs = 0L).isEmpty)
+    // time travel to the vacuumed version now fails instead of lying
+    intercept[Exception] {
+      DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L)).collect()
+    }
+  }
+
   test("Sources.writeTableAs(delta) + readTable auto-detection round-trips sf0.01 documents") {
     val table = tmp("graft_dw8")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
