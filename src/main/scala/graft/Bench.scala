@@ -54,6 +54,16 @@ object Bench {
       graft.operators.AsOfJoin.asOfJoinBroadcast(
         facts, rates, "user_id", "rk", "ts", "rts", Seq("rate_value"))
     }),
+    // substring dedup with 8-byte hashed gram keys — the 100 TB shuffle
+    // shape (q95's exact-string keys exist for the engine-portable oracle)
+    "b47_substring_dedup_fast" -> ((s, dir) =>
+      graft.ext.SubstringDedup.dupStats(Tables.documents(s, dir), "doc_id", "text",
+        gramLen = 40, hashed = true)),
+    // SemDeDup on trained IVF cells — the production clustering (q96's
+    // sign-bit cells exist for the engine-portable oracle)
+    "b48_semdedup_ivf" -> ((s, dir) =>
+      graft.ext.Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCells = 16, threshold = 0.45)),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

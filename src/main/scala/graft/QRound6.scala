@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Similarity, SubstringDedup}
+
+/** Round-6 additions: substring-level exact dedup (Lee et al. 2022) and
+  * SemDeDup cluster-then-dedup-within (Abbas et al. 2023) — the two
+  * remaining named techniques of the LLM-corpus dedup canon (document-exact,
+  * MinHash, SimHash, n-gram Jaccard, and embedding range pairs are
+  * q20/q25/q26/q24/q31). Same gate conventions as [[Queries]].
+  */
+object QRound6 {
+  import Tables._
+
+  /** Exact duplicated-substring spans per document: every position whose
+    * 40-char gram occurs twice in the corpus is duplicated; runs merge into
+    * maximal spans ([[graft.ext.SubstringDedup]] — the oracle-portable
+    * exact-gram form; the scale path hashes grams to 8 bytes and is
+    * benched as b47). Output: per affected doc, the merged-span count, the
+    * duplicated char mass, and the doc length.
+    */
+  def q95SubstringDedup(s: SparkSession, d: String): DataFrame = {
+    val stats = SubstringDedup.dupStats(
+      documents(s, d), "doc_id", "text", gramLen = 40, hashed = false)
+    stats
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")),
+        stats("id") === col("doc_id"))
+      .select(col("doc_id"), col("dup_spans"), col("dup_chars"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q95Sql =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(generate_series(0, length(text) - 40)) AS pos, text
+      |  FROM documents WHERE length(text) >= 40),
+      |h AS (SELECT doc_id, pos, substr(text, pos + 1, 40) AS gk FROM g),
+      |dup AS (
+      |  SELECT doc_id, pos
+      |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY gk) AS c FROM h)
+      |  WHERE c > 1),
+      |st AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 40
+      |         THEN 1 ELSE 0 END AS step
+      |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |isl AS (
+      |  SELECT doc_id, pos, sum(step) OVER (
+      |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM st),
+      |sp AS (
+      |  SELECT doc_id, island, min(pos) AS s, max(pos) + 40 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS dup_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
+      |  FROM sp GROUP BY doc_id)
+      |SELECT a.doc_id, a.dup_spans, a.dup_chars, d.n_chars
+      |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** SemDeDup over the embeddings table: 16 deterministic sign-bit clusters
+    * (dims 1-4), within-cluster greedy keep-min-id removal at cosine ≥ 0.45
+    * ([[graft.ext.Similarity.semDedupRemoved]]; the production form trains
+    * IVF cells — [[graft.ext.Similarity.semDedup]], spec-pinned). Output:
+    * one row per cluster with its size, removal count, and the removed ids
+    * as a CSV (the q16 list convention).
+    */
+  def q96SemDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.signClusters(col("embedding"), 4).as("cluster"))
+    val removed = Similarity.semDedupRemoved(e, "vec_id", "embedding", "cluster", 0.45)
+    val sizes = e.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    sizes.join(removed, Seq("cluster"), "left")
+      .groupBy(col("cluster"), col("n_vecs"))
+      .agg(
+        count(col("removed_id")).as("n_removed"),
+        array_join(transform(sort_array(collect_list(col("removed_id"))),
+          _.cast("string")), ",").as("removed_ids"))
+      .select(col("cluster"), col("n_vecs"), col("n_removed"), col("removed_ids"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q96Sql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      |   + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      |   + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cluster
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.cluster AS cluster, b.vec_id AS removed_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS sim
+      |  FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+      |r AS (SELECT DISTINCT cluster, removed_id FROM p WHERE sim >= 0.45),
+      |c AS (SELECT cluster, count(*) AS n_vecs FROM e GROUP BY cluster)
+      |SELECT c.cluster, c.n_vecs, count(r.removed_id) AS n_removed,
+      |  coalesce(string_agg(CAST(r.removed_id AS VARCHAR), ',' ORDER BY r.removed_id), '') AS removed_ids
+      |FROM c LEFT JOIN r ON c.cluster = r.cluster
+      |GROUP BY c.cluster, c.n_vecs
+      |ORDER BY c.cluster""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_substring_dedup" -> (q95SubstringDedup _),
+    "q96_semdedup"        -> (q96SemDedup _))
+
+  val sql: Map[String, String] = Map(
+    "q95_substring_dedup" -> q95Sql,
+    "q96_semdedup"        -> q96Sql)
+}

@@ -470,4 +470,60 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Deterministic sign-bit coarse clusters: bit `i` is set iff dimension
+    * `i+1` is positive — a fixed axis-aligned 2^bits partition, engine-
+    * portable without a training pass (the q96 oracle form; production
+    * SemDeDup uses the trained IVF cells, [[semDedup]]).
+    */
+  def signClusters(vec: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 30, "bits must be in [1, 30]")
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) > 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
+
+  /** SemDeDup removal set (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): within each
+    * cluster, a vector is removed iff a SMALLER-id vector of the same
+    * cluster has cosine ≥ threshold with it — the deterministic one-pass
+    * greedy keep-min-id rule. The comparison set is all smaller ids (not
+    * only survivors), so the rule needs no iteration and each pair is
+    * judged independently — embarrassingly parallel, unlike union-find
+    * collapse ([[Dedup.dupClusters]]) which this deliberately is not:
+    * SemDeDup prunes redundancy per cluster, it does not build global
+    * identity classes.
+    *
+    * Scale: the self-join is an EQUI join on the cluster id (one shuffle
+    * per side, no broadcast of the corpus); per-cluster work is m², bounded
+    * by the cell size — nCells grows with the corpus to keep cells ~O(10⁴).
+    * Returns distinct `(cluster, removed_id)`.
+    */
+  def semDedupRemoved(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    val side = df.select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+      col(vecCol).as("vec"), l2Norm(col(vecCol)).as("nrm"))
+    side.as("a")
+      .join(side.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(round(dot(col("a.vec"), col("b.vec")) /
+        (col("a.nrm") * col("b.nrm")), 6) >= threshold)
+      .select(col("a.cluster").as("cluster"), col("b.id").as("removed_id"))
+      .distinct()
+  }
+
+  /** SemDeDup survivors: IVF-cell clustering (sample-trained centroids,
+    * [[ivfCentroids]]) + greedy within-cell removal, returned as the
+    * surviving subset of `df` (original schema). The removed-id side of the
+    * anti join is at most the dup mass — broadcast when small (AQE),
+    * shuffled otherwise.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nCells, iters, seed)
+    val clustered = df.withColumn("__cell", assignCell(col(vecCol), centroids))
+    val removed = semDedupRemoved(clustered, idCol, vecCol, "__cell", threshold)
+      .select(col("removed_id").as(idCol))
+    df.join(removed, Seq(idCol), "left_anti")
+  }
 }

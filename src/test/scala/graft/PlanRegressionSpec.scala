@@ -171,6 +171,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1, p)
   }
 
+  test("q95: substring dedup joins positions against dup keys — never nested-loop, never cartesian") {
+    val p = plan("q95_substring_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // duplicate detection is a semi join of positions against the count>1 keys
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q96: semdedup's within-cluster pair join is an equi join on the cluster key") {
+    val p = plan("q96_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(count(p, "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin") >= 1, p)
+  }
+
   test("q83: TWAP is one window shuffle plus one aggregate shuffle") {
     val p = plan("q83_twap")
     assert(p.contains("Window"), p)

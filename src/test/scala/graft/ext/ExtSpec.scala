@@ -671,4 +671,44 @@ class ExtSpec extends SparkSpec {
     assert(banded == exact,
       s"missed: ${(exact -- banded).take(5)}; extra: ${(banded -- exact).take(5)}")
   }
+
+  test("semDedupRemoved: greedy keep-min-id within cluster, cross-cluster pairs never judged") {
+    // cluster 1 (dim1 > 0): ids 0, 1, 2 — 0 and 1 near-identical, 2 orthogonal-ish
+    // cluster 0: id 3 is an exact copy of 0 but with dim1 negated → other cell
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.3f)),
+      (1L, Array(0.99f, 0.01f, 0.31f)),
+      (2L, Array(0.1f, 1.0f, -0.9f)),
+      (3L, Array(-1.0f, 0.0f, 0.3f))).toDF("vec_id", "embedding")
+    val clustered = vecs.withColumn("cl",
+      Similarity.signClusters(col("embedding"), 1))
+    val removed = Similarity.semDedupRemoved(clustered, "vec_id", "embedding", "cl", 0.95)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(removed == Set((1, 1L))) // 1 dups 0; 2 survives; 3 isolated in its cell
+  }
+
+  test("semDedup (IVF cells): exact copies collapse to the min id, survivors keep the schema") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = Seq.fill(4)(gauss())
+    // each base planted 3× (ids b*100, b*100+1, b*100+2) + distinct background
+    val rows = bases.zipWithIndex.flatMap { case (v, b) =>
+      (0 until 3).map(c => (b.toLong * 100 + c, v.toSeq)) } ++
+      (0 until 40).map(i => (1000L + i, gauss().toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", nCells = 4, threshold = 0.99)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    // exact copies always share a cell -> only the min id of each triple stays
+    for (b <- 0 until 4) {
+      assert(kept.contains(b * 100L), s"family $b representative must survive")
+      assert(!kept.contains(b * 100L + 1) && !kept.contains(b * 100L + 2),
+        s"family $b copies must be removed")
+    }
+    // deterministic: same input -> same survivor set
+    val again = Similarity.semDedup(df, "vec_id", "embedding", nCells = 4, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
 }
