@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Similarity, SubstringDedup}
@@ -105,11 +105,56 @@ object QRound6 {
       |GROUP BY c.cluster, c.n_vecs
       |ORDER BY c.cluster""".stripMargin
 
+  /** Target-mixture sampling ([[graft.ext.Splits.mixtureSample]]): integer
+    * weights (source index mod 4, +1) set the desired inter-source ratio;
+    * the largest exact-ratio allocation is taken per source in md5-of-id
+    * order (engine-portable, rerun-stable). Output pins the quota math AND
+    * the exact selected set (sum/min/max of kept ids per source).
+    */
+  def q97MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val weightOf = (src: Column) =>
+      substring(src, 4, 10).cast("int") % 4 + 1
+    val quotas = graft.ext.Splits.mixtureQuotas(docs, "source", weightOf)
+    val kept = graft.ext.Splits.mixtureSample(docs, "doc_id", "source", weightOf)
+      .groupBy(col("source"))
+      .agg(sum(col("doc_id")).as("kept_sum"),
+        min(col("doc_id")).as("kept_min"), max(col("doc_id")).as("kept_max"))
+    quotas.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("quota"),
+        col("kept_sum"), col("kept_min"), col("kept_max"))
+      .orderBy(col("source"))
+  }
+
+  private val q97Sql =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS BIGINT) AS wgt
+      |  FROM documents GROUP BY source),
+      |u AS (SELECT min(n_docs // wgt) AS unit FROM c),
+      |q AS (SELECT source, n_docs, wgt * unit AS quota FROM c CROSS JOIN u),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+      |  FROM documents),
+      |k AS (
+      |  SELECT r.source, r.doc_id
+      |  FROM r JOIN q ON r.source = q.source AND r.rk <= q.quota)
+      |SELECT q.source, q.n_docs, q.quota,
+      |  CAST(sum(k.doc_id) AS BIGINT) AS kept_sum,
+      |  min(k.doc_id) AS kept_min, max(k.doc_id) AS kept_max
+      |FROM q JOIN k ON q.source = k.source
+      |GROUP BY q.source, q.n_docs, q.quota
+      |ORDER BY q.source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_substring_dedup" -> (q95SubstringDedup _),
-    "q96_semdedup"        -> (q96SemDedup _))
+    "q96_semdedup"        -> (q96SemDedup _),
+    "q97_mixture_sample"  -> (q97MixtureSample _))
 
   val sql: Map[String, String] = Map(
     "q95_substring_dedup" -> q95Sql,
-    "q96_semdedup"        -> q96Sql)
+    "q96_semdedup"        -> q96Sql,
+    "q97_mixture_sample"  -> q97Sql)
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** The assembled training-corpus curation pipeline — the "switch your whole
   * job to one call" surface over the individual operators: [optional PII
-  * mask → boilerplate line removal → repetition gate] → quality gate →
+  * mask → boilerplate line removal → substring dedup → repetition gate] →
+  * quality gate →
   * exact dedup → near-dup collapse (MinHash-LSH components, keep the
   * minimum-id representative) → benchmark decontamination → deterministic
   * split assignment → optional sequence packing.
@@ -41,7 +42,10 @@ object Curation {
       // the bound — the Gopher filter)
       scrubPii: Boolean = false,
       boilerplateSep: Option[String] = None,
-      maxDupNgramFrac: Option[Double] = None)
+      maxDupNgramFrac: Option[Double] = None,
+      // substring-level exact dedup (Lee et al.): strip every corpus span
+      // duplicated at the given gram resolution before the row-level stages
+      substringDedupGram: Option[Int] = None)
 
   /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
     * columns), when given, removes any doc sharing an n-gram with it.
@@ -61,6 +65,9 @@ object Curation {
     cfg.boilerplateSep.foreach { sep =>
       cur = TextAnalysis.removeBoilerplateLines(cur, idCol, textCol, sep)
         .join(cur.drop(textCol), Seq(idCol))
+    }
+    cfg.substringDedupGram.foreach { g =>
+      cur = SubstringDedup.stripDupSpans(cur, idCol, textCol, g)
     }
     cfg.maxDupNgramFrac.foreach { bound =>
       cur = cur.filter(TextAnalysis.dupNgramFraction(col(textCol), 2) <= bound)

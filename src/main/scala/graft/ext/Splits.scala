@@ -39,6 +39,46 @@ object Splits {
     log((conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") + 1.0)
       / 4294967296.0) / weight
 
+  /** Per-source sampling quotas for a target mixture: integer weights
+    * (`weightOf` applied to the source column — a literal map, a join, or a
+    * derived expression) define the desired ratio `w_s : w_t : ...` between
+    * sources; the returned quota is the LARGEST exact-ratio allocation that
+    * no source can overdraw. All-integer arithmetic — `unit = min_s(n_s div
+    * w_s)`, `quota_s = unit * w_s` — so the result is engine-portable with
+    * no rounding-boundary hazard (the q69/q73 lesson). One count aggregate
+    * + a single-row broadcast of the unit; output one row per source:
+    * `(source, n_docs, quota)`.
+    */
+  def mixtureQuotas(df: DataFrame, srcCol: String,
+      weightOf: Column => Column): DataFrame = {
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__wgt", weightOf(col(srcCol)).cast("long"))
+    val unit = counts.agg(min(expr("n_docs div __wgt")).as("__unit"))
+    counts.crossJoin(broadcast(unit))
+      .select(col(srcCol), col("n_docs"), (col("__wgt") * col("__unit")).as("quota"))
+  }
+
+  /** Deterministic mixture sampling: keep, per source, the `quota_s` rows
+    * with the smallest md5 of their id — the same engine-portable hash
+    * order as [[hashBucketMd5]], so the selected SET is identical on any
+    * engine/partitioning and re-runs are stable. The quota side is
+    * per-source (tiny) and broadcast; the rank is one shuffle on the
+    * source key. Returns the surviving rows with the original schema.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
+      weightOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = mixtureQuotas(df, srcCol, weightOf)
+      .withColumnRenamed(srcCol, "__msrc").select("__msrc", "quota")
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(md5(col(idCol).cast("string")))
+    df.withColumn("__rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), col(srcCol) === col("__msrc"))
+      .filter(col("__rk") <= col("quota"))
+      .drop("__rk", "__msrc", "quota")
+  }
+
   /** Assign named splits by cumulative weight over the hash bucket, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)` (weights sum to
     * `granularity`). Deterministic, leakage-free by key.

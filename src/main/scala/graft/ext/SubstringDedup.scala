@@ -109,10 +109,11 @@ object SubstringDedup {
     val spans = dupSpans(df, idCol, textCol, gramLen, hashed)
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end"))))
-        .as("spans"))
+        .as("__ssd_spans"))
+      .withColumnRenamed("id", "__ssd_id")
     val txt = df(textCol)
     val cleaned = aggregate(
-      col("spans"),
+      col("__ssd_spans"),
       struct(lit(0).as("from"), lit("").as("acc")),
       (acc, sp) => struct(
         sp.getField("span_end").as("from"),
@@ -120,10 +121,10 @@ object SubstringDedup {
           segment(txt, acc.getField("from"), sp.getField("span_start"))).as("acc")),
       acc => concat(acc.getField("acc"),
         segment(txt, acc.getField("from"), length(txt))))
-    df.join(spans, df(idCol) === spans("id"), "left")
+    df.join(spans, df(idCol) === spans("__ssd_id"), "left")
       .withColumn(textCol,
-        when(col("spans").isNull, txt).otherwise(cleaned))
-      .drop("id", "spans")
+        when(col("__ssd_spans").isNull, txt).otherwise(cleaned))
+      .drop("__ssd_id", "__ssd_spans")
   }
 
   /** `substring(text, from+1, until-from)` with Column bounds (the built-in

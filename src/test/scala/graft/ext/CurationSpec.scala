@@ -84,4 +84,22 @@ class CurationSpec extends SparkSpec {
     assert(byId(1L).contains("<EMAIL>") && !byId(1L).contains("alice@"), byId(1L))
     assert(!byId(1L).contains(boiler) && !byId(2L).contains(boiler))
   }
+
+  test("substring-dedup pre-stage strips the shared span corpus-wide, keeps unique text") {
+    import spark.implicits._
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGH" // 44 chars
+    val raw = Seq(
+      (1L, s"first document unique lead-in $shared first unique tail"),
+      (2L, s"second document other beginning $shared second ending"),
+      (3L, "third document with nothing repeated across this tiny corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(raw, "doc_id", "text",
+      cfg = Curation.Config(minQuality = 0.0, nearDup = None,
+        substringDedupGram = Some(40)))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(!out(1L).contains(shared) && !out(2L).contains(shared))
+    assert(out(1L).contains("first document unique lead-in") && out(1L).contains("first unique tail"))
+    assert(out(3L) == "third document with nothing repeated across this tiny corpus at all")
+  }
 }

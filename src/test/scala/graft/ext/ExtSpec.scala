@@ -632,6 +632,31 @@ class ExtSpec extends SparkSpec {
     assert(rng.getLong(2) >= 0L && rng.getLong(3) <= 6L)
   }
 
+  test("mixture sampling: exact target ratio, no source overdrawn, rerun-stable selection") {
+    import spark.implicits._
+    // three sources with unequal supply: a=300, b=150, c=60 rows
+    val rows = (0L until 300L).map((_, "a")) ++
+      (1000L until 1150L).map((_, "b")) ++ (2000L until 2060L).map((_, "c"))
+    val df = rows.toDF("id", "src")
+    val weights = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val weightOf = (s: org.apache.spark.sql.Column) =>
+      element_at(typedlit(weights), s)
+    val quotas = Splits.mixtureQuotas(df, "src", weightOf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unit = min(300/3, 150/2, 60/1) = 60 -> quotas 180/120/60
+    assert(quotas == Map("a" -> (300L, 180L), "b" -> (150L, 120L), "c" -> (60L, 60L)))
+    val kept = Splits.mixtureSample(df, "id", "src", weightOf)
+    assert(kept.columns.toSeq == Seq("id", "src"))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 180L, "b" -> 120L, "c" -> 60L))
+    // selection is a deterministic function of the ids — rerun identical
+    val k1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val k2 = Splits.mixtureSample(df, "id", "src", weightOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
   test("tiled block self-join emits exactly the naive all-pairs rows at several block counts") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
