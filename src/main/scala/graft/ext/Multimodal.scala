@@ -141,6 +141,116 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL compressed-audio header parse, zero added dependencies — the
+    * formats the JDK's sampled-audio providers do not demux but whose
+    * container headers are public, fixed layouts:
+    *   - MP3 (MPEG-1/2/2.5 Layer III): skip an ID3v2 tag, then walk frame
+    *     headers frame-by-frame (sync + bitrate/sample-rate tables give
+    *     each frame's byte length) — header-only, VBR-correct, total PCM
+    *     samples = frames × samples-per-frame.
+    *   - FLAC: the mandatory first STREAMINFO metadata block carries exact
+    *     rate / channels / bit depth / total samples.
+    *   - Ogg (Vorbis + Opus): the identification header in the first page
+    *     gives rate/channels; the LAST page's granule position is the
+    *     total PCM sample count (tail scan for the final `OggS` capture —
+    *     still header-only, the codec payload is never decoded).
+    * Returns the [[audioInfo]] tuple shape; bits-per-sample is 0 for the
+    * lossy codecs (no fixed depth exists).
+    */
+  private[ext] def compressedAudioInfo(bytes: Array[Byte])
+      : Option[(Float, Int, Int, Long, String)] =
+    mp3Info(bytes).orElse(flacInfo(bytes)).orElse(oggInfo(bytes))
+
+  private def mp3Info(bytes: Array[Byte]): Option[(Float, Int, Int, Long, String)] = {
+    val n = bytes.length
+    var at = 0
+    if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      at = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
+    }
+    val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    val srV1 = Array(44100, 48000, 32000)
+    var frames = 0L; var samples = 0L; var rate0 = 0; var ch0 = 0
+    var walking = at < n
+    while (walking && at + 4 <= n) {
+      val b2 = bytes(at + 1) & 0xff
+      if ((bytes(at) & 0xff) != 0xff || (b2 & 0xe0) != 0xe0) walking = false
+      else {
+        val ver = (b2 >> 3) & 3   // 0: MPEG2.5, 2: MPEG2, 3: MPEG1
+        val layer = (b2 >> 1) & 3 // 1: Layer III
+        val b3 = bytes(at + 2) & 0xff
+        val brIdx = (b3 >> 4) & 0xf
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        val mode = (bytes(at + 3) >> 6) & 3
+        if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 || srIdx == 3)
+          walking = false
+        else {
+          val rate = ver match {
+            case 3 => srV1(srIdx); case 2 => srV1(srIdx) / 2; case _ => srV1(srIdx) / 4
+          }
+          val spf = if (ver == 3) 1152 else 576
+          val kbps = if (ver == 3) brV1(brIdx) else brV2(brIdx)
+          val frameLen = spf / 8 * kbps * 1000 / rate + padding
+          if (frameLen <= 4) walking = false
+          else {
+            if (frames == 0) { rate0 = rate; ch0 = if (mode == 3) 1 else 2 }
+            frames += 1; samples += spf; at += frameLen
+          }
+        }
+      }
+    }
+    // ≥ 2 consistent frames required: a lone 0xFFEx prefix in arbitrary
+    // binary must not classify as MP3
+    if (frames >= 2) Some((rate0.toFloat, ch0, 0, samples, "mp3")) else None
+  }
+
+  private def flacInfo(bytes: Array[Byte]): Option[(Float, Int, Int, Long, String)] = {
+    if (bytes.length < 26 || new String(bytes, 0, 4, "ISO-8859-1") != "fLaC") return None
+    if ((bytes(4) & 0x7f) != 0) return None // STREAMINFO must be first
+    def u(o: Int) = bytes(o) & 0xff
+    // bytes 18..25: rate(20) channels-1(3) bps-1(5) totalSamples(36)
+    val rate = (u(18) << 12) | (u(19) << 4) | (u(20) >> 4)
+    val ch = ((u(20) >> 1) & 7) + 1
+    val bps = (((u(20) & 1) << 4) | (u(21) >> 4)) + 1
+    val total = ((u(21) & 0x0f).toLong << 32) |
+      (u(22).toLong << 24) | (u(23) << 16) | (u(24) << 8) | u(25)
+    if (rate == 0) None else Some((rate.toFloat, ch, bps, total, "flac"))
+  }
+
+  private def oggInfo(bytes: Array[Byte]): Option[(Float, Int, Int, Long, String)] = {
+    val n = bytes.length
+    if (n < 28 || new String(bytes, 0, 4, "ISO-8859-1") != "OggS") return None
+    val nsegs = bytes(26) & 0xff
+    val p = 27 + nsegs
+    if (p + 16 > n) return None
+    def leU32(o: Int): Long = (0 until 4).map(i => (bytes(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
+    def leU64(o: Int): Long = leU32(o) | (leU32(o + 4) << 32)
+    val packet = new String(bytes, p, math.min(8, n - p), "ISO-8859-1")
+    val idHeader =
+      // Vorbis id header: packet type 0x01 + "vorbis" + version(4) +
+      // channels(1) + rate(4, LE)
+      if (bytes(p) == 1 && packet.regionMatches(1, "vorbis", 0, 6) && p + 16 <= n)
+        Some(((leU32(p + 12)).toFloat, bytes(p + 11) & 0xff, "vorbis"))
+      else if (packet == "OpusHead" && p + 10 <= n)
+        Some((48000f, bytes(p + 9) & 0xff, "opus")) // granule is at 48 kHz
+      else None
+    idHeader.map { case (rate, ch, codec) =>
+      // total samples = granule position of the LAST page (tail scan)
+      var last = -1
+      var i = n - 27
+      while (last < 0 && i >= 0) {
+        if (bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+          bytes(i + 3) == 'S') last = i
+        else i -= 1
+      }
+      val granule = if (last >= 0 && last + 14 <= n) leU64(last + 6) else -1L
+      (rate, ch, 0, granule, codec)
+    }
+  }
+
   /** Decoded audio features. `duration_sec` is frames / sample-rate; -1
     * when the container does not declare a frame count.
     */
@@ -149,18 +259,18 @@ object Multimodal {
       bits_per_sample: Int, n_frames: Long, duration_sec: Double, codec: String)
 
   /** Partition-local audio decode stage — REAL for WAV/AIFF/AU headers
-    * (javax.sound.sampled), deterministic stub arithmetic for containers
-    * the JDK cannot demux (mp3/ogg/flac need codec libraries this
-    * environment does not ship; a real build replaces only the fallback
-    * branch). Same batch shape as [[decodeStub]]: one iterator per
-    * partition, no shuffle in or out.
+    * (javax.sound.sampled) AND for MP3 / FLAC / Ogg-Vorbis / Ogg-Opus
+    * container headers ([[compressedAudioInfo]] — hand-rolled public-layout
+    * parses, still zero dependencies and header-only); deterministic stub
+    * arithmetic only for bytes no parser recognizes. Same batch shape as
+    * [[decodeStub]]: one iterator per partition, no shuffle in or out.
     */
   def decodeAudio(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.content
-        audioInfo(bytes) match {
+        audioInfo(bytes).orElse(compressedAudioInfo(bytes)) match {
           case Some((rate, ch, bits, frames, codec)) =>
             AudioFeatures(r.media_id, bytes.length.toLong, rate.toInt, ch, bits,
               frames, if (frames >= 0 && rate > 0) frames / rate.toDouble else -1.0,
@@ -251,6 +361,96 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** REAL Matroska/WebM header walk — EBML is a public length-prefixed
+    * tree like ISO-BMFF, so the same zero-dependency header-only approach
+    * applies: parse the EBML header's DocType, then inside the Segment
+    * read Info (TimestampScale + Duration) and the first video TrackEntry
+    * (PixelWidth/PixelHeight). Cluster payloads are never touched. Returns
+    * `(docType, width, height, durationSec)`; duration is -1 when the
+    * Segment does not declare one, dims are 0 without a video track.
+    */
+  private[ext] def ebmlInfo(bytes: Array[Byte]): Option[(String, Int, Int, Double)] = {
+    val n = bytes.length
+    def u(o: Int) = bytes(o) & 0xff
+    def vintWidth(b: Int): Int =
+      if (b >= 0x80) 1 else if (b >= 0x40) 2 else if (b >= 0x20) 3
+      else if (b >= 0x10) 4 else if (b >= 0x08) 5 else if (b >= 0x04) 6
+      else if (b >= 0x02) 7 else if (b == 0x01) 8 else 0
+    // element id keeps its marker bit (the standard 0x1A45DFA3 notation)
+    def readId(at: Int): Option[(Long, Int)] = {
+      if (at >= n) return None
+      val w = vintWidth(u(at)); if (w == 0 || at + w > n) return None
+      var v = 0L; (0 until w).foreach(i => v = (v << 8) | u(at + i)); Some((v, w))
+    }
+    // element size strips the marker; all-value-bits-ones = unknown (-1)
+    def readSize(at: Int): Option[(Long, Int)] = {
+      if (at >= n) return None
+      val w = vintWidth(u(at)); if (w == 0 || at + w > n) return None
+      var v = (u(at) & (0xff >>> w)).toLong
+      (1 until w).foreach(i => v = (v << 8) | u(at + i))
+      Some((if (v == (1L << (7 * w)) - 1) -1L else v, w))
+    }
+    // children of [lo, hi): (id, payloadFrom, payloadTo)
+    def children(lo: Int, hi: Int): Iterator[(Long, Int, Int)] =
+      new Iterator[(Long, Int, Int)] {
+        private var at = lo
+        def hasNext: Boolean = at < hi
+        def next(): (Long, Int, Int) = {
+          (for {
+            (id, idW) <- readId(at)
+            (sz, szW) <- readSize(at + idW)
+          } yield {
+            val from = at + idW + szW
+            val to = if (sz < 0) hi else math.min(hi.toLong, from + sz).toInt
+            at = if (to <= from) hi else to
+            (id, from, to)
+          }).getOrElse { at = hi; (0L, hi, hi) }
+        }
+      }
+    def find(lo: Int, hi: Int, id: Long): Option[(Int, Int)] =
+      children(lo, hi).collectFirst { case (`id`, f, t) => (f, t) }
+    def uintAt(f: Int, t: Int): Long = {
+      var v = 0L; (f until t).foreach(i => v = (v << 8) | u(i)); v
+    }
+    def floatAt(f: Int, t: Int): Double = (t - f) match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(f, t).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(f, t))
+      case _ => -1.0
+    }
+    try {
+      val (hF, hT) = readId(0) match {
+        case Some((0x1A45DFA3L, w)) =>
+          readSize(w) match {
+            case Some((sz, szW)) if sz >= 0 => (w + szW, math.min(n.toLong, w + szW + sz).toInt)
+            case _ => return None
+          }
+        case _ => return None
+      }
+      val docType = find(hF, hT, 0x4282L)
+        .map { case (f, t) => new String(bytes, f, t - f, "ISO-8859-1") }
+        .getOrElse("matroska")
+      val (segF, segT) = find(hT, n, 0x18538067L).getOrElse(return None)
+      val (tsScale, dur) = find(segF, segT, 0x1549A966L).map { case (iF, iT) =>
+        (find(iF, iT, 0x2AD7B1L).map((uintAt _).tupled).getOrElse(1000000L),
+          find(iF, iT, 0x4489L).map((floatAt _).tupled).getOrElse(-1.0))
+      }.getOrElse((1000000L, -1.0))
+      val dims = find(segF, segT, 0x1654AE6BL).flatMap { case (tF, tT) =>
+        children(tF, tT).collectFirst(Function.unlift {
+          case (0xAEL, eF, eT) =>
+            for {
+              (tyF, tyT) <- find(eF, eT, 0x83L) if uintAt(tyF, tyT) == 1L
+              (vF, vT) <- find(eF, eT, 0xE0L)
+              (wF, wT) <- find(vF, vT, 0xB0L)
+              (phF, phT) <- find(vF, vT, 0xBAL)
+            } yield (uintAt(wF, wT).toInt, uintAt(phF, phT).toInt)
+          case _ => None
+        })
+      }
+      val (w, h) = dims.getOrElse((0, 0))
+      Some((docType, w, h, if (dur >= 0) dur * tsScale / 1e9 else -1.0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decoded video-container features. `duration_sec` is the mvhd
     * duration over its timescale; `fps` is declared frames over that (0
     * when either is unknown).
@@ -260,10 +460,10 @@ object Multimodal {
       n_frames: Long, duration_sec: Double, fps: Double)
 
   /** Partition-local video decode stage — REAL for ISO-BMFF containers
-    * (MP4/MOV/3GP header walk via [[videoInfo]]), deterministic stub
-    * arithmetic for containers without a parseable `moov` (mkv/webm/avi
-    * would need a demuxer this environment does not ship; a real build
-    * replaces only the fallback branch). Same batch shape as
+    * (MP4/MOV/3GP header walk via [[videoInfo]]) AND for Matroska/WebM
+    * ([[ebmlInfo]] — EBML tree walk, frame count stays 0 because Matroska
+    * declares none in its headers); deterministic stub arithmetic only for
+    * containers neither walk recognizes (e.g. AVI). Same batch shape as
     * [[decodeAudio]]: one iterator per partition, no shuffle in or out.
     */
   def decodeVideo(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[VideoFeatures] = {
@@ -277,11 +477,15 @@ object Multimodal {
             VideoFeatures(r.media_id, bytes.length.toLong, i.brand, i.width,
               i.height, i.nFrames, dur,
               if (dur > 0 && i.nFrames > 0) i.nFrames / dur else 0.0)
-          case None =>
-            val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-            VideoFeatures(r.media_id, bytes.length.toLong, "stub",
-              16 + head % 640, 16 + head % 480,
-              1 + (bytes.length % 300).toLong, -1.0, 0.0)
+          case None => ebmlInfo(bytes) match {
+            case Some((doc, w, h, dur)) =>
+              VideoFeatures(r.media_id, bytes.length.toLong, doc, w, h, 0L, dur, 0.0)
+            case None =>
+              val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+              VideoFeatures(r.media_id, bytes.length.toLong, "stub",
+                16 + head % 640, 16 + head % 480,
+                1 + (bytes.length % 300).toLong, -1.0, 0.0)
+          }
         }
       }
     }

@@ -22,6 +22,34 @@ class PlanRegressionSpec extends SparkSpec {
 
   private def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
 
+  // Queries where a nested-loop join IS the right plan: every one joins a
+  // broadcast single-row/constant side (a count, a quantile row, a doc-count
+  // scalar) — audited individually; anything NOT on this list that plans a
+  // BNLJ or a cartesian product is a scale bug the sweep below catches.
+  private val singleRowNlj = Set(
+    "q27_cosine_topk",      // the 1-row query-vector broadcast
+    "q97_mixture_sample",   // the 1-row mixture-unit broadcast
+    "q32_source_sketch",    // corpus-pair count scalar
+    "q39_percentiles",      // rank-interpolation bounds row
+    "q58_tfidf",            // corpus doc-count scalar
+    "q66_bm25",             // avg doc length scalar
+    "q73_equidepth_bins",   // total-count scalar
+    "q75_approx_quantile",  // quantile literal row
+    "q85_pagerank",         // rank-mass correction scalar per iteration
+    "q90_integrity",        // expected-totals row
+    "q94_delta_roundtrip")  // version-count scalar
+
+  test("registry sweep: no query plans a cartesian product or an unlisted nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val cartesian = p.contains("CartesianProduct")
+      val nlj = p.contains("BroadcastNestedLoopJoin") && !singleRowNlj(name)
+      if (cartesian || nlj) Some(s"$name${if (cartesian) " cartesian" else " nlj"}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale anti-patterns: ${offenders.mkString(", ")}")
+  }
+
   test("q02: filter and projection are pushed to the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)

@@ -553,6 +553,93 @@ class ExtSpec extends SparkSpec {
     assert(generic(0).n_frames == 150, generic(0))
   }
 
+  test("multimodal: real MP3/FLAC/Ogg-Vorbis headers decode to true rate/channels/duration") {
+    import spark.implicits._
+    // MP3: MPEG1 Layer III, 128 kbps, 44100 Hz, stereo -> 417-byte frames;
+    // an ID3v2 tag (20-byte body) prefixes the stream, as encoders emit
+    val frameLen = 144 * 128000 / 44100 // = 417
+    val mp3 = {
+      val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++ new Array[Byte](20)
+      val frames = (0 until 3).flatMap { _ =>
+        val f = new Array[Byte](frameLen)
+        f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0x40.toByte
+        f
+      }.toArray
+      id3 ++ frames
+    }
+    // FLAC: STREAMINFO with rate 22050, mono, 16-bit, 22050 total samples
+    val flac = {
+      val b = new Array[Byte](4 + 4 + 34)
+      Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34).copyToArray(b)
+      b(18) = 0x05; b(19) = 0x62; b(20) = 0x20 // rate 0x05622, ch-1=0, bps hi bit 0
+      b(21) = 0xf0.toByte                      // bps-1 = 15 -> 16-bit; total[35:32]=0
+      b(24) = 0x56; b(25) = 0x22               // total samples 22050
+      b
+    }
+    // Ogg Vorbis: BOS page with the id header (2 ch, 44100 Hz), EOS page
+    // with granule position 88200 -> 2.0 s
+    val ogg = {
+      def page(headerType: Int, granule: Long, segs: Array[Byte], packet: Array[Byte]) = {
+        val bb = java.nio.ByteBuffer.allocate(27 + segs.length + packet.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("OggS".getBytes("ISO-8859-1")).put(0.toByte).put(headerType.toByte)
+          .putLong(granule).putInt(1).putInt(0).putInt(0)
+          .put(segs.length.toByte).put(segs).put(packet)
+        bb.array()
+      }
+      val id = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put(1.toByte).put("vorbis".getBytes("ISO-8859-1"))
+        .putInt(0).put(2.toByte).putInt(44100).array()
+      page(0x02, 0L, Array(16.toByte), id) ++
+        page(0x04, 88200L, Array[Byte](), Array[Byte]())
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", mp3, Map("codec" -> "mp3")),
+      Multimodal.MediaRow(2L, "audio", flac, Map("codec" -> "flac")),
+      Multimodal.MediaRow(3L, "audio", ogg, Map("codec" -> "ogg"))
+    ).toDS()
+    val feats = Multimodal.decodeAudio(media)(spark).orderBy("media_id").collect()
+    assert(feats(0).codec == "mp3" && feats(0).sample_rate == 44100 &&
+      feats(0).channels == 2, feats(0))
+    assert(feats(0).n_frames == 3 * 1152L, feats(0))
+    assert(math.abs(feats(0).duration_sec - 3456.0 / 44100) < 1e-9, feats(0))
+    assert(feats(1).codec == "flac" && feats(1).sample_rate == 22050 &&
+      feats(1).channels == 1 && feats(1).bits_per_sample == 16, feats(1))
+    assert(math.abs(feats(1).duration_sec - 1.0) < 1e-9, feats(1))
+    assert(feats(2).codec == "vorbis" && feats(2).sample_rate == 44100 &&
+      feats(2).channels == 2, feats(2))
+    assert(math.abs(feats(2).duration_sec - 2.0) < 1e-9, feats(2))
+  }
+
+  test("multimodal: real Matroska/WebM headers decode to docType/dims/duration") {
+    import spark.implicits._
+    // hand-assembled EBML tree: header(DocType) + Segment(Info + Tracks)
+    def el(id: Array[Int], payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      require(body.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    val header = el(Array(0x1a, 0x45, 0xdf, 0xa3),
+      el(Array(0x42, 0x82), "matroska".getBytes("ISO-8859-1")))
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66),
+      el(Array(0x2a, 0xd7, 0xb1), Array(0x0f.toByte, 0x42.toByte, 0x40.toByte)),
+      el(Array(0x44, 0x89),
+        java.nio.ByteBuffer.allocate(4).putFloat(1500f).array()))
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b),
+      el(Array(0xae),
+        el(Array(0x83), Array(1.toByte)),
+        el(Array(0xe0),
+          el(Array(0xb0), Array(0x01.toByte, 0x40.toByte)),
+          el(Array(0xba), Array(0xf0.toByte)))))
+    val mkv = header ++ el(Array(0x18, 0x53, 0x80, 0x67), info, tracks)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", mkv, Map("container" -> "mkv"))).toDS()
+    val f = Multimodal.decodeVideo(media)(spark).collect().head
+    assert(f.brand == "matroska", f)
+    assert(f.width == 320 && f.height == 240, f)
+    assert(math.abs(f.duration_sec - 1.5) < 1e-9, f) // 1500 x 1e6 ns
+  }
+
   test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
