@@ -65,6 +65,15 @@ object Bench {
     "b48_semdedup_ivf" -> ((s, dir) =>
       graft.ext.Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, threshold = 0.45)),
+    // real BPE tokenization end-to-end: driver-side merge training on a
+    // bounded sample + distributed codegen'd encode of the whole corpus
+    "b49_bpe_token_count" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Bpe.register("bench",
+        graft.ext.Bpe.trainOnSample(docs, "doc_id", "text", nMerges = 256, sampleSize = 256))
+      docs.select(col("doc_id"),
+        graft.ext.Bpe.tokenCount(col("text"), "bench").as("n_tok"))
+    }),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

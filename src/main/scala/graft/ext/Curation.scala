@@ -45,7 +45,10 @@ object Curation {
       maxDupNgramFrac: Option[Double] = None,
       // substring-level exact dedup (Lee et al.): strip every corpus span
       // duplicated at the given gram resolution before the row-level stages
-      substringDedupGram: Option[Int] = None)
+      substringDedupGram: Option[Int] = None,
+      // when set, packing budgets count REAL subword tokens via the
+      // registered BPE vocab (Bpe.register) instead of whitespace splits
+      bpeVocabId: Option[String] = None)
 
   /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
     * columns), when given, removes any doc sharing an n-gram with it.
@@ -125,8 +128,12 @@ object Curation {
 
     // 6. optional packing — per-split cumsum bins (the q68 shape)
     cfg.packTokens.foreach { budget =>
+      val tokens = cfg.bpeVocabId match {
+        case Some(id) => Bpe.tokenCount(col(textCol), id).cast("long")
+        case None     => size(split(col(textCol), " ")).cast("long")
+      }
       cur = cur
-        .withColumn("__tok", size(split(col(textCol), " ")).cast("long"))
+        .withColumn("__tok", tokens)
         .withColumn("seq_id", expr(
           s"coalesce(sum(__tok) OVER (PARTITION BY split ORDER BY `$idCol` " +
             s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV $budget"))

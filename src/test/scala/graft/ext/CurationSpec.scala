@@ -85,6 +85,28 @@ class CurationSpec extends SparkSpec {
     assert(!byId(1L).contains(boiler) && !byId(2L).contains(boiler))
   }
 
+  test("packing with a BPE vocab budgets real subword tokens, not whitespace splits") {
+    import spark.implicits._
+    val raw = (0L until 40L)
+      .map(i => (i, s"document number $i with some repeated filler text to pack"))
+      .toDF("doc_id", "text")
+    Bpe.register("curation-spec", Bpe.trainOnSample(raw, "doc_id", "text", 64, 64))
+    val out = Curation.curate(raw, "doc_id", "text",
+      cfg = Curation.Config(minQuality = 0.0, nearDup = None,
+        splits = Seq("train" -> 100), packTokens = Some(64),
+        bpeVocabId = Some("curation-spec")))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("text"), col("seq_id"),
+        Bpe.tokenCount(col("text"), "curation-spec").as("n_tok"))
+      .collect()
+    assert(out.length == 40)
+    // recompute the cumsum bins from the REAL token counts
+    var cum = 0L
+    val expect = out.map { r => val bin = cum / 64; cum += r.getInt(3); bin }
+    assert(out.map(_.getLong(2)).sameElements(expect))
+    assert(expect.last > 0, "more than one bin must form")
+  }
+
   test("substring-dedup pre-stage strips the shared span corpus-wide, keeps unique text") {
     import spark.implicits._
     val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGH" // 44 chars
