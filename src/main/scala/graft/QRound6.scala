@@ -148,13 +148,50 @@ object QRound6 {
       |GROUP BY q.source, q.n_docs, q.quota
       |ORDER BY q.source""".stripMargin
 
+  /** Triangle counting over the part co-order graph (parts bought together
+    * in one order are linked; edges oriented `s < d` so each triangle is
+    * counted once). The canonical graph-motif plan: edges → wedges (equi
+    * join on the shared endpoint) → closure (equi join on both endpoints) —
+    * three shuffles, no broadcast of anything corpus-sized; the edge list
+    * is localCheckpoint'd once (the q85 pattern) instead of being rebuilt
+    * by all three join arms.
+    */
+  def q98Triangles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("s"), col("b.pk").as("d"))
+      .distinct()
+      .localCheckpoint()
+    val w = e.as("e1").join(e.as("e2"), col("e1.d") === col("e2.s"))
+      .select(col("e1.s").as("ta"), col("e1.d").as("tb"), col("e2.d").as("tc"))
+    val tri = w.join(e.as("e3"), col("ta") === col("e3.s") && col("tc") === col("e3.d"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(w.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  private val q98Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem WHERE l_quantity >= 40),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS s, b.pk AS d
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |w AS (SELECT e1.s AS ta, e1.d AS tb, e2.d AS tc FROM e e1 JOIN e e2 ON e1.d = e2.s)
+      |SELECT (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*) FROM w) AS n_wedges,
+      |       (SELECT count(*) FROM w JOIN e e3 ON w.ta = e3.s AND w.tc = e3.d) AS n_triangles""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_substring_dedup" -> (q95SubstringDedup _),
     "q96_semdedup"        -> (q96SemDedup _),
-    "q97_mixture_sample"  -> (q97MixtureSample _))
+    "q97_mixture_sample"  -> (q97MixtureSample _),
+    "q98_triangles"       -> (q98Triangles _))
 
   val sql: Map[String, String] = Map(
     "q95_substring_dedup" -> q95Sql,
     "q96_semdedup"        -> q96Sql,
-    "q97_mixture_sample"  -> q97Sql)
+    "q97_mixture_sample"  -> q97Sql,
+    "q98_triangles"       -> q98Sql)
 }

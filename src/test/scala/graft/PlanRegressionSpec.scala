@@ -37,7 +37,8 @@ class PlanRegressionSpec extends SparkSpec {
     "q75_approx_quantile",  // quantile literal row
     "q85_pagerank",         // rank-mass correction scalar per iteration
     "q90_integrity",        // expected-totals row
-    "q94_delta_roundtrip")  // version-count scalar
+    "q94_delta_roundtrip",  // version-count scalar
+    "q98_triangles")        // three single-row count aggregates crossed
 
   test("registry sweep: no query plans a cartesian product or an unlisted nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

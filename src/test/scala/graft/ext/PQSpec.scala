@@ -81,4 +81,32 @@ class PQSpec extends SparkSpec {
     val qid = emb.orderBy("vec_id").select(col("vec_id")).head().getLong(0)
     assert(top.contains(qid), s"query $qid missing from its own ADC top-5: ${top.toSeq}")
   }
+
+  test("SQ8: exact distributed bounds, per-dim error within half a step, top-k = brute force") {
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val sq = PQ.trainSq(vecs, "embedding", dim = 8)
+    // bounds are the exact corpus min/max per dimension
+    for (i <- 0 until 8) {
+      assert(sq.lo(i) == raw.values.map(_(i).toDouble).min, s"dim $i lo")
+      assert(sq.hi(i) == raw.values.map(_(i).toDouble).max, s"dim $i hi")
+    }
+    // reconstruction within half a quantization step in every dimension
+    val codes = PQ.encodeSq(vecs, "vec_id", "embedding", sq)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    codes.foreach { case (id, code) =>
+      val rec = sq.decode(code)
+      for (i <- 0 until 8) {
+        val w = sq.hi(i) - sq.lo(i)
+        val halfStep = (if (w > 0) w / 256.0 else 1.0) / 2.0 + 1e-12
+        assert(math.abs(rec(i) - raw(id)(i)) <= halfStep,
+          s"vec $id dim $i off by ${math.abs(rec(i) - raw(id)(i))}")
+      }
+    }
+    // on well-separated clusters the int8 scan agrees with exact brute force
+    val query = raw(10L).map(_.toDouble)
+    val top = PQ.sqTopK(PQ.encodeSq(vecs, "vec_id", "embedding", sq),
+        "vec_id", query, sq, k = 6)
+      .collect().map(_.getLong(0))
+    assert(top.toSet == (10L until 16L).toSet, s"expected cluster 1, got ${top.toSeq}")
+  }
 }
