@@ -48,7 +48,10 @@ object Curation {
       substringDedupGram: Option[Int] = None,
       // when set, packing budgets count REAL subword tokens via the
       // registered BPE vocab (Bpe.register) instead of whitespace splits
-      bpeVocabId: Option[String] = None)
+      bpeVocabId: Option[String] = None,
+      // CCNet-style LM gate: drop docs whose bigram cross-entropy under the
+      // registered model (LangModel.register) exceeds the bound
+      perplexityGate: Option[(String, Double)] = None)
 
   /** Curate `docs` (must carry `idCol` and `textCol`). `evalDocs` (same two
     * columns), when given, removes any doc sharing an n-gram with it.
@@ -74,6 +77,9 @@ object Curation {
     }
     cfg.maxDupNgramFrac.foreach { bound =>
       cur = cur.filter(TextAnalysis.dupNgramFraction(col(textCol), 2) <= bound)
+    }
+    cfg.perplexityGate.foreach { case (modelId, maxBits) =>
+      cur = cur.filter(LangModel.perplexityBits(col(textCol), modelId) <= maxBits)
     }
 
     // 1. quality gate — per-row codegen, cuts rows at the scan stage

@@ -244,6 +244,16 @@ object DeltaRead {
       }
       val cp = spark.read.parquet(cpPaths: _*)
       val cols = cp.columns.toSet
+      if (cols.contains("protocol")) {
+        val pcols = cp.select(col("protocol")).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+        cp.select(col("protocol.minReaderVersion"),
+            if (pcols.contains("readerFeatures")) col("protocol.readerFeatures")
+            else lit(null).cast("array<string>"))
+          .filter(col("minReaderVersion").isNotNull).collect()
+          .foreach(r => checkProtocol(r.getInt(0),
+            if (r.isNullAt(1)) Nil else r.getSeq[String](1), s"$dir checkpoint"))
+      }
       if (cols.contains("metaData"))
         cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
           .filter(col("metaData.schemaString").isNotNull).collect()
@@ -301,10 +311,24 @@ object DeltaRead {
         finally in.close()
       content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          checkProtocol(
+            Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+            Option(p.get("readerFeatures"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+            s"$dir version $v")
+        }
         if (node.has("metaData")) {
           val m = node.get("metaData")
           val pcols = Option(m.get("partitionColumns"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          val mapping = Option(m.get("configuration"))
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .map(_.asText()).getOrElse("none")
+          require(mapping == "none",
+            s"$dir enables column mapping '$mapping' — this reader resolves " +
+              "columns by name and would silently misread a mapped table")
           meta = Meta(m.get("schemaString").asText(), pcols)
         }
         if (node.has("add")) {
@@ -316,6 +340,26 @@ object DeltaRead {
       }
     }
     (meta, live.values.toSeq)
+  }
+
+  /** Refuse tables whose protocol demands read behavior this reader does
+    * not implement — returning WRONG data (resurrected deleted rows under
+    * deletionVectors, misresolved columns under columnMapping, missed state
+    * under v2Checkpoint sidecars) is strictly worse than failing loudly.
+    * Reader version 1/2 are fine (v2's column mapping is additionally gated
+    * on the metaData configuration, where it is actually switched on);
+    * version 3 is accepted only when every declared readerFeature is one
+    * that cannot change what a name-resolving, full-file reader returns.
+    */
+  private val harmlessReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+  private def checkProtocol(minReader: Int, features: Seq[String], where: String): Unit = {
+    require(minReader <= 3, s"$where requires Delta reader version $minReader; max supported is 3")
+    if (minReader >= 3) {
+      val unsupported = features.filterNot(harmlessReaderFeatures)
+      require(unsupported.isEmpty,
+        s"$where requires reader features ${unsupported.mkString(", ")} — " +
+          "unsupported here; reading anyway would return wrong data")
+    }
   }
 
   /** A `_last_checkpoint` pointer: version, plus `parts` when the

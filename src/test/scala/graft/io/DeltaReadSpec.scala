@@ -379,6 +379,34 @@ class DeltaReadSpec extends SparkSpec {
     assert(e.getMessage.contains("unpartitioned"), e.getMessage)
   }
 
+  test("unsupported protocol or column mapping is refused, never silently misread") {
+    def table(protocolLine: String, metaExtra: String = ""): String = {
+      val t = Files.createTempDirectory("graft_delta_proto").toString
+      val df = Seq((1L, "a")).toDF("id", "v")
+      val f = addFile(t, "part-0.parquet", df)
+      writeCommit(t, 0, Seq(
+        protocolLine,
+        s"""{"metaData":{"id":"m","schemaString":"${schemaJson(df)}","partitionColumns":[]$metaExtra}}""",
+        s"""{"add":{"path":"$f","partitionValues":{},"size":${fsize(t, f)},"dataChange":true}}"""))
+      t
+    }
+    // baseline: version-1 protocol reads fine
+    val ok = table("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    assert(DeltaRead.readDeltaTable(spark, ok).count() == 1L)
+    // v3 with deletionVectors: reading would resurrect deleted rows — refuse
+    val dv = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
+    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, dv).count())
+    assert(e1.getMessage.contains("deletionVectors"), e1.getMessage)
+    // v3 with only harmless features still reads
+    val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
+    assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
+    // column mapping switched on in metaData config: name resolution breaks — refuse
+    val cm = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      ""","configuration":{"delta.columnMapping.mode":"name"}""")
+    val e2 = intercept[Exception](DeltaRead.readDeltaTable(spark, cm).count())
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  }
+
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
     val notDelta = Files.createTempDirectory("graft_delta4").toString
     intercept[IllegalArgumentException] {
