@@ -27,4 +27,31 @@ class SketchesSpec extends SparkSpec {
         s"$k: est ${merged(k)} vs exact $n")
     }
   }
+
+  test("count-min: estimates never undercount, stay within eN, and daily states union losslessly") {
+    val events = Tables.events(spark, sf)
+    val (depth, width) = (4, 1024)
+    // one whole-corpus sketch of the event_type stream
+    val whole = Sketches.cm(depth, width,
+      events.agg(Sketches.cmSketch(col("event_type"), depth, width)).head().getSeq[Long](0))
+    val exact = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(whole.total == n, s"total ${whole.total} vs $n")
+    exact.foreach { case (k, c) =>
+      val est = whole.estimate(k)
+      assert(est >= c, s"$k undercounted: $est < $c")
+      assert(est <= c + (math.E / width * n).toLong + 1,
+        s"$k over the eN bound: $est vs $c (N=$n)")
+    }
+    // an absent key estimates ~0 (collision mass only)
+    assert(whole.estimate("no_such_event") <= (math.E / width * n).toLong + 1)
+    // per-day sketches union to the identical counter array
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(Sketches.cmSketch(col("event_type"), depth, width).as("cm"))
+    val unioned = daily.agg(Sketches.cmUnion(col("cm"), depth, width))
+      .head().getSeq[Long](0)
+    assert(unioned == whole.counters.toSeq, "union must be exact, not approximate")
+  }
 }
