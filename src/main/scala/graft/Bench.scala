@@ -22,6 +22,7 @@ object Bench {
     Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
       "q76_cluster_split", "q92_simhash_pairs", // md5 family; b31/b35/b44 bench the fast path
       "q95_substring_dedup", // exact-string gram keys are oracle-only; b47 benches the hashed path
+      "q99_bpe_tokens", // identical computation to b49
       "q32_source_sketch") // its exact-Jaccard half is oracle-only; b42 benches the sketch
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(

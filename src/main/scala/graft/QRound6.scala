@@ -183,11 +183,39 @@ object QRound6 {
       |       (SELECT count(*) FROM w) AS n_wedges,
       |       (SELECT count(*) FROM w JOIN e e3 ON w.ta = e3.s AND w.tc = e3.d) AS n_triangles""".stripMargin
 
+  /** Rows-only gate entries — BPE token counting and LM perplexity have no
+    * ANSI-SQL equivalent (iterative merges / registered model state), so
+    * the driver records the weaker rows>0 check; the strong contracts live
+    * in BpeSpec/LangModelSpec (codegen == driver reference, determinism).
+    * Both train on a bounded deterministic sample inside the query, so a
+    * cold executor reproduces the identical output.
+    */
+  def q99BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.ext.Bpe.register("q99",
+      graft.ext.Bpe.trainOnSample(docs, "doc_id", "text", nMerges = 256, sampleSize = 256))
+    docs.select(col("doc_id"),
+        graft.ext.Bpe.tokenCount(col("text"), "q99").as("n_tok"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q100LmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.ext.LangModel.register("q100",
+      graft.ext.LangModel.trainOnSample(docs, "doc_id", "text", sampleSize = 256))
+    docs.select(col("doc_id"),
+        round(graft.ext.LangModel.perplexityBits(col("text"), "q100"), 6).as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q95_substring_dedup" -> (q95SubstringDedup _),
     "q96_semdedup"        -> (q96SemDedup _),
     "q97_mixture_sample"  -> (q97MixtureSample _),
-    "q98_triangles"       -> (q98Triangles _))
+    "q98_triangles"       -> (q98Triangles _),
+    "q99_bpe_tokens"      -> (q99BpeTokens _),
+    "q100_lm_perplexity"  -> (q100LmPerplexity _))
 
   val sql: Map[String, String] = Map(
     "q95_substring_dedup" -> q95Sql,
