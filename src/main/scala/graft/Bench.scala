@@ -66,6 +66,16 @@ object Bench {
     "b48_semdedup_ivf" -> ((s, dir) =>
       graft.ext.Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, threshold = 0.45)),
+    // persisted ANN index: build (train+assign+write partitioned) + one
+    // partition-pruned probe query — the serving-corpus lifecycle
+    "b50_ann_index" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
+      graft.ext.AnnIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
+        path, nCells = 16)
+      val q = Tables.embeddings(s, dir).orderBy("vec_id")
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      graft.ext.AnnIndex.query(s, path, q, nProbe = 2, k = 10)
+    }),
     // real BPE tokenization end-to-end: driver-side merge training on a
     // bounded sample + distributed codegen'd encode of the whole corpus
     "b49_bpe_token_count" -> ((s, dir) => {
