@@ -54,6 +54,11 @@ object Splits {
     val counts = df.groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("__wgt", weightOf(col(srcCol)).cast("long"))
+      // a non-positive or null weight is a caller bug — surface it as a
+      // plan-time-cheap runtime assert instead of a null-poisoned quota
+      .withColumn("__wgt", when(col("__wgt") > 0, col("__wgt"))
+        .otherwise(raise_error(concat(lit("mixture weight must be positive for source "),
+          col(srcCol).cast("string")))))
     val unit = counts.agg(min(expr("n_docs div __wgt")).as("__unit"))
     counts.crossJoin(broadcast(unit))
       .select(col(srcCol), col("n_docs"), (col("__wgt") * col("__unit")).as("quota"))

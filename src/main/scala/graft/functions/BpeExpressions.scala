@@ -59,4 +59,39 @@ object BpeExpressions {
     new GenericArrayData(
       graft.ext.Bpe.encodeTokens(text.toString, vocabId)
         .map(t => UTF8String.fromString(t): Any))
+
+  private def litStr(e: Expression, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
+      v.toString
+    case _ => throw new IllegalArgumentException(s"$name must be a string literal")
+  }
+
+  /** SQL registrations (SparkSessionExtensions.injectFunction). */
+  val registrations: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_token_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeTokenCount].getName, "graft_bpe_token_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, id) => BpeTokenCount(c, litStr(id, "vocabId"))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_token_count(text, 'vocabId') takes 2 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_tokens"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, id) => BpeTokens(c, litStr(id, "vocabId"))
+        case _ => throw new IllegalArgumentException(
+          "graft_bpe_tokens(text, 'vocabId') takes 2 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lm_bits_per_token"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LmExpressions.LmBitsPerToken].getName, "graft_lm_bits_per_token"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, id) => LmExpressions.LmBitsPerToken(c, litStr(id, "modelId"))
+        case _ => throw new IllegalArgumentException(
+          "graft_lm_bits_per_token(text, 'modelId') takes 2 arguments")
+      }))
 }

@@ -63,4 +63,20 @@ class BpeSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("the SQL surface resolves the registered function names") {
+    Bpe.register("sql-vocab", Bpe.train(corpus, 16))
+    LangModel.register("sql-lm", LangModel.train(corpus))
+    spark.createDataset(corpus)(spark.implicits.newStringEncoder)
+      .toDF("text").createOrReplaceTempView("bpe_sql_docs")
+    val r = spark.sql(
+      """SELECT graft_bpe_token_count(text, 'sql-vocab') AS n,
+        |       size(graft_bpe_tokens(text, 'sql-vocab')) AS n2,
+        |       graft_lm_bits_per_token(text, 'sql-lm') AS bits
+        |FROM bpe_sql_docs""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getInt(0) == row.getInt(1) && row.getInt(0) > 0)
+      assert(!row.getDouble(2).isNaN)
+    }
+  }
 }
