@@ -483,6 +483,48 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** Banded sign-LSH index rows for an embedding corpus: one `(id, band,
+    * h)` row per band per vector — the persistable state an ingest-time
+    * check needs ([[nearDupsAgainstBandIndex]]); vectors themselves live in
+    * a separate `(id, vec, nrm)` store so the band table stays 3 longs
+    * wide.
+    */
+  def bandIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(signBandBuckets(col(vecCol), planes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+
+  /** Vector store rows matching [[bandIndexRows]]: `(id, vec, nrm)`. */
+  def vectorStoreRows(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"))
+
+  /** New-batch vs corpus near-dup check against the PERSISTED band index:
+    * the batch bands itself, candidates come from the `(band, h)` equi
+    * join — cost scales with the BATCH and its collisions, the corpus is
+    * never re-hashed — and only candidate corpus vectors are fetched for
+    * the exact cosine verify. Returns distinct `(new_id, corpus_id)`.
+    */
+  def nearDupsAgainstBandIndex(newDf: DataFrame, idCol: String, vecCol: String,
+      bandIdx: DataFrame, corpusVecs: DataFrame, threshold: Double,
+      planes: Seq[Seq[Double]], bands: Int): DataFrame = {
+    val newSide = vectorStoreRows(newDf, idCol, vecCol)
+      .select(col("id").as("new_id"), col("vec").as("nvec"), col("nrm").as("nnrm"))
+    val newBands = bandIndexRows(newDf, idCol, vecCol, planes, bands)
+      .withColumnRenamed("id", "new_id")
+    val cand = newBands
+      .join(bandIdx.withColumnRenamed("id", "corpus_id"), Seq("band", "h"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cand
+      .join(newSide, Seq("new_id"))
+      .join(corpusVecs.select(col("id").as("corpus_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")).hint("shuffle_hash"), Seq("corpus_id"))
+      .filter(round(dot(col("nvec"), col("cvec")) /
+        (col("nnrm") * col("cnrm")), 6) >= threshold)
+      .select(col("new_id"), col("corpus_id"))
+  }
+
   /** SemDeDup removal set (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): within each
     * cluster, a vector is removed iff a SMALLER-id vector of the same

@@ -453,6 +453,67 @@ class StreamingSpec extends SparkSpec {
     assert(idx.columns.toSeq == Seq("id", "sh"))
   }
 
+  test("streaming embedding ingest dedup: cosine near-dups rejected vs corpus and in-batch") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_embed_ingest").toString
+    val srcDir = s"$base/src"
+    val stateDir = s"$base/state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    val dim = 8
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    def near(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        if (i == axis) 1.0f else if (i == (axis + 1) % dim) eps else 0.0f)
+
+    def stage(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage_$name")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/stage_$name"))
+        .iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.move(p,
+            java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+          moved = true
+        }
+      }
+    }
+
+    stage("b0", Seq(
+      (1L, unit(0)),
+      (2L, near(0, 0.05f)), // in-batch near-dup of 1 (cos ≈ 0.999) → rejected
+      (3L, unit(3))))       // orthogonal → accepted
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = EmbedIngestDedupSink.run(stream, "vec_id", "embedding",
+        stateDir, s"$base/ckpt", threshold = 0.9, dim = dim)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val a0 = spark.read.parquet(s"$stateDir/accepted/b0")
+      .select("vec_id").as[Long].collect().sorted
+    assert(a0.toSeq == Seq(1L, 3L), a0.toSeq.toString)
+
+    stage("b1", Seq(
+      (10L, near(0, 0.03f)), // near-dups ACCEPTED vec 1 → rejected via the index
+      (11L, unit(5))))       // novel axis → accepted
+    runOnce()
+    val all = spark.read.parquet(s"$stateDir/accepted/b*")
+      .select("vec_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 3L, 11L), all.toSeq.toString)
+    // state grew append-only: 3 surviving vectors, bands rows = 3 × 32
+    assert(EmbedIngestDedupSink.readVecs(spark, stateDir).get.count() == 3L)
+    assert(EmbedIngestDedupSink.readBands(spark, stateDir).get.count() == 3L * 32)
+  }
+
   test("session windows close after the gap and count per user") {
     val stream = EventsStream.readEvents(spark, eventsDir)
       .filter(col("user_id") === 1)
