@@ -115,8 +115,12 @@ object QRound6 {
     val docs = documents(s, d)
     val weightOf = (src: Column) =>
       substring(src, 4, 10).cast("int") % 4 + 1
+    // quotas materialize once (20 rows) and feed both the output columns
+    // and the sampler — without this the quota subplan re-scans documents
     val quotas = graft.ext.Splits.mixtureQuotas(docs, "source", weightOf)
-    val kept = graft.ext.Splits.mixtureSample(docs, "doc_id", "source", weightOf)
+      .localCheckpoint()
+    val kept = graft.ext.Splits.mixtureSample(docs, "doc_id", "source", weightOf,
+      precomputedQuotas = Some(quotas))
       .groupBy(col("source"))
       .agg(sum(col("doc_id")).as("kept_sum"),
         min(col("doc_id")).as("kept_min"), max(col("doc_id")).as("kept_max"))

@@ -72,9 +72,12 @@ object Splits {
     * source key. Returns the surviving rows with the original schema.
     */
   def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
-      weightOf: Column => Column): DataFrame = {
+      weightOf: Column => Column,
+      precomputedQuotas: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quotas = mixtureQuotas(df, srcCol, weightOf)
+    // a caller that already materialized mixtureQuotas passes it back in —
+    // otherwise the quota subplan re-derives (and re-scans) per use
+    val quotas = precomputedQuotas.getOrElse(mixtureQuotas(df, srcCol, weightOf))
       .withColumnRenamed(srcCol, "__msrc").select("__msrc", "quota")
     val w = Window.partitionBy(col(srcCol))
       .orderBy(md5(col(idCol).cast("string")))
