@@ -187,6 +187,55 @@ object QRound6 {
       |       (SELECT count(*) FROM w) AS n_wedges,
       |       (SELECT count(*) FROM w JOIN e e3 ON w.ta = e3.s AND w.tc = e3.d) AS n_triangles""".stripMargin
 
+  /** NEAREST-in-time as-of join (either direction — sensor/event alignment
+    * semantics neither plain ASOF direction covers): the backward and
+    * forward as-of joins ([[graft.operators.AsOfJoin]], one shuffle each)
+    * compose through an equi join on the fact id, and the nearer side wins
+    * (backward on ties — the conventional choice). DuckDB oracle: min
+    * |gap| per fact with the same tie rule.
+    */
+  def q101AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+    val back = graft.operators.AsOfJoin.asOfJoin(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+        Seq("p_event_id", "p_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("p_event_id").as("b_id"),
+        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("b_gap"))
+    val fwd = graft.operators.AsOfJoin.asOfJoinForward(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+        Seq("p_event_id", "p_ts"))
+      .select(col("event_id").as("f_event_id"),
+        col("p_event_id").as("f_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("f_gap"))
+    val backWins = col("f_gap").isNull || (col("b_gap").isNotNull && col("b_gap") <= col("f_gap"))
+    back.join(fwd, col("event_id") === col("f_event_id"))
+      .select(col("event_id"), col("user_id"),
+        when(backWins, col("b_id")).otherwise(col("f_id")).as("nearest_purchase_id"),
+        when(backWins, -col("b_gap")).otherwise(col("f_gap")).as("signed_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q101Sql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS p_event_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id,
+      |  p.p_event_id AS nearest_purchase_id,
+      |  epoch_us(p.p_ts) - epoch_us(c.ts) AS signed_gap_us
+      |FROM c LEFT JOIN p ON c.user_id = p.p_user
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY c.event_id
+      |  ORDER BY abs(epoch_us(p.p_ts) - epoch_us(c.ts)),
+      |           CASE WHEN p.p_ts <= c.ts THEN 0 ELSE 1 END) = 1
+      |ORDER BY c.event_id""".stripMargin
+
   /** Rows-only gate entries — BPE token counting and LM perplexity have no
     * ANSI-SQL equivalent (iterative merges / registered model state), so
     * the driver records the weaker rows>0 check; the strong contracts live
@@ -219,11 +268,13 @@ object QRound6 {
     "q97_mixture_sample"  -> (q97MixtureSample _),
     "q98_triangles"       -> (q98Triangles _),
     "q99_bpe_tokens"      -> (q99BpeTokens _),
-    "q100_lm_perplexity"  -> (q100LmPerplexity _))
+    "q100_lm_perplexity"  -> (q100LmPerplexity _),
+    "q101_asof_nearest"   -> (q101AsofNearest _))
 
   val sql: Map[String, String] = Map(
     "q95_substring_dedup" -> q95Sql,
     "q96_semdedup"        -> q96Sql,
     "q97_mixture_sample"  -> q97Sql,
-    "q98_triangles"       -> q98Sql)
+    "q98_triangles"       -> q98Sql,
+    "q101_asof_nearest"   -> q101Sql)
 }
