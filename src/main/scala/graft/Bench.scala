@@ -18,6 +18,26 @@ import graft.ext.Dedup
   * the xxhash64 fast variants — are benchmarked as b31/b32 instead.
   */
 object Bench {
+  /** One process-wide scratch root, deleted on JVM exit — bench lambdas that
+    * need disk (b38/b50) carve subdirs here instead of leaking a fresh
+    * createTempDirectory per iteration/run.
+    */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bench")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }))
+    root
+  }
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def benchTmp(prefix: String): String =
+    java.nio.file.Files.createDirectory(
+      tmpRoot.resolve(prefix + "_" + tmpSeq.incrementAndGet())).toString
+
   private val skip =
     Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
       "q76_cluster_split", "q92_simhash_pairs", // md5 family; b31/b35/b44 bench the fast path
@@ -69,7 +89,7 @@ object Bench {
     // persisted ANN index: build (train+assign+write partitioned) + one
     // partition-pruned probe query — the serving-corpus lifecycle
     "b50_ann_index" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_bench_ann").toString
+      val path = benchTmp("ann")
       graft.ext.AnnIndex.build(Tables.embeddings(s, dir), "vec_id", "embedding",
         path, nCells = 16)
       val q = Tables.embeddings(s, dir).orderBy("vec_id")
@@ -133,8 +153,7 @@ object Bench {
     // timed region — the bench is the maintenance ROUND TRIP a streaming
     // ingest pays, not the rewrite in isolation)
     "b38_compaction" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_b38")
-        .toString + "/t"
+      val base = benchTmp("b38") + "/t"
       Tables.events(s, dir).select("event_id", "user_id", "value")
         .repartition(200).write.mode("overwrite").parquet(base)
       val n = graft.io.Compaction.compact(s, base, targetFileBytes = 32L * 1024 * 1024)
@@ -266,7 +285,7 @@ private[graft] object BenchLayouts {
 
   def dirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
     cached.getOrElse {
-      val base = java.nio.file.Files.createTempDirectory("graft_b39").toString
+      val base = Bench.benchTmp("b39")
       // ×300 + a 64-char payload: ~30M rows / ~2 GB raw, enough that an
       // unpruned scan pays real IO+decode, not just task overhead
       val df = Tables.events(s, sfDir)

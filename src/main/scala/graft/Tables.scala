@@ -43,22 +43,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = widened(s, load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = widened(s, load(s, d, "embeddings"))
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default. With `spark.sql.legacy.parquet.nanosAsLong=true` the
-    * column arrives as LongType nanos; convert to a microsecond timestamp the
-    * same way DuckDB does (truncation), so oracle comparisons line up.
+  /** `events.parquet` has shipped `ts` in three physical forms across
+    * driver testdata generations; normalize all of them to a microsecond
+    * TimestampType so every downstream query sees one type:
     *
-    * INTEGER division (`div`), not `floor(_ / 1000)`: `/` on longs is double
-    * division, and epoch NANOS (~1.7e18) exceed a double's 53-bit mantissa —
-    * the rounded quotient is off by ±1µs on about half the rows (caught by
-    * the q62 gate, the first query to emit raw microseconds).
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it by default; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+    *    nanos — truncate to micros the same way DuckDB does. INTEGER
+    *    division (`div`), not `floor(_ / 1000)`: `/` on longs is double
+    *    division, and epoch NANOS (~1.7e18) exceed a double's 53-bit
+    *    mantissa — the rounded quotient is off by ±1µs on about half the
+    *    rows (caught by the q62 gate, the first query to emit raw micros).
+    *  - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ; the cast
+    *    to TimestampType interprets the naive value in the session zone,
+    *    which every main/spec pins to UTC — micro-exact, matching DuckDB's
+    *    naive read.
+    *  - timestamp[us] UTC-adjusted: already TimestampType, no-op.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () } // static conf on some builds; builder sets it too
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -254,10 +254,27 @@ object DeltaRead {
           .foreach(r => checkProtocol(r.getInt(0),
             if (r.isNullAt(1)) Nil else r.getSeq[String](1), s"$dir checkpoint"))
       }
-      if (cols.contains("metaData"))
-        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+      if (cols.contains("metaData")) {
+        // The column-mapping gate must ALSO run on the checkpoint path: once a
+        // table is checkpointed and its early JSON cleaned, the only metaData
+        // action lives here — configuration may be absent from the checkpoint
+        // schema (guard like readerFeatures above).
+        val mcols = cp.select(col("metaData")).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+            if (mcols.contains("configuration")) col("metaData.configuration")
+            else lit(null).cast("map<string,string>"))
           .filter(col("metaData.schemaString").isNotNull).collect()
-          .foreach(r => meta = Meta(r.getString(0), r.getSeq[String](1)))
+          .foreach { r =>
+            val mapping =
+              if (r.isNullAt(2)) "none"
+              else r.getMap[String, String](2).getOrElse("delta.columnMapping.mode", "none")
+            require(mapping == "none",
+              s"$dir checkpoint enables column mapping '$mapping' — this reader " +
+                "resolves columns by name and would silently misread a mapped table")
+            meta = Meta(r.getString(0), r.getSeq[String](1))
+          }
+      }
       if (cols.contains("add"))
         cp.select(col("add")).filter(col("add.path").isNotNull).collect()
           .foreach { r =>

@@ -17,13 +17,13 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events schema as stored (ts arrives as LongType nanos in our parquet —
-    * see graft.Tables.events — so the streaming reader takes it as long and
-    * converts, identically to the batch path).
+  /** events schema with `tsType` as the physical `ts` encoding — the
+    * parquet has shipped nanos-as-long, micros-NTZ, and micros-UTC across
+    * testdata generations (see graft.Tables.events).
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType = LongType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -32,16 +32,26 @@ object EventsStream {
   /** File-based streaming source over a directory of events parquet.
     * `maxFilesPerTrigger=1` gives deterministic micro-batches in tests; at
     * scale the source is Kafka/queue with the same downstream plan.
+    *
+    * A file stream needs its schema up front; probe the physical `ts` type
+    * from the existing footers with one batch read (driver-side metadata
+    * only — no data scan), then normalize exactly like the batch path.
     */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+    tsType match {
       // integer division — `/` on epoch nanos loses µs precision (see
       // graft.Tables.events)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts + sums per event type with a watermark that

@@ -64,6 +64,20 @@ class BpeSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("re-registering a different vocab under the same id never serves stale encodings") {
+    // the encode memo is keyed by Vocab generation, not the id string — a
+    // caller retraining 'live' must see the new tokenization for words the
+    // old vocab already cached on this thread
+    Bpe.register("live", Bpe.train(corpus, 0))
+    val text = corpus.head
+    val charLevel = Bpe.countTokens(text, "live") // caches every word at gen A
+    assert(charLevel == text.length)
+    Bpe.register("live", Bpe.train(corpus, 20))
+    val merged = Bpe.countTokens(text, "live") // same thread, same words
+    assert(merged < charLevel, s"stale memo: got $merged vs char-level $charLevel")
+    assert(Bpe.encodeTokens(text, "live").mkString == text)
+  }
+
   test("the SQL surface resolves the registered function names") {
     Bpe.register("sql-vocab", Bpe.train(corpus, 16))
     LangModel.register("sql-lm", LangModel.train(corpus))

@@ -235,6 +235,36 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.latestVersion(spark, table) == 2L)
   }
 
+  test("column-mapped table whose metaData lives only in the checkpoint is rejected") {
+    // the steady state after log cleanup: the ONLY metaData action is in the
+    // checkpoint parquet — the mapping gate must fire there too, not just on
+    // the JSON-commit path
+    val table = Files.createTempDirectory("graft_delta_cpcm").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val sj = d.schema.json
+    val cp = spark.sql(
+      s"""SELECT named_struct('schemaString', '$sj',
+         |  'partitionColumns', array(),
+         |  'configuration', map('delta.columnMapping.mode', 'name')) AS metaData,
+         |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add
+         |UNION ALL
+         |SELECT null, named_struct('path', 'f1.parquet', 'partitionValues', map())
+         |""".stripMargin)
+    val cpStage = Files.createTempDirectory("graft_delta_cpcm_stage").toString
+    cp.coalesce(1).write.mode("overwrite").parquet(cpStage)
+    val cpFile = Files.list(Paths.get(cpStage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.move(cpFile, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":0,"size":2}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTable(spark, table).collect()
+    }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+  }
+
   test("changesSince reads only newly added files; a remove in the range fails loudly") {
     val table = Files.createTempDirectory("graft_delta_cs").toString
     val d = Seq((1L, "a")).toDF("id", "v")

@@ -304,10 +304,13 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == baseCount)
 
     // new data arrives while the query is down: shifted event ids so the
-    // second batch is distinguishable
-    graft.Tables.events(spark, sf)
+    // second batch is distinguishable. Derive it from the staged file's RAW
+    // schema (not Tables.events' normalized one) so the new file carries the
+    // same physical ts encoding as the rest of the stream dir, whatever the
+    // testdata generation shipped (nanos-long / micros-NTZ / micros-UTC).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(srcDir.resolve("events.parquet").toString)
       .withColumn("event_id", col("event_id") + 1000000L)
-      .withColumn("ts", unix_micros(col("ts")) * 1000) // back to raw nanos schema
       .write.parquet(srcDir.resolve("more").toString)
     java.nio.file.Files.move(
       srcDir.resolve("more").toFile.listFiles().filter(_.getName.endsWith(".parquet"))
