@@ -66,14 +66,16 @@ object QPipelineExt {
       TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
 
-  private val q22Sql = {
+  /** The DuckDB CASE expression equivalent to [[TextAnalysis.langId]] over a
+    * `text` column — shared with q104's agreement oracle.
+    */
+  private[graft] val langPredSqlExpr: String = {
     def cnt(words: Seq[String]) = {
       val in = words.map(w => s"'$w'").mkString(", ")
       s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
     }
     val m = TextAnalysis.DefaultLangMarkers.toMap
-    s"""SELECT doc_id, lang,
-       |  CASE WHEN ${cnt(m("en"))} + ${cnt(m("de"))} + ${cnt(m("es"))}
+    s"""CASE WHEN ${cnt(m("en"))} + ${cnt(m("de"))} + ${cnt(m("es"))}
        |          + ${cnt(m("fr"))} + ${cnt(m("zh"))} = 0 THEN 'und'
        |    WHEN ${cnt(m("en"))} >= ${cnt(m("de"))} AND ${cnt(m("en"))} >= ${cnt(m("es"))}
        |     AND ${cnt(m("en"))} >= ${cnt(m("fr"))} AND ${cnt(m("en"))} >= ${cnt(m("zh"))} THEN 'en'
@@ -81,10 +83,14 @@ object QPipelineExt {
        |     AND ${cnt(m("de"))} >= ${cnt(m("zh"))} THEN 'de'
        |    WHEN ${cnt(m("es"))} >= ${cnt(m("fr"))} AND ${cnt(m("es"))} >= ${cnt(m("zh"))} THEN 'es'
        |    WHEN ${cnt(m("fr"))} >= ${cnt(m("zh"))} THEN 'fr'
-       |    ELSE 'zh' END AS lang_pred
+       |    ELSE 'zh' END""".stripMargin
+  }
+
+  private val q22Sql =
+    s"""SELECT doc_id, lang,
+       |  $langPredSqlExpr AS lang_pred
        |FROM documents
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Canonical-form fingerprint (case/punct/spacing-insensitive dedup key). */
   def q23Fingerprint(s: SparkSession, d: String): DataFrame =

@@ -78,6 +78,20 @@ class PlanRegressionSpec extends SparkSpec {
       "final must consume partial (tree prints parent first)\n" + p)
   }
 
+  test("q103: the per-source quota runs on the heap operator, not a window over the corpus") {
+    val p = plan("q103_source_quota")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      "quota must not window-sort the whole corpus\n" + p)
+  }
+
+  test("q102: chunking is narrow — the only exchange is the oracle's final ORDER BY") {
+    val p = plan("q102_doc_chunking")
+    val beforeSort = p.substring(p.indexOf("Generate"))
+    assert(beforeSort.linesIterator.count(_.contains("Exchange")) <= 1,
+      "chunking added a shuffle below the generate\n" + p)
+  }
+
   test("q37: the range join runs as an equi join, not a nested loop") {
     val p = plan("q37_range_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
