@@ -105,6 +105,16 @@ object Bench {
       docs.select(col("doc_id"),
         graft.ext.Bpe.tokenCount(col("text"), "bench").as("n_tok"))
     }),
+    // RAG chunking in REAL subword tokens: bounded driver-side BPE train +
+    // distributed codegen'd encode + narrow windowing — the whole prep
+    // stage a context-window ingest pays per corpus pass
+    "b51_chunk_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Bpe.register("bench-chunk",
+        graft.ext.Bpe.trainOnSample(docs, "doc_id", "text", nMerges = 256, sampleSize = 256))
+      graft.ext.Chunking.chunkByBpeTokens(docs, "doc_id", "text", "bench-chunk",
+        chunkTokens = 512, strideTokens = 384)
+    }),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

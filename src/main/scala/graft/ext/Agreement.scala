@@ -29,9 +29,14 @@ object Agreement {
     */
   def cohenKappaBy(df: DataFrame, groupCol: String, aCol: String,
       bCol: String): DataFrame = {
+    // Four consumers derive from the confusion cells; without truncation each
+    // re-runs the item-level aggregation (and any expensive rater expression)
+    // from the source — the q97 multi-consumer-subplan lesson. The cells
+    // table is ≤ |groups|·|labels|² rows: localCheckpoint it once.
     val cells = df
       .groupBy(col(groupCol), col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
     val totals = cells.groupBy(col(groupCol))
       .agg(sum(col("__cnt")).as("n_items"),
         sum(when(col("__a") === col("__b"), col("__cnt")).otherwise(lit(0L)))
