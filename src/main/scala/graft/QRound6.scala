@@ -188,11 +188,11 @@ object QRound6 {
       |       (SELECT count(*) FROM w JOIN e e3 ON w.ta = e3.s AND w.tc = e3.d) AS n_triangles""".stripMargin
 
   /** NEAREST-in-time as-of join (either direction — sensor/event alignment
-    * semantics neither plain ASOF direction covers): the backward and
-    * forward as-of joins ([[graft.operators.AsOfJoin]], one shuffle each)
-    * compose through an equi join on the fact id, and the nearer side wins
-    * (backward on ties — the conventional choice). DuckDB oracle: min
-    * |gap| per fact with the same tie rule.
+    * semantics neither plain ASOF direction covers):
+    * [[graft.operators.AsOfJoin.asOfJoinNearest]] — one tagged union, one
+    * shuffle, both direction carries in a single window sort (the composed
+    * backward+forward+equi-join form scanned events 4× and shuffled 3×).
+    * DuckDB oracle: min |gap| per fact with the same backward-tie rule.
     */
   def q101AsofNearest(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
@@ -201,23 +201,12 @@ object QRound6 {
     val purchases = ev.filter(col("event_type") === "purchase")
       .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .agg(max(col("event_id")).as("p_event_id"))
-    val back = graft.operators.AsOfJoin.asOfJoin(
+    graft.operators.AsOfJoin.asOfJoinNearest(
         clicks, purchases, "user_id", "p_user", "ts", "p_ts",
-        Seq("p_event_id", "p_ts"))
+        Seq("p_event_id"))
       .select(col("event_id"), col("user_id"),
-        col("p_event_id").as("b_id"),
-        (unix_micros(col("ts")) - unix_micros(col("p_ts"))).as("b_gap"))
-    val fwd = graft.operators.AsOfJoin.asOfJoinForward(
-        clicks, purchases, "user_id", "p_user", "ts", "p_ts",
-        Seq("p_event_id", "p_ts"))
-      .select(col("event_id").as("f_event_id"),
-        col("p_event_id").as("f_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("ts"))).as("f_gap"))
-    val backWins = col("f_gap").isNull || (col("b_gap").isNotNull && col("b_gap") <= col("f_gap"))
-    back.join(fwd, col("event_id") === col("f_event_id"))
-      .select(col("event_id"), col("user_id"),
-        when(backWins, col("b_id")).otherwise(col("f_id")).as("nearest_purchase_id"),
-        when(backWins, -col("b_gap")).otherwise(col("f_gap")).as("signed_gap_us"))
+        col("p_event_id").as("nearest_purchase_id"),
+        (unix_micros(col("__matched_ts")) - unix_micros(col("ts"))).as("signed_gap_us"))
       .orderBy(col("event_id"))
   }
 

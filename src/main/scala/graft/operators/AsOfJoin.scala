@@ -125,6 +125,78 @@ object AsOfJoin {
         rightPayload.map(c => col("__payload").getField(c).as(c)): _*)
   }
 
+  /** NEAREST-in-time as-of join: for each left row, the right row with the
+    * smallest |rightTs − leftTs| within the key; backward wins exact-distance
+    * ties (the conventional choice). Composing [[asOfJoin]] +
+    * [[asOfJoinForward]] + an equi join on the left id gives the same rows
+    * but scans every input TWICE and shuffles three times; here ONE tagged
+    * union shuffles once, and both carries — `last` over the preceding frame
+    * and `first` over the following frame — share a single window sort
+    * (same partitioning and ordering → one WindowExec, two frame
+    * processors, the q54 shape).
+    *
+    * Sort order is (ts, side) with right = 0: an equal-ts right row sorts
+    * BEFORE the left row, so the backward carry sees it at gap 0 — which
+    * beats any forward candidate under the tie rule, so the forward frame
+    * legitimately only matches strictly-later right rows.
+    */
+  def asOfJoinNearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!rightPayload.exists(leftCols.contains),
+      s"right payload columns ${rightPayload.intersect(leftCols)} collide with left columns")
+
+    // carry (__t, __p) together so the gap computes from the matched row
+    val carryType = StructType(Seq(
+      org.apache.spark.sql.types.StructField("__t",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("__p",
+        StructType(rightPayload.map(c => right.schema(c))))))
+
+    val l = left
+      .withColumn("__key", col(s"`$leftKey`"))
+      .withColumn("__ts", col(s"`$leftTs`").cast("timestamp"))
+      .withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType))
+
+    val r = right
+      .select(
+        col(s"`$rightKey`").as("__key"),
+        col(s"`$rightTs`").cast("timestamp").as("__ts"),
+        struct(
+          col(s"`$rightTs`").cast("timestamp").as("__t"),
+          struct(rightPayload.map(c => col(s"`$c`")): _*).as("__p")).as("__carry"))
+      .withColumn("__side", lit(0))
+    val rPadded = leftCols.foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unionCols = "__key" +: "__ts" +: "__side" +: "__carry" +: leftCols
+    val all = l.select(unionCols.map(c => col(s"`$c`")): _*)
+      .unionByName(rPadded.select(unionCols.map(c => col(s"`$c`")): _*))
+
+    val order = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__side"))
+    val carried = all
+      .withColumn("__b", last(col("__carry"), ignoreNulls = true)
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f", first(col("__carry"), ignoreNulls = true)
+        .over(order.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+
+    val bGap = unix_micros(col("__ts")) - unix_micros(col("__b").getField("__t"))
+    val fGap = unix_micros(col("__f").getField("__t")) - unix_micros(col("__ts"))
+    val backWins = col("__f").isNull || (col("__b").isNotNull && bGap <= fGap)
+    val winner = when(backWins, col("__b")).otherwise(col("__f"))
+
+    carried.filter(col("__side") === 1)
+      .withColumn("__m", winner)
+      .select(leftCols.map(c => col(s"`$c`")) ++
+        rightPayload.map(c => col("__m").getField("__p").getField(c).as(c)) :+
+        col("__m").getField("__t").as("__matched_ts"): _*)
+  }
+
   /** Broadcast as-of join — the "rates table" case: when the right side is
     * dimension-sized (currency rates, config versions, model checkpoints),
     * the fact side should not shuffle AT ALL. The right side packs into one

@@ -45,6 +45,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((Some("a2"), None), (Some("a1"), Some("b1"))))
   }
 
+  test("nearest as-of: nearer side wins, backward on ties, single window sort") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // b gap 2h, f gap 1h → forward r3
+      (2L, "u1", ts("2024-01-01 08:30:00")), // b gap 30m, f gap 2.5h → backward r1
+      (3L, "u1", ts("2024-01-01 09:30:00")), // b gap 1.5h == f gap 1.5h → backward r1
+      (4L, "u1", ts("2024-01-01 11:00:00")), // exactly r3 → gap 0 backward
+      (5L, "u2", ts("2024-01-01 05:00:00")), // only later rows → forward r4
+      (6L, "u3", ts("2024-01-01 05:00:00"))  // no right rows at all → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 08:00:00"), "r1"),
+      ("u1", ts("2024-01-01 11:00:00"), "r3"),
+      ("u2", ts("2024-01-01 06:00:00"), "r4")
+    ).toDF("k2", "t2", "payload")
+
+    val near = AsOfJoin.asOfJoinNearest(left, right, "k", "k2", "t", "t2", Seq("payload"))
+    val out = near.orderBy("id").collect().map(r => Option(r.getAs[String]("payload")))
+    assert(out.toSeq == Seq(Some("r3"), Some("r1"), Some("r1"), Some("r3"), Some("r4"), None))
+
+    // both carries must share ONE window sort: a single exchange on the key
+    // and no self-join of two as-of passes
+    near.collect()
+    val plan = near.queryExecution.executedPlan
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val windows = helper.collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val joins = helper.collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(windows.size == 1, s"expected one WindowExec, got ${windows.size}")
+    assert(joins.isEmpty, "nearest as-of must not plan a join")
+  }
+
   test("as-of join rejects colliding payload column names") {
     val l = Seq((1L, "k", ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "v")
     val r = Seq(("k", ts("2024-01-01 00:00:00"), "y")).toDF("k2", "t2", "v")
