@@ -115,6 +115,12 @@ object Bench {
       graft.ext.Chunking.chunkByBpeTokens(docs, "doc_id", "text", "bench-chunk",
         chunkTokens = 512, strideTokens = 384)
     }),
+    // metadata-filtered search / hard-negative mining at a realistic query
+    // fan-out: 64 broadcast queries against the full corpus, label-filtered
+    // pairs heap-cut per query — the corpus side never exchanges
+    "b52_hard_negatives" -> ((s, dir) =>
+      graft.ext.Similarity.hardNegatives(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", queryIds = 0L until 64L, k = 10)),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

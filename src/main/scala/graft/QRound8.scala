@@ -106,13 +106,42 @@ object QRound8 {
        |FROM tot LEFT JOIN ch ON tot.source = ch.source
        |ORDER BY tot.source""".stripMargin
 
+  /** Hard-negative mining (contrastive-training data prep; equally the
+    * vector-DB metadata-filtered search shape): for 8 fixed query vectors,
+    * the 3 most-cosine-similar vectors with a DIFFERENT label —
+    * [[graft.ext.Similarity.hardNegatives]]: query set broadcasts, corpus
+    * never shuffles, TopKPerKey heap-cuts per query.
+    */
+  def q105HardNegatives(s: SparkSession, d: String): DataFrame =
+    graft.ext.Similarity.hardNegatives(embeddings(s, d), "vec_id", "embedding",
+      "label", queryIds = 0L to 7L, k = 3)
+      .orderBy(col("query_id"), col("sim").desc, col("neg_id"))
+
+  private val q105Sql =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_vec
+      |  FROM embeddings WHERE vec_id BETWEEN 0 AND 7),
+      |pairs AS (
+      |  SELECT q.query_id, e.vec_id AS neg_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE)))), 6) AS sim
+      |  FROM embeddings e JOIN q ON e.label <> q.q_label)
+      |SELECT query_id, neg_id, sim
+      |FROM pairs
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) <= 3
+      |ORDER BY query_id, sim DESC, neg_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_doc_chunking"    -> (q102DocChunking _),
     "q103_source_quota"    -> (q103SourceQuota _),
-    "q104_label_agreement" -> (q104LabelAgreement _))
+    "q104_label_agreement" -> (q104LabelAgreement _),
+    "q105_hard_negatives"  -> (q105HardNegatives _))
 
   val sql: Map[String, String] = Map(
     "q102_doc_chunking"    -> q102Sql,
     "q103_source_quota"    -> q103Sql,
-    "q104_label_agreement" -> q104Sql)
+    "q104_label_agreement" -> q104Sql,
+    "q105_hard_negatives"  -> q105Sql)
 }

@@ -50,6 +50,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-FILTERED top-k — hard-negative mining for contrastive
+    * training (and the vector-DB "filtered search" shape): for each query
+    * vector, the k most-similar corpus vectors whose `labelCol` DIFFERS
+    * from the query's. One corpus pass: the bounded query set broadcasts,
+    * the label predicate filters pairs before any ranking state exists, and
+    * [[graft.plans.TopKPerKey]] heap-cuts per query — ≤ k·|queries| rows
+    * shuffle, the corpus never exchanges. Ranking is `round(sim, 6) DESC,
+    * id` (the q27 determinism convention).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    val queries = df
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(labelCol).as("q_label"),
+        col(vecCol).as("q_vec"), l2Norm(col(vecCol)).as("q_nrm"))
+    val corpus = df.select(col(idCol).as("neg_id"), col(labelCol).as("n_label"),
+      col(vecCol).as("n_vec"), l2Norm(col(vecCol)).as("n_nrm"))
+    val pairs = corpus
+      .join(broadcast(queries), col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neg_id"),
+        round(dot(col("n_vec"), col("q_vec")) / (col("n_nrm") * col("q_nrm")), 6)
+          .as("sim"))
+    graft.plans.TopKPerKey.topKPerKey(
+      pairs, Seq("query_id"), Seq(col("sim").desc, col("neg_id")), k)
+  }
+
   /** Bucketed k-NN join: for every vector, its top-k neighbours *within its
     * bucket* (IVF-style coarse partition; here any precomputed bucket column
     * works). Shuffles on the bucket key only; per-bucket cost is bucket².

@@ -273,6 +273,44 @@ class ExtSpec extends SparkSpec {
     assert(top == Seq(1L, 2L, 3L))
   }
 
+  test("hard negatives: only other-label vectors rank; equals the window formulation; corpus never exchanges before the heap") {
+    val docs = graft.Tables.embeddings(spark, sf)
+    val got = Similarity.hardNegatives(docs, "vec_id", "embedding", "label",
+      queryIds = Seq(0L, 1L, 2L), k = 5)
+    got.collect()
+    // no same-label pair survives
+    val labels = docs.select(col("vec_id"), col("label"))
+    assert(got
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(labels.select(col("vec_id").as("neg_id"), col("label").as("nl")), "neg_id")
+      .filter(col("ql") === col("nl")).count() == 0)
+    // window-formulation equivalence
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+      .select(col("vec_id").as("query_id"), col("label").as("ql"), col("embedding").as("qv"))
+    val expect = docs.crossJoin(broadcast(q)).filter(col("label") =!= col("ql"))
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        round(Similarity.cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neg_id"))))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(got.except(expect).isEmpty && expect.except(got).isEmpty)
+    // plan: heap partial sits below the only exchange of the pair stream
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val plan = got.queryExecution.executedPlan
+    val partials = helper.collectWithSubqueries(plan) {
+      case p if p.nodeName.contains("TopKPerKeyPartial") => p }
+    assert(partials.nonEmpty, s"expected heap partial in\n$plan")
+    // below the heap partial only the widened-scan round-robin repartitions
+    // may appear — a HASH shuffle there would mean the pair stream exchanged
+    // before the cut
+    assert(helper.collectWithSubqueries(partials.head) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }.isEmpty, s"pair stream shuffled before the heap\n$plan")
+  }
+
   test("bucketed knn returns k neighbours within bucket only") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0), (2L, Array(0.5f, 0.5f), 0),
