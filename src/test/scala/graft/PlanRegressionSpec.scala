@@ -23,10 +23,11 @@ class PlanRegressionSpec extends SparkSpec {
   private def count(p: String, pat: String): Int = pat.r.findAllIn(p).length
 
   // Queries where a nested-loop join IS the right plan: every one joins a
-  // broadcast single-row/constant side (a count, a quantile row, a doc-count
-  // scalar) — audited individually; anything NOT on this list that plans a
-  // BNLJ or a cartesian product is a scale bug the sweep below catches.
-  private val singleRowNlj = Set(
+  // broadcast side that is provably bounded — a single scalar/constant row
+  // (count, quantile, doc-count) or a caller-bounded key set — audited
+  // individually; anything NOT on this list that plans a BNLJ or a
+  // cartesian product is a scale bug the sweep below catches.
+  private val auditedNlj = Set(
     "q27_cosine_topk",      // the 1-row query-vector broadcast
     "q97_mixture_sample",   // the 1-row mixture-unit broadcast
     "q32_source_sketch",    // corpus-pair count scalar
@@ -38,13 +39,21 @@ class PlanRegressionSpec extends SparkSpec {
     "q85_pagerank",         // rank-mass correction scalar per iteration
     "q90_integrity",        // expected-totals row
     "q94_delta_roundtrip",  // version-count scalar
-    "q98_triangles")        // three single-row count aggregates crossed
+    "q98_triangles",        // three single-row count aggregates crossed
+    // hardNegatives joins corpus to broadcast(queries) on a label
+    // INEQUALITY — non-equi, so Spark plans BNLJ. The broadcast side is
+    // bounded by |queryIds| (8 rows in q105; `require`d non-empty,
+    // caller-bounded by contract), the corpus side never shuffles, and
+    // TopKPerKey cuts output to k·|queries| rows. Audited scale-safe:
+    // cost is |corpus|·|queries| dot products, the exact filtered-search
+    // semantic. Unbounded query sets must use the ANN-index path instead.
+    "q105_hard_negatives")
 
   test("registry sweep: no query plans a cartesian product or an unlisted nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       val cartesian = p.contains("CartesianProduct")
-      val nlj = p.contains("BroadcastNestedLoopJoin") && !singleRowNlj(name)
+      val nlj = p.contains("BroadcastNestedLoopJoin") && !auditedNlj(name)
       if (cartesian || nlj) Some(s"$name${if (cartesian) " cartesian" else " nlj"}")
       else None
     }
