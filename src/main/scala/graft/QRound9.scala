@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: row-level Delta DML under the correctness gate. Same
+  * gate conventions as [[Queries]].
+  */
+object QRound9 {
+  import Tables._
+
+  /** Delta MERGE + DELETE round trip (the reference's update-in-place
+    * surface: labelspark update_metadata.py / client.py:350-474 re-key and
+    * push changed values back into the Delta store): build a base table
+    * from 2/3 of customer, MERGE a source that updates every custkey%6==0
+    * row (+1000 cents) and inserts the missing 1/3, then DELETE the
+    * negative balances — all three commits through the copy-on-write
+    * protocol — and aggregate the LOG-REPLAYED head while time-traveling
+    * back to v0 and v1 for row counts. The oracle computes the same
+    * post-DML state straight from the source parquet, so a row lost,
+    * duplicated, double-updated, or resurrected by the writer breaks the
+    * hash. Money stays in integer cents (the q69/q73 convention).
+    */
+  def q106MergeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q106_").toFile,
+      "customer_delta").getAbsolutePath
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    // v0: base table = the custkeys not ≡ 1 (mod 3)
+    graft.io.DeltaWrite.writeDeltaTable(
+      cust.filter(col("c_custkey") % 3 =!= 1), path, "append")
+    // v1: MERGE — update matched (%6==0 rows get +1000 cents), insert the
+    // missing third (%3==1 rows, unchanged values)
+    val source = cust.filter(col("c_custkey") % 6 === 0)
+      .withColumn("cents", col("cents") + 1000)
+      .unionByName(cust.filter(col("c_custkey") % 3 === 1))
+    graft.io.DeltaMerge.merge(s, path, source, Seq("c_custkey"))
+    // v2: DELETE the negative balances
+    graft.io.DeltaMerge.deleteWhere(s, path, col("cents") < 0)
+    val v0 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
+      .agg(count(lit(1)).as("v0_rows"))
+    val v1 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(1L))
+      .agg(count(lit(1)).as("v1_rows"))
+    graft.io.DeltaRead.readDeltaTable(s, path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .crossJoin(broadcast(v0))
+      .crossJoin(broadcast(v1))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q106Sql =
+    """WITH post AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
+      |      + CASE WHEN c_custkey % 6 = 0 THEN 1000 ELSE 0 END AS cents
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+      |  (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 1) AS v0_rows,
+      |  (SELECT count(*) FROM customer) AS v1_rows
+      |FROM post WHERE cents >= 0
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_merge_roundtrip" -> (q106MergeRoundtrip _))
+
+  val sql: Map[String, String] = Map(
+    "q106_merge_roundtrip" -> q106Sql)
+}

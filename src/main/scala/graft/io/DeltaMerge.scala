@@ -1,0 +1,169 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Row-level Delta DML — MERGE (upsert) and DELETE — as copy-on-write
+  * commits over [[DeltaWrite]]'s log protocol. This is the reference's
+  * update-in-place shape (labelspark update_metadata.py:25-51 and
+  * client.py:350-474 both re-key exported rows and push changed values
+  * back into the Delta store written at client.py:146), re-expressed as
+  * the public delta.io commit pattern: rewrite ONLY the files holding
+  * matched rows, tombstone them, and add the rewritten files plus any
+  * inserts in ONE atomic commit (readers see pre- or post-merge state,
+  * never between; time travel to pre-merge versions keeps working).
+  *
+  * Scale shape:
+  *   - Touched-file discovery is one provenance scan semi-joined to the
+  *     source KEYS (AQE broadcasts a small source side); only distinct
+  *     file paths reach the driver — O(files), never O(rows).
+  *   - The rewrite reads only the touched files through the log-backed
+  *     file index; a merge touching 10 files out of a million rewrites
+  *     10, and for [[deleteWhere]] the predicate pushes into the scan so
+  *     add.stats min/max skip provably-unmatched files before any I/O.
+  *   - Log work is driver-side and O(files touched) (the Delta contract).
+  */
+object DeltaMerge {
+
+  /** MERGE `source` INTO the Delta table at `path` ON equality of
+    * `keyCols` — `WHEN MATCHED THEN UPDATE SET *` (or `DELETE` when
+    * `whenMatched = "delete"`), `WHEN NOT MATCHED THEN INSERT *` unless
+    * `insertUnmatched = false`. Returns the committed version, or -1
+    * when the merge would be a no-op (nothing matched, nothing to
+    * insert).
+    *
+    * The source must have at most one row per key (the Delta MERGE
+    * cardinality guard: a key matching two source rows would update
+    * nondeterministically — refused loudly, checked with one aggregate
+    * over the source side only).
+    */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String], whenMatched: String = "update",
+      insertUnmatched: Boolean = true): Long = {
+    require(whenMatched == "update" || whenMatched == "delete",
+      s"whenMatched must be update or delete, got $whenMatched")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    keyCols.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge key $k is not a column of the source"))
+    val needFullSource = whenMatched == "update" || insertUnmatched
+    if (needFullSource)
+      require(DataType.equalsStructurally(source.schema, schema, ignoreNullability = true),
+        s"merge source schema ${source.schema.simpleString} must match table " +
+          s"schema ${schema.simpleString} (UPDATE SET * / INSERT * semantics)")
+
+    val dup = source.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "merge source has more than one row for some key — the update would be " +
+        "nondeterministic (Delta MERGE cardinality violation)")
+
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched = touchedFiles(spark, path, meta, live,
+      prov => prov.join(srcKeys, keyCols, "left_semi"))
+
+    // Matched keys necessarily live in touched files, so both the update
+    // join and the not-matched anti-join run against the TOUCHED subset —
+    // the untouched 99% of the table is never read again.
+    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    val nonKey = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val survivors = whenMatched match {
+      case "delete" =>
+        base.join(srcKeys.withColumn("__m", lit(true)), keyCols, "left_outer")
+          .filter(col("__m").isNull)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      case "update" =>
+        val marked = source.select(
+          (keyCols.map(col) ++ nonKey.map(c => col(c).as(s"__s_$c")) :+
+            lit(true).as("__m")): _*)
+        base.join(marked, keyCols, "left_outer")
+          .select(schema.fieldNames.map { n =>
+            if (keyCols.contains(n)) col(n)
+            else when(col("__m").isNotNull, col(s"__s_$n")).otherwise(col(n)).as(n)
+          }.toSeq: _*)
+    }
+    val newData =
+      if (insertUnmatched)
+        survivors.unionByName(
+          source.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .select(schema.fieldNames.map(col).toSeq: _*))
+      else survivors
+
+    if (touched.isEmpty && !insertUnmatched) return -1L
+    commitRewrite(spark, path, meta, touched, newData,
+      operation = "MERGE",
+      opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""")
+  }
+
+  /** DELETE FROM the Delta table at `path` WHERE `condition`: rewrite the
+    * files holding matching rows without them, tombstone the originals,
+    * one commit. The condition pushes into the discovery scan, so file
+    * stats (and partition values) skip files that provably hold no match
+    * — those are neither read nor rewritten. Returns the committed
+    * version, or -1 when no row matched.
+    */
+  def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
+    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
+    if (touched.isEmpty) return -1L
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val survivors = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+      .filter(!coalesce(condition, lit(false)))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    commitRewrite(spark, path, meta, touched, survivors,
+      operation = "DELETE",
+      opParams = s""""predicate":${jsString(condition.toString)}""")
+  }
+
+  /** The live files whose rows survive `hit` applied to a provenance scan
+    * — distinct `__file` values only reach the driver (O(files touched),
+    * never O(rows)).
+    */
+  private def touchedFiles(spark: SparkSession, path: String,
+      meta: DeltaRead.Meta, live: Seq[DeltaRead.LiveFile],
+      hit: DataFrame => DataFrame): Seq[DeltaRead.LiveFile] = {
+    val prov = DeltaRead.filesDf(spark, path, meta, live, provenance = true)
+    val abs = hit(prov).select(col("__file")).distinct()
+      .collect().map(_.getString(0))
+    // `__file` is the scan's qualified URI; live paths are log-relative.
+    // Part names embed a UUID, so suffix match is exact within one table.
+    live.filter(f => abs.exists(a => a.endsWith("/" + f.path)))
+  }
+
+  /** Publish a copy-on-write commit: stage `newData` (partitioned like the
+    * table), tombstone every `touched` file, add the staged files —
+    * atomically, via [[DeltaWrite.publishCommit]]'s single-writer rename.
+    */
+  private def commitRewrite(spark: SparkSession, path: String,
+      meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
+      newData: DataFrame, operation: String, opParams: String): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = DeltaWrite.stageDataFiles(newData, root, meta.partitionCols)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
+    touched.foreach { f =>
+      lines += s"""{"remove":{"path":${jsString(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    adds.foreach { case (rel, pv, size, stats) =>
+      val pvJson = pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+      val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+      lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+    }
+    DeltaWrite.publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
+    version
+  }
+
+  private def jsString(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+}

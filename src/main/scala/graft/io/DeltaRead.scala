@@ -59,9 +59,23 @@ object DeltaRead {
       versionAsOf: Option[Long] = None): DataFrame = {
     val (meta, files) = replayLog(spark, path, versionAsOf)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    filesDf(spark, path, meta, files, provenance = false)
+  }
+
+  /** Scan an explicit subset of a table's live files — the copy-on-write
+    * seam [[DeltaMerge]] uses to rewrite ONLY touched files. With
+    * `provenance = true` the result carries a `__file` column (the
+    * qualified URI of the source file) so row → file attribution costs
+    * nothing beyond the scan.
+    */
+  private[io] def filesDf(spark: SparkSession, path: String, meta: Meta,
+      files: Seq[LiveFile], provenance: Boolean): DataFrame = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    if (files.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (files.isEmpty) {
+      val out = if (provenance) schema.add("__file", "string") else schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
 
     val partitionSchema = StructType(
       meta.partitionCols.map(c => schema(c)))
@@ -78,8 +92,10 @@ object DeltaRead {
       index, partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val base = spark.baseRelationToDataFrame(relation)
+    val cols = schema.fieldNames.map(col).toSeq ++
+      (if (provenance) Seq(col("_metadata.file_path").as("__file")) else Nil)
+    base.select(cols: _*)
   }
 
   /** STREAMING read of an append-only Delta table: a FileStreamSource over

@@ -97,28 +97,7 @@ object DeltaWrite {
     // 1) data files: stage inside the table (same filesystem → rename is a
     // metadata op), then move under fresh names. The staging dir is
     // dot-prefixed: invisible to any reader listing the table.
-    val staging = new Path(root, s".staging-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
-    if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-    writer.parquet(staging.toString)
-
-    val staged = listParquet(fs, staging)
-    val adds = staged.map { p =>
-      val rel = relativize(staging, p)
-      val dirPart = rel.split('/').dropRight(1)
-      val pv = dirPart.collect { case s if s.contains('=') =>
-        val Array(k, v) = s.split("=", 2)
-        k -> v
-      }.toMap
-      val fresh = (dirPart :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
-      val dest = new Path(root, fresh)
-      fs.mkdirs(dest.getParent)
-      require(fs.rename(p, dest), s"failed to move $p to $dest")
-      val size = fs.getFileStatus(dest).getLen
-      val stats = footerStats(conf, dest)
-      (fresh, pv, size, stats)
-    }
-    fs.delete(staging, true)
+    val adds = stageDataFiles(df, root, partitionBy)
 
     // 2) the commit
     val now = System.currentTimeMillis()
@@ -403,7 +382,43 @@ object DeltaWrite {
     deleted.toSeq
   }
 
-  private def listParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
+  /** Distributed write of `df` into a dot-prefixed staging dir inside the
+    * table, then per-file rename to a fresh unique name under the table
+    * root (hive layout when `partitionBy` is set). Returns one add tuple
+    * per published file: (table-relative path, partitionValues, size,
+    * footer stats). Shared by WRITE and MERGE/DELETE commits — readers
+    * never see a file before the commit that adds it.
+    */
+  private[io] def stageDataFiles(df: DataFrame, root: Path,
+      partitionBy: Seq[String]): Seq[(String, Map[String, String], Long, Option[String])] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(root, s".staging-${UUID.randomUUID()}")
+    val writer = df.write.mode("overwrite")
+    if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+    writer.parquet(staging.toString)
+
+    val staged = listParquet(fs, staging)
+    val adds = staged.map { p =>
+      val rel = relativize(staging, p)
+      val dirPart = rel.split('/').dropRight(1)
+      val pv = dirPart.collect { case s if s.contains('=') =>
+        val Array(k, v) = s.split("=", 2)
+        k -> v
+      }.toMap
+      val fresh = (dirPart :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
+      val dest = new Path(root, fresh)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(p, dest), s"failed to move $p to $dest")
+      val size = fs.getFileStatus(dest).getLen
+      val stats = footerStats(conf, dest)
+      (fresh, pv, size, stats)
+    }
+    fs.delete(staging, true)
+    adds
+  }
+
+  private[io] def listParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)
     val out = scala.collection.mutable.ArrayBuffer[Path]()
     while (it.hasNext) {
@@ -413,7 +428,7 @@ object DeltaWrite {
     out.toSeq
   }
 
-  private def relativize(base: Path, p: Path): String = {
+  private[io] def relativize(base: Path, p: Path): String = {
     val b = base.toUri.getPath.stripSuffix("/") + "/"
     val full = p.toUri.getPath
     require(full.startsWith(b), s"$p is not under $base")

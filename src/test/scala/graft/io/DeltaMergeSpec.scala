@@ -1,0 +1,122 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Copy-on-write MERGE / DELETE commits: post-merge reads, copy-on-write
+  * file accounting (untouched files survive by identity), time travel
+  * across the DML commit, cardinality/conflict guards.
+  */
+class DeltaMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def rows(path: String, versionAsOf: Option[Long] = None): Seq[(Long, String, Long)] =
+    DeltaRead.readDeltaTable(spark, path, versionAsOf)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("merge: update matched, insert unmatched, one commit, time travel intact") {
+    val table = tmp("graft_dm1")
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "n")
+    DeltaWrite.writeDeltaTable(base, table, "append")
+    val src = Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "v", "n")
+    val v = DeltaMerge.merge(spark, table, src, Seq("id"))
+    assert(v == 1L)
+    assert(rows(table) == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+    // pre-merge state still replayable
+    assert(rows(table, Some(0L)) == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(DeltaRead.latestVersion(spark, table) == 1L)
+  }
+
+  test("merge is copy-on-write: files without matches are NOT rewritten") {
+    val table = tmp("graft_dm2")
+    // two separate commits → (at least) two files; the second holds id=3
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 3L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    val before = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    DeltaMerge.merge(spark, table,
+      Seq((3L, "C", 33L)).toDF("id", "v", "n"), Seq("id"))
+    val after = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    // the untouched first-commit file survives by identity
+    assert((before & after).nonEmpty, s"untouched file rewritten: $before vs $after")
+    assert(rows(table) == Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "C", 33L)))
+  }
+
+  test("merge whenMatched=delete drops matched rows; insertUnmatched=false is update-only") {
+    val table = tmp("graft_dm3")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("id", "v", "n"), table, "append")
+    // delete-by-source: only keys needed on the source side
+    DeltaMerge.merge(spark, table, Seq(Tuple1(2L)).toDF("id"), Seq("id"),
+      whenMatched = "delete", insertUnmatched = false)
+    assert(rows(table) == Seq((1L, "a", 1L), (3L, "c", 3L)))
+    // update-only merge: unmatched source rows are NOT inserted
+    DeltaMerge.merge(spark, table,
+      Seq((3L, "C", 30L), (9L, "x", 90L)).toDF("id", "v", "n"), Seq("id"),
+      insertUnmatched = false)
+    assert(rows(table) == Seq((1L, "a", 1L), (3L, "C", 30L)))
+  }
+
+  test("merge cardinality guard: two source rows per key is refused") {
+    val table = tmp("graft_dm4")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a", 1L)).toDF("id", "v", "n"), table, "append")
+    val dup = Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("id", "v", "n")
+    val e = intercept[IllegalArgumentException] {
+      DeltaMerge.merge(spark, table, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("more than one row"))
+  }
+
+  test("deleteWhere rewrites only matching files; no-match returns -1") {
+    val table = tmp("graft_dm5")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 1L), (2L, "b", -2L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 3L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    val before = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    val v = DeltaMerge.deleteWhere(spark, table, col("n") < 0)
+    assert(v == 2L)
+    val after = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    assert((before & after).nonEmpty, "file with no matching rows was rewritten")
+    assert(rows(table) == Seq((1L, "a", 1L), (3L, "c", 3L)))
+    // time travel to the pre-delete version still sees the deleted row
+    assert(rows(table, Some(1L)).map(_._1) == Seq(1L, 2L, 3L))
+    assert(DeltaMerge.deleteWhere(spark, table, col("n") > 1000) == -1L)
+  }
+
+  test("merge on a partitioned table keeps hive layout and partition pruning") {
+    val table = tmp("graft_dm6")
+    val base = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02"))
+      .toDF("id", "v", "day")
+    DeltaWrite.writeDeltaTable(base, table, "append", partitionBy = Seq("day"))
+    DeltaMerge.merge(spark, table,
+      Seq((2L, "Y", "2024-01-02"), (3L, "z", "2024-01-03")).toDF("id", "v", "day"),
+      Seq("id"))
+    val back = DeltaRead.readDeltaTable(spark, table)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "x", "2024-01-01"), (2L, "Y", "2024-01-02"), (3L, "z", "2024-01-03")))
+    // partition values ride the log for the rewritten + inserted files
+    val live = DeltaRead.replayLog(spark, table, None)._2
+    assert(live.forall(_.partitionValues.contains("day")), live.toString)
+    val pruned = back.filter(col("day") === "2024-01-03").collect().map(_.getLong(0))
+    assert(pruned.toSeq == Seq(3L))
+  }
+
+  test("merge schema guard: source schema must match for UPDATE SET *") {
+    val table = tmp("graft_dm7")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a", 1L)).toDF("id", "v", "n"), table, "append")
+    val bad = Seq((1L, "a")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      DeltaMerge.merge(spark, table, bad, Seq("id"))
+    }
+    assert(e.getMessage.contains("must match table"))
+  }
+}
