@@ -70,9 +70,11 @@ object QPipelineExt {
     * `text` column — shared with q104's agreement oracle.
     */
   private[graft] val langPredSqlExpr: String = {
+    // COALESCE pins the null contract to langId's: NULL text → zero hits
+    // everywhere → the CASE's first branch → 'und' (never the ELSE 'zh')
     def cnt(words: Seq[String]) = {
       val in = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(text, ' '), t -> t IN ($in)))"
+      s"len(list_filter(string_split(COALESCE(text, ''), ' '), t -> t IN ($in)))"
     }
     val m = TextAnalysis.DefaultLangMarkers.toMap
     s"""CASE WHEN ${cnt(m("en"))} + ${cnt(m("de"))} + ${cnt(m("es"))}

@@ -45,20 +45,29 @@ object Tables {
 
   /** `events.parquet` has shipped `ts` in three physical forms across
     * driver testdata generations; normalize all of them to a microsecond
-    * TimestampType so every downstream query sees one type:
+    * TimestampType so every downstream query sees one type — and do it
+    * BELOW the scan, so a ts-range predicate always reaches
+    * `PushedFilters` and parquet min/max row-group/file skipping works
+    * (a post-scan projection would turn every time-windowed query into a
+    * full scan at 100 TB; pinned by PlanRegressionSpec + TablesEventsSpec):
     *
+    *  - timestamp[us] UTC-adjusted: already TimestampType, no-op.
+    *  - timestamp[us] without timezone: would infer TIMESTAMP_NTZ; instead
+    *    the read REQUESTS TimestampType in the scan schema — the reader
+    *    takes the micros verbatim as session-zone instants (every main/
+    *    spec pins UTC), micro-exact vs DuckDB's naive read, and filter
+    *    pushdown compares the same INT64 micros the file stores.
     *  - TIMESTAMP(NANOS): Spark's reader rejects it by default; with
     *    `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
-    *    nanos — truncate to micros the same way DuckDB does. INTEGER
-    *    division (`div`), not `floor(_ / 1000)`: `/` on longs is double
-    *    division, and epoch NANOS (~1.7e18) exceed a double's 53-bit
-    *    mantissa — the rounded quotient is off by ±1µs on about half the
-    *    rows (caught by the q62 gate, the first query to emit raw micros).
-    *  - timestamp[us] without timezone: arrives as TIMESTAMP_NTZ; the cast
-    *    to TimestampType interprets the naive value in the session zone,
-    *    which every main/spec pins to UTC — micro-exact, matching DuckDB's
-    *    naive read.
-    *  - timestamp[us] UTC-adjusted: already TimestampType, no-op.
+    *    nanos. No in-scan conversion exists, so this path normalizes ONCE
+    *    per (session, dir) into a micro-precision parquet copy and scans
+    *    THAT — the "normalize at ingest" shape: every later query gets a
+    *    plain pushdown-friendly timestamp scan instead of paying a derived
+    *    projection per query. Truncation is INTEGER division (`div`), not
+    *    `floor(_ / 1000)`: `/` on longs is double division, and epoch
+    *    NANOS (~1.7e18) exceed a double's 53-bit mantissa — the rounded
+    *    quotient is off by ±1µs on about half the rows (caught by the q62
+    *    gate, the first query to emit raw micros).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -66,10 +75,30 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        load(s, normalizedNanosDir(s, d, raw), "events")
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        val requested = org.apache.spark.sql.types.StructType(raw.schema.map { f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f
+        })
+        s.read.schema(requested).parquet(s"$d/events.parquet")
       case _ => raw
     }
   }
+
+  /** One-time micro-precision materialization of a nanos-encoded events
+    * table (driver-side map keyed by source path; the copy lives in the
+    * JVM's tempdir and is written exactly once per session). At production
+    * scale this is the ingest-normalization job — paid once, amortized
+    * over every downstream scan.
+    */
+  private val nanosNormCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def normalizedNanosDir(s: SparkSession, d: String, raw: DataFrame): String =
+    nanosNormCache.computeIfAbsent(new java.io.File(s"$d/events.parquet").getAbsolutePath,
+      _ => {
+        val out = java.nio.file.Files.createTempDirectory("graft_events_norm_")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        out.toString
+      })
 }

@@ -26,6 +26,14 @@ object Agreement {
     * Output: group, n_items, n_agree, chance_sum, kappa — one row per
     * group. Degenerate groups where n² == chance_sum (single label on both
     * sides) get kappa = null rather than 0/0.
+    *
+    * BOUND: the multiplied-through integer form computes n_items² and
+    * Σ row_k·col_k in BIGINT, so a single GROUP is limited to ~3.0e9 items
+    * (√Long.MaxValue) before silent wraparound — per group, not per table;
+    * a 100 TB corpus sliced by source/annotator-pair stays far under it.
+    * Groups beyond that need the DECIMAL(38,0) form (and an oracle-side
+    * HUGEINT match); kept integer here because the gate demands bit-equal
+    * cross-engine division inputs.
     */
   def cohenKappaBy(df: DataFrame, groupCol: String, aCol: String,
       bCol: String): DataFrame = {

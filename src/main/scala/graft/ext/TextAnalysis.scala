@@ -76,11 +76,17 @@ object TextAnalysis {
     * the composed filter/CASE form re-tokenized the text at every CASE
     * reference because higher-order functions are CodegenFallback (~20
     * tokenizations per row, measured 1.0s → 0.1s on q22 at sf0.1).
+    *
+    * NULL CONTRACT (pinned — q104 groups on this column): NULL text is
+    * "und", never NULL and never a marker language. The coalesce is on
+    * BOTH engines' sides (the oracle's CASE coalesces too) so a future
+    * testdata generation with NULL text cannot diverge three ways
+    * (expression null-propagation vs CASE ELSE vs 'und').
     */
   def langId(c: Column, markers: Seq[(String, Seq[String])] = DefaultLangMarkers): Column =
     org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.TextExpressions.LangIdExpr(
-        org.apache.spark.sql.GraftSqlShims.expression(c), markers))
+        org.apache.spark.sql.GraftSqlShims.expression(coalesce(c, lit(""))), markers))
 
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics, collapse
     * runs of spaces, trim, md5. Two documents differing only in case /

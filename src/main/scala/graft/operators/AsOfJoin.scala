@@ -139,6 +139,13 @@ object AsOfJoin {
     * BEFORE the left row, so the backward carry sees it at gap 0 — which
     * beats any forward candidate under the tie rule, so the forward frame
     * legitimately only matches strictly-later right rows.
+    *
+    * PRECONDITION (same as the object-level contract, restated because this
+    * variant is called directly): the right side must be UNIQUE per
+    * (rightKey, rightTs). Two right rows at the same (key, ts) make the
+    * window order (__ts, __side) non-total there, and the carried payload
+    * picks whichever the sort surfaces — nondeterministic. Pre-aggregate
+    * the right side (q101 reduces purchases to one row per key/ts first).
     */
   def asOfJoinNearest(
       left: DataFrame, right: DataFrame,

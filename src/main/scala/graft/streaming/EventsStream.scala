@@ -36,11 +36,19 @@ object EventsStream {
     * A file stream needs its schema up front; probe the physical `ts` type
     * from the existing footers with one batch read (driver-side metadata
     * only — no data scan), then normalize exactly like the batch path.
+    * The probe MUST succeed: the stream's schema is fixed at construction,
+    * so guessing a fallback for an empty/unreadable dir would corrupt or
+    * break the stream the moment differently-encoded files arrive (a
+    * LongType guess div-1000s micros, a timestamp guess rejects nanos).
+    * Callers must point at a dir holding at least one representative file.
     */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"readEvents($dir): cannot probe the physical ts encoding — the dir " +
+          "must contain at least one representative events parquet file " +
+          "before the stream is constructed (the schema is fixed up front)"))
     val raw = spark.readStream
       .schema(rawSchema(tsType))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -259,6 +259,14 @@ class ExtSpec extends SparkSpec {
     assert(r.getString(1) == "es") // 'la' is an es and fr marker; es is earlier
   }
 
+  test("langId null contract: NULL and empty text are 'und', never NULL") {
+    val r = spark.range(1).select(
+      TextAnalysis.langId(lit(null).cast("string")).as("nul"),
+      TextAnalysis.langId(lit("")).as("empty")).collect().head
+    assert(r.getString(0) == "und") // pinned: null-propagation would break q104's groupBy
+    assert(r.getString(1) == "und")
+  }
+
   test("cosine similarity: identity = 1, orthogonal = 0, topK ranks by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
