@@ -63,9 +63,55 @@ object QRound9 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Delta schema evolution under the gate (the q81 unionByName semantics
+    * at the storage layer): append half of orders with a 3-column schema,
+    * then evolved-append the other half carrying a NEW `prio` column
+    * (mergeSchema) — the log-replayed read serves the widened schema with
+    * null `prio` for the pre-evolution files, and time travel to v0 still
+    * replays the narrow schema (its width rides the hashed output as
+    * `v0_cols`). The oracle derives the same post-evolution state from the
+    * source parquet: `prio` is only non-null where the evolved batch wrote
+    * it.
+    */
+  def q107SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q107_").toFile,
+      "orders_delta").getAbsolutePath
+    val src = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      src.filter(col("o_orderkey") % 2 === 0), path, "append")
+    val evolved = orders(s, d).filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      evolved, path, "append", Nil, None, mergeSchema = true)
+    val v0cols = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
+      .columns.length
+    graft.io.DeltaRead.readDeltaTable(s, path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        count(col("prio")).as("n_prio"), min(col("prio")).as("min_prio"))
+      .withColumn("v0_cols", lit(v0cols))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q107Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  count(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS n_prio,
+      |  min(CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END) AS min_prio,
+      |  3 AS v0_cols
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_merge_roundtrip" -> (q106MergeRoundtrip _))
+    "q106_merge_roundtrip" -> (q106MergeRoundtrip _),
+    "q107_schema_evolution" -> (q107SchemaEvolution _))
 
   val sql: Map[String, String] = Map(
-    "q106_merge_roundtrip" -> q106Sql)
+    "q106_merge_roundtrip" -> q106Sql,
+    "q107_schema_evolution" -> q107Sql)
 }

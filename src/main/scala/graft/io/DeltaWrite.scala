@@ -59,14 +59,29 @@ object DeltaWrite {
     */
   def writeDeltaTable(df: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)]): Long =
-    writeDeltaTableImpl(df, path, mode, partitionBy, txn)
+    writeDeltaTableImpl(df, path, mode, partitionBy, txn, mergeSchema = false)
 
   def writeDeltaTable(df: DataFrame, path: String, mode: String,
       partitionBy: Seq[String] = Nil): Long =
-    writeDeltaTableImpl(df, path, mode, partitionBy, None)
+    writeDeltaTableImpl(df, path, mode, partitionBy, None, mergeSchema = false)
+
+  /** Append with SCHEMA EVOLUTION (the `mergeSchema` analog — the q81
+    * unionByName semantics at the storage layer): columns the batch adds
+    * are APPENDED to the table schema via a new `metaData` action; columns
+    * the batch lacks are simply absent from its files (the log-schema read
+    * fills them with null, same as every Delta reader). Columns present in
+    * both must keep structurally equal types — no silent widening/coercion
+    * (an int batch against a long table is refused, not upcast; widen the
+    * batch explicitly). Partitioning can never evolve.
+    */
+  def writeDeltaTable(df: DataFrame, path: String, mode: String,
+      partitionBy: Seq[String], txn: Option[(String, Long)],
+      mergeSchema: Boolean): Long =
+    writeDeltaTableImpl(df, path, mode, partitionBy, txn, mergeSchema)
 
   private def writeDeltaTableImpl(df: DataFrame, path: String, mode: String,
-      partitionBy: Seq[String], txn: Option[(String, Long)]): Long = {
+      partitionBy: Seq[String], txn: Option[(String, Long)],
+      mergeSchema: Boolean): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
     val spark = df.sparkSession
@@ -85,13 +100,46 @@ object DeltaWrite {
     existing.foreach { case (meta, _) =>
       val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       if (mode == "append") {
-        require(DataType.equalsStructurally(df.schema, old, ignoreNullability = true),
-          s"append schema ${df.schema.simpleString} does not match table schema " +
-            s"${old.simpleString} — overwrite to change the schema")
+        if (mergeSchema) {
+          // evolution contract: shared columns keep their type exactly;
+          // batch-only columns append; table-only columns null-fill on read
+          old.fields.filter(f => df.schema.fieldNames.contains(f.name)).foreach { f =>
+            require(DataType.equalsStructurally(df.schema(f.name).dataType, f.dataType,
+              ignoreNullability = true),
+              s"mergeSchema append changes the type of ${f.name}: table has " +
+                s"${f.dataType.simpleString}, batch has " +
+                s"${df.schema(f.name).dataType.simpleString} — widen the batch explicitly")
+          }
+        } else {
+          require(DataType.equalsStructurally(df.schema, old, ignoreNullability = true),
+            s"append schema ${df.schema.simpleString} does not match table schema " +
+              s"${old.simpleString} — overwrite to change the schema, or " +
+              "mergeSchema=true to evolve it")
+        }
         require(meta.partitionCols == partitionBy,
           s"append partitioning $partitionBy does not match table partitioning " +
             s"${meta.partitionCols}")
       }
+    }
+
+    // The schema the table carries AFTER this commit: evolved appends
+    // keep the old column order and append the batch's new columns. Any
+    // column some live file LACKS must be nullable — the parquet reader
+    // null-fills optional columns but refuses a required one that is
+    // absent from the file — so batch-new columns (absent from old files)
+    // and table columns the batch omits (absent from new files) both
+    // widen to nullable.
+    val tableSchema: StructType = existing match {
+      case Some((meta, _)) if mode == "append" && mergeSchema =>
+        val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        val keptOld = old.fields.map { f =>
+          if (df.schema.fieldNames.contains(f.name)) f else f.copy(nullable = true)
+        }
+        val appended = df.schema.fields
+          .filterNot(f => old.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(keptOld ++ appended)
+      case _ => df.schema
     }
 
     // 1) data files: stage inside the table (same filesystem → rename is a
@@ -111,14 +159,18 @@ object DeltaWrite {
       lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
     }
     val schemaChanged = existing.forall { case (meta, _) =>
-      !DataType.equalsStructurally(df.schema,
+      !DataType.equalsStructurally(tableSchema,
         DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], ignoreNullability = true) ||
+        // evolution must also publish nullability-only widening (a column
+        // the batch omits flips required → optional, or the reader breaks)
+        (mergeSchema && tableSchema.json != meta.schemaJson) ||
         meta.partitionCols != partitionBy
     }
     if (schemaChanged) {
-      require(mode == "overwrite" || existing.isEmpty, "unreachable: append checked above")
+      require(mode == "overwrite" || existing.isEmpty || mergeSchema,
+        "unreachable: append checked above")
       val pcols = partitionBy.map(js).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(df.schema.json)},"partitionColumns":$pcols,"configuration":{},"createdTime":$now}}"""
+      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":{},"createdTime":$now}}"""
     }
     if (mode == "overwrite") existing.foreach { case (_, live) =>
       live.foreach { f =>

@@ -124,6 +124,44 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, table).schema.fieldNames.toSeq == Seq("id", "x"))
   }
 
+  test("mergeSchema append: new column appends, old files null-fill, time travel keeps v0 schema") {
+    val table = tmp("graft_dw_evo1")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, "append")
+    // evolved batch adds `extra`
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 30L)).toDF("id", "v", "extra"), table, "append",
+      Nil, None, mergeSchema = true)
+    val head = DeltaRead.readDeltaTable(spark, table)
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    val got = head.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)))
+    // pre-evolution version replays with the ORIGINAL two-column schema
+    val at0 = DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L))
+    assert(at0.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(at0.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("mergeSchema append: batch may LACK table columns (null-filled), types may not change") {
+    val table = tmp("graft_dw_evo2")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a", 10L)).toDF("id", "v", "n"), table, "append")
+    // narrower batch: no `n` column — its rows read back as null
+    DeltaWrite.writeDeltaTable(
+      Seq((2L, "b")).toDF("id", "v"), table, "append", Nil, None, mergeSchema = true)
+    val head = DeltaRead.readDeltaTable(spark, table)
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "n"))
+    val got = head.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, -1L)))
+    // a type change is refused even under mergeSchema
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(
+        Seq((3L, "c", 3.5)).toDF("id", "v", "n"), table, "append",
+        Nil, None, mergeSchema = true)
+    }
+    assert(e.getMessage.contains("changes the type"), e.getMessage)
+  }
+
   test("single-writer guard: a concurrent commit at the same version fails loudly") {
     val table = tmp("graft_dw7")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
