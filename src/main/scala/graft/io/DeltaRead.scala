@@ -52,7 +52,8 @@ object DeltaRead {
     */
   private[io] final case class LiveFile(path: String,
       partitionValues: Map[String, String], size: Long = 0L,
-      modificationTime: Long = 0L, stats: Option[String] = None)
+      modificationTime: Long = 0L, stats: Option[String] = None,
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   /** Read a Delta table at `path`, optionally at an historical version. */
   def readDeltaTable(spark: SparkSession, path: String,
@@ -67,6 +68,13 @@ object DeltaRead {
     * `provenance = true` the result carries a `__file` column (the
     * qualified URI of the source file) so row → file attribution costs
     * nothing beyond the scan.
+    *
+    * Files carrying a deletion vector read through a second branch that
+    * projects the parquet ROW INDEX and drops the positions the (driver-
+    * loaded, broadcast) bitmap marks deleted — rows tombstoned without a
+    * rewrite are invisible, exactly like any conforming Delta reader.
+    * DV-free files stay on the plain fully-codegen'd scan; a table with no
+    * DVs pays nothing.
     */
   private[io] def filesDf(spark: SparkSession, path: String, meta: Meta,
       files: Seq[LiveFile], provenance: Boolean): DataFrame = {
@@ -77,25 +85,52 @@ object DeltaRead {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     }
 
-    val partitionSchema = StructType(
-      meta.partitionCols.map(c => schema(c)))
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    def scanOf(subset: Seq[LiveFile], withRowIdx: Boolean): DataFrame = {
+      val partitionSchema = StructType(
+        meta.partitionCols.map(c => schema(c)))
+      val dataSchema = StructType(
+        schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
 
-    // One scan relation over a LOG-BACKED FileIndex (the delta-core seam):
-    // plan size is independent of partition count and layout, partition
-    // pruning evaluates against the log's partitionValues, and pushed data
-    // filters skip whole FILES via add.stats min/max — a pruned file is
-    // never opened.
-    val index = new DeltaLogFileIndex(spark, path, files, partitionSchema)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partitionSchema, dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty)(spark)
-    val base = spark.baseRelationToDataFrame(relation)
-    val cols = schema.fieldNames.map(col).toSeq ++
-      (if (provenance) Seq(col("_metadata.file_path").as("__file")) else Nil)
-    base.select(cols: _*)
+      // One scan relation over a LOG-BACKED FileIndex (the delta-core
+      // seam): plan size is independent of partition count and layout,
+      // partition pruning evaluates against the log's partitionValues, and
+      // pushed data filters skip whole FILES via add.stats min/max — a
+      // pruned file is never opened.
+      val index = new DeltaLogFileIndex(spark, path, subset, partitionSchema)
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        index, partitionSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty)(spark)
+      val base = spark.baseRelationToDataFrame(relation)
+      val cols = schema.fieldNames.map(col).toSeq ++
+        (if (provenance || withRowIdx) Seq(col("_metadata.file_path").as("__file")) else Nil) ++
+        (if (withRowIdx) Seq(col("_metadata.row_index").as("__row_idx")) else Nil)
+      base.select(cols: _*)
+    }
+
+    val (dvFiles, cleanFiles) = files.partition(_.dv.isDefined)
+    if (dvFiles.isEmpty) return scanOf(cleanFiles, withRowIdx = false)
+
+    // deleted-position bitmaps: loaded once on the driver (O(files) blob
+    // reads, O(deleted) bits), broadcast, probed per scanned row of the
+    // DV-bearing files ONLY. Keyed by scheme-free URI path — the same
+    // normalization applied to `_metadata.file_path` in the probe.
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvMap: Map[String, DeletionVectors.RoaringArray] = dvFiles.map { f =>
+      fs.makeQualified(new Path(root, f.path)).toUri.getPath ->
+        DeletionVectors.load(fs, root, f.dv.get)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(dvMap)
+    val survives = udf { (file: String, idx: Long) =>
+      bc.value.get(new Path(file).toUri.getPath).forall(!_.contains(idx))
+    }
+    val dvScan = scanOf(dvFiles, withRowIdx = true)
+      .filter(survives(col("__file"), col("__row_idx")))
+      .drop((if (provenance) Seq("__row_idx") else Seq("__row_idx", "__file")): _*)
+    val cleanScan =
+      if (cleanFiles.isEmpty) None else Some(scanOf(cleanFiles, withRowIdx = false))
+    cleanScan.map(_.unionByName(dvScan)).getOrElse(dvScan)
   }
 
   /** STREAMING read of an append-only Delta table: a FileStreamSource over
@@ -109,8 +144,11 @@ object DeltaRead {
     * not CDC.
     */
   def readStreamAppendOnly(spark: SparkSession, path: String): DataFrame = {
-    val (meta, _) = replayLog(spark, path, None)
+    val (meta, liveFiles) = replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(liveFiles.forall(_.dv.isEmpty),
+      s"readStreamAppendOnly($path): the table carries deletion vectors — a raw " +
+        "file stream would resurrect the deleted rows; use batch reads or changesSince")
     // Delta data files do NOT contain the partition columns — their values
     // live in each add's partitionValues, which a FileStreamSource never
     // sees. Streaming a partitioned table here would emit those columns as
@@ -143,6 +181,9 @@ object DeltaRead {
       s"changesSince($fromVersion): the range contains ${removes.size} remove action(s) " +
         "(compaction or rewrite) — incremental reads are only exact on append-only " +
         "ranges; re-read the table instead")
+    require(adds.forall(_.dv.isEmpty),
+      s"changesSince($fromVersion): the range re-adds files with deletion vectors " +
+        "(row-level deletes) — not an append-only range; re-read the table instead")
     val partitionSchema = StructType(metaHead.partitionCols.map(c => schema(c)))
     val dataSchema = StructType(
       schema.fields.filterNot(f => metaHead.partitionCols.contains(f.name)))
@@ -203,11 +244,18 @@ object DeltaRead {
     val pv = Option(a.get("partitionValues"))
       .map(n => n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
       .getOrElse(Map.empty[String, String])
+    val dv = Option(a.get("deletionVector")).map { d =>
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).map(_.asLong()),
+        d.get("sizeInBytes").asLong(), d.get("cardinality").asLong())
+    }
     LiveFile(fp, pv,
       size = Option(a.get("size")).map(_.asLong()).getOrElse(0L),
       modificationTime =
         Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-      stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty))
+      stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty),
+      dv = dv)
   }
 
   /** Latest version number in the log (`-1` if the directory is empty).
@@ -301,10 +349,26 @@ object DeltaRead {
             val fp = row.getString(row.fieldIndex("path"))
             val pv = opt("partitionValues")(i =>
               row.getMap[String, String](i).toMap).getOrElse(Map.empty)
+            val dv = opt("deletionVector") { i =>
+              val s = row.getStruct(i)
+              def sOpt[T](name: String)(get: Int => T): Option[T] =
+                scala.util.Try(s.fieldIndex(name)).toOption
+                  .filterNot(s.isNullAt).map(get)
+              DeletionVectors.Descriptor(
+                s.getString(s.fieldIndex("storageType")),
+                s.getString(s.fieldIndex("pathOrInlineDv")),
+                sOpt("offset")(i2 => s.get(i2) match {
+                  case n: java.lang.Integer => n.longValue()
+                  case n: java.lang.Long => n.longValue()
+                }),
+                s.getLong(s.fieldIndex("sizeInBytes")),
+                s.getLong(s.fieldIndex("cardinality")))
+            }
             live.put(fp, LiveFile(fp, pv,
               size = opt("size")(row.getLong).getOrElse(0L),
               modificationTime = opt("modificationTime")(row.getLong).getOrElse(0L),
-              stats = opt("stats")(row.getString).filter(_.nonEmpty)))
+              stats = opt("stats")(row.getString).filter(_.nonEmpty),
+              dv = dv))
           }
     }
 
@@ -376,15 +440,18 @@ object DeltaRead {
   }
 
   /** Refuse tables whose protocol demands read behavior this reader does
-    * not implement — returning WRONG data (resurrected deleted rows under
-    * deletionVectors, misresolved columns under columnMapping, missed state
-    * under v2Checkpoint sidecars) is strictly worse than failing loudly.
-    * Reader version 1/2 are fine (v2's column mapping is additionally gated
-    * on the metaData configuration, where it is actually switched on);
-    * version 3 is accepted only when every declared readerFeature is one
-    * that cannot change what a name-resolving, full-file reader returns.
+    * not implement — returning WRONG data (misresolved columns under
+    * columnMapping, missed state under v2Checkpoint sidecars) is strictly
+    * worse than failing loudly. Reader version 1/2 are fine (v2's column
+    * mapping is additionally gated on the metaData configuration, where it
+    * is actually switched on); version 3 is accepted only when every
+    * declared readerFeature is either semantics-free for a name-resolving
+    * full-file reader, or actually IMPLEMENTED — `deletionVectors` is
+    * implemented: [[DeletionVectors]] decodes the bitmap and [[filesDf]]
+    * filters deleted row indexes out of every read.
     */
-  private val harmlessReaderFeatures = Set("timestampNtz", "vacuumProtocolCheck")
+  private val harmlessReaderFeatures =
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
   private def checkProtocol(minReader: Int, features: Seq[String], where: String): Unit = {
     require(minReader <= 3, s"$where requires Delta reader version $minReader; max supported is 3")
     if (minReader >= 3) {

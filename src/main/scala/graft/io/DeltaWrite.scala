@@ -217,6 +217,11 @@ object DeltaWrite {
     require(version >= 0, s"$path has no commits to checkpoint")
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
+    require(live.forall(_.dv.isEmpty),
+      s"checkpoint($path): live files carry deletion vectors; this checkpoint " +
+        "writer does not serialize DV descriptors and would silently resurrect " +
+        "deleted rows once the JSON tail is cleaned — compact/rewrite the DV " +
+        "files first")
     // txn high-water marks must survive the checkpoint: once a later
     // cleanup drops pre-checkpoint JSON commits, these rows are the only
     // record the idempotent streaming sink can consult (spec: checkpoints
@@ -355,8 +360,11 @@ object DeltaWrite {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val dataSchema = StructType(
       schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    // Files carrying a deletion vector never bin-pack: this rewrite reads
+    // raw parquet and would resurrect DV-deleted rows. (A DV-aware rewrite
+    // is DeltaMerge's job — its reads go through the DV-filtering scan.)
     val groups = live.groupBy(_.partitionValues)
-      .map { case (pv, files) => (pv, files.filter(_.size < targetBytes)) }
+      .map { case (pv, files) => (pv, files.filter(f => f.size < targetBytes && f.dv.isEmpty)) }
       .filter(_._2.size >= minFiles)
     if (groups.isEmpty) return -1L
 

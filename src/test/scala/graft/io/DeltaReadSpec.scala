@@ -423,10 +423,14 @@ class DeltaReadSpec extends SparkSpec {
     // baseline: version-1 protocol reads fine
     val ok = table("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     assert(DeltaRead.readDeltaTable(spark, ok).count() == 1L)
-    // v3 with deletionVectors: reading would resurrect deleted rows — refuse
+    // v3 with deletionVectors: SUPPORTED since the DV decoder landed
+    // (DeletionVectorSpec covers actual vectors); a feature this reader
+    // truly lacks (v2Checkpoint sidecars) still refuses
     val dv = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
-    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, dv).count())
-    assert(e1.getMessage.contains("deletionVectors"), e1.getMessage)
+    assert(DeltaRead.readDeltaTable(spark, dv).count() == 1L)
+    val v2cp = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""")
+    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, v2cp).count())
+    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
     // v3 with only harmless features still reads
     val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
