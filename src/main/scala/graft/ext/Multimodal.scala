@@ -451,6 +451,60 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Parsed RIFF/AVI main header (`avih`): pixel dimensions, declared
+    * total frame count, and the frame period in microseconds.
+    */
+  private[ext] final case class AviInfo(
+      width: Int, height: Int, nFrames: Long, usPerFrame: Long)
+
+  /** REAL video-container parse for RIFF/AVI — the third public
+    * length-prefixed container layout next to ISO-BMFF ([[videoInfo]]) and
+    * EBML ([[ebmlInfo]]). RIFF chunks are `fourcc + u32le size + payload`
+    * (odd sizes pad to even); the `AVI ` form holds a `LIST hdrl` whose
+    * first child is the 56-byte `avih` main header carrying
+    * dwMicroSecPerFrame, dwTotalFrames, dwWidth, dwHeight at fixed
+    * offsets. Header-only: `movi` sample data is never touched, so cost
+    * is a few hundred bytes regardless of file size. Returns None unless
+    * the bytes open with a well-formed `RIFF…AVI ` signature (caller
+    * falls back to the stub arithmetic).
+    */
+  private[ext] def riffAviInfo(bytes: Array[Byte]): Option[AviInfo] = {
+    val n = bytes.length
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    try {
+      if (n < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+      // sizes are untrusted u32s: walk with Long cursors, clamp to the
+      // buffer, and bail (None) rather than wrap on a malformed size
+      val riffEnd = math.min(n.toLong, 8L + u32le(4))
+      var o = 12L
+      while (o + 8 <= riffEnd) {
+        val sz = u32le(o.toInt + 4)
+        if (fourcc(o.toInt) == "LIST" && o + 12 <= riffEnd &&
+            fourcc(o.toInt + 8) == "hdrl") {
+          val listEnd = math.min(riffEnd, o + 8 + sz)
+          var p = o + 12
+          while (p + 8 <= listEnd) {
+            val csz = u32le(p.toInt + 4)
+            if (fourcc(p.toInt) == "avih" && csz >= 40 && p + 48 <= listEnd) {
+              val base = p.toInt + 8
+              return Some(AviInfo(
+                width = u32le(base + 32).toInt, height = u32le(base + 36).toInt,
+                nFrames = u32le(base + 16), usPerFrame = u32le(base)))
+            }
+            p += 8 + csz + (csz & 1)
+          }
+          return None // an hdrl list without avih is malformed
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Decoded video-container features. `duration_sec` is the mvhd
     * duration over its timescale; `fps` is declared frames over that (0
     * when either is unknown).
@@ -460,11 +514,12 @@ object Multimodal {
       n_frames: Long, duration_sec: Double, fps: Double)
 
   /** Partition-local video decode stage — REAL for ISO-BMFF containers
-    * (MP4/MOV/3GP header walk via [[videoInfo]]) AND for Matroska/WebM
+    * (MP4/MOV/3GP header walk via [[videoInfo]]), Matroska/WebM
     * ([[ebmlInfo]] — EBML tree walk, frame count stays 0 because Matroska
-    * declares none in its headers); deterministic stub arithmetic only for
-    * containers neither walk recognizes (e.g. AVI). Same batch shape as
-    * [[decodeAudio]]: one iterator per partition, no shuffle in or out.
+    * declares none in its headers), AND RIFF/AVI ([[riffAviInfo]] — avih
+    * main header); deterministic stub arithmetic only for containers none
+    * of the three walks recognize. Same batch shape as [[decodeAudio]]:
+    * one iterator per partition, no shuffle in or out.
     */
   def decodeVideo(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[VideoFeatures] = {
     import spark.implicits._
@@ -480,11 +535,18 @@ object Multimodal {
           case None => ebmlInfo(bytes) match {
             case Some((doc, w, h, dur)) =>
               VideoFeatures(r.media_id, bytes.length.toLong, doc, w, h, 0L, dur, 0.0)
-            case None =>
-              val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
-              VideoFeatures(r.media_id, bytes.length.toLong, "stub",
-                16 + head % 640, 16 + head % 480,
-                1 + (bytes.length % 300).toLong, -1.0, 0.0)
+            case None => riffAviInfo(bytes) match {
+              case Some(a) =>
+                val dur = if (a.usPerFrame > 0) a.nFrames * a.usPerFrame / 1e6 else -1.0
+                VideoFeatures(r.media_id, bytes.length.toLong, "avi", a.width,
+                  a.height, a.nFrames, dur,
+                  if (a.usPerFrame > 0) 1e6 / a.usPerFrame else 0.0)
+              case None =>
+                val head = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+                VideoFeatures(r.media_id, bytes.length.toLong, "stub",
+                  16 + head % 640, 16 + head % 480,
+                  1 + (bytes.length % 300).toLong, -1.0, 0.0)
+            }
           }
         }
       }

@@ -686,6 +686,44 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(f.duration_sec - 1.5) < 1e-9, f) // 1500 x 1e6 ns
   }
 
+  test("multimodal: real RIFF/AVI headers decode to dims/frames/fps") {
+    import spark.implicits._
+    // hand-muxed RIFF tree: chunks are fourcc + u32le size + payload
+    // (odd payloads pad to even), exactly what an AVI muxer writes
+    def u32le(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def chunk(cc: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      cc.getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    }
+    // 56-byte avih: µs/frame=40000 (25 fps), frames=250, w=640, h=360
+    val avih = chunk("avih",
+      u32le(40000L), u32le(0L), u32le(0L), u32le(0L), // µsPerFrame..flags
+      u32le(250L), u32le(0L), u32le(1L), u32le(0L),   // totalFrames..bufSize
+      u32le(640L), u32le(360L), new Array[Byte](16))  // width, height, rsvd
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII"), avih)
+    // an odd-sized junk chunk before hdrl exercises the even-padding walk
+    val junk = chunk("JUNK", Array(7.toByte))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII"), new Array[Byte](32))
+    val body = "AVI ".getBytes("US-ASCII") ++ junk ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ u32le(body.length.toLong) ++ body
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", avi, Map("container" -> "avi")),
+      // a WAV is also RIFF but not the AVI form: must NOT parse as video
+      Multimodal.MediaRow(2L, "video",
+        "RIFF".getBytes("US-ASCII") ++ u32le(4L) ++ "WAVE".getBytes("US-ASCII"),
+        Map())).toDS()
+    val feats = Multimodal.decodeVideo(media)(spark).orderBy("media_id").collect()
+    assert(feats(0).brand == "avi", feats(0))
+    assert(feats(0).width == 640 && feats(0).height == 360, feats(0))
+    assert(feats(0).n_frames == 250L, feats(0))
+    assert(math.abs(feats(0).duration_sec - 10.0) < 1e-9, feats(0))
+    assert(math.abs(feats(0).fps - 25.0) < 1e-9, feats(0))
+    assert(feats(1).brand == "stub", feats(1))
+  }
+
   test("multimodal: frame-sample explodes rows, resize fixes shape, features feed knn") {
     import spark.implicits._
     val media = Multimodal.fromText(docs, "doc_id", "text", "video")
