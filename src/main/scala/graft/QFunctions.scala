@@ -309,19 +309,31 @@ object QFunctions {
       |LIMIT 10""".stripMargin
 
   /** Window-frame depth: a calendar RANGE frame (30-day trailing revenue),
-    * percent_rank, ntile quartiles, and lead — one shuffle per distinct
-    * (partition, order) pair; Spark groups compatible window specs into
-    * shared Window operators.
+    * percent_rank, ntile quartiles, and lead. Four distinct window specs
+    * but only TWO (partition, prefix-order) families — the specs are
+    * chained so each partition key's tie-broken (longer) ordering plans
+    * FIRST; the prefix-ordered spec above it then finds its required sort
+    * already satisfied (`SortOrder.orderingSatisfies` accepts a longer
+    * child ordering), so EnsureRequirements inserts neither a second
+    * exchange nor a second sort: 2 shuffles + 2 sorts total, not 2 + 4.
+    * A RANGE frame only admits a single ORDER BY column, so r30 cannot
+    * itself adopt the tie-break — sharing the sort is the only way.
     */
   def q44WindowFrames(s: SparkSession, d: String): DataFrame =
-    orders(s, d).selectExpr(
-      "o_orderkey",
-      "o_custkey",
-      "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
-        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS r30",
-      "round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pr",
-      "CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile",
-      "lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .withColumn("tile", expr("CAST(ntile(4) OVER (PARTITION BY " +
+        "o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT)"))
+      .withColumn("pr", expr("round(percent_rank() OVER (PARTITION BY " +
+        "o_orderpriority ORDER BY o_totalprice), 6)"))
+      .withColumn("nxt", expr("lead(o_orderkey, 1) OVER (PARTITION BY " +
+        "o_custkey ORDER BY o_orderdate, o_orderkey)"))
+      .withColumn("r30", expr("round(sum(o_totalprice) OVER (PARTITION BY " +
+        "o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)"))
+      .select(col("o_orderkey"), col("o_custkey"), col("r30"), col("pr"),
+        col("tile"), col("nxt"))
       .orderBy(col("o_orderkey"))
 
   private[graft] val q44Sql =

@@ -612,13 +612,17 @@ object QPipelineExt {
 
   /** Delta write→read round trip under the correctness gate (S7): two
     * appends into a fresh Delta table (orderkey%3 split) with a checkpoint
-    * between them, then the aggregate runs over the LOG-REPLAYED read and
-    * the v0 row count over a TIME-TRAVEL read — commit protocol,
+    * AFTER the second, then the aggregate runs over the LOG-REPLAYED read
+    * and the v0 row count over a TIME-TRAVEL read — commit protocol,
     * checkpoint replay, and version pinning all sit in the hashed data
-    * path. The oracle computes the same numbers straight from the source
-    * parquet, so any row lost, duplicated, or mistyped by the writer or
-    * reader breaks the hash. Money stays in integer cents end-to-end (the
-    * q69/q73 convention).
+    * path. Checkpointing at the log head makes each read a single-source
+    * replay (the full read loads only the checkpoint, the v0 read only
+    * the v0 JSON commit) instead of checkpoint-plus-delta — the same
+    * reason production writers checkpoint at the head, and both replay
+    * paths stay exercised. The oracle computes the same numbers straight
+    * from the source parquet, so any row lost, duplicated, or mistyped by
+    * the writer or reader breaks the hash. Money stays in integer cents
+    * end-to-end (the q69/q73 convention).
     */
   def q94DeltaRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(
@@ -628,9 +632,9 @@ object QPipelineExt {
       round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     graft.io.DeltaWrite.writeDeltaTable(
       src.filter(col("o_orderkey") % 3 === 0), path, "append")
-    graft.io.DeltaWrite.checkpoint(s, path)
     graft.io.DeltaWrite.writeDeltaTable(
       src.filter(col("o_orderkey") % 3 =!= 0), path, "append")
+    graft.io.DeltaWrite.checkpoint(s, path)
     val v0 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
       .agg(count(lit(1)).as("v0_rows"))
     graft.io.DeltaRead.readDeltaTable(s, path)
