@@ -43,7 +43,8 @@ object Bench {
       "q76_cluster_split", "q92_simhash_pairs", // md5 family; b31/b35/b44 bench the fast path
       "q95_substring_dedup", // exact-string gram keys are oracle-only; b47 benches the hashed path
       "q99_bpe_tokens", // identical computation to b49
-      "q32_source_sketch") // its exact-Jaccard half is oracle-only; b42 benches the sketch
+      "q32_source_sketch", // its exact-Jaccard half is oracle-only; b42 benches the sketch
+      "q108_hard_negatives_ann") // its nProbe=nCells form is exhaustive for the oracle; b53 benches the sub-linear probe
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>
@@ -121,6 +122,17 @@ object Bench {
     "b52_hard_negatives" -> ((s, dir) =>
       graft.ext.Similarity.hardNegatives(Tables.embeddings(s, dir),
         "vec_id", "embedding", "label", queryIds = 0L until 64L, k = 10)),
+    // the UNBOUNDED-query-set mining path: every vector queries the
+    // persisted cell-partitioned index at nProbe=2 of 16 — each query
+    // scores ~1/8th of the corpus (sub-linear probing), nothing broadcasts
+    "b53_hard_negatives_ann" -> ((s, dir) => {
+      val path = benchTmp("ann_hn")
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.AnnIndex.build(emb, "vec_id", "embedding", path, nCells = 16,
+        extraCols = Seq("label"))
+      graft.ext.AnnIndex.hardNegatives(s, path, emb, "vec_id", "embedding",
+        "label", nProbe = 2, k = 10)
+    }),
     "b34_ann_ivf" -> ((s, dir) =>
       graft.ext.Similarity.ivfKnn(Tables.embeddings(s, dir), "vec_id", "embedding",
         nCells = 16, k = 3, iters = 2, trainOnSample = true)),

@@ -107,11 +107,50 @@ object QRound9 {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Hard-negative mining through the PERSISTED ANN index — the unbounded
+    * -query-set scale path next to q105's 8-query broadcast form: build an
+    * IVF index over the embeddings (labels co-located via `extraCols`),
+    * then mine top-3 different-label negatives for EVERY vector as the
+    * query set, routed cell-by-cell ([[graft.ext.AnnIndex.hardNegatives]]:
+    * |queries|·nProbe probe rows equi-join the cell-partitioned index;
+    * nothing broadcasts, the corpus shuffles once by cell). The gate runs
+    * `nProbe = nCells`, where probing is exhaustive and the result is
+    * EXACTLY the brute-force semantics — hashable against a SQL oracle;
+    * the sub-linear nProbe < nCells regime is pinned by AnnIndexSpec
+    * (partition-pruned scan metrics) and benched as b53.
+    */
+  def q108HardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q108_").toFile,
+      "ann").getAbsolutePath
+    val emb = embeddings(s, d)
+    graft.ext.AnnIndex.build(emb, "vec_id", "embedding", path, nCells = 8,
+      extraCols = Seq("label"))
+    graft.ext.AnnIndex.hardNegatives(s, path, emb, "vec_id", "embedding",
+      "label", nProbe = 8, k = 3)
+      .orderBy(col("query_id"), col("sim").desc, col("neg_id"))
+  }
+
+  private val q108Sql =
+    """WITH pairs AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6) AS sim
+      |  FROM embeddings e JOIN embeddings q ON e.label <> q.label)
+      |SELECT query_id, neg_id, sim
+      |FROM pairs
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) <= 3
+      |ORDER BY query_id, sim DESC, neg_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_merge_roundtrip" -> (q106MergeRoundtrip _),
-    "q107_schema_evolution" -> (q107SchemaEvolution _))
+    "q107_schema_evolution" -> (q107SchemaEvolution _),
+    "q108_hard_negatives_ann" -> (q108HardNegativesAnn _))
 
   val sql: Map[String, String] = Map(
     "q106_merge_roundtrip" -> q106Sql,
-    "q107_schema_evolution" -> q107Sql)
+    "q107_schema_evolution" -> q107Sql,
+    "q108_hard_negatives_ann" -> q108Sql)
 }

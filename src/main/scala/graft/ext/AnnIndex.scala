@@ -23,19 +23,28 @@ object AnnIndex {
       centroids: Seq[Seq[Double]], codebooks: Option[Seq[Seq[Seq[Double]]]])
 
   /** Build and persist: trains IVF centroids (sample-bounded) and, when
-    * `m > 0`, PQ codebooks; writes `(id, cell, vec, pq_code?)` partitioned
-    * by cell, and the trained state to `_ann_meta.json`. Returns the meta.
+    * `m > 0`, PQ codebooks; writes `(id, cell, vec, nrm, pq_code?)`
+    * partitioned by cell, and the trained state to `_ann_meta.json`.
+    * Returns the meta. The L2 norm is materialized at build time so probe
+    * queries pay only the dot product per pair, never the norm.
+    * `extraCols` carries payload columns (labels, source tags) into the
+    * index verbatim — the metadata-filtered-search shape
+    * ([[hardNegatives]]) needs the filter column co-located with the
+    * vectors it prunes.
     */
   def build(df: DataFrame, idCol: String, vecCol: String, path: String,
       nCells: Int, m: Int = 0, nCodes: Int = 16, iters: Int = 2,
-      seed: Long = 42L): Meta = {
+      seed: Long = 42L, extraCols: Seq[String] = Nil): Meta = {
     val spark = df.sparkSession
+    require(m == 0 || extraCols.isEmpty,
+      "extraCols are only supported for non-PQ indexes (m = 0)")
     val centroids = Similarity.ivfCentroidsSampled(df, idCol, vecCol, nCells, iters, seed)
     val dim = centroids.head.length
     val cb = if (m > 0) Some(PQ.train(df, idCol, vecCol, m, nCodes, iters, seed)) else None
-    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
-      Similarity.assignCell(col(vecCol), centroids).as("cell"))
-    val indexed = cb match {
+    val base = df.select(col(idCol).cast("long").as("id") +: col(vecCol).as("vec") +:
+      Similarity.assignCell(col(vecCol), centroids).as("cell") +:
+      extraCols.map(col): _*)
+    val indexed = (cb match {
       case Some(codebooks) =>
         import spark.implicits._
         base.as[(Long, Array[Float], Int)]
@@ -43,12 +52,42 @@ object AnnIndex {
             (id, v, cell, codebooks.encodeVec(v)) })
           .toDF("id", "vec", "cell", "pq_code")
       case None => base
-    }
+    }).withColumn("nrm", Similarity.l2Norm(col("vec")))
     indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
     val meta = Meta(dim, nCells, m, nCodes, centroids,
       cb.map(_.centers.map(_.map(_.toSeq).toSeq).toSeq))
     writeMeta(spark, path, meta)
     meta
+  }
+
+  /** Incrementally add vectors to a persisted index WITHOUT retraining:
+    * each new vector assigns to its nearest EXISTING centroid and appends
+    * cell-partitioned parquet — untouched cells gain no files, the trained
+    * sidecar is untouched, and probe queries see the new vectors on their
+    * next scan. This is the serving-corpus ingest shape: cost scales with
+    * the batch, never the corpus. The trade is centroid staleness —
+    * appended mass does not move the centroids (the IVF serving
+    * convention), so rebuild when drift degrades recall. PQ indexes refuse
+    * (appending codes would need the trained codebooks applied to the
+    * batch — rebuild instead), as does a batch whose columns don't match
+    * the index layout (a silent parquet schema union would corrupt reads).
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, path: String,
+      extraCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val meta = readMeta(spark, path)
+    require(meta.m == 0,
+      s"$path is a PQ index (m=${meta.m}) — append cannot encode codes; rebuild instead")
+    val batch = df.select(col(idCol).cast("long").as("id") +: col(vecCol).as("vec") +:
+      Similarity.assignCell(col(vecCol), meta.centroids).as("cell") +:
+      extraCols.map(col): _*)
+      .withColumn("nrm", Similarity.l2Norm(col("vec")))
+    val existing = spark.read.parquet(path).schema
+    require(batch.schema.fieldNames.sorted.sameElements(existing.fieldNames.sorted),
+      s"append batch columns ${batch.schema.fieldNames.sorted.mkString(", ")} do not " +
+        s"match the index layout ${existing.fieldNames.sorted.mkString(", ")} — " +
+        "pass the same extraCols the index was built with")
+    batch.write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Exact top-k over the probed cells: load the sidecar, rank the query
@@ -68,9 +107,51 @@ object AnnIndex {
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("id"),
         round(Similarity.dot(transform(col("vec"), _.cast("double")), qCol) /
-          (Similarity.l2Norm(col("vec")) * lit(qNorm)), 6).as("sim"))
+          (col("nrm") * lit(qNorm)), 6).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)
+  }
+
+  /** ANN-routed hard-negative mining for UNBOUNDED query sets — the scale
+    * path past [[Similarity.hardNegatives]]'s broadcast form: instead of
+    * broadcasting the query set and scoring it against the whole corpus,
+    * every query probes only its `nProbe` nearest IVF cells of a
+    * [[build]]-persisted index (built with `extraCols = Seq(labelCol)` so
+    * the filter column is co-located). The query side explodes to
+    * |queries|·nProbe `(query, cell)` rows and equi-joins the index on
+    * `cell` — the corpus shuffles by cell AT MOST once and only the probed
+    * cells are ever read: the distinct probed-cell set (≤ nCells ints,
+    * driver-side) becomes a partition-pruning IN filter on the scan, at
+    * the cost of one extra narrow pass over the query side. A corpus
+    * vector lives in exactly one cell, so no pair duplicates across
+    * probes. Per query the candidate set is the probed cells' population,
+    * sub-linear in the corpus for nProbe << nCells; `nProbe = nCells`
+    * degenerates to the exact brute-force semantics (the cross-engine
+    * gate form — q108). Ranking is `round(sim, 6) DESC, id` and the heap
+    * cut is [[graft.plans.TopKPerKey]], both as in the exact form, so
+    * results are engine-comparable.
+    */
+  def hardNegatives(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, nProbe: Int,
+      k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(nProbe > 0 && nProbe <= meta.nCells, s"nProbe must be in [1, ${meta.nCells}]")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("q_label"),
+      col(vecCol).as("q_vec"), Similarity.l2Norm(col(vecCol)).as("q_nrm"),
+      explode(Similarity.assignCells(col(vecCol), meta.centroids, nProbe)).as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probed))
+      .select(col("cell"), col("id").as("neg_id"), col(labelCol).as("n_label"),
+        col("vec").as("n_vec"), col("nrm").as("n_nrm"))
+    val pairs = corpus.join(q, "cell")
+      .filter(col("n_label") =!= col("q_label"))
+      .select(col("query_id"), col("neg_id"),
+        round(Similarity.dot(col("n_vec"), col("q_vec")) /
+          (col("n_nrm") * col("q_nrm")), 6).as("sim"))
+    graft.plans.TopKPerKey.topKPerKey(
+      pairs, Seq("query_id"), Seq(col("sim").desc, col("neg_id")), k)
   }
 
   /** PQ-approximate top-k over the probed cells (requires `m > 0` at build

@@ -57,7 +57,10 @@ object Similarity {
     * the label predicate filters pairs before any ranking state exists, and
     * [[graft.plans.TopKPerKey]] heap-cuts per query — ≤ k·|queries| rows
     * shuffle, the corpus never exchanges. Ranking is `round(sim, 6) DESC,
-    * id` (the q27 determinism convention).
+    * id` (the q27 determinism convention). This form is for BOUNDED query
+    * sets (the broadcast must fit); for unbounded query sets route through
+    * a persisted index via [[AnnIndex.hardNegatives]], which probes IVF
+    * cells instead of broadcasting.
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queryIds: Seq[Long], k: Int): DataFrame = {

@@ -39,6 +39,7 @@ class PlanRegressionSpec extends SparkSpec {
     "q85_pagerank",         // rank-mass correction scalar per iteration
     "q90_integrity",        // expected-totals row
     "q94_delta_roundtrip",  // version-count scalar
+    "q106_merge_roundtrip", // v0/v1 row-count scalars (1-row aggregates crossed)
     "q98_triangles",        // three single-row count aggregates crossed
     // hardNegatives joins corpus to broadcast(queries) on a label
     // INEQUALITY — non-equi, so Spark plans BNLJ. The broadcast side is
@@ -147,6 +148,22 @@ class PlanRegressionSpec extends SparkSpec {
     // dense_rank + max windows over the same partitioning: 1 exchange for
     // the windows + 1 for the final orderBy
     assert(count(p, "Exchange") <= 2, p)
+  }
+
+  test("q44: four window specs share two sorts — prefix orderings reuse the tie-broken sort") {
+    val p = plan("q44_window_frames")
+    // two partition keys → 2 window exchanges + 1 for the final orderBy;
+    // each prefix-ordered spec (r30, pr) rides the longer sort planned
+    // below it, so only ONE sort per window exchange (plus the output sort)
+    assert(count(p, "Exchange") <= 3, p)
+    assert(count(p, "\\bSort\\b") <= 3, p)
+    assert(count(p, "\\bWindow\\b") == 4, p)
+  }
+
+  test("q108: ANN-routed hard negatives equi-join the cell-partitioned index — no NLJ, heap cut") {
+    val p = plan("q108_hard_negatives_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p)
   }
 
   test("q58: tf-idf cuts per-doc terms with the heap operator, broadcasts the corpus size") {

@@ -68,6 +68,86 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("without PQ"), e.getMessage)
   }
 
+  test("hardNegatives via the index: exhaustive probe equals the broadcast-exact form") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val path = Files.createTempDirectory("graft_ann_hn").toString
+    AnnIndex.build(labeled, "vec_id", "embedding", path, nCells = 3,
+      extraCols = Seq("label"))
+    val queryIds = Seq(0L, 5L, 100L, 207L)
+    val exact = Similarity.hardNegatives(labeled, "vec_id", "embedding",
+      "label", queryIds, k = 4)
+      .orderBy("query_id", "neg_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ann = AnnIndex.hardNegatives(spark, path,
+      labeled.filter(col("vec_id").isInCollection(queryIds)),
+      "vec_id", "embedding", "label", nProbe = 3, k = 4)
+      .orderBy("query_id", "neg_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ann.toSeq == exact.toSeq, s"${ann.toSeq} vs ${exact.toSeq}")
+  }
+
+  test("hardNegatives at nProbe=1 reads only the probed cells' files") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val path = Files.createTempDirectory("graft_ann_hn").toString
+    AnnIndex.build(labeled, "vec_id", "embedding", path, nCells = 3,
+      extraCols = Seq("label"))
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    // the join forces AQE, whose executed plan nests scans inside
+    // query-stage leaves — descend through the adaptive wrappers
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    // queries all from the axis-2 cluster: every probe lands in ONE cell,
+    // so the corpus scan must touch only that cell's files
+    val n = filesRead(AnnIndex.hardNegatives(spark, path,
+      labeled.filter(col("vec_id") >= 200L),
+      "vec_id", "embedding", "label", nProbe = 1, k = 2))
+    assert(n > 0 && n < totalFiles, s"read $n of $totalFiles files")
+    // and the candidates really are confined to that cluster
+    val rows = AnnIndex.hardNegatives(spark, path,
+      labeled.filter(col("vec_id") >= 200L),
+      "vec_id", "embedding", "label", nProbe = 1, k = 2).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) >= 200L), rows.toSeq.toString)
+  }
+
+  test("append adds vectors to existing cells without retraining; probes see them") {
+    val path = Files.createTempDirectory("graft_ann_app").toString
+    val metaBefore = AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    // two new points inside the axis-0 cluster
+    val extra = Seq(900L, 901L).map { id =>
+      val v = Array.fill(8)(0.0f); v(0) = 10.3f; v(4) = 4f; (id, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(extra, "vec_id", "embedding", path)
+    // the trained sidecar is untouched
+    assert(AnnIndex.readMeta(spark, path) == metaBefore)
+    // a 1-probe query in that cluster now surfaces the appended ids
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hits = AnnIndex.query(spark, path, raw(0L).map(_.toDouble), nProbe = 1, k = 14)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(900L) && hits.contains(901L), hits.toString)
+    // mismatched columns are refused (no silent parquet schema union)
+    val e = intercept[IllegalArgumentException](AnnIndex.append(
+      extra.withColumn("label", lit(1)), "vec_id", "embedding", path,
+      extraCols = Seq("label")))
+    assert(e.getMessage.contains("extraCols"), e.getMessage)
+    // a PQ index refuses append (codes cannot be encoded without rebuild)
+    val pqPath = Files.createTempDirectory("graft_ann_app_pq").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", pqPath, nCells = 3, m = 4, nCodes = 8)
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.append(extra, "vec_id", "embedding", pqPath))
+    assert(e2.getMessage.contains("PQ"), e2.getMessage)
+  }
+
   test("a non-index path is refused") {
     val e = intercept[IllegalArgumentException](
       AnnIndex.query(spark, Files.createTempDirectory("not_ann").toString,
