@@ -47,6 +47,10 @@ object DeltaMerge {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode == "none",
+      s"$path enables column mapping '${meta.mappingMode}' — the copy-on-write " +
+        "rewrite stages parquet under logical column names and would corrupt " +
+        "a mapped table")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
@@ -111,6 +115,10 @@ object DeltaMerge {
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode == "none",
+      s"$path enables column mapping '${meta.mappingMode}' — the copy-on-write " +
+        "rewrite stages parquet under logical column names and would corrupt " +
+        "a mapped table")
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]

@@ -3,7 +3,7 @@ package graft.io
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -44,7 +44,49 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaRead {
 
-  private[io] final case class Meta(schemaJson: String, partitionCols: Seq[String])
+  private[io] final case class Meta(schemaJson: String, partitionCols: Seq[String],
+      mappingMode: String = "none")
+
+  /** The PHYSICAL schema of a column-mapped table (mode `name`): every
+    * StructField — at any nesting depth, including structs inside arrays
+    * and maps — renamed to its `delta.columnMapping.physicalName` field
+    * metadata (the name the parquet files actually store; assigned once at
+    * mapping enablement and NEVER changed by later renames, which touch
+    * only the logical name). Fields without the metadata keep their name,
+    * so the transform is identity on unmapped tables.
+    */
+  private[io] def physicalSchema(logical: StructType): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructField}
+    def renameType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(renameField))
+      case at: ArrayType => at.copy(elementType = renameType(at.elementType))
+      case mt: MapType =>
+        mt.copy(keyType = renameType(mt.keyType), valueType = renameType(mt.valueType))
+      case other => other
+    }
+    def renameField(f: StructField): StructField = {
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      StructField(phys, renameType(f.dataType), f.nullable)
+    }
+    StructType(logical.fields.map(renameField))
+  }
+
+  /** The projection that maps a physical-name scan back to the logical
+    * schema: top-level columns re-alias (free — pushed filters substitute
+    * straight through the alias to the physical attribute, so pushdown,
+    * stats skipping, and partition pruning all keep working on the
+    * physical names the log uses); columns whose type nests renamed
+    * structs additionally cast to the logical type (struct casts are
+    * positional, so the cast IS the rename and touches no data).
+    */
+  private def logicalSelect(logical: StructType, phys: StructType): Seq[Column] =
+    logical.fields.zip(phys.fields).map { case (lf, pf) =>
+      val c = col(s"`${pf.name}`")
+      (if (pf.dataType == lf.dataType) c else c.cast(lf.dataType)).as(lf.name)
+    }.toSeq
 
   /** One live file: path (log-relative), partition values, and the
     * per-file size/mtime/stats the log carries (stats = the min/max JSON
@@ -55,12 +97,62 @@ object DeltaRead {
       modificationTime: Long = 0L, stats: Option[String] = None,
       dv: Option[DeletionVectors.Descriptor] = None)
 
-  /** Read a Delta table at `path`, optionally at an historical version. */
+  /** Read a Delta table at `path`, optionally at an historical version
+    * (`versionAsOf`) or at the state as of a wall-clock instant
+    * (`timestampAsOf`, epoch millis — resolved to the last commit at or
+    * before it via [[versionAtTimestamp]]). The two pins are mutually
+    * exclusive, like Delta's own reader options.
+    */
   def readDeltaTable(spark: SparkSession, path: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val (meta, files) = replayLog(spark, path, versionAsOf)
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val pinned = timestampAsOf
+      .map(ts => versionAtTimestamp(spark, path, ts)).orElse(versionAsOf)
+    val (meta, files) = replayLog(spark, path, pinned)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     filesDf(spark, path, meta, files, provenance = false)
+  }
+
+  /** The latest version whose commit timestamp is at or before `tsMillis`
+    * — Delta's timestamp time travel. A commit's timestamp is its
+    * `commitInfo.timestamp` when recorded (this writer and delta-spark
+    * both record one) falling back to the commit file's modification time
+    * (the protocol's defined fallback); ties/inversions resolve to the
+    * HIGHEST qualifying version, matching Delta's monotonicity adjustment.
+    * Driver-side only — commit JSONs are KBs. Fails loudly when `tsMillis`
+    * predates the earliest available commit (cleaned history cannot be
+    * resolved by time) — never silently returns a later state.
+    */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val dir = new Path(path, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"$path is not a Delta table (no _delta_log directory)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val commits = fs.listStatus(dir).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+      }
+      .map { st =>
+        val v = st.getPath.getName.dropRight(5).toLong
+        val in = fs.open(st.getPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val ciTs = content.split('\n').iterator.filter(_.nonEmpty)
+          .map(mapper.readTree)
+          .collectFirst { case n if n.has("commitInfo") =>
+            Option(n.get("commitInfo").get("timestamp")).map(_.asLong()) }
+          .flatten
+        (v, ciTs.getOrElse(st.getModificationTime))
+      }.toSeq.sortBy(_._1)
+    require(commits.nonEmpty, s"$path has no commit JSONs to resolve a timestamp against")
+    val qualifying = commits.filter(_._2 <= tsMillis)
+    require(qualifying.nonEmpty,
+      s"timestampAsOf $tsMillis predates the earliest available commit " +
+        s"(version ${commits.head._1} at ${commits.head._2})")
+    qualifying.map(_._1).max
   }
 
   /** Scan an explicit subset of a table's live files — the copy-on-write
@@ -84,12 +176,27 @@ object DeltaRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     }
+    // Column mapping (mode `name`): the SCAN runs entirely under the
+    // physical names the parquet files and the log use — partition schema,
+    // data schema, partitionValues keys, and stats keys all line up with
+    // no translation inside the index — and one aliasing projection on top
+    // restores the logical names ([[logicalSelect]]). Unmapped tables take
+    // the same code path with phys == schema.
+    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    val logToPhys = schema.fieldNames.zip(phys.fieldNames).toMap
+    val physPartCols = meta.partitionCols.map(c => logToPhys.getOrElse(c, c))
+    // tolerate either key convention in add.partitionValues (the spec says
+    // physical names under mapping; normalize logical-keyed writers too)
+    val normFiles =
+      if (meta.mappingMode == "name")
+        files.map(f => f.copy(partitionValues =
+          f.partitionValues.map { case (k, v) => (logToPhys.getOrElse(k, k), v) }))
+      else files
 
     def scanOf(subset: Seq[LiveFile], withRowIdx: Boolean): DataFrame = {
-      val partitionSchema = StructType(
-        meta.partitionCols.map(c => schema(c)))
+      val partitionSchema = StructType(physPartCols.map(c => phys(c)))
       val dataSchema = StructType(
-        schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+        phys.fields.filterNot(f => physPartCols.contains(f.name)))
 
       // One scan relation over a LOG-BACKED FileIndex (the delta-core
       // seam): plan size is independent of partition count and layout,
@@ -102,13 +209,13 @@ object DeltaRead {
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
         Map.empty)(spark)
       val base = spark.baseRelationToDataFrame(relation)
-      val cols = schema.fieldNames.map(col).toSeq ++
+      val cols = logicalSelect(schema, phys) ++
         (if (provenance || withRowIdx) Seq(col("_metadata.file_path").as("__file")) else Nil) ++
         (if (withRowIdx) Seq(col("_metadata.row_index").as("__row_idx")) else Nil)
       base.select(cols: _*)
     }
 
-    val (dvFiles, cleanFiles) = files.partition(_.dv.isDefined)
+    val (dvFiles, cleanFiles) = normFiles.partition(_.dv.isDefined)
     if (dvFiles.isEmpty) return scanOf(cleanFiles, withRowIdx = false)
 
     // deleted-position bitmaps: loaded once on the driver (O(files) blob
@@ -159,7 +266,11 @@ object DeltaRead {
         s"partitioned by ${meta.partitionCols.mkString(", ")} and partition " +
         "values exist only in the log — use changesSince instead")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    spark.readStream.schema(schema).parquet(path)
+    if (meta.mappingMode == "name") {
+      val phys = physicalSchema(schema)
+      spark.readStream.schema(phys).parquet(path)
+        .select(logicalSelect(schema, phys): _*)
+    } else spark.readStream.schema(schema).parquet(path)
   }
 
   /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
@@ -175,7 +286,6 @@ object DeltaRead {
       toVersion: Option[Long] = None): DataFrame = {
     val (metaHead, _) = replayLog(spark, path, toVersion)
     require(metaHead != null, s"$path has no metaData action in its _delta_log")
-    val schema = DataType.fromJson(metaHead.schemaJson).asInstanceOf[StructType]
     val (adds, removes) = actionsInRange(spark, path, fromVersion, toVersion)
     require(removes.isEmpty,
       s"changesSince($fromVersion): the range contains ${removes.size} remove action(s) " +
@@ -184,18 +294,9 @@ object DeltaRead {
     require(adds.forall(_.dv.isEmpty),
       s"changesSince($fromVersion): the range re-adds files with deletion vectors " +
         "(row-level deletes) — not an append-only range; re-read the table instead")
-    val partitionSchema = StructType(metaHead.partitionCols.map(c => schema(c)))
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => metaHead.partitionCols.contains(f.name)))
-    if (adds.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val index = new DeltaLogFileIndex(spark, path, adds, partitionSchema)
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partitionSchema, dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    // same scan construction as a full read (log-backed index, column
+    // mapping, pushdown) — just over the range's adds instead of the live set
+    filesDf(spark, path, metaHead, adds, provenance = false)
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */
@@ -333,10 +434,11 @@ object DeltaRead {
             val mapping =
               if (r.isNullAt(2)) "none"
               else r.getMap[String, String](2).getOrElse("delta.columnMapping.mode", "none")
-            require(mapping == "none",
-              s"$dir checkpoint enables column mapping '$mapping' — this reader " +
-                "resolves columns by name and would silently misread a mapped table")
-            meta = Meta(r.getString(0), r.getSeq[String](1))
+            require(mapping == "none" || mapping == "name",
+              s"$dir checkpoint enables column mapping '$mapping' — only 'none' " +
+                "and 'name' modes are supported; resolving an id-mapped table " +
+                "by name could silently misread it")
+            meta = Meta(r.getString(0), r.getSeq[String](1), mapping)
           }
       }
       if (cols.contains("add"))
@@ -423,10 +525,15 @@ object DeltaRead {
           val mapping = Option(m.get("configuration"))
             .flatMap(c => Option(c.get("delta.columnMapping.mode")))
             .map(_.asText()).getOrElse("none")
-          require(mapping == "none",
-            s"$dir enables column mapping '$mapping' — this reader resolves " +
-              "columns by name and would silently misread a mapped table")
-          meta = Meta(m.get("schemaString").asText(), pcols)
+          // `name` mode is implemented (physical-name scan + logical
+          // re-alias); `id` mode's authority is the parquet field id,
+          // which name resolution cannot honor for foreign writers —
+          // refuse rather than risk misreading
+          require(mapping == "none" || mapping == "name",
+            s"$dir enables column mapping '$mapping' — only 'none' and 'name' " +
+              "modes are supported; resolving an id-mapped table by name " +
+              "could silently misread it")
+          meta = Meta(m.get("schemaString").asText(), pcols, mapping)
         }
         if (node.has("add")) {
           val f = parseAdd(node.get("add"))
@@ -447,11 +554,13 @@ object DeltaRead {
     * is actually switched on); version 3 is accepted only when every
     * declared readerFeature is either semantics-free for a name-resolving
     * full-file reader, or actually IMPLEMENTED — `deletionVectors` is
-    * implemented: [[DeletionVectors]] decodes the bitmap and [[filesDf]]
-    * filters deleted row indexes out of every read.
+    * implemented ([[DeletionVectors]] decodes the bitmap and [[filesDf]]
+    * filters deleted row indexes out of every read), and `columnMapping`
+    * is implemented for mode `name` (physical-name scan + logical
+    * re-alias; the per-metaData gate still refuses mode `id`).
     */
   private val harmlessReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
   private def checkProtocol(minReader: Int, features: Seq[String], where: String): Unit = {
     require(minReader <= 3, s"$where requires Delta reader version $minReader; max supported is 3")
     if (minReader >= 3) {

@@ -98,6 +98,13 @@ object DeltaWrite {
     val version = DeltaRead.latestVersion(spark, path) + 1
 
     existing.foreach { case (meta, _) =>
+      // the reader supports name-mapped tables; this writer stages files
+      // under LOGICAL parquet column names, which a mapped table's readers
+      // would fail to resolve — refuse rather than corrupt
+      require(meta.mappingMode == "none",
+        s"$path enables column mapping '${meta.mappingMode}' — this writer " +
+          "stages parquet under logical column names and would corrupt a " +
+          "mapped table")
       val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       if (mode == "append") {
         if (mergeSchema) {

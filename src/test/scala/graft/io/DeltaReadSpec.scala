@@ -235,10 +235,10 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.latestVersion(spark, table) == 2L)
   }
 
-  test("column-mapped table whose metaData lives only in the checkpoint is rejected") {
+  test("id-mapped table whose metaData lives only in the checkpoint is rejected") {
     // the steady state after log cleanup: the ONLY metaData action is in the
-    // checkpoint parquet — the mapping gate must fire there too, not just on
-    // the JSON-commit path
+    // checkpoint parquet — the mapping-mode gate must fire there too, not
+    // just on the JSON-commit path (name mode reads; id mode refuses)
     val table = Files.createTempDirectory("graft_delta_cpcm").toString
     val d = Seq((1L, "a")).toDF("id", "v")
     val f1 = addFile(table, "f1.parquet", d)
@@ -246,7 +246,7 @@ class DeltaReadSpec extends SparkSpec {
     val cp = spark.sql(
       s"""SELECT named_struct('schemaString', '$sj',
          |  'partitionColumns', array(),
-         |  'configuration', map('delta.columnMapping.mode', 'name')) AS metaData,
+         |  'configuration', map('delta.columnMapping.mode', 'id')) AS metaData,
          |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add
          |UNION ALL
          |SELECT null, named_struct('path', 'f1.parquet', 'partitionValues', map())
@@ -434,11 +434,100 @@ class DeltaReadSpec extends SparkSpec {
     // v3 with only harmless features still reads
     val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
-    // column mapping switched on in metaData config: name resolution breaks — refuse
+    // id-mode column mapping: the parquet field id is authoritative and
+    // name resolution cannot honor it — refuse
     val cm = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      ""","configuration":{"delta.columnMapping.mode":"name"}""")
+      ""","configuration":{"delta.columnMapping.mode":"id"}""")
     val e2 = intercept[Exception](DeltaRead.readDeltaTable(spark, cm).count())
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    // name-mode mapping with no physicalName metadata: physical == logical,
+    // reads fine (the real rename path is covered by the dedicated test)
+    val nm = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      ""","configuration":{"delta.columnMapping.mode":"name"}""")
+    assert(DeltaRead.readDeltaTable(spark, nm).count() == 1L)
+  }
+
+  test("name-mapped table: physical parquet names resolve to logical columns, pruning and skipping intact") {
+    import org.apache.spark.sql.types._
+    val table = Files.createTempDirectory("graft_delta_cm_name").toString
+    def pn(n: String) = Metadata.fromJson(
+      s"""{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"$n"}""")
+    // logical (id, v{x}, part) stored physically as col-aaa, col-bbb{col-ccc}, col-ppp
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, pn("col-aaa")),
+      StructField("v", StructType(Seq(
+        StructField("x", LongType, nullable = true, pn("col-ccc")))),
+        nullable = true, pn("col-bbb")),
+      StructField("part", StringType, nullable = true, pn("col-ppp"))))
+    def fileDf(ids: Seq[Long]) = ids.toDF("a")
+      .select(col("a").as("col-aaa"),
+        struct((col("a") * 10).as("col-ccc")).as("col-bbb"))
+    val f1 = addFile(table, "f1.parquet", fileDf(Seq(1L, 2L)))
+    val f2 = addFile(table, "f2.parquet", fileDf(Seq(100L, 101L)))
+    val sj = logical.json.replace("\"", "\\\"")
+    def stats(lo: Long, hi: Long) =
+      s"""{\\"numRecords\\":2,\\"minValues\\":{\\"col-aaa\\":$lo},\\"maxValues\\":{\\"col-aaa\\":$hi}}"""
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","schemaString":"$sj","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      // partitionValues keyed by the PHYSICAL name, per the protocol spec
+      s"""{"add":{"path":"$f1","partitionValues":{"col-ppp":"a"},"size":${fsize(table, f1)},"dataChange":true,"stats":"${stats(1, 2)}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"col-ppp":"b"},"size":${fsize(table, f2)},"dataChange":true,"stats":"${stats(100, 101)}"}}"""))
+
+    val df = DeltaRead.readDeltaTable(spark, table)
+    // logical names all the way out, nested rename included
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    assert(df.schema("v").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x"))
+    val rows = df.select(col("id"), col("v.x").as("x"), col("part"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 10L, "a"), (2L, 20L, "a"), (100L, 1000L, "b"), (101L, 1010L, "b")))
+
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    // a LOGICAL-name data filter pushes through the alias to the physical
+    // attribute and still skips files via the physical-keyed stats
+    assert(filesRead(df.filter(col("id") === 100L)) == 1L)
+    // a LOGICAL-name partition filter prunes on the physical partition col
+    assert(filesRead(df.filter(col("part") === "a")) == 1L)
+    // changesSince serves the same logical view
+    val cs = DeltaRead.changesSince(spark, table, -1L)
+    assert(cs.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    assert(cs.count() == 4L)
+  }
+
+  test("timestampAsOf resolves to the last commit at or before the instant") {
+    val table = Files.createTempDirectory("graft_delta_ts").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val f2 = addFile(table, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = addFile(table, "f3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    def ci(ts: Long) = s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE"}}"""
+    def add(f: String) =
+      s"""{"add":{"path":"$f","partitionValues":{},"size":${fsize(table, f)},"dataChange":true}}"""
+    writeCommit(table, 0, Seq(ci(1000),
+      s"""{"metaData":{"id":"m","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
+      add(f1)))
+    writeCommit(table, 1, Seq(ci(2000), add(f2)))
+    writeCommit(table, 2, Seq(ci(3000), add(f3)))
+    assert(DeltaRead.versionAtTimestamp(spark, table, 1500L) == 0L)
+    assert(DeltaRead.versionAtTimestamp(spark, table, 2000L) == 1L) // at == inclusive
+    assert(DeltaRead.versionAtTimestamp(spark, table, 9999L) == 2L)
+    assert(DeltaRead.readDeltaTable(spark, table, timestampAsOf = Some(2500L))
+      .count() == 2L)
+    // before the first commit: loud failure, never a silently later state
+    val e = intercept[IllegalArgumentException](
+      DeltaRead.versionAtTimestamp(spark, table, 500L))
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // the two pins are mutually exclusive
+    val e2 = intercept[IllegalArgumentException](
+      DeltaRead.readDeltaTable(spark, table,
+        versionAsOf = Some(0L), timestampAsOf = Some(2500L)))
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
