@@ -398,80 +398,118 @@ object DeltaRead {
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
 
     lastCp.foreach { cpRef =>
-      // single-file NNN.checkpoint.parquet, or a multi-part checkpoint
+      // single-file NNN.checkpoint.parquet, a multi-part checkpoint
       // (_last_checkpoint carries "parts": N naming
-      // NNN.checkpoint.MMM.PPP.parquet slices) — all parts are one scan
+      // NNN.checkpoint.MMM.PPP.parquet slices), or a V2 SPEC checkpoint
+      // (NNN.checkpoint.<uuid>.{parquet,json} — the name is not derivable
+      // from the version, so it is discovered by listing; any uuid file at
+      // the version is a complete checkpoint, per the protocol)
       val cpPaths = cpRef.parts match {
         case Some(n) => (1 to n).map(i => new Path(dir,
           f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
         case None =>
-          Seq(new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet").toString)
-      }
-      val cp = spark.read.parquet(cpPaths: _*)
-      val cols = cp.columns.toSet
-      if (cols.contains("protocol")) {
-        val pcols = cp.select(col("protocol")).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-        cp.select(col("protocol.minReaderVersion"),
-            if (pcols.contains("readerFeatures")) col("protocol.readerFeatures")
-            else lit(null).cast("array<string>"))
-          .filter(col("minReaderVersion").isNotNull).collect()
-          .foreach(r => checkProtocol(r.getInt(0),
-            if (r.isNullAt(1)) Nil else r.getSeq[String](1), s"$dir checkpoint"))
-      }
-      if (cols.contains("metaData")) {
-        // The column-mapping gate must ALSO run on the checkpoint path: once a
-        // table is checkpointed and its early JSON cleaned, the only metaData
-        // action lives here — configuration may be absent from the checkpoint
-        // schema (guard like readerFeatures above).
-        val mcols = cp.select(col("metaData")).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-        cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-            if (mcols.contains("configuration")) col("metaData.configuration")
-            else lit(null).cast("map<string,string>"))
-          .filter(col("metaData.schemaString").isNotNull).collect()
-          .foreach { r =>
-            val mapping =
-              if (r.isNullAt(2)) "none"
-              else r.getMap[String, String](2).getOrElse("delta.columnMapping.mode", "none")
-            require(mapping == "none" || mapping == "name",
-              s"$dir checkpoint enables column mapping '$mapping' — only 'none' " +
-                "and 'name' modes are supported; resolving an id-mapped table " +
-                "by name could silently misread it")
-            meta = Meta(r.getString(0), r.getSeq[String](1), mapping)
+          val classic = new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet")
+          if (fs.exists(classic)) Seq(classic.toString)
+          else {
+            val prefix = f"${cpRef.version}%020d.checkpoint."
+            val found = fs.listStatus(dir).iterator.map(_.getPath.getName)
+              .filter(n => n.startsWith(prefix) &&
+                (n.endsWith(".parquet") || n.endsWith(".json")))
+              .toSeq.sorted
+            require(found.nonEmpty,
+              s"_last_checkpoint names version ${cpRef.version} but no " +
+                s"checkpoint file matches $dir/$prefix*")
+            Seq(new Path(dir, found.head).toString)
           }
       }
-      if (cols.contains("add"))
-        cp.select(col("add")).filter(col("add.path").isNotNull).collect()
-          .foreach { r =>
-            val row = r.getStruct(0)
-            def opt[T](name: String)(get: Int => T): Option[T] =
-              scala.util.Try(row.fieldIndex(name)).toOption
-                .filterNot(row.isNullAt).map(get)
-            val fp = row.getString(row.fieldIndex("path"))
-            val pv = opt("partitionValues")(i =>
-              row.getMap[String, String](i).toMap).getOrElse(Map.empty)
-            val dv = opt("deletionVector") { i =>
-              val s = row.getStruct(i)
-              def sOpt[T](name: String)(get: Int => T): Option[T] =
-                scala.util.Try(s.fieldIndex(name)).toOption
-                  .filterNot(s.isNullAt).map(get)
-              DeletionVectors.Descriptor(
-                s.getString(s.fieldIndex("storageType")),
-                s.getString(s.fieldIndex("pathOrInlineDv")),
-                sOpt("offset")(i2 => s.get(i2) match {
-                  case n: java.lang.Integer => n.longValue()
-                  case n: java.lang.Long => n.longValue()
-                }),
-                s.getLong(s.fieldIndex("sizeInBytes")),
-                s.getLong(s.fieldIndex("cardinality")))
+
+      def processActions(cp: DataFrame, where: String): Unit = {
+        val cols = cp.columns.toSet
+        if (cols.contains("protocol")) {
+          val pcols = cp.select(col("protocol")).schema.head.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+          cp.select(col("protocol.minReaderVersion"),
+              if (pcols.contains("readerFeatures")) col("protocol.readerFeatures")
+              else lit(null).cast("array<string>"))
+            .filter(col("minReaderVersion").isNotNull).collect()
+            .foreach(r => checkProtocol(r.getInt(0),
+              if (r.isNullAt(1)) Nil else r.getSeq[String](1), where))
+        }
+        if (cols.contains("metaData")) {
+          // The column-mapping gate must ALSO run on the checkpoint path:
+          // once a table is checkpointed and its early JSON cleaned, the
+          // only metaData action lives here — configuration may be absent
+          // from the checkpoint schema (guard like readerFeatures above).
+          val mcols = cp.select(col("metaData")).schema.head.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+          cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+              if (mcols.contains("configuration")) col("metaData.configuration")
+              else lit(null).cast("map<string,string>"))
+            .filter(col("metaData.schemaString").isNotNull).collect()
+            .foreach { r =>
+              val mapping =
+                if (r.isNullAt(2)) "none"
+                else r.getMap[String, String](2).getOrElse("delta.columnMapping.mode", "none")
+              require(mapping == "none" || mapping == "name",
+                s"$where enables column mapping '$mapping' — only 'none' " +
+                  "and 'name' modes are supported; resolving an id-mapped table " +
+                  "by name could silently misread it")
+              meta = Meta(r.getString(0), r.getSeq[String](1), mapping)
             }
-            live.put(fp, LiveFile(fp, pv,
-              size = opt("size")(row.getLong).getOrElse(0L),
-              modificationTime = opt("modificationTime")(row.getLong).getOrElse(0L),
-              stats = opt("stats")(row.getString).filter(_.nonEmpty),
-              dv = dv))
+        }
+        if (cols.contains("add"))
+          cp.select(col("add")).filter(col("add.path").isNotNull).collect()
+            .foreach { r =>
+              val row = r.getStruct(0)
+              def opt[T](name: String)(get: Int => T): Option[T] =
+                scala.util.Try(row.fieldIndex(name)).toOption
+                  .filterNot(row.isNullAt).map(get)
+              val fp = row.getString(row.fieldIndex("path"))
+              val pv = opt("partitionValues")(i =>
+                row.getMap[String, String](i).toMap).getOrElse(Map.empty)
+              val dv = opt("deletionVector") { i =>
+                val s = row.getStruct(i)
+                def sOpt[T](name: String)(get: Int => T): Option[T] =
+                  scala.util.Try(s.fieldIndex(name)).toOption
+                    .filterNot(s.isNullAt).map(get)
+                DeletionVectors.Descriptor(
+                  s.getString(s.fieldIndex("storageType")),
+                  s.getString(s.fieldIndex("pathOrInlineDv")),
+                  sOpt("offset")(i2 => s.get(i2) match {
+                    case n: java.lang.Integer => n.longValue()
+                    case n: java.lang.Long => n.longValue()
+                  }),
+                  s.getLong(s.fieldIndex("sizeInBytes")),
+                  s.getLong(s.fieldIndex("cardinality")))
+              }
+              live.put(fp, LiveFile(fp, pv,
+                size = opt("size")(row.getLong).getOrElse(0L),
+                modificationTime = opt("modificationTime")(row.getLong).getOrElse(0L),
+                stats = opt("stats")(row.getString).filter(_.nonEmpty),
+                dv = dv))
+            }
+      }
+
+      val cp = if (cpPaths.forall(_.endsWith(".json")))
+        spark.read.json(cpPaths: _*) else spark.read.parquet(cpPaths: _*)
+      processActions(cp, s"$dir checkpoint")
+      // V2 spec checkpoints move the file actions into sidecar parquet
+      // under _delta_log/_sidecars/; the top file keeps protocol/metaData
+      // (already processed above) plus the sidecar references. Process
+      // every referenced sidecar in ONE scan — their schema is the file-
+      // action subset, which processActions handles unchanged.
+      if (cp.columns.contains("sidecar")) {
+        val sidecarDir = new Path(dir, "_sidecars")
+        val scPaths = cp.select(col("sidecar.path"))
+          .filter(col("sidecar.path").isNotNull).collect().map(_.getString(0))
+          .map { p =>
+            if (p.contains("://") || p.startsWith("/")) p
+            else new Path(sidecarDir, p).toString
           }
+        if (scPaths.nonEmpty)
+          processActions(spark.read.parquet(scPaths.toIndexedSeq: _*),
+            s"$dir checkpoint sidecars")
+      }
     }
 
     val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
@@ -557,10 +595,13 @@ object DeltaRead {
     * implemented ([[DeletionVectors]] decodes the bitmap and [[filesDf]]
     * filters deleted row indexes out of every read), and `columnMapping`
     * is implemented for mode `name` (physical-name scan + logical
-    * re-alias; the per-metaData gate still refuses mode `id`).
+    * re-alias; the per-metaData gate still refuses mode `id`), and
+    * `v2Checkpoint` is implemented (uuid-named checkpoint discovery, JSON
+    * or parquet top file, sidecar file-action loading).
     */
   private val harmlessReaderFeatures =
-    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+      "v2Checkpoint")
   private def checkProtocol(minReader: Int, features: Seq[String], where: String): Unit = {
     require(minReader <= 3, s"$where requires Delta reader version $minReader; max supported is 3")
     if (minReader >= 3) {

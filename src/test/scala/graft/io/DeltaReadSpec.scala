@@ -235,6 +235,60 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.latestVersion(spark, table) == 2L)
   }
 
+  test("v2 checkpoint: uuid-named top file + sidecar file actions, later commits replay on top") {
+    val table = Files.createTempDirectory("graft_delta_v2cp").toString
+    val d = Seq((1L, "a")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    val f2 = addFile(table, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    val f3 = addFile(table, "f3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    def stageOne(df: DataFrame, dest: java.nio.file.Path): Unit = {
+      val stage = Files.createTempDirectory("graft_v2cp_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.createDirectories(dest.getParent)
+      Files.move(f, dest)
+    }
+    // sidecar: ONLY the file actions (f1 + f2 live at the checkpoint)
+    stageOne(spark.sql(
+      """SELECT named_struct('path', 'f1.parquet', 'partitionValues', map()) AS add
+        |UNION ALL
+        |SELECT named_struct('path', 'f2.parquet', 'partitionValues', map())""".stripMargin),
+      logDir.resolve("_sidecars").resolve("016ae953-sidecar-1.parquet"))
+    // top file: protocol (v3 + v2Checkpoint feature), metaData,
+    // checkpointMetadata, and the sidecar reference — NO add actions
+    val sj = d.schema.json
+    stageOne(spark.sql(
+      s"""SELECT named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
+         |    'readerFeatures', array('v2Checkpoint')) AS protocol,
+         |  CAST(null AS STRUCT<schemaString: STRING, partitionColumns: ARRAY<STRING>>) AS metaData,
+         |  CAST(null AS STRUCT<version: BIGINT>) AS checkpointMetadata,
+         |  CAST(null AS STRUCT<path: STRING, sizeInBytes: BIGINT>) AS sidecar
+         |UNION ALL
+         |SELECT null, named_struct('schemaString', '$sj', 'partitionColumns', array()),
+         |  null, null
+         |UNION ALL
+         |SELECT null, null, named_struct('version', CAST(1 AS BIGINT)), null
+         |UNION ALL
+         |SELECT null, null, null,
+         |  named_struct('path', '016ae953-sidecar-1.parquet', 'sizeInBytes', CAST(1 AS BIGINT))""".stripMargin),
+      logDir.resolve(f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"))
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":1,"size":4}""")
+    // version 2: plain JSON commit on top of the v2 checkpoint
+    writeCommit(table, 2, Seq(
+      s"""{"remove":{"path":"$f1","dataChange":true}}""",
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":${fsize(table, f3)},"dataChange":true}}"""))
+
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L, 3L))
+    // time travel INTO the checkpoint state sees f1+f2
+    assert(DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(1L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("id-mapped table whose metaData lives only in the checkpoint is rejected") {
     // the steady state after log cleanup: the ONLY metaData action is in the
     // checkpoint parquet — the mapping-mode gate must fire there too, not
@@ -425,12 +479,12 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, ok).count() == 1L)
     // v3 with deletionVectors: SUPPORTED since the DV decoder landed
     // (DeletionVectorSpec covers actual vectors); a feature this reader
-    // truly lacks (v2Checkpoint sidecars) still refuses
+    // truly lacks (type widening read conversion) still refuses
     val dv = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
     assert(DeltaRead.readDeltaTable(spark, dv).count() == 1L)
-    val v2cp = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""")
-    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, v2cp).count())
-    assert(e1.getMessage.contains("v2Checkpoint"), e1.getMessage)
+    val tw = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""")
+    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, tw).count())
+    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
     // v3 with only harmless features still reads
     val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
