@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
 object QRound9 {
   import Tables._
 
-  /** Delta MERGE + DELETE round trip (the reference's update-in-place
-    * surface: labelspark update_metadata.py / client.py:350-474 re-key and
-    * push changed values back into the Delta store): build a base table
-    * from 2/3 of customer, MERGE a source that updates every custkey%6==0
-    * row (+1000 cents) and inserts the missing 1/3, then DELETE the
-    * negative balances — all three commits through the copy-on-write
-    * protocol — and aggregate the LOG-REPLAYED head while time-traveling
-    * back to v0 and v1 for row counts. The oracle computes the same
-    * post-DML state straight from the source parquet, so a row lost,
-    * duplicated, double-updated, or resurrected by the writer breaks the
-    * hash. Money stays in integer cents (the q69/q73 convention).
+  /** Delta MERGE + DELETE + UPDATE round trip (the reference's
+    * update-in-place surface: labelspark update_metadata.py /
+    * client.py:350-474 re-key and push changed values back into the Delta
+    * store): build a base table from 2/3 of customer, MERGE a source that
+    * updates every custkey%6==0 row (+1000 cents) and inserts the missing
+    * 1/3, DELETE the negative balances, then UPDATE ... SET cents =
+    * cents + 7 WHERE custkey%10==4 — four commits through the
+    * copy-on-write protocol — and aggregate the LOG-REPLAYED head while
+    * time-traveling back to v0 and v1 for row counts. The oracle computes
+    * the same post-DML state straight from the source parquet, so a row
+    * lost, duplicated, double-updated, or resurrected by the writer
+    * breaks the hash. Money stays in integer cents (the q69/q73
+    * convention).
     */
   def q106MergeRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = new java.io.File(
@@ -38,6 +40,9 @@ object QRound9 {
     graft.io.DeltaMerge.merge(s, path, source, Seq("c_custkey"))
     // v2: DELETE the negative balances
     graft.io.DeltaMerge.deleteWhere(s, path, col("cents") < 0)
+    // v3: expression UPDATE over the current row values
+    graft.io.DeltaMerge.updateWhere(s, path, col("c_custkey") % 10 === 4,
+      Map("cents" -> (col("cents") + 7)))
     val v0 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
       .agg(count(lit(1)).as("v0_rows"))
     val v1 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(1L))
@@ -55,11 +60,15 @@ object QRound9 {
       |  SELECT c_custkey, c_mktsegment,
       |    CAST(round(c_acctbal * 100, 0) AS BIGINT)
       |      + CASE WHEN c_custkey % 6 = 0 THEN 1000 ELSE 0 END AS cents
-      |  FROM customer)
+      |  FROM customer),
+      |surv AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    cents + CASE WHEN c_custkey % 10 = 4 THEN 7 ELSE 0 END AS cents
+      |  FROM post WHERE cents >= 0)
       |SELECT c_mktsegment, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
       |  (SELECT count(*) FROM customer WHERE c_custkey % 3 <> 1) AS v0_rows,
       |  (SELECT count(*) FROM customer) AS v1_rows
-      |FROM post WHERE cents >= 0
+      |FROM surv
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 

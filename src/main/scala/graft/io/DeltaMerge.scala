@@ -47,10 +47,6 @@ object DeltaMerge {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    require(meta.mappingMode == "none",
-      s"$path enables column mapping '${meta.mappingMode}' — the copy-on-write " +
-        "rewrite stages parquet under logical column names and would corrupt " +
-        "a mapped table")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
@@ -115,10 +111,6 @@ object DeltaMerge {
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    require(meta.mappingMode == "none",
-      s"$path enables column mapping '${meta.mappingMode}' — the copy-on-write " +
-        "rewrite stages parquet under logical column names and would corrupt " +
-        "a mapped table")
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -127,6 +119,44 @@ object DeltaMerge {
       .select(schema.fieldNames.map(col).toSeq: _*)
     commitRewrite(spark, path, meta, touched, survivors,
       operation = "DELETE",
+      opParams = s""""predicate":${jsString(condition.toString)}""")
+  }
+
+  /** UPDATE the Delta table at `path` SET `set` WHERE `condition` — the
+    * expression-based UPDATE between [[merge]]'s row-replacement and
+    * [[deleteWhere]]'s removal: each `set` entry maps a column to an
+    * expression over the CURRENT row (so `cents -> col("cents") + 1000`
+    * works), applied only where `condition` holds; every other row in a
+    * touched file carries over verbatim. Copy-on-write like the others —
+    * the condition pushes into the discovery scan (stats/partition
+    * skipping applies), only files holding matches rewrite, one atomic
+    * commit. Set expressions cast to the column's declared type, so the
+    * staged parquet can never drift from the table schema. Returns the
+    * committed version, or -1 when no row matched.
+    */
+  def updateWhere(spark: SparkSession, path: String, condition: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "set must map at least one column")
+    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    // updating a partition column is fine: the rewrite stages with
+    // partitionBy over the NEW values, so moved rows land in (and log
+    // partitionValues for) their new partition directories
+    val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
+    if (touched.isEmpty) return -1L
+    val hit = coalesce(condition, lit(false)) // NULL predicate = no match (SQL)
+    val rewritten = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+      .select(schema.fieldNames.map { n =>
+        set.get(n) match {
+          case Some(e) => when(hit, e.cast(schema(n).dataType)).otherwise(col(n)).as(n)
+          case None => col(n)
+        }
+      }.toSeq: _*)
+    commitRewrite(spark, path, meta, touched, rewritten,
+      operation = "UPDATE",
       opParams = s""""predicate":${jsString(condition.toString)}""")
   }
 
@@ -154,7 +184,18 @@ object DeltaMerge {
       newData: DataFrame, operation: String, opParams: String): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val adds = DeltaWrite.stageDataFiles(newData, root, meta.partitionCols)
+    // name-mapped tables: the DML logic above runs entirely on LOGICAL
+    // names (filesDf serves them); the rewrite stages back under the
+    // table's PHYSICAL layout, exactly like DeltaWrite does
+    val (stageDf, stageCols) =
+      if (meta.mappingMode == "name") {
+        val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        val phys = DeltaRead.physicalSchema(ms)
+        val l2p = ms.fieldNames.zip(phys.fieldNames).toMap
+        (newData.select(DeltaRead.physicalSelect(ms, phys): _*),
+          meta.partitionCols.map(c => l2p.getOrElse(c, c)))
+      } else (newData, meta.partitionCols)
+    val adds = DeltaWrite.stageDataFiles(stageDf, root, stageCols)
     val version = DeltaRead.latestVersion(spark, path) + 1
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()

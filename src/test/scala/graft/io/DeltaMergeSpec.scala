@@ -92,6 +92,73 @@ class DeltaMergeSpec extends SparkSpec {
     assert(DeltaMerge.deleteWhere(spark, table, col("n") > 1000) == -1L)
   }
 
+  test("updateWhere applies set expressions to matching rows only, copy-on-write") {
+    val table = tmp("graft_dm_up")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", -20L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 30L)).toDF("id", "v", "n").coalesce(1), table, "append")
+    val before = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    // set expressions read the CURRENT row: negate-and-flag
+    val v = DeltaMerge.updateWhere(spark, table, col("n") < 0,
+      Map("n" -> -col("n"), "v" -> upper(col("v"))))
+    assert(v == 2L)
+    assert(rows(table) == Seq((1L, "a", 10L), (2L, "B", 20L), (3L, "c", 30L)))
+    // the file with no matching rows survived by identity
+    val after = DeltaRead.replayLog(spark, table, None)._2.map(_.path).toSet
+    assert((before & after).nonEmpty, "file with no matching rows was rewritten")
+    // pre-update state still replayable; no-match returns -1
+    assert(rows(table, Some(1L)) == Seq((1L, "a", 10L), (2L, "b", -20L), (3L, "c", 30L)))
+    assert(DeltaMerge.updateWhere(spark, table, col("n") > 1000,
+      Map("n" -> lit(0L))) == -1L)
+    // set expressions cast to the declared column type (int literal → long col)
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L, Map("n" -> lit(7)))
+    assert(rows(table).head == ((1L, "a", 7L)))
+    // a SET key outside the schema is refused
+    val e = intercept[IllegalArgumentException](DeltaMerge.updateWhere(
+      spark, table, col("id") === 1L, Map("nope" -> lit(1))))
+    assert(e.getMessage.contains("not a column"), e.getMessage)
+  }
+
+  test("updateWhere on a partition column moves rows to their new partition") {
+    val table = tmp("graft_dm_up_part")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("id", "part", "n"),
+      table, "append", partitionBy = Seq("part"))
+    val v = DeltaMerge.updateWhere(spark, table, col("id") === 2L,
+      Map("part" -> lit("x")))
+    assert(v >= 1L)
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "x")))
+    // partition pruning on the new value finds the moved row
+    val pruned = DeltaRead.readDeltaTable(spark, table).filter(col("part") === "x")
+    assert(pruned.count() == 2L)
+  }
+
+  test("DML on a name-mapped table stages back under the physical layout") {
+    val table = tmp("graft_dm_cm")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append")
+    // merge: update id=2, insert id=3
+    DeltaMerge.merge(spark, table,
+      Seq((2L, "B", 200L), (3L, "c", 30L)).toDF("id", "v", "n"), Seq("id"))
+    // expression update on the logical names
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L,
+      Map("n" -> (col("n") + 1)))
+    // predicate delete
+    DeltaMerge.deleteWhere(spark, table, col("n") > 100L)
+    assert(rows(table) == Seq((1L, "a", 11L), (3L, "c", 30L)))
+    // every live file (originals AND rewrites) stores physical names
+    val files = DeltaRead.replayLog(spark, table, None)._2
+    files.foreach { f =>
+      val cols = spark.read.parquet(new java.io.File(table, f.path).toString).columns
+      assert(cols.forall(_.startsWith("col-")), s"${f.path}: ${cols.mkString(", ")}")
+    }
+    // time travel across the DML commits still serves logical names
+    assert(rows(table, Some(0L)) == Seq((1L, "a", 10L), (2L, "b", 20L)))
+  }
+
   test("merge on a partitioned table keeps hive layout and partition pruning") {
     val table = tmp("graft_dm6")
     val base = Seq((1L, "x", "2024-01-01"), (2L, "y", "2024-01-02"))
