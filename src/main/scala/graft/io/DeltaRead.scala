@@ -44,8 +44,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaRead {
 
+  /** Table metadata from the last `metaData` action. The FULL
+    * configuration map rides along (not just the mapping mode) so
+    * checkpoint writers can round-trip it — dropping keys like
+    * `delta.columnMapping.maxColumnId` at checkpoint time would corrupt
+    * the table for future writers once the JSON tail is cleaned.
+    */
   private[io] final case class Meta(schemaJson: String, partitionCols: Seq[String],
-      mappingMode: String = "none")
+      configuration: Map[String, String] = Map.empty) {
+    def mappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+  }
 
   /** The PHYSICAL schema of a column-mapped table (mode `name`): every
     * StructField — at any nesting depth, including structs inside arrays
@@ -86,6 +95,16 @@ object DeltaRead {
     logical.fields.zip(phys.fields).map { case (lf, pf) =>
       val c = col(s"`${pf.name}`")
       (if (pf.dataType == lf.dataType) c else c.cast(lf.dataType)).as(lf.name)
+    }.toSeq
+
+  /** The inverse of [[logicalSelect]]: renames a logical-name DataFrame to
+    * the physical layout — what [[DeltaWrite]] stages into a name-mapped
+    * table. Same alias + positional-cast mechanics.
+    */
+  private[io] def physicalSelect(logical: StructType, phys: StructType): Seq[Column] =
+    logical.fields.zip(phys.fields).map { case (lf, pf) =>
+      val c = col(s"`${lf.name}`")
+      (if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)).as(pf.name)
     }.toSeq
 
   /** One live file: path (log-relative), partition values, and the
@@ -447,14 +466,15 @@ object DeltaRead {
               else lit(null).cast("map<string,string>"))
             .filter(col("metaData.schemaString").isNotNull).collect()
             .foreach { r =>
-              val mapping =
-                if (r.isNullAt(2)) "none"
-                else r.getMap[String, String](2).getOrElse("delta.columnMapping.mode", "none")
-              require(mapping == "none" || mapping == "name",
-                s"$where enables column mapping '$mapping' — only 'none' " +
-                  "and 'name' modes are supported; resolving an id-mapped table " +
-                  "by name could silently misread it")
-              meta = Meta(r.getString(0), r.getSeq[String](1), mapping)
+              val config =
+                if (r.isNullAt(2)) Map.empty[String, String]
+                else r.getMap[String, String](2).toMap
+              val candidate = Meta(r.getString(0), r.getSeq[String](1), config)
+              require(candidate.mappingMode == "none" || candidate.mappingMode == "name",
+                s"$where enables column mapping '${candidate.mappingMode}' — only " +
+                  "'none' and 'name' modes are supported; resolving an id-mapped " +
+                  "table by name could silently misread it")
+              meta = candidate
             }
         }
         if (cols.contains("add"))
@@ -560,18 +580,20 @@ object DeltaRead {
           val m = node.get("metaData")
           val pcols = Option(m.get("partitionColumns"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          val mapping = Option(m.get("configuration"))
-            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-            .map(_.asText()).getOrElse("none")
+          val config = Option(m.get("configuration")).map { c =>
+            c.fields().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+          }.getOrElse(Map.empty[String, String])
+          val candidate = Meta(m.get("schemaString").asText(), pcols, config)
           // `name` mode is implemented (physical-name scan + logical
           // re-alias); `id` mode's authority is the parquet field id,
           // which name resolution cannot honor for foreign writers —
           // refuse rather than risk misreading
-          require(mapping == "none" || mapping == "name",
-            s"$dir enables column mapping '$mapping' — only 'none' and 'name' " +
-              "modes are supported; resolving an id-mapped table by name " +
-              "could silently misread it")
-          meta = Meta(m.get("schemaString").asText(), pcols, mapping)
+          require(candidate.mappingMode == "none" || candidate.mappingMode == "name",
+            s"$dir enables column mapping '${candidate.mappingMode}' — only " +
+              "'none' and 'name' modes are supported; resolving an id-mapped " +
+              "table by name could silently misread it")
+          meta = candidate
         }
         if (node.has("add")) {
           val f = parseAdd(node.get("add"))

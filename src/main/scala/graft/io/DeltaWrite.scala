@@ -79,9 +79,25 @@ object DeltaWrite {
       mergeSchema: Boolean): Long =
     writeDeltaTableImpl(df, path, mode, partitionBy, txn, mergeSchema)
 
+  /** Create (or write into) a NAME-MAPPED Delta table: a fresh table gets
+    * column-mapping metadata minted for every field — sequential
+    * `delta.columnMapping.id`s and `col-<uuid>` physical names at every
+    * nesting level — with the protocol bumped to reader 2 / writer 5 and
+    * `delta.columnMapping.mode = name` in the table configuration; the
+    * data files stage under the PHYSICAL names, which is the whole point
+    * of the mode (logical renames never touch files again). Writing into
+    * an existing mapped table works through the plain [[writeDeltaTable]]
+    * too — the writer detects the mode from the log and renames the batch
+    * to the stored physical layout before staging.
+    */
+  def writeDeltaTableMapped(df: DataFrame, path: String, mode: String,
+      partitionBy: Seq[String] = Nil): Long =
+    writeDeltaTableImpl(df, path, mode, partitionBy, None, mergeSchema = false,
+      createMapped = true)
+
   private def writeDeltaTableImpl(df: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
-      mergeSchema: Boolean): Long = {
+      mergeSchema: Boolean, createMapped: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
     val spark = df.sparkSession
@@ -98,13 +114,25 @@ object DeltaWrite {
     val version = DeltaRead.latestVersion(spark, path) + 1
 
     existing.foreach { case (meta, _) =>
-      // the reader supports name-mapped tables; this writer stages files
-      // under LOGICAL parquet column names, which a mapped table's readers
-      // would fail to resolve — refuse rather than corrupt
-      require(meta.mappingMode == "none",
-        s"$path enables column mapping '${meta.mappingMode}' — this writer " +
-          "stages parquet under logical column names and would corrupt a " +
-          "mapped table")
+      // name-mapped tables are writable (the batch renames to the stored
+      // physical layout below); id-mapped tables are not — their parquet
+      // field-id authority is something this writer cannot honor
+      require(meta.mappingMode == "none" || meta.mappingMode == "name",
+        s"$path enables column mapping '${meta.mappingMode}' — only 'none' " +
+          "and 'name' modes are writable here")
+      if (meta.mappingMode == "name") {
+        require(!mergeSchema,
+          "mergeSchema is not supported on a column-mapped table — evolving " +
+            "it would need fresh physical names/ids minted per new column")
+        val oldLogical = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        // mapped tables keep ONE schema across overwrites too: a changed
+        // schema would silently drop the mapping metadata (the batch
+        // carries none) while the files stay physical — recreate instead
+        require(DataType.equalsStructurally(df.schema, oldLogical, ignoreNullability = true),
+          s"batch schema ${df.schema.simpleString} does not match the mapped " +
+            s"table's logical schema ${oldLogical.simpleString} — recreate the " +
+            "table to change its schema")
+      }
       val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
       if (mode == "append") {
         if (mergeSchema) {
@@ -129,6 +157,22 @@ object DeltaWrite {
       }
     }
 
+    // Column mapping: the logical schema carrying the mapping metadata —
+    // an existing mapped table supplies its own; a fresh createMapped
+    // table mints ids + physical names now. None for unmapped tables.
+    val minted: Option[(StructType, Int)] =
+      if (createMapped) {
+        require(existing.isEmpty || existing.exists(_._1.mappingMode == "name"),
+          s"$path already exists WITHOUT column mapping — enabling mapping on " +
+            "an existing table would orphan its logical-name files")
+        if (existing.isEmpty) Some(mintMappingMetadata(df.schema)) else None
+      } else None
+    val mappedSchema: Option[StructType] = existing match {
+      case Some((meta, _)) if meta.mappingMode == "name" =>
+        Some(DataType.fromJson(meta.schemaJson).asInstanceOf[StructType])
+      case _ => minted.map(_._1)
+    }
+
     // The schema the table carries AFTER this commit: evolved appends
     // keep the old column order and append the batch's new columns. Any
     // column some live file LACKS must be nullable — the parquet reader
@@ -146,13 +190,23 @@ object DeltaWrite {
           .filterNot(f => old.fieldNames.contains(f.name))
           .map(_.copy(nullable = true))
         StructType(keptOld ++ appended)
-      case _ => df.schema
+      case _ => mappedSchema.getOrElse(df.schema)
     }
 
     // 1) data files: stage inside the table (same filesystem → rename is a
     // metadata op), then move under fresh names. The staging dir is
-    // dot-prefixed: invisible to any reader listing the table.
-    val adds = stageDataFiles(df, root, partitionBy)
+    // dot-prefixed: invisible to any reader listing the table. Mapped
+    // tables stage under the PHYSICAL names (stats keys and partition
+    // directories follow automatically).
+    val (stageDf, stagePartitionBy) = mappedSchema match {
+      case Some(ms) =>
+        val phys = DeltaRead.physicalSchema(ms)
+        val l2p = ms.fieldNames.zip(phys.fieldNames).toMap
+        (df.select(DeltaRead.physicalSelect(ms, phys): _*),
+          partitionBy.map(c => l2p.getOrElse(c, c)))
+      case None => (df, partitionBy)
+    }
+    val adds = stageDataFiles(stageDf, root, stagePartitionBy)
 
     // 2) the commit
     val now = System.currentTimeMillis()
@@ -161,7 +215,10 @@ object DeltaWrite {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${js(mode)}},"engineInfo":"graft"}}"""
     if (version == 0L)
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += (if (mappedSchema.isDefined)
+        // column mapping requires reader 2 / writer 5 per the protocol
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     txn.foreach { case (appId, txnVersion) =>
       lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
     }
@@ -177,7 +234,12 @@ object DeltaWrite {
       require(mode == "overwrite" || existing.isEmpty || mergeSchema,
         "unreachable: append checked above")
       val pcols = partitionBy.map(js).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":{},"createdTime":$now}}"""
+      val config = minted match {
+        case Some((_, maxId)) =>
+          s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId"}"""
+        case None => "{}"
+      }
+      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }
     if (mode == "overwrite") existing.foreach { case (_, live) =>
       live.foreach { f =>
@@ -193,6 +255,35 @@ object DeltaWrite {
 
     publishCommit(fs, logDir, version, lines.toSeq)
     version
+  }
+
+  /** Mint column-mapping metadata for a fresh name-mapped table: every
+    * StructField at every nesting depth (including through arrays and
+    * maps) gains a sequential `delta.columnMapping.id` and a
+    * `col-<uuid>` `delta.columnMapping.physicalName` — assigned exactly
+    * once for the table's lifetime, which is what makes later logical
+    * renames metadata-only. Returns the metadata-bearing logical schema
+    * and the max assigned id (for `delta.columnMapping.maxColumnId`).
+    */
+  private def mintMappingMetadata(schema: StructType): (StructType, Int) = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder, StructField}
+    var id = 0
+    def renameType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(field))
+      case at: ArrayType => at.copy(elementType = renameType(at.elementType))
+      case mt: MapType =>
+        mt.copy(keyType = renameType(mt.keyType), valueType = renameType(mt.valueType))
+      case other => other
+    }
+    def field(f: StructField): StructField = {
+      id += 1
+      val md = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", id.toLong)
+        .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
+        .build()
+      f.copy(dataType = renameType(f.dataType), metadata = md)
+    }
+    (StructType(schema.fields.map(field)), id)
   }
 
   /** Atomic commit publish: tmp file + rename to `NNN.json`. An existing
@@ -241,13 +332,19 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val txnType = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+    val metaType = "struct<id:string,schemaString:string," +
+      "partitionColumns:array<string>,configuration:map<string,string>>"
+    // the checkpoint may become the ONLY metaData/protocol record once the
+    // JSON tail is cleaned: the FULL configuration (column mapping mode,
+    // maxColumnId, ...) and the table's real protocol floor must survive it
+    val (minReader, minWriter) =
+      if (meta.mappingMode == "name") (2, 5) else (1, 2)
     val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
       f.size, f.modificationTime, f.stats.orNull))
     val addsDf = addRows.toDF()
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("stats")).as("add"))
-      .withColumn("metaData", lit(null).cast(
-        "struct<id:string,schemaString:string,partitionColumns:array<string>>"))
+      .withColumn("metaData", lit(null).cast(metaType))
       .withColumn("protocol", lit(null).cast(
         "struct<minReaderVersion:int,minWriterVersion:int>"))
       .withColumn("txn", lit(null).cast(txnType))
@@ -256,13 +353,15 @@ object DeltaWrite {
         lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
         struct(lit(UUID.randomUUID().toString).as("id"),
           lit(meta.schemaJson).as("schemaString"),
-          typedlit(meta.partitionCols).as("partitionColumns")).as("metaData"),
-        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+          typedlit(meta.partitionCols).as("partitionColumns"),
+          typedlit(meta.configuration).as("configuration")).as("metaData"),
+        struct(lit(minReader).as("minReaderVersion"),
+          lit(minWriter).as("minWriterVersion")).as("protocol"),
         lit(null).cast(txnType).as("txn"))
     val txnDf = txns.toSeq.toDF("__a", "__v")
       .select(
         lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
-        lit(null).cast("struct<id:string,schemaString:string,partitionColumns:array<string>>").as("metaData"),
+        lit(null).cast(metaType).as("metaData"),
         lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
         struct(col("__a").as("appId"), col("__v").as("version"),
           lit(0L).as("lastUpdated")).as("txn"))

@@ -296,6 +296,48 @@ class DeltaWriteSpec extends SparkSpec {
     }
   }
 
+  test("name-mapped create: physical parquet names on disk, logical reads, appends, checkpoint survives") {
+    val table = tmp("graft_dw_cm")
+    val d0 = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "part")
+    val v0 = DeltaWrite.writeDeltaTableMapped(d0, table, "append", Seq("part"))
+    assert(v0 == 0L)
+    // the staged parquet stores PHYSICAL col-<uuid> names, not logical
+    // ones — and the partition DIRECTORY is physical too
+    val files0 = DeltaRead.replayLog(spark, table, None)._2
+    assert(files0.head.path.startsWith("col-"), files0.head.path)
+    val physCols = spark.read
+      .parquet(new java.io.File(table, files0.head.path).toString).columns
+    assert(physCols.forall(_.startsWith("col-")), physCols.mkString(", "))
+    // ...while reads serve the logical schema
+    def logicalRows() = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(logicalRows() == Seq((1L, "a", "x"), (2L, "b", "y")))
+    // plain append routes through the stored physical layout
+    DeltaWrite.writeDeltaTable(Seq((3L, "c", "x")).toDF("id", "v", "part"),
+      table, "append", Seq("part"))
+    assert(logicalRows() == Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // a logical partition filter prunes on the physical partition dirs
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("part") === "x").count() == 2L)
+    // checkpoint round-trips the mapping (configuration + protocol floor)
+    DeltaWrite.checkpoint(spark, table)
+    val (meta, _) = DeltaRead.replayLog(spark, table, None)
+    assert(meta.mappingMode == "name")
+    assert(meta.configuration.contains("delta.columnMapping.maxColumnId"))
+    assert(logicalRows().size == 3)
+    // schema change on a mapped table is refused in both modes
+    val bad = Seq((1L, 5L, "x")).toDF("id", "n", "part")
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.writeDeltaTable(bad, table, "overwrite", Seq("part")))
+    assert(e.getMessage.contains("mapped"), e.getMessage)
+    // enabling mapping on an existing unmapped table is refused
+    val plain = tmp("graft_dw_cm2")
+    DeltaWrite.writeDeltaTable(d0, plain, "append")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.writeDeltaTableMapped(d0, plain, "append"))
+    assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
+  }
+
   test("Sources.writeTableAs(delta) + readTable auto-detection round-trips sf0.01 documents") {
     val table = tmp("graft_dw8")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
