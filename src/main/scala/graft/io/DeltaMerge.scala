@@ -96,10 +96,42 @@ object DeltaMerge {
       else survivors
 
     if (touched.isEmpty && !insertUnmatched) return -1L
+    // CDF: matched rows emit pre/post images (or delete), inserts emit
+    // insert rows — derived from the same touched subset and source
+    val cdc =
+      if (!cdfEnabled(meta)) None
+      else {
+        val fieldCols = schema.fieldNames.map(col).toSeq
+        val baseKeys = base.select(keyCols.map(col): _*)
+        val matchedPre = base.join(srcKeys, keyCols, "left_semi")
+          .select(fieldCols :+ lit(
+            if (whenMatched == "delete") "delete" else "update_preimage")
+            .as("_change_type"): _*)
+        val matchedPost =
+          if (whenMatched == "update")
+            Some(source.join(baseKeys, keyCols, "left_semi")
+              .select(fieldCols :+ lit("update_postimage").as("_change_type"): _*))
+          else None
+        val inserts =
+          if (insertUnmatched)
+            Some(source.join(baseKeys, keyCols, "left_anti")
+              .select(fieldCols :+ lit("insert").as("_change_type"): _*))
+          else None
+        Some((Seq(matchedPre) ++ matchedPost ++ inserts).reduce(_ unionByName _))
+      }
     commitRewrite(spark, path, meta, touched, newData,
       operation = "MERGE",
-      opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""")
+      opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""",
+      cdcData = cdc)
   }
+
+  /** Whether the table opted into the change data feed
+    * (`delta.enableChangeDataFeed = true` — set at create or via
+    * [[DeltaWrite.setTableProperties]]). DML on a CDF table pays one
+    * extra pass over the touched subset to materialize the change rows.
+    */
+  private def cdfEnabled(meta: DeltaRead.Meta): Boolean =
+    meta.configuration.get("delta.enableChangeDataFeed").contains("true")
 
   /** DELETE FROM the Delta table at `path` WHERE `condition`: rewrite the
     * files holding matching rows without them, tombstone the originals,
@@ -114,12 +146,18 @@ object DeltaMerge {
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val survivors = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
-      .filter(!coalesce(condition, lit(false)))
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    val hit = coalesce(condition, lit(false))
+    val fieldCols = schema.fieldNames.map(col).toSeq
+    val survivors = base.filter(!hit).select(fieldCols: _*)
+    val cdc =
+      if (cdfEnabled(meta))
+        Some(base.filter(hit).select(fieldCols :+ lit("delete").as("_change_type"): _*))
+      else None
     commitRewrite(spark, path, meta, touched, survivors,
       operation = "DELETE",
-      opParams = s""""predicate":${jsString(condition.toString)}""")
+      opParams = s""""predicate":${jsString(condition.toString)}""",
+      cdcData = cdc)
   }
 
   /** UPDATE the Delta table at `path` SET `set` WHERE `condition` — the
@@ -148,16 +186,31 @@ object DeltaMerge {
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val hit = coalesce(condition, lit(false)) // NULL predicate = no match (SQL)
-    val rewritten = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
-      .select(schema.fieldNames.map { n =>
-        set.get(n) match {
-          case Some(e) => when(hit, e.cast(schema(n).dataType)).otherwise(col(n)).as(n)
-          case None => col(n)
-        }
-      }.toSeq: _*)
+    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    def updatedCols = schema.fieldNames.map { n =>
+      set.get(n) match {
+        case Some(e) => e.cast(schema(n).dataType).as(n)
+        case None => col(n)
+      }
+    }.toSeq
+    val rewritten = base.select(schema.fieldNames.map { n =>
+      set.get(n) match {
+        case Some(e) => when(hit, e.cast(schema(n).dataType)).otherwise(col(n)).as(n)
+        case None => col(n)
+      }
+    }.toSeq: _*)
+    val cdc =
+      if (cdfEnabled(meta)) {
+        val fieldCols = schema.fieldNames.map(col).toSeq
+        Some(base.filter(hit)
+          .select(fieldCols :+ lit("update_preimage").as("_change_type"): _*)
+          .unionByName(base.filter(hit).select(updatedCols: _*)
+            .withColumn("_change_type", lit("update_postimage"))))
+      } else None
     commitRewrite(spark, path, meta, touched, rewritten,
       operation = "UPDATE",
-      opParams = s""""predicate":${jsString(condition.toString)}""")
+      opParams = s""""predicate":${jsString(condition.toString)}""",
+      cdcData = cdc)
   }
 
   /** The live files whose rows survive `hit` applied to a provenance scan
@@ -181,7 +234,8 @@ object DeltaMerge {
     */
   private def commitRewrite(spark: SparkSession, path: String,
       meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
-      newData: DataFrame, operation: String, opParams: String): Long = {
+      newData: DataFrame, operation: String, opParams: String,
+      cdcData: Option[DataFrame] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // name-mapped tables: the DML logic above runs entirely on LOGICAL
@@ -196,6 +250,18 @@ object DeltaMerge {
           meta.partitionCols.map(c => l2p.getOrElse(c, c)))
       } else (newData, meta.partitionCols)
     val adds = DeltaWrite.stageDataFiles(stageDf, root, stageCols)
+    // change-data files: the changed rows (+ _change_type) staged under
+    // _change_data/, committed as cdc actions (dataChange=false — CDF
+    // readers use them INSTEAD of the add/remove pair for this commit)
+    val cdcStaged = cdcData.toSeq.flatMap { c =>
+      val stageC =
+        if (meta.mappingMode == "name") {
+          val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+          val phys = DeltaRead.physicalSchema(ms)
+          c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
+        } else c
+      DeltaWrite.stageCdcFiles(stageC, root)
+    }
     val version = DeltaRead.latestVersion(spark, path) + 1
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -208,6 +274,9 @@ object DeltaMerge {
         .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
       val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
       lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+    }
+    cdcStaged.foreach { case (rel, size) =>
+      lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
     }
     DeltaWrite.publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
     version

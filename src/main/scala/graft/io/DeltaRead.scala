@@ -319,6 +319,74 @@ object DeltaRead {
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */
+  /** CHANGE DATA FEED read: every row-level change committed in versions
+    * `(fromVersion, toVersion]` as `(table columns..., _change_type,
+    * _commit_version)` — `_change_type` ∈ insert / delete /
+    * update_preimage / update_postimage. Commits carrying `cdc` actions
+    * serve them EXCLUSIVELY (the protocol's rule: when present, the
+    * `_change_data/` files are the authoritative change description and
+    * the commit's add/remove pair must be ignored); commits without them
+    * read their dataChange adds as inserts (the append shape); a commit
+    * that REMOVED files but wrote no cdc actions cannot be decomposed
+    * into row changes — fail loudly rather than fabricate (enable
+    * `delta.enableChangeDataFeed` before running DML). The feed's
+    * physical history is retention-bounded: VACUUM deletes aged
+    * `_change_data/` files exactly like data tombstones, per Delta's own
+    * contract. Name-mapped tables serve logical columns, as everywhere.
+    */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Option[Long] = None): DataFrame = {
+    val (meta, _) = replayLog(spark, path, toVersion)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val dir = new Path(path, "_delta_log")
+    val hi = toVersion.getOrElse(Long.MaxValue)
+    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
+        n.dropRight(5).toLong }
+      .filter(v => v > fromVersion && v <= hi).toSeq.sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    val perVersion: Seq[DataFrame] = versions.flatMap { v =>
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val cdcPaths = scala.collection.mutable.ArrayBuffer[String]()
+      val adds = scala.collection.mutable.ArrayBuffer[LiveFile]()
+      var removed = 0
+      content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        def dataChange(a: com.fasterxml.jackson.databind.JsonNode): Boolean =
+          Option(a.get("dataChange")).forall(_.asBoolean(true))
+        if (node.has("cdc"))
+          cdcPaths += new Path(root, node.get("cdc").get("path").asText()).toString
+        if (node.has("add") && dataChange(node.get("add"))) adds += parseAdd(node.get("add"))
+        if (node.has("remove") && dataChange(node.get("remove"))) removed += 1
+      }
+      val changed: Option[DataFrame] =
+        if (cdcPaths.nonEmpty)
+          Some(spark.read.parquet(cdcPaths.toSeq: _*)
+            .select(logicalSelect(schema, phys) :+ col("_change_type"): _*))
+        else if (removed == 0 && adds.nonEmpty)
+          Some(filesDf(spark, path, meta, adds.toSeq, provenance = false)
+            .withColumn("_change_type", lit("insert")))
+        else if (removed == 0) None // property/metadata-only commit
+        else throw new IllegalArgumentException(
+          s"changeFeed: version $v of $path removed $removed file(s) without cdc " +
+            "actions — the commit cannot be decomposed into row changes; enable " +
+            "delta.enableChangeDataFeed before running DML")
+      changed.map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (perVersion.isEmpty) {
+      val out = schema.add("_change_type", "string").add("_commit_version", "long")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    } else perVersion.reduce(_ unionByName _)
+  }
+
   private def actionsInRange(spark: SparkSession, path: String,
       fromExclusive: Long, toInclusive: Option[Long]): (Seq[LiveFile], Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration

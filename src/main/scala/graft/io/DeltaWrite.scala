@@ -237,7 +237,12 @@ object DeltaWrite {
       val config = minted match {
         case Some((_, maxId)) =>
           s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId"}"""
-        case None => "{}"
+        case None =>
+          // a schema-changing overwrite must CARRY the existing table
+          // configuration — emitting {} would silently drop properties
+          // like delta.enableChangeDataFeed
+          existing.map(_._1.configuration).getOrElse(Map.empty).toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       }
       lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }
@@ -255,6 +260,56 @@ object DeltaWrite {
 
     publishCommit(fs, logDir, version, lines.toSeq)
     version
+  }
+
+  /** SET TBLPROPERTIES: commit a metaData action whose configuration is
+    * the current one merged with `props` (schema and partitioning
+    * unchanged — last metaData wins on replay, so this is how Delta
+    * tables flip feature flags like `delta.enableChangeDataFeed` after
+    * creation). Returns the committed version.
+    */
+  def setTableProperties(spark: SparkSession, path: String,
+      props: Map[String, String]): Long = {
+    require(props.nonEmpty, "props must be non-empty")
+    val (meta, _) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val merged = meta.configuration ++ props
+    val configJson = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""",
+      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
+    publishCommit(fs, new Path(root, "_delta_log"), version, lines)
+    version
+  }
+
+  /** Stage change-data files under `_change_data/` (the CDF layout: an
+    * underscore directory no table reader lists; only `cdc` actions
+    * reference it). Unpartitioned on purpose — change batches are read
+    * whole by version, never pruned by partition. Returns (relative path,
+    * size) per staged file.
+    */
+  private[io] def stageCdcFiles(df: DataFrame, root: Path): Seq[(String, Long)] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val staging = new Path(root, s".staging-cdc-${UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val out = listParquet(fs, staging).map { p =>
+      val fresh = s"_change_data/cdc-${UUID.randomUUID()}.snappy.parquet"
+      val dest = new Path(root, fresh)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(p, dest), s"failed to move $p to $dest")
+      (fresh, fs.getFileStatus(dest).getLen)
+    }
+    fs.delete(staging, true)
+    out
   }
 
   /** Mint column-mapping metadata for a fresh name-mapped table: every

@@ -1,0 +1,94 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Change data feed round trips: DML on a CDF-enabled table emits cdc
+  * actions whose rows reconstruct every change; the reader composes them
+  * with append-derived inserts, refuses undecomposable rewrites, and
+  * serves logical names on mapped tables.
+  */
+class DeltaCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def feedRows(path: String, from: Long, to: Option[Long] = None) =
+    DeltaRead.changeFeed(spark, path, from, to)
+      .select(col("_commit_version"), col("_change_type"), col("id"), col("v"), col("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSeq.sorted
+
+  test("change feed across append, property flip, merge, update, delete") {
+    val table = tmp("graft_cdf1")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append") // v0
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1 (no row changes)
+    DeltaMerge.merge(spark, table,
+      Seq((2L, "B", 200L), (4L, "d", 40L)).toDF("id", "v", "n"), Seq("id")) // v2
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L,
+      Map("n" -> (col("n") + 1))) // v3
+    DeltaMerge.deleteWhere(spark, table, col("id") === 4L) // v4
+
+    // the full feed: v0 append-derived inserts, v2 pre/post + insert,
+    // v3 pre/post, v4 delete — property commit v1 contributes nothing
+    assert(feedRows(table, -1L) == Seq(
+      (0L, "insert", 1L, "a", 10L),
+      (0L, "insert", 2L, "b", 20L),
+      (2L, "insert", 4L, "d", 40L),
+      (2L, "update_postimage", 2L, "B", 200L),
+      (2L, "update_preimage", 2L, "b", 20L),
+      (3L, "update_postimage", 1L, "a", 11L),
+      (3L, "update_preimage", 1L, "a", 10L),
+      (4L, "delete", 4L, "d", 40L)))
+    // a bounded window slices the feed by version
+    assert(feedRows(table, 2L, Some(3L)) == Seq(
+      (3L, "update_postimage", 1L, "a", 11L),
+      (3L, "update_preimage", 1L, "a", 10L)))
+    // the final table state is unaffected by CDF
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("a rewrite without CDF refuses; matched-delete merges emit delete rows") {
+    val table = tmp("graft_cdf2")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append")
+    // DML before the table opts in: the commit has removes but no cdc
+    DeltaMerge.deleteWhere(spark, table, col("id") === 2L) // v1, no cdc
+    val e = intercept[IllegalArgumentException](feedRows(table, -1L))
+    assert(e.getMessage.contains("without cdc"), e.getMessage)
+    // but a window that skips the opaque commit works
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true")) // v2
+    DeltaMerge.merge(spark, table, Seq((1L, "a", 10L)).toDF("id", "v", "n"),
+      Seq("id"), whenMatched = "delete", insertUnmatched = false) // v3
+    assert(feedRows(table, 2L) == Seq((3L, "delete", 1L, "a", 10L)))
+  }
+
+  test("mapped table: the feed serves logical columns") {
+    val table = tmp("graft_cdf3")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaMerge.updateWhere(spark, table, col("id") === 2L,
+      Map("v" -> lit("Z")))
+    val rows = feedRows(table, 1L)
+    assert(rows == Seq(
+      (2L, "update_postimage", 2L, "Z", 20L),
+      (2L, "update_preimage", 2L, "b", 20L)), rows.toString)
+    // the cdc files themselves store PHYSICAL names
+    val cdcDir = new java.io.File(table, "_change_data")
+    val cdcFile = cdcDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val physCols = spark.read.parquet(cdcFile.toString).columns
+    assert(physCols.count(_.startsWith("col-")) == 3, physCols.mkString(", "))
+    assert(physCols.contains("_change_type"), physCols.mkString(", "))
+  }
+}
