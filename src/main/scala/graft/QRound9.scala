@@ -153,13 +153,71 @@ object QRound9 {
       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) <= 3
       |ORDER BY query_id, sim DESC, neg_id""".stripMargin
 
+  /** Change data feed under the gate: build a Delta table from the even
+    * custkeys, flip `delta.enableChangeDataFeed` on, then run a MERGE
+    * (update the %4==0 rows +500, insert the odd custkeys), an UPDATE
+    * (+3 to the BUILDING segment), and a DELETE (negative balances) —
+    * and aggregate the FEED itself (count + cents per `_change_type`
+    * since the opt-in). The oracle derives the identical pre/post/insert/
+    * delete row sets straight from the source parquet, so a change row
+    * that is lost, duplicated, mis-staged, or mis-typed by the cdc writer
+    * or the feed reader breaks the hash. Integer cents throughout.
+    */
+  def q109ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q109_").toFile,
+      "customer_delta").getAbsolutePath
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      cust.filter(col("c_custkey") % 2 === 0), path, "append") // v0
+    graft.io.DeltaWrite.setTableProperties(s, path,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    val source = cust.filter(col("c_custkey") % 4 === 0)
+      .withColumn("cents", col("cents") + 500)
+      .unionByName(cust.filter(col("c_custkey") % 2 === 1))
+    graft.io.DeltaMerge.merge(s, path, source, Seq("c_custkey")) // v2
+    graft.io.DeltaMerge.updateWhere(s, path,
+      col("c_mktsegment") === "BUILDING", Map("cents" -> (col("cents") + 3))) // v3
+    graft.io.DeltaMerge.deleteWhere(s, path, col("cents") < 0) // v4
+    graft.io.DeltaRead.changeFeed(s, path, 1L)
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("change_type"))
+  }
+
+  private val q109Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c
+      |  FROM customer),
+      |state2 AS (
+      |  SELECT k, seg, c + CASE WHEN k % 4 = 0 THEN 500 ELSE 0 END AS c
+      |  FROM base),
+      |state3 AS (
+      |  SELECT k, seg, c + CASE WHEN seg = 'BUILDING' THEN 3 ELSE 0 END AS c
+      |  FROM state2),
+      |feed AS (
+      |  SELECT 'update_preimage' AS t, c FROM base WHERE k % 4 = 0
+      |  UNION ALL SELECT 'update_postimage', c + 500 FROM base WHERE k % 4 = 0
+      |  UNION ALL SELECT 'insert', c FROM base WHERE k % 2 = 1
+      |  UNION ALL SELECT 'update_preimage', c FROM state2 WHERE seg = 'BUILDING'
+      |  UNION ALL SELECT 'update_postimage', c FROM state3 WHERE seg = 'BUILDING'
+      |  UNION ALL SELECT 'delete', c FROM state3 WHERE c < 0)
+      |SELECT t AS change_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+      |FROM feed
+      |GROUP BY t
+      |ORDER BY change_type""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_merge_roundtrip" -> (q106MergeRoundtrip _),
     "q107_schema_evolution" -> (q107SchemaEvolution _),
-    "q108_hard_negatives_ann" -> (q108HardNegativesAnn _))
+    "q108_hard_negatives_ann" -> (q108HardNegativesAnn _),
+    "q109_change_feed" -> (q109ChangeFeed _))
 
   val sql: Map[String, String] = Map(
     "q106_merge_roundtrip" -> q106Sql,
     "q107_schema_evolution" -> q107Sql,
-    "q108_hard_negatives_ann" -> q108Sql)
+    "q108_hard_negatives_ann" -> q108Sql,
+    "q109_change_feed" -> q109Sql)
 }
