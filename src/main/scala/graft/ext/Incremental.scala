@@ -54,4 +54,41 @@ object Incremental {
   /** Read view with the derived (non-mergeable-looking) values. */
   def readView(state: DataFrame): DataFrame =
     state.withColumn("avg", col("sum") / col("n"))
+
+  /** CHANGE-FEED-driven maintenance: apply one
+    * [[graft.io.DeltaRead.changeFeed]] batch (rows carrying
+    * `_change_type`) to the running state. Count and sum form a GROUP —
+    * inserts and update_postimages add, deletes and update_preimages
+    * subtract — so those stay EXACT under arbitrary DML, which plain
+    * [[merge]] (append-only monoids) cannot do. Min/max are not
+    * invertible: they widen with added rows but cannot shrink when an
+    * extremum is deleted/updated away, so after such a batch they are
+    * upper/lower BOUNDS — callers needing tight extremes recompute the
+    * touched keys. Cost shape is the same as [[merge]]: one aggregate
+    * over the batch + one outer join on |touched keys| rows, never a
+    * history scan.
+    */
+  def applyChanges(state: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(lit(-1L))
+    val delta = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(v.isNotNull, sign).otherwise(lit(0L))).as("d_n"),
+        sum(coalesce(v, lit(0.0)) * sign).as("d_sum"),
+        min(when(sign > 0, v)).as("d_mn"),
+        max(when(sign > 0, v)).as("d_mx"))
+    state.join(delta, keyCols, "full_outer")
+      .select(
+        keyCols.map(col) ++ Seq(
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+          (coalesce(col("sum"), lit(0.0)) + coalesce(col("d_sum"), lit(0.0))).as("sum"),
+          least(col("mn"), col("d_mn")).as("mn"),
+          greatest(col("mx"), col("d_mx")).as("mx")): _*)
+      // keys whose rows were all deleted drop out of the state entirely
+      .filter(col("n") > 0)
+  }
 }

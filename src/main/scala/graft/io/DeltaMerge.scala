@@ -238,6 +238,8 @@ object DeltaMerge {
       cdcData: Option[DataFrame] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // CHECK constraints hold for the post-DML rows too
+    DeltaWrite.enforceConstraints(newData, meta, s"$operation on $path")
     // name-mapped tables: the DML logic above runs entirely on LOGICAL
     // names (filesDf serves them); the rewrite stages back under the
     // table's PHYSICAL layout, exactly like DeltaWrite does

@@ -319,6 +319,42 @@ object DeltaRead {
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */
+  /** DESCRIBE HISTORY: one row per available commit JSON — (version,
+    * timestamp, operation, operationParameters JSON, engineInfo), newest
+    * first, timestamps from `commitInfo` with the file-mtime fallback
+    * (the [[versionAtTimestamp]] convention). Driver-side: the log is
+    * KBs. Commits compacted away by log cleanup are absent, like Delta's
+    * own DESCRIBE HISTORY after retention.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(path, "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"$path is not a Delta table (no _delta_log directory)")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = fs.listStatus(dir).iterator
+      .filter { st =>
+        val n = st.getPath.getName
+        n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+      }
+      .map { st =>
+        val v = st.getPath.getName.dropRight(5).toLong
+        val in = fs.open(st.getPath)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val ci = content.split('\n').iterator.filter(_.nonEmpty)
+          .map(mapper.readTree).collectFirst {
+            case n if n.has("commitInfo") => n.get("commitInfo") }
+        (v,
+          ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong()))
+            .getOrElse(st.getModificationTime),
+          ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
+          ci.flatMap(c => Option(c.get("operationParameters")).map(_.toString)).getOrElse("{}"),
+          ci.flatMap(c => Option(c.get("engineInfo")).map(_.asText())).getOrElse(""))
+      }.toSeq.sortBy(-_._1)
+    rows.toDF("version", "timestamp", "operation", "operationParameters", "engineInfo")
+  }
+
   /** CHANGE DATA FEED read: every row-level change committed in versions
     * `(fromVersion, toVersion]` as `(table columns..., _change_type,
     * _commit_version)` — `_change_type` ∈ insert / delete /

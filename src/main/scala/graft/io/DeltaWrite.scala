@@ -157,6 +157,11 @@ object DeltaWrite {
       }
     }
 
+    // CHECK constraints: the batch must satisfy every stored constraint
+    // before anything stages
+    existing.foreach { case (meta, _) =>
+      enforceConstraints(df, meta, s"write to $path") }
+
     // Column mapping: the logical schema carrying the mapping metadata —
     // an existing mapped table supplies its own; a fresh createMapped
     // table mints ids + physical names now. None for unmapped tables.
@@ -288,6 +293,50 @@ object DeltaWrite {
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
     publishCommit(fs, new Path(root, "_delta_log"), version, lines)
     version
+  }
+
+  /** ADD CONSTRAINT `name` CHECK (`exprSql`): stored as
+    * `delta.constraints.<name>` in the table configuration (the public
+    * Delta layout for CHECK constraints) — every later write and DML
+    * commit validates its staged rows against ALL stored constraints in
+    * one aggregate pass and refuses the whole commit on any violation.
+    * The expression must already HOLD on the current table (checked here)
+    * — adding a constraint the data violates would make the table
+    * unwritable-but-wrong. SQL CHECK null semantics: a NULL predicate is
+    * unknown, not a violation.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be alphanumeric/underscore, got '$name'")
+    val current = DeltaRead.readDeltaTable(spark, path)
+    val bad = current.filter(!coalesce(expr(exprSql), lit(true))).limit(1).count()
+    require(bad == 0L,
+      s"cannot add CHECK constraint $name ($exprSql): existing rows violate it")
+    setTableProperties(spark, path, Map(s"delta.constraints.$name" -> exprSql))
+  }
+
+  /** Validate a batch against the table's stored CHECK constraints — one
+    * aggregate pass counting violations of every constraint at once; any
+    * violation refuses the commit before a single file is staged.
+    */
+  private[io] def enforceConstraints(df: DataFrame, meta: DeltaRead.Meta,
+      where: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val constraints = meta.configuration.toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }.sortBy(_._1)
+    if (constraints.isEmpty) return
+    val aggs = constraints.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(s"__c_$n") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    constraints.zipWithIndex.foreach { case ((n, e), i) =>
+      require(row.isNullAt(i) || row.getLong(i) == 0L,
+        s"$where: CHECK constraint $n ($e) violated by ${row.getLong(i)} row(s) " +
+          "— the commit was refused before staging")
+    }
   }
 
   /** Stage change-data files under `_change_data/` (the CDF layout: an

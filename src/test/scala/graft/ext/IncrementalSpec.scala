@@ -48,4 +48,46 @@ class IncrementalSpec extends SparkSpec {
     assert(m(1).getLong(1) == 1 && m(1).getDouble(2) == 5.0
       && m(1).getDouble(3) == 5.0 && m(1).getDouble(4) == 5.0)
   }
+
+  test("applyChanges: a real change feed keeps n/sum exact through DML; keys drop at zero") {
+    import spark.implicits._
+    import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
+    val table = java.nio.file.Files.createTempDirectory("graft_inc_cdf").toString
+    val d0 = Seq(("k1", 1L, 10.0), ("k1", 2L, 30.0), ("k2", 3L, 5.0))
+      .toDF("k", "id", "v")
+    DeltaWrite.writeDeltaTable(d0, table, "append") // v0
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    var state = Incremental.partialAgg(
+      DeltaRead.readDeltaTable(spark, table), Seq("k"), "v")
+    var last = 1L
+
+    def sync(): Unit = {
+      val head = DeltaRead.latestVersion(spark, table)
+      state = Incremental.applyChanges(state,
+        DeltaRead.changeFeed(spark, table, last, Some(head)), Seq("k"), "v")
+      last = head
+    }
+    def stateMap() = state.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // update: k1 id=2 v 30 -> 40 (sum moves by +10, n unchanged)
+    DeltaMerge.updateWhere(spark, table, col("id") === 2L, Map("v" -> lit(40.0)))
+    sync()
+    assert(stateMap() == Map("k1" -> (2L, 50.0), "k2" -> (1L, 5.0)), stateMap())
+    // delete every k2 row: the key drops from the state entirely
+    DeltaMerge.deleteWhere(spark, table, col("k") === "k2")
+    sync()
+    assert(stateMap() == Map("k1" -> (2L, 50.0)), stateMap())
+    // merge: update one k1 row, insert a k3 row
+    DeltaMerge.merge(spark, table,
+      Seq(("k1", 1L, 15.0), ("k3", 9L, 7.0)).toDF("k", "id", "v"), Seq("id"))
+    sync()
+    assert(stateMap() == Map("k1" -> (2L, 55.0), "k3" -> (1L, 7.0)), stateMap())
+    // the maintained n/sum equal a from-scratch recompute of the head
+    val full = Incremental.partialAgg(
+      DeltaRead.readDeltaTable(spark, table), Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stateMap() == full, s"${stateMap()} vs $full")
+  }
 }

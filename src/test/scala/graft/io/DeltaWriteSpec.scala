@@ -338,6 +338,53 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
   }
 
+  test("history lists commits newest-first with operations and timestamps") {
+    val table = tmp("graft_dw_hist")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append")
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), table, "append")
+    DeltaWrite.setTableProperties(spark, table, Map("k" -> "v"))
+    val h = DeltaRead.history(spark, table)
+      .select("version", "operation").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h == Seq((2L, "SET TBLPROPERTIES"), (1L, "WRITE"), (0L, "WRITE")), h)
+    // timestamps are present and non-decreasing with version
+    val ts = DeltaRead.history(spark, table).orderBy("version")
+      .select("timestamp").collect().map(_.getLong(0)).toSeq
+    assert(ts == ts.sorted && ts.forall(_ > 0), ts.toString)
+  }
+
+  test("CHECK constraints: violating writes and DML refuse before staging") {
+    val table = tmp("graft_dw_chk")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 20L))
+        .toDF("id", "v", "n"), table, "append")
+    // adding a constraint the data violates is refused
+    val e0 = intercept[IllegalArgumentException](
+      DeltaWrite.addCheckConstraint(spark, table, "n_small", "n < 15"))
+    assert(e0.getMessage.contains("existing rows violate"), e0.getMessage)
+    // a holding constraint lands in the configuration
+    DeltaWrite.addCheckConstraint(spark, table, "n_nonneg", "n >= 0")
+    assert(DeltaRead.replayLog(spark, table, None)._1
+      .configuration("delta.constraints.n_nonneg") == "n >= 0")
+    // valid append passes; violating append refuses BEFORE committing
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, Option("c"), 30L)).toDF("id", "v", "n"), table, "append")
+    val vBefore = DeltaRead.latestVersion(spark, table)
+    val e1 = intercept[IllegalArgumentException](DeltaWrite.writeDeltaTable(
+      Seq((4L, Option("d"), -1L)).toDF("id", "v", "n"), table, "append"))
+    assert(e1.getMessage.contains("n_nonneg"), e1.getMessage)
+    assert(DeltaRead.latestVersion(spark, table) == vBefore)
+    // DML producing violating rows refuses too
+    val e2 = intercept[IllegalArgumentException](DeltaMerge.updateWhere(
+      spark, table, col("id") === 1L, Map("n" -> lit(-5L))))
+    assert(e2.getMessage.contains("n_nonneg"), e2.getMessage)
+    // NULL predicate = unknown, not a violation (SQL CHECK semantics)
+    DeltaWrite.addCheckConstraint(spark, table, "v_not_zz", "v <> 'zz'")
+    DeltaWrite.writeDeltaTable(
+      Seq((5L, Option.empty[String], 50L)).toDF("id", "v", "n"), table, "append")
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 4L)
+  }
+
   test("Sources.writeTableAs(delta) + readTable auto-detection round-trips sf0.01 documents") {
     val table = tmp("graft_dw8")
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
