@@ -252,9 +252,12 @@ object DeltaMerge {
           meta.partitionCols.map(c => l2p.getOrElse(c, c)))
       } else (newData, meta.partitionCols)
     val adds = DeltaWrite.stageDataFiles(stageDf, root, stageCols)
-    // change-data files: the changed rows (+ _change_type) staged under
-    // _change_data/, committed as cdc actions (dataChange=false — CDF
-    // readers use them INSTEAD of the add/remove pair for this commit)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    // change-data files: the changed rows (+ _change_type +
+    // _commit_version, so a file stream over _change_data/ needs no log
+    // lookup) staged under _change_data/, committed as cdc actions
+    // (dataChange=false — CDF readers use them INSTEAD of the add/remove
+    // pair for this commit)
     val cdcStaged = cdcData.toSeq.flatMap { c =>
       val stageC =
         if (meta.mappingMode == "name") {
@@ -262,9 +265,8 @@ object DeltaMerge {
           val phys = DeltaRead.physicalSchema(ms)
           c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
         } else c
-      DeltaWrite.stageCdcFiles(stageC, root)
+      DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
     }
-    val version = DeltaRead.latestVersion(spark, path) + 1
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""

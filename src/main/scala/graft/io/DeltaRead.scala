@@ -162,7 +162,11 @@ object DeltaRead {
         val ciTs = content.split('\n').iterator.filter(_.nonEmpty)
           .map(mapper.readTree)
           .collectFirst { case n if n.has("commitInfo") =>
-            Option(n.get("commitInfo").get("timestamp")).map(_.asLong()) }
+            val ci = n.get("commitInfo")
+            // inCommitTimestamps tables: the monotonic in-commit clock is
+            // authoritative over the wall-clock `timestamp` field
+            Option(ci.get("inCommitTimestamp")).map(_.asLong())
+              .orElse(Option(ci.get("timestamp")).map(_.asLong())) }
           .flatten
         (v, ciTs.getOrElse(st.getModificationTime))
       }.toSeq.sortBy(_._1)
@@ -346,7 +350,8 @@ object DeltaRead {
           .map(mapper.readTree).collectFirst {
             case n if n.has("commitInfo") => n.get("commitInfo") }
         (v,
-          ci.flatMap(c => Option(c.get("timestamp")).map(_.asLong()))
+          ci.flatMap(c => Option(c.get("inCommitTimestamp")).map(_.asLong())
+              .orElse(Option(c.get("timestamp")).map(_.asLong())))
             .getOrElse(st.getModificationTime),
           ci.flatMap(c => Option(c.get("operation")).map(_.asText())).getOrElse(""),
           ci.flatMap(c => Option(c.get("operationParameters")).map(_.toString)).getOrElse("{}"),
@@ -421,6 +426,31 @@ object DeltaRead {
       val out = schema.add("_change_type", "string").add("_commit_version", "long")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     } else perVersion.reduce(_ unionByName _)
+  }
+
+  /** STREAMING tail of the change data feed: a file stream over the
+    * table's `_change_data/` directory, serving `(columns...,
+    * _change_type, _commit_version)` as DML commits land — the
+    * `_commit_version` is embedded in each change file at write time, so
+    * no log lookup happens per batch and ordinary Structured Streaming
+    * machinery (watermarks, stream-stream joins, exactly-once sinks)
+    * composes on top. Contract: this surfaces CDC-EMITTED changes only —
+    * rows written by plain appends never produce `_change_data` files
+    * (the protocol derives those from add actions), so a consumer that
+    * also ingests appends pairs this with [[readStreamAppendOnly]] or
+    * the poll-based [[changeFeed]]. The table must have CDF enabled
+    * before the DML whose changes should appear.
+    */
+  def readChangeFeedStream(spark: SparkSession, path: String): DataFrame = {
+    val (meta, _) = replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    val fileSchema = phys.add("_change_type", "string").add("_commit_version", "long")
+    spark.readStream.schema(fileSchema)
+      .parquet(new Path(path, "_change_data").toString)
+      .select(logicalSelect(schema, phys) :+ col("_change_type") :+
+        col("_commit_version"): _*)
   }
 
   private def actionsInRange(spark: SparkSession, path: String,

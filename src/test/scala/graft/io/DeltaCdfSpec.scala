@@ -72,6 +72,40 @@ class DeltaCdfSpec extends SparkSpec {
     assert(feedRows(table, 2L) == Seq((3L, "delete", 1L, "a", 10L)))
   }
 
+  test("streaming tail: DML change files stream in with their commit version") {
+    val table = tmp("graft_cdf_stream")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L,
+      Map("n" -> (col("n") + 5))) // v2
+    DeltaMerge.deleteWhere(spark, table, col("id") === 2L) // v3
+
+    val stream = DeltaRead.readChangeFeedStream(spark, table)
+    assert(stream.isStreaming)
+    assert(stream.schema.fieldNames.toSeq ==
+      Seq("id", "v", "n", "_change_type", "_commit_version"))
+    val q = stream.writeStream.format("memory").queryName("cdf_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("cdf_stream")
+      .select("_commit_version", "_change_type", "id", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == Seq(
+      (2L, "update_postimage", 1L, 15L),
+      (2L, "update_preimage", 1L, 10L),
+      (3L, "delete", 2L, 20L)), got.toString)
+    // the streamed rows equal the batch feed (modulo column order)
+    val batch = DeltaRead.changeFeed(spark, table, 1L)
+      .select("_commit_version", "_change_type", "id", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == batch, s"$got vs $batch")
+  }
+
   test("mapped table: the feed serves logical columns") {
     val table = tmp("graft_cdf3")
     DeltaWrite.writeDeltaTableMapped(

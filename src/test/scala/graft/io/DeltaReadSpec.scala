@@ -573,6 +573,12 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.versionAtTimestamp(spark, table, 9999L) == 2L)
     assert(DeltaRead.readDeltaTable(spark, table, timestampAsOf = Some(2500L))
       .count() == 2L)
+    // inCommitTimestamps: the in-commit clock beats the wall-clock field
+    writeCommit(table, 3, Seq(
+      """{"commitInfo":{"timestamp":1,"inCommitTimestamp":4000,"operation":"WRITE"}}""",
+      add(f1)))
+    assert(DeltaRead.versionAtTimestamp(spark, table, 3999L) == 2L)
+    assert(DeltaRead.versionAtTimestamp(spark, table, 4000L) == 3L)
     // before the first commit: loud failure, never a silently later state
     val e = intercept[IllegalArgumentException](
       DeltaRead.versionAtTimestamp(spark, table, 500L))
