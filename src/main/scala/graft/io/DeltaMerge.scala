@@ -41,7 +41,8 @@ object DeltaMerge {
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], whenMatched: String = "update",
-      insertUnmatched: Boolean = true): Long = {
+      insertUnmatched: Boolean = true,
+      txn: Option[(String, Long)] = None): Long = {
     require(whenMatched == "update" || whenMatched == "delete",
       s"whenMatched must be update or delete, got $whenMatched")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
@@ -122,7 +123,7 @@ object DeltaMerge {
     commitRewrite(spark, path, meta, touched, newData,
       operation = "MERGE",
       opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""",
-      cdcData = cdc)
+      cdcData = cdc, txn = txn)
   }
 
   /** Whether the table opted into the change data feed
@@ -235,7 +236,8 @@ object DeltaMerge {
   private def commitRewrite(spark: SparkSession, path: String,
       meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
       newData: DataFrame, operation: String, opParams: String,
-      cdcData: Option[DataFrame] = None): Long = {
+      cdcData: Option[DataFrame] = None,
+      txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // CHECK constraints hold for the post-DML rows too
@@ -270,6 +272,9 @@ object DeltaMerge {
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
+    txn.foreach { case (appId, txnVersion) =>
+      lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
+    }
     touched.foreach { f =>
       lines += s"""{"remove":{"path":${jsString(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
     }

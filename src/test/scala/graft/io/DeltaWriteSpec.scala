@@ -231,6 +231,35 @@ class DeltaWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("merge sink: epochs upsert exactly-once; a replayed non-idempotent batch is skipped whole") {
+    import graft.streaming.DeltaMergeSink
+    val table = tmp("graft_dw_msink")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append")
+    // epoch 0 upserts: update id=2, insert id=3
+    val b0 = Seq((2L, "B", 200L), (3L, "c", 30L)).toDF("id", "v", "n")
+    assert(DeltaMergeSink.mergeBatch(b0, table, Seq("id"), "ups", 0L))
+    def state() = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(state() == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L)))
+    // crash-replay of epoch 0: skipped whole — an upsert is NOT naturally
+    // idempotent, the txn mark in the same commit is what makes it so
+    assert(!DeltaMergeSink.mergeBatch(b0, table, Seq("id"), "ups", 0L))
+    assert(state() == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L)))
+    // a real stream of upserts through the sink, end to end
+    val base = tmp("graft_dw_msink_src")
+    Seq((1L, "A", 11L)).toDF("id", "v", "n").write.parquet(s"$base/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema).parquet(s"$base/b*")
+    val q = DeltaMergeSink.upsert(stream, table, Seq("id"), "ups2",
+      s"$base/ckpt", outputMode = "append")
+    q.awaitTermination(120000)
+    assert(state() == Seq((1L, "A", 11L), (2L, "B", 200L), (3L, "c", 30L)))
+  }
+
   test("OPTIMIZE bin-packs small files as dataChange=false; rows, travel, tail stay exact") {
     val table = tmp("graft_dw_opt")
     (0 until 5).foreach { i =>
