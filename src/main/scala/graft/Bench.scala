@@ -38,13 +38,54 @@ object Bench {
     java.nio.file.Files.createDirectory(
       tmpRoot.resolve(prefix + "_" + tmpSeq.incrementAndGet())).toString
 
+  // Standing Delta tables for the DML/CDF bench variants: built ONCE per
+  // JVM, during the untimed warmup pass — the timed passes pay only the
+  // steady-state verb/read cost, which is the number that matters for a
+  // pipeline upserting into a long-lived table.
+  private val dmlTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def dmlTable(s: SparkSession, dir: String): String = {
+    val cur = dmlTablePath.get()
+    if (cur != null) cur
+    else {
+      val path = benchTmp("dml_table") + "/orders_delta"
+      graft.io.DeltaWrite.writeDeltaTable(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        path, "append")
+      dmlTablePath.set(path)
+      path
+    }
+  }
+  private val cdfTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def cdfTable(s: SparkSession, dir: String): String = {
+    val cur = cdfTablePath.get()
+    if (cur != null) cur
+    else {
+      val path = benchTmp("cdf_table") + "/customer_delta"
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment"), round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      graft.io.DeltaWrite.writeDeltaTable(cust, path, "append")
+      graft.io.DeltaWrite.setTableProperties(s, path,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      graft.io.DeltaMerge.updateWhere(s, path,
+        col("c_mktsegment") === "BUILDING", Map("cents" -> (col("cents") + 3)))
+      graft.io.DeltaMerge.deleteWhere(s, path, col("cents") < 0)
+      cdfTablePath.set(path)
+      path
+    }
+  }
+
   private val skip =
     Set("q24_ngram_jaccard", "q25_minhash_lsh", "q26_simhash", "q43_dup_clusters",
       "q76_cluster_split", "q92_simhash_pairs", // md5 family; b31/b35/b44 bench the fast path
       "q95_substring_dedup", // exact-string gram keys are oracle-only; b47 benches the hashed path
       "q99_bpe_tokens", // identical computation to b49
       "q32_source_sketch", // its exact-Jaccard half is oracle-only; b42 benches the sketch
-      "q108_hard_negatives_ann") // its nProbe=nCells form is exhaustive for the oracle; b53 benches the sub-linear probe
+      "q108_hard_negatives_ann", // its nProbe=nCells form is exhaustive for the oracle; b53 benches the sub-linear probe
+      // the DML/CDF gate forms rebuild their Delta table in-query (4-5
+      // commits of table-build tax per run) to make the oracle hashable;
+      // b54/b55 bench the amortized shape — verbs/reads on a standing table
+      "q106_merge_roundtrip", "q109_change_feed")
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>
@@ -125,6 +166,28 @@ object Bench {
     // the UNBOUNDED-query-set mining path: every vector queries the
     // persisted cell-partitioned index at nProbe=2 of 16 — each query
     // scores ~1/8th of the corpus (sub-linear probing), nothing broadcasts
+    // one MERGE commit against a STANDING Delta table (built once, lazily,
+    // during the untimed warmup): touched-file discovery + copy-on-write
+    // rewrite + atomic commit — the steady-state upsert cost a pipeline
+    // pays per batch, without q106's in-query table-build tax
+    "b54_merge_upsert" -> ((s, dir) => {
+      val path = dmlTable(s, dir)
+      val src = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + 1).as("cents"))
+      graft.io.DeltaMerge.merge(s, path, src, Seq("o_orderkey"))
+      graft.io.DeltaRead.readDeltaTable(s, path)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+    // the CHANGE FEED read over a standing CDF table's DML history —
+    // pure feed-composition cost, no commits in the timed region
+    "b55_change_feed" -> ((s, dir) => {
+      val path = cdfTable(s, dir)
+      graft.io.DeltaRead.changeFeed(s, path, 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
     "b53_hard_negatives_ann" -> ((s, dir) => {
       val path = benchTmp("ann_hn")
       val emb = Tables.embeddings(s, dir)
