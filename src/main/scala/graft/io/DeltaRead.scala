@@ -751,13 +751,18 @@ object DeltaRead {
     * implemented ([[DeletionVectors]] decodes the bitmap and [[filesDf]]
     * filters deleted row indexes out of every read), and `columnMapping`
     * is implemented for mode `name` (physical-name scan + logical
-    * re-alias; the per-metaData gate still refuses mode `id`), and
+    * re-alias; the per-metaData gate still refuses mode `id`),
     * `v2Checkpoint` is implemented (uuid-named checkpoint discovery, JSON
-    * or parquet top file, sidecar file-action loading).
+    * or parquet top file, sidecar file-action loading), and
+    * `typeWidening` rides Spark's own parquet type promotion: every scan
+    * reads under the LOG's (widened, latest) schema, and the vectorized
+    * reader promotes narrow pre-widening files (int→long, float→double,
+    * int→double, decimal precision) in place — an unsupported promotion
+    * fails the scan loudly, never returns reinterpreted bytes.
     */
   private val harmlessReaderFeatures =
     Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "v2Checkpoint")
+      "v2Checkpoint", "typeWidening", "typeWidening-preview")
   private def checkProtocol(minReader: Int, features: Seq[String], where: String): Unit = {
     require(minReader <= 3, s"$where requires Delta reader version $minReader; max supported is 3")
     if (minReader >= 3) {

@@ -339,6 +339,55 @@ object DeltaWrite {
     }
   }
 
+  /** ALTER COLUMN TYPE (widening only): commit a metaData action whose
+    * schema carries the widened type — existing files stay narrow and
+    * promote at scan time (Spark's parquet type promotion; see
+    * [[DeltaRead]]'s typeWidening note), future appends write the wide
+    * type. Only promotions the scan provably handles are allowed
+    * (byte/short/int → wider integral, float → double); anything else —
+    * especially NARROWING, which would reinterpret data — is refused.
+    * The same commit upgrades the protocol to carry the `typeWidening`
+    * reader feature so conforming foreign readers know to promote.
+    */
+  def widenColumnType(spark: SparkSession, path: String, column: String,
+      to: DataType): Long = {
+    import org.apache.spark.sql.types._
+    val (meta, _) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode == "none",
+      "widenColumnType on a column-mapped table is not supported here")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val idx = schema.fieldNames.indexOf(column)
+    require(idx >= 0, s"$column is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    val from = schema(idx).dataType
+    val rank: Map[DataType, Int] = Map(ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    val ok = (from, to) match {
+      case (f, t) if rank.contains(f) && rank.contains(t) => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"cannot widen $column from ${from.simpleString} to ${to.simpleString} — " +
+      "only byte/short/int → wider integral and float → double promote losslessly at scan time")
+    val widened = StructType(schema.fields.updated(idx,
+      schema(idx).copy(dataType = to)))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val configJson = meta.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    val lines = Seq(
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
+    publishCommit(fs, new Path(root, "_delta_log"), version, lines)
+    version
+  }
+
   /** Stage change-data files under `_change_data/` (the CDF layout: an
     * underscore directory no table reader lists; only `cdc` actions
     * reference it). Unpartitioned on purpose — change batches are read

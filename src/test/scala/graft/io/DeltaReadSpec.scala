@@ -479,12 +479,13 @@ class DeltaReadSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, ok).count() == 1L)
     // v3 with deletionVectors: SUPPORTED since the DV decoder landed
     // (DeletionVectorSpec covers actual vectors); a feature this reader
-    // truly lacks (type widening read conversion) still refuses
+    // truly lacks (catalog-coordinated commits it could silently miss)
+    // still refuses
     val dv = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
     assert(DeltaRead.readDeltaTable(spark, dv).count() == 1L)
-    val tw = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""")
-    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, tw).count())
-    assert(e1.getMessage.contains("typeWidening"), e1.getMessage)
+    val cm0 = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["catalogManaged"]}}""")
+    val e1 = intercept[Exception](DeltaRead.readDeltaTable(spark, cm0).count())
+    assert(e1.getMessage.contains("catalogManaged"), e1.getMessage)
     // v3 with only harmless features still reads
     val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
@@ -552,6 +553,27 @@ class DeltaReadSpec extends SparkSpec {
     val cs = DeltaRead.changesSince(spark, table, -1L)
     assert(cs.schema.fieldNames.toSeq == Seq("id", "v", "part"))
     assert(cs.count() == 4L)
+  }
+
+  test("typeWidening: narrow pre-widening files promote to the log's widened schema") {
+    val table = Files.createTempDirectory("graft_delta_tw").toString
+    // f1 written with (int, float) — the pre-widening narrow layout
+    val narrow = spark.range(1).selectExpr("1 AS a", "CAST(1.5 AS FLOAT) AS b")
+    val f1 = addFile(table, "f1.parquet", narrow)
+    // f2 written post-widening with (long, double)
+    val wide = spark.range(1).selectExpr("CAST(2 AS BIGINT) AS a", "CAST(2.5 AS DOUBLE) AS b")
+    val f2 = addFile(table, "f2.parquet", wide)
+    val sj = wide.schema.json.replace("\"", "\\\"")
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
+      s"""{"metaData":{"id":"m","schemaString":"$sj","partitionColumns":[]}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":${fsize(table, f2)},"dataChange":true}}"""))
+    val df = DeltaRead.readDeltaTable(spark, table)
+    assert(df.schema("a").dataType.typeName == "long")
+    assert(df.schema("b").dataType.typeName == "double")
+    val rows = df.orderBy("a").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 1.5), (2L, 2.5)), rows.toSeq.toString)
   }
 
   test("timestampAsOf resolves to the last commit at or before the instant") {

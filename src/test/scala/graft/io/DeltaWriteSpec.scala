@@ -367,6 +367,29 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
   }
 
+  test("widenColumnType: narrow history promotes, wide appends land, narrowing refused") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val table = tmp("graft_dw_tw")
+    DeltaWrite.writeDeltaTable(
+      spark.range(2).selectExpr("CAST(id AS INT) AS a", "CAST(id AS STRING) AS v"),
+      table, "append")
+    DeltaWrite.widenColumnType(spark, table, "a", LongType)
+    // the widened schema serves immediately; old int files promote
+    val df = DeltaRead.readDeltaTable(spark, table)
+    assert(df.schema("a").dataType == LongType)
+    assert(df.orderBy("a").collect().map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // appends now write the wide type
+    DeltaWrite.writeDeltaTable(
+      spark.range(5, 6).selectExpr("id AS a", "CAST(id AS STRING) AS v"),
+      table, "append")
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("a")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 5L))
+    // narrowing is refused — it would reinterpret data
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.widenColumnType(spark, table, "a", IntegerType))
+    assert(e.getMessage.contains("cannot widen"), e.getMessage)
+  }
+
   test("history lists commits newest-first with operations and timestamps") {
     val table = tmp("graft_dw_hist")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append")
