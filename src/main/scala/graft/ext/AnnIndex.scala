@@ -112,6 +112,53 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** Batched k-NN JOIN against the persisted index — the unfiltered
+    * sibling of [[hardNegatives]], same routing: every query row probes
+    * its `nProbe` nearest cells, the probe rows equi-join the
+    * cell-partitioned corpus (distinct probed cells partition-prune the
+    * scan), and [[graft.plans.TopKPerKey]] heap-cuts top-k per query.
+    * Self-matches (same id) are excluded, like [[Similarity.topKNeighbors]].
+    * `nProbe = nCells` degenerates to exact brute force.
+    */
+  def knnJoin(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(nProbe > 0 && nProbe <= meta.nCells, s"nProbe must be in [1, ${meta.nCells}]")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Similarity.l2Norm(col(vecCol)).as("q_nrm"),
+      explode(Similarity.assignCells(col(vecCol), meta.centroids, nProbe)).as("cell"))
+    val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isInCollection(probed))
+      .select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec"), col("nrm").as("n_nrm"))
+    val pairs = corpus.join(q, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("n_vec"), col("q_vec")) /
+          (col("n_nrm") * col("q_nrm")), 6).as("sim"))
+    graft.plans.TopKPerKey.topKPerKey(
+      pairs, Seq("query_id"), Seq(col("sim").desc, col("neighbor_id")), k)
+  }
+
+  /** Per-cell population of the persisted index — the drift monitor that
+    * pairs with [[append]]: appended mass never moves centroids, so a
+    * cell whose share balloons past `1/nCells` by a large factor is the
+    * rebuild signal (probe cost on that cell grows with it). One
+    * footer-cheap aggregate over the cell partition column.
+    */
+  def cellStats(spark: SparkSession, path: String): DataFrame = {
+    val meta = readMeta(spark, path)
+    spark.read.parquet(path)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share", col("n_vectors") /
+        sum(col("n_vectors")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("balance", col("share") * meta.nCells)
+      .orderBy(col("cell"))
+  }
+
   /** ANN-routed hard-negative mining for UNBOUNDED query sets — the scale
     * path past [[Similarity.hardNegatives]]'s broadcast form: instead of
     * broadcasting the query set and scoring it against the whole corpus,

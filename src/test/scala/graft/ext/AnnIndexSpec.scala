@@ -148,6 +148,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("PQ"), e2.getMessage)
   }
 
+  test("knnJoin: exhaustive probe equals per-query exact search; cellStats flags drift") {
+    val path = Files.createTempDirectory("graft_ann_knn").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    val queries = vecs.filter(col("vec_id").isin(0L, 101L, 207L))
+    val joined = AnnIndex.knnJoin(spark, path, queries, "vec_id", "embedding",
+      nProbe = 3, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // per-query exact search returns the same neighbor sets
+    Seq(0L, 101L, 207L).foreach { id =>
+      val exact = Similarity.topKNeighbors(vecs, "vec_id", "embedding", id, 5)
+        .collect().map(_.getLong(0)).toSet
+      assert(joined(id) == exact, s"$id: ${joined(id)} vs $exact")
+    }
+    // balanced fixture: every cell's balance factor is ~1
+    val stats = AnnIndex.cellStats(spark, path).collect()
+    assert(stats.length == 3)
+    stats.foreach(r => assert(math.abs(r.getDouble(3) - 1.0) < 0.01, r.toString))
+    // after a one-sided append the hot cell's balance flags the drift
+    val extra = (0 until 24).map { i =>
+      val v = Array.fill(8)(0.0f); v(0) = 10.1f + i * 0.01f; v(4) = 4f
+      (800L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(extra, "vec_id", "embedding", path)
+    val hot = AnnIndex.cellStats(spark, path).collect().map(_.getDouble(3)).max
+    assert(hot > 1.5, s"expected a ballooned cell, got max balance $hot")
+  }
+
   test("a non-index path is refused") {
     val e = intercept[IllegalArgumentException](
       AnnIndex.query(spark, Files.createTempDirectory("not_ann").toString,
