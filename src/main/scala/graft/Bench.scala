@@ -85,7 +85,8 @@ object Bench {
       // the DML/CDF gate forms rebuild their Delta table in-query (4-5
       // commits of table-build tax per run) to make the oracle hashable;
       // b54/b55 bench the amortized shape — verbs/reads on a standing table
-      "q106_merge_roundtrip", "q109_change_feed")
+      "q106_merge_roundtrip", "q109_change_feed",
+      "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b31_minhash_lsh_fast" -> ((s, dir) =>

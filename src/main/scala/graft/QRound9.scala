@@ -209,15 +209,50 @@ object QRound9 {
       |GROUP BY t
       |ORDER BY change_type""".stripMargin
 
+  /** Batched k-NN join through the persisted index (the core
+    * similarity-search-at-scale shape: EVERY vector finds its top-3
+    * neighbors in one routed join — q27's single-query form fanned out to
+    * the whole table): build the IVF index, then
+    * [[graft.ext.AnnIndex.knnJoin]] with the full embeddings table as the
+    * query side. The gate runs `nProbe = nCells` (exhaustive ⇒ exactly
+    * the brute-force all-pairs semantics, hashable against a SQL oracle);
+    * AnnIndexSpec pins the sub-linear nProbe regime and b53/b50 bench it.
+    */
+  def q110KnnJoin(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q110_").toFile,
+      "ann").getAbsolutePath
+    val emb = embeddings(s, d)
+    graft.ext.AnnIndex.build(emb, "vec_id", "embedding", path, nCells = 8)
+    graft.ext.AnnIndex.knnJoin(s, path, emb, "vec_id", "embedding",
+      nProbe = 8, k = 3)
+      .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+  }
+
+  private val q110Sql =
+    """WITH pairs AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6) AS sim
+      |  FROM embeddings e JOIN embeddings q ON e.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, sim
+      |FROM pairs
+      |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 3
+      |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_merge_roundtrip" -> (q106MergeRoundtrip _),
     "q107_schema_evolution" -> (q107SchemaEvolution _),
     "q108_hard_negatives_ann" -> (q108HardNegativesAnn _),
-    "q109_change_feed" -> (q109ChangeFeed _))
+    "q109_change_feed" -> (q109ChangeFeed _),
+    "q110_knn_join" -> (q110KnnJoin _))
 
   val sql: Map[String, String] = Map(
     "q106_merge_roundtrip" -> q106Sql,
     "q107_schema_evolution" -> q107Sql,
     "q108_hard_negatives_ann" -> q108Sql,
-    "q109_change_feed" -> q109Sql)
+    "q109_change_feed" -> q109Sql,
+    "q110_knn_join" -> q110Sql)
 }
