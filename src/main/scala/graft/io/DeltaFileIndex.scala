@@ -46,7 +46,7 @@ private[io] class DeltaLogFileIndex(
   }
 
   override def inputFiles: Array[String] =
-    files.map(f => s"$tablePath/${f.path}").toArray
+    files.map(f => DeltaRead.resolveFilePath(tablePath, f.path)).toArray
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -83,7 +83,7 @@ private[io] class DeltaLogFileIndex(
     * writer-produced log); a missing/zero size stats the file once.
     */
   private def fileStatus(f: DeltaRead.LiveFile): FileStatus = {
-    val p = new Path(s"$tablePath/${f.path}")
+    val p = new Path(DeltaRead.resolveFilePath(tablePath, f.path))
     if (f.size > 0L)
       new FileStatus(f.size, false, 1, 134217728L, f.modificationTime, p)
     else fs.getFileStatus(p)

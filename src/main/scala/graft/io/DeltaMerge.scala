@@ -224,9 +224,15 @@ object DeltaMerge {
     val prov = DeltaRead.filesDf(spark, path, meta, live, provenance = true)
     val abs = hit(prov).select(col("__file")).distinct()
       .collect().map(_.getString(0))
-    // `__file` is the scan's qualified URI; live paths are log-relative.
-    // Part names embed a UUID, so suffix match is exact within one table.
-    live.filter(f => abs.exists(a => a.endsWith("/" + f.path)))
+    // `__file` is the scan's qualified URI; live paths are log-relative —
+    // or ABSOLUTE for clone-referenced files. Part names embed a UUID, so
+    // suffix match is exact within one table either way.
+    live.filter { f =>
+      val needle =
+        if (f.path.startsWith("/") || f.path.contains("://")) f.path
+        else "/" + f.path
+      abs.exists(_.endsWith(needle))
+    }
   }
 
   /** Publish a copy-on-write commit: stage `newData` (partitioned like the

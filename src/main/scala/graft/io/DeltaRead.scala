@@ -116,6 +116,23 @@ object DeltaRead {
       modificationTime: Long = 0L, stats: Option[String] = None,
       dv: Option[DeletionVectors.Descriptor] = None)
 
+  /** Resolve an action's `path` field against the table root, per the
+    * protocol: paths are percent-encoded URIs, RELATIVE to the table root
+    * for writer-owned files or ABSOLUTE for externally-referenced ones
+    * (the shallow-clone shape — [[DeltaWrite.cloneShallow]] emits these).
+    * Percent sequences decode when present; a raw path (what this writer
+    * emits) passes through untouched.
+    */
+  private[io] def resolveFilePath(tablePath: String, p: String): String = {
+    val decoded =
+      if (p.contains("%"))
+        try java.net.URLDecoder.decode(p, "UTF-8")
+        catch { case scala.util.control.NonFatal(_) => p }
+      else p
+    if (decoded.startsWith("/") || decoded.contains("://")) decoded
+    else s"$tablePath/$decoded"
+  }
+
   /** Read a Delta table at `path`, optionally at an historical version
     * (`versionAsOf`) or at the state as of a wall-clock instant
     * (`timestampAsOf`, epoch millis — resolved to the last commit at or
@@ -248,7 +265,7 @@ object DeltaRead {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvMap: Map[String, DeletionVectors.RoaringArray] = dvFiles.map { f =>
-      fs.makeQualified(new Path(root, f.path)).toUri.getPath ->
+      fs.makeQualified(new Path(resolveFilePath(path, f.path))).toUri.getPath ->
         DeletionVectors.load(fs, root, f.dv.get)
     }.toMap
     val bc = spark.sparkContext.broadcast(dvMap)

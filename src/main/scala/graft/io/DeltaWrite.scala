@@ -339,6 +339,57 @@ object DeltaWrite {
     }
   }
 
+  /** SHALLOW CLONE: create a NEW Delta table at `dest` whose version-0
+    * commit references the SOURCE table's current data files by ABSOLUTE
+    * path — zero bytes copy, the clone materializes instantly at any
+    * corpus size. This is the dataset-branching shape a training-data
+    * pipeline uses to experiment: the clone has its own independent log,
+    * so appends, DML, constraints, and properties on it never touch the
+    * source, and the clone's VACUUM cannot delete source files (it only
+    * lists under its own root). Schema, partitioning, configuration, and
+    * per-file stats all carry over, so pruning and skipping work on the
+    * clone unchanged. The trade is the usual clone contract: the source
+    * must not VACUUM away files the clone still references. Sources
+    * carrying deletion vectors are refused (their DV blobs resolve
+    * relative to the SOURCE root, which the clone's reader does not
+    * know).
+    */
+  def cloneShallow(spark: SparkSession, src: String, dest: String): Long = {
+    val (meta, live) = DeltaRead.replayLog(spark, src, None)
+    require(meta != null, s"$src has no metaData action in its _delta_log")
+    require(live.forall(_.dv.isEmpty),
+      s"cloneShallow($src): the source carries deletion vectors, whose blobs " +
+        "resolve relative to the SOURCE table root — compact them away first")
+    val srcRoot = new Path(src)
+    val destRoot = new Path(dest)
+    val fs = destRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(destRoot, "_delta_log")),
+      s"$dest is already a Delta table — clone only creates fresh tables")
+    val srcQualified = fs.makeQualified(srcRoot).toUri.getPath
+    val version = 0L
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val (minReader, minWriter) =
+      if (meta.mappingMode == "name") (2, 5) else (1, 2)
+    val configJson = meta.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE","operationParameters":{"source":${js(src)}},"engineInfo":"graft"}}"""
+    lines += s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
+    lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+    live.foreach { f =>
+      val abs = s"$srcQualified/${f.path}"
+      val pvJson = f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")
+      lines += s"""{"add":{"path":${js(abs)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField}}"""
+    }
+    publishCommit(fs, new Path(destRoot, "_delta_log"), version, lines.toSeq)
+    version
+  }
+
   /** ALTER COLUMN TYPE (widening only): commit a metaData action whose
     * schema carries the widened type — existing files stay narrow and
     * promote at scan time (Spark's parquet type promotion; see

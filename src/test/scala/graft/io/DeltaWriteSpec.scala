@@ -367,6 +367,38 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
   }
 
+  test("shallow clone: zero-copy branch reads, diverges independently, vacuum-safe") {
+    val src = tmp("graft_dw_clone_src")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "part", "n"),
+      src, "append", Seq("part"))
+    val dest = tmp("graft_dw_clone") + "/branch"
+    assert(DeltaWrite.cloneShallow(spark, src, dest) == 0L)
+    def rows(p: String) = DeltaRead.readDeltaTable(spark, p).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // the clone reads the source's files without copying a byte
+    assert(rows(dest) == Seq((1L, "x", 10L), (2L, "y", 20L)))
+    assert(DeltaRead.replayLog(spark, dest, None)._2.forall(_.path.startsWith("/")))
+    // partition pruning still works on the clone (values rode the log)
+    assert(DeltaRead.readDeltaTable(spark, dest)
+      .filter(col("part") === "x").count() == 1L)
+    // the clone diverges: DML rewrites localize touched data into dest,
+    // the source is untouched
+    DeltaMerge.updateWhere(spark, dest, col("id") === 1L, Map("n" -> lit(99L)))
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "z", 30L)).toDF("id", "part", "n"), dest, "append", Seq("part"))
+    assert(rows(dest) == Seq((1L, "x", 99L), (2L, "y", 20L), (3L, "z", 30L)))
+    assert(rows(src) == Seq((1L, "x", 10L), (2L, "y", 20L)))
+    // the clone's vacuum lists only under its own root — source files
+    // (even the tombstoned clone reference) survive it
+    DeltaWrite.vacuum(spark, dest, retentionMs = 0L)
+    assert(rows(src) == Seq((1L, "x", 10L), (2L, "y", 20L)))
+    assert(rows(dest) == Seq((1L, "x", 99L), (2L, "y", 20L), (3L, "z", 30L)))
+    // cloning onto an existing table is refused
+    val e = intercept[IllegalArgumentException](DeltaWrite.cloneShallow(spark, src, dest))
+    assert(e.getMessage.contains("already a Delta table"), e.getMessage)
+  }
+
   test("widenColumnType: narrow history promotes, wide appends land, narrowing refused") {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val table = tmp("graft_dw_tw")
