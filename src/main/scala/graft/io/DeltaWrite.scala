@@ -339,6 +339,58 @@ object DeltaWrite {
     }
   }
 
+  /** RESTORE TABLE TO VERSION: roll the live set back to `toVersion`'s —
+    * as a NEW commit (adds for files the target version had and the head
+    * lost, removes for files the head gained), so nothing is erased:
+    * the botched commits stay in history and time travel over them keeps
+    * working, exactly like Delta's own RESTORE. The metaData also resets
+    * when the schema/configuration changed since. Returns the committed
+    * version, or -1 when the head already equals the target (no-op).
+    * Restored files must still exist physically — a VACUUM that already
+    * collected them fails the next read loudly, not this commit (the
+    * log-only operation cannot cheaply verify remote existence).
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val (metaNow, liveNow) = DeltaRead.replayLog(spark, path, None)
+    require(metaNow != null, s"$path has no metaData action in its _delta_log")
+    val (metaThen, liveThen) = DeltaRead.replayLog(spark, path, Some(toVersion))
+    require(metaThen != null, s"$path had no metaData at version $toVersion")
+    val nowByPath = liveNow.map(f => f.path -> f).toMap
+    val thenByPath = liveThen.map(f => f.path -> f).toMap
+    val toAdd = liveThen.filterNot(f => nowByPath.contains(f.path))
+    val toRemove = liveNow.filterNot(f => thenByPath.contains(f.path))
+    val metaChanged = metaNow != metaThen
+    if (toAdd.isEmpty && toRemove.isEmpty && !metaChanged) return -1L
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":$toVersion},"engineInfo":"graft"}}"""
+    if (metaChanged) {
+      val configJson = metaThen.configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      val pcols = metaThen.partitionCols.map(js).mkString("[", ",", "]")
+      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(metaThen.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+    }
+    toRemove.foreach { f =>
+      lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    toAdd.foreach { f =>
+      val pvJson = f.partitionValues.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")
+      require(f.dv.isEmpty,
+        s"restore would resurrect ${f.path} WITH a deletion vector — DV " +
+          "serialization is not supported by this writer; compact first")
+      lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField}}"""
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
+    version
+  }
+
   /** SHALLOW CLONE: create a NEW Delta table at `dest` whose version-0
     * commit references the SOURCE table's current data files by ABSOLUTE
     * path — zero bytes copy, the clone materializes instantly at any

@@ -367,6 +367,32 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
   }
 
+  test("restore rolls the live set back as a new commit; history and travel intact") {
+    val table = tmp("graft_dw_restore")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", 10L), (2L, "b", -20L)).toDF("id", "v", "n").coalesce(1),
+      table, "append") // v0
+    DeltaMerge.deleteWhere(spark, table, col("n") < 0) // v1: the "botched" DML
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 30L)).toDF("id", "v", "n"), table, "append") // v2
+    def ids(v: Option[Long] = None) = DeltaRead.readDeltaTable(spark, table, v)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids() == Seq(1L, 3L))
+    // restore to v0: the deleted row resurrects, the v2 append unwinds
+    val rv = DeltaWrite.restore(spark, table, 0L)
+    assert(rv == 3L)
+    assert(ids() == Seq(1L, 2L))
+    // nothing was erased: the intermediate states still time-travel
+    assert(ids(Some(1L)) == Seq(1L))
+    assert(ids(Some(2L)) == Seq(1L, 3L))
+    // restoring to the state the head already has is a no-op
+    assert(DeltaWrite.restore(spark, table, 0L) == -1L)
+    // history records the RESTORE operation
+    val ops = DeltaRead.history(spark, table)
+      .select("operation").collect().map(_.getString(0)).toSeq
+    assert(ops.head == "RESTORE", ops.toString)
+  }
+
   test("shallow clone: zero-copy branch reads, diverges independently, vacuum-safe") {
     val src = tmp("graft_dw_clone_src")
     DeltaWrite.writeDeltaTable(
