@@ -513,6 +513,113 @@ object DeltaWrite {
     out
   }
 
+  /** The DATA-file read schema for a raw compaction rewrite: the
+    * non-partition fields, under PHYSICAL names on a name-mapped table
+    * (the files store those; logical names would silently null out).
+    */
+  private def compactReadSchema(meta: DeltaRead.Meta): StructType = {
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val phys = if (meta.mappingMode == "name")
+      DeltaRead.physicalSchema(schema) else schema
+    val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
+    val physPartCols = meta.partitionCols.map(c => l2p.getOrElse(c, c))
+    StructType(phys.fields.filterNot(f => physPartCols.contains(f.name)))
+  }
+
+  /** OPTIMIZE ZORDER BY (colX, colY): rewrite every partition's live data
+    * files clustered on the interleaved quantile ranks of the two columns
+    * — afterwards each output file covers a tight rectangle of
+    * (colX, colY) space, so the footer min/max stats the commit records
+    * become genuinely selective and [[DeltaFileIndex]] skips whole files
+    * for point/range predicates on EITHER column. Ranks are equi-depth
+    * ([[ZOrder.rankBounds]] — one mergeable-sketch quantile pass over the
+    * live data, skew-proof per the ZOrder.rank16 lesson). Committed like
+    * OPTIMIZE: remove+add with `dataChange=false`, invisible to
+    * incremental/tail readers, time travel intact. Unlike bin-packing,
+    * ALL of a partition's DV-free files rewrite (reclustering is the
+    * point); `colX`/`colY` are logical names (mapped tables resolve them
+    * to the physical layout internally). Returns the committed version,
+    * or -1 when nothing qualifies.
+    */
+  def compactZOrder(spark: SparkSession, path: String, colX: String,
+      colY: String, targetBytes: Long = 128L * 1024 * 1024,
+      bins: Int = 256): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
+      "z-order columns must be data columns (partition values carry no footer stats)")
+    Seq(colX, colY).foreach(c => require(schema.fieldNames.contains(c),
+      s"$c is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    val dataSchema = compactReadSchema(meta)
+    val phys = if (meta.mappingMode == "name")
+      DeltaRead.physicalSchema(schema) else schema
+    val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
+    val (px, py) = (l2p(colX), l2p(colY))
+
+    val groups = live.groupBy(_.partitionValues)
+      .map { case (pv, files) => (pv, files.filter(_.dv.isEmpty)) }
+      .filter { case (_, files) =>
+        files.size >= 2 || files.map(_.size).sum > targetBytes }
+    if (groups.isEmpty) return -1L
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    // ONE global quantile pass over everything being reclustered — per-
+    // partition bounds would make the same value land in different bins
+    // across partitions for no skipping benefit
+    val allPaths = groups.values.flatten
+      .map(f => DeltaRead.resolveFilePath(path, f.path)).toSeq
+    val (bx, by) = ZOrder.rankBounds(
+      spark.read.schema(dataSchema).parquet(allPaths: _*)
+        .select(col(s"`$px`").as("x"), col(s"`$py`").as("y")),
+      "x", "y", bins)
+
+    val version = DeltaRead.latestVersion(spark, path) + 1
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(s"$colX,$colY")},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
+
+    groups.foreach { case (pv, files) =>
+      val dirSegs = pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      val nOut = math.max(1,
+        math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
+      val staging = new Path(root, s".optz-staging-${UUID.randomUUID()}")
+      spark.read.schema(dataSchema)
+        .parquet(files.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
+        .withColumn("__bx", ZOrder.binOf(col(s"`$px`"), bx))
+        .withColumn("__by", ZOrder.binOf(col(s"`$py`"), by))
+        .withColumn("__z", ZOrder.interleaveBits(col("__bx"), col("__by")))
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__bx", "__by", "__z")
+        .write.mode("overwrite").parquet(staging.toString)
+      listParquet(fs, staging).foreach { p =>
+        val fresh = (dirSegs :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
+        val dest = new Path(root, fresh)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(p, dest), s"failed to move $p to $dest")
+        val size = fs.getFileStatus(dest).getLen
+        val pvJson = pv.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+        val statsField = footerStats(conf, dest)
+          .map(s => s""","stats":${js(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField}}"""
+      }
+      fs.delete(staging, true)
+      files.foreach { f =>
+        lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    }
+    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
+    version
+  }
+
   /** Mint column-mapping metadata for a fresh name-mapped table: every
     * StructField at every nesting depth (including through arrays and
     * maps) gains a sequential `delta.columnMapping.id` and a
@@ -719,9 +826,10 @@ object DeltaWrite {
       s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
-    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    // the rewrite is a raw byte shuffle: on a name-mapped table the files
+    // store PHYSICAL column names, so the read schema must be physical too
+    // (a logical-name read would silently null every column)
+    val dataSchema = compactReadSchema(meta)
     // Files carrying a deletion vector never bin-pack: this rewrite reads
     // raw parquet and would resurrect DV-deleted rows. (A DV-aware rewrite
     // is DeltaMerge's job — its reads go through the DV-filtering scan.)
@@ -741,14 +849,14 @@ object DeltaWrite {
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
     groups.foreach { case (pv, smalls) =>
-      val dirSegs = meta.partitionCols.collect {
-        case c if pv.contains(c) => s"$c=${pv(c)}"
-      }
+      // dir layout from the pv's OWN keys (physical on mapped tables);
+      // cosmetic either way — add.partitionValues is what readers use
+      val dirSegs = pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       val nOut = math.max(1,
         math.ceil(smalls.map(_.size).sum.toDouble / targetBytes).toInt)
       val staging = new Path(root, s".opt-staging-${UUID.randomUUID()}")
       spark.read.schema(dataSchema)
-        .parquet(smalls.map(f => new Path(root, f.path).toString): _*)
+        .parquet(smalls.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
         .coalesce(nOut)
         .write.mode("overwrite").parquet(staging.toString)
       listParquet(fs, staging).foreach { p =>

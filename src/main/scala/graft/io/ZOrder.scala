@@ -46,21 +46,40 @@ object ZOrder {
     * of the z-value discriminate. The bin lookup compiles to a chain of
     * `when` comparisons over literal boundaries — codegen, no UDF.
     */
-  def writeRanked(spark: SparkSession, df: DataFrame, dir: String,
-      colX: String, colY: String, nFiles: Int, bins: Int = 256): Unit = {
+  /** Equi-depth bucket id of `c` against precomputed quantile `bounds`.
+    * Deliberately a SHALLOW expression (one literal array + a filter
+    * lambda) rather than a `when` chain: 255 nested whens substituted
+    * into each of [[interleaveBits]]'s 32 bit references overflow the
+    * analyzer's stack. The HOF is CodegenFallback, which is fine here —
+    * this feeds one-off REWRITE jobs (z-order compaction), never a hot
+    * per-query path; materialize it into its own column before
+    * interleaving so it evaluates once per row (CollapseProject keeps
+    * non-cheap multi-referenced aliases in their own project).
+    */
+  private[io] def binOf(c: Column, bounds: Array[Double]): Column =
+    size(filter(typedlit(bounds.distinct.toSeq), b => c.cast("double") > b))
+
+  /** One approxQuantile pass over `df` → the per-dimension equi-depth
+    * bounds for [[zValueRanked]].
+    */
+  private[io] def rankBounds(df: DataFrame, colX: String, colY: String,
+      bins: Int): (Array[Double], Array[Double]) = {
     require(bins > 1 && bins <= 65536, s"bins must be in (1, 65536], got $bins")
     val probs = (1 until bins).map(_.toDouble / bins).toArray
     val both = df.select(col(colX).cast("double").as("x"), col(colY).cast("double").as("y"))
     val Array(bx, by) = both.stat.approxQuantile(Array("x", "y"), probs, 0.001)
-    def binOf(c: Column, bounds: Array[Double]): Column =
-      bounds.distinct.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(c.cast("double") > lit(b), 1).otherwise(0)
-      }
-    df.withColumn("__z",
-        interleaveBits(binOf(col(colX), bx), binOf(col(colY), by)))
+    (bx, by)
+  }
+
+  def writeRanked(spark: SparkSession, df: DataFrame, dir: String,
+      colX: String, colY: String, nFiles: Int, bins: Int = 256): Unit = {
+    val (bx, by) = rankBounds(df, colX, colY, bins)
+    df.withColumn("__bx", binOf(col(colX), bx))
+      .withColumn("__by", binOf(col(colY), by))
+      .withColumn("__z", interleaveBits(col("__bx"), col("__by")))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__bx", "__by", "__z")
       .write.mode("overwrite").parquet(dir)
   }
 

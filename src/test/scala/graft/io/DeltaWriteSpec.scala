@@ -289,6 +289,49 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaWrite.compact(spark, table, 8L * 1024 * 1024, minFiles = 3) == -1L)
   }
 
+  test("OPTIMIZE ZORDER: reclustered files make stats skipping selective on both columns") {
+    val table = tmp("graft_dw_zorder")
+    // 8 commits of shuffled data: every file spans the full (a, b) range,
+    // so BEFORE z-ordering no point predicate can skip anything
+    val n = 4096
+    (0 until 8).foreach { i =>
+      val part = spark.range(n).selectExpr(
+        s"CAST((id * 37 + $i) % $n AS BIGINT) AS a",
+        s"CAST((id * 101 + $i * 7) % $n AS BIGINT) AS b",
+        "CAST(id AS STRING) AS v")
+      DeltaWrite.writeDeltaTable(part.coalesce(1), table, "append")
+    }
+    val before = DeltaRead.readDeltaTable(spark, table)
+      .agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val total = DeltaRead.replayLog(spark, table, None)._2.size
+    assert(total == 8)
+    val unskipped = filesRead(
+      DeltaRead.readDeltaTable(spark, table).filter(col("a") < 100))
+    assert(unskipped == 8L, s"shuffled files should all scan, got $unskipped")
+
+    val v = DeltaWrite.compactZOrder(spark, table, "a", "b",
+      targetBytes = 32 * 1024)
+    assert(v >= 8L)
+    // data identical, history intact, tail readers see no change
+    val after = DeltaRead.readDeltaTable(spark, table)
+      .agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+    assert(after == before, s"$after vs $before")
+    assert(DeltaRead.changesSince(spark, table, v - 1).count() == 0L)
+    // now point/range predicates on EITHER dimension skip most files
+    val files = DeltaRead.replayLog(spark, table, None)._2.size
+    assert(files >= 4, s"expected several z-files, got $files")
+    val fa = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("a") < 100))
+    val fb = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("b") < 100))
+    assert(fa < files && fb < files, s"a: $fa, b: $fb of $files")
+  }
+
   test("OPTIMIZE is partition-scoped: each partition packs to one file, pruning still works") {
     val table = tmp("graft_dw_opt_p")
     (0 until 3).foreach { i =>
