@@ -340,6 +340,34 @@ object DeltaRead {
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */
+  /** DESCRIBE DETAIL: one row summarizing the table's current state —
+    * version, live file count and byte size, row count from the log's
+    * add.stats (null when any live file lacks numRecords, never a guess),
+    * partition columns (CSV), column-mapping mode, and the configuration
+    * (CSV of k=v). Driver-side log math only; no data file is opened.
+    */
+  def tableInfo(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (meta, live) = replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val counts = live.map(_.stats.flatMap(s =>
+      scala.util.Try(mapper.readTree(s).get("numRecords").asLong()).toOption))
+    val numRecords: Option[Long] =
+      if (counts.nonEmpty && counts.forall(_.isDefined)) Some(counts.flatten.sum)
+      else if (live.isEmpty) Some(0L) else None
+    Seq((
+      latestVersion(spark, path),
+      live.size.toLong,
+      live.map(_.size).sum,
+      numRecords,
+      meta.partitionCols.mkString(","),
+      meta.mappingMode,
+      meta.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    )).toDF("version", "num_files", "size_bytes", "num_records",
+      "partition_columns", "column_mapping", "properties")
+  }
+
   /** DESCRIBE HISTORY: one row per available commit JSON — (version,
     * timestamp, operation, operationParameters JSON, engineInfo), newest
     * first, timestamps from `commitInfo` with the file-mtime fallback

@@ -612,6 +612,27 @@ class DeltaReadSpec extends SparkSpec {
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
+  test("tableInfo summarizes version, files, bytes, rows, and properties from the log alone") {
+    val table = Files.createTempDirectory("graft_delta_info").toString
+    val d = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val f1 = addFile(table, "f1.parquet", d)
+    writeCommit(table, 0, Seq(
+      s"""{"metaData":{"id":"m","schemaString":"${schemaJson(d)}","partitionColumns":[],"configuration":{"k":"v"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true,"stats":"{\\"numRecords\\":2}"}}"""))
+    val info = DeltaRead.tableInfo(spark, table).collect().head
+    assert(info.getLong(0) == 0L && info.getLong(1) == 1L)
+    assert(info.getLong(2) == fsize(table, "f1.parquet"))
+    assert(info.getLong(3) == 2L)
+    assert(info.getString(5) == "none" && info.getString(6) == "k=v", info.toString)
+    // a live file without numRecords → row count is null, never a guess
+    val f2 = addFile(table, "f2.parquet", Seq((3L, "c")).toDF("id", "v"))
+    writeCommit(table, 1, Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":${fsize(table, f2)},"dataChange":true}}"""))
+    val info2 = DeltaRead.tableInfo(spark, table).collect().head
+    assert(info2.getLong(0) == 1L && info2.getLong(1) == 2L)
+    assert(info2.isNullAt(3), info2.toString)
+  }
+
   test("not-a-delta-table and empty live set fail or return empty cleanly") {
     val notDelta = Files.createTempDirectory("graft_delta4").toString
     intercept[IllegalArgumentException] {
