@@ -83,10 +83,16 @@ object AnnIndex {
       extraCols.map(col): _*)
       .withColumn("nrm", Similarity.l2Norm(col("vec")))
     val existing = spark.read.parquet(path).schema
-    require(batch.schema.fieldNames.sorted.sameElements(existing.fieldNames.sorted),
-      s"append batch columns ${batch.schema.fieldNames.sorted.mkString(", ")} do not " +
-        s"match the index layout ${existing.fieldNames.sorted.mkString(", ")} — " +
-        "pass the same extraCols the index was built with")
+    // full FIELD comparison (name + type, nullability-insensitive, order-
+    // free): a same-named column with a different type would append cleanly
+    // and then corrupt every read with a silent parquet schema conflict —
+    // exactly what this guard exists to prevent
+    def norm(st: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      st.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+    require(norm(batch.schema) == norm(existing),
+      s"append batch layout ${norm(batch.schema).map { case (n, t) => s"$n:$t" }.mkString(", ")} " +
+        s"does not match the index layout ${norm(existing).map { case (n, t) => s"$n:$t" }.mkString(", ")} — " +
+        "pass the same extraCols (same types) the index was built with")
     batch.write.mode("append").partitionBy("cell").parquet(path)
   }
 

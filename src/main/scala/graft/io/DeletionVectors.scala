@@ -210,24 +210,33 @@ object DeletionVectors {
   }
 
   // ------------------------------------------------------------- loading
+  /** The on-disk blob a FILE-stored descriptor (`u`/`p`) resolves to —
+    * `u` uuid-decodes relative to the table root (the reason a shallow
+    * clone must rewrite `u` descriptors to absolute `p` form), `p` is
+    * already absolute. Inline (`i`) descriptors have no file.
+    */
+  def resolvedPath(tableRoot: Path, d: Descriptor): Path = d.storageType match {
+    case "p" => new Path(d.pathOrInlineDv)
+    case "u" =>
+      val enc = d.pathOrInlineDv
+      require(enc.length >= 20, s"DV uuid payload too short: $enc")
+      val prefix = enc.dropRight(20)
+      val uuidBytes = decodeZ85(enc.takeRight(20))
+      val bb = ByteBuffer.wrap(uuidBytes)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new Path(tableRoot, name)
+      else new Path(new Path(tableRoot, prefix), name)
+    case other =>
+      throw new IllegalArgumentException(s"DV storageType '$other' has no file path")
+  }
+
   /** Resolve + decode one descriptor into its bitmap (driver-side). */
   def load(fs: FileSystem, tableRoot: Path, d: Descriptor): RoaringArray = {
     val data: Array[Byte] = d.storageType match {
       case "i" => decodeZ85(d.pathOrInlineDv)
       case "u" | "p" =>
-        val file = d.storageType match {
-          case "p" => new Path(d.pathOrInlineDv)
-          case _ =>
-            val enc = d.pathOrInlineDv
-            require(enc.length >= 20, s"DV uuid payload too short: $enc")
-            val prefix = enc.dropRight(20)
-            val uuidBytes = decodeZ85(enc.takeRight(20))
-            val bb = ByteBuffer.wrap(uuidBytes)
-            val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-            val name = s"deletion_vector_$uuid.bin"
-            if (prefix.isEmpty) new Path(tableRoot, name)
-            else new Path(new Path(tableRoot, prefix), name)
-        }
+        val file = resolvedPath(tableRoot, d)
         val offset = d.offset.getOrElse(
           throw new IllegalArgumentException(s"file-stored DV without offset: $d"))
         val in = fs.open(file)

@@ -46,6 +46,7 @@ object DeltaMerge {
     require(whenMatched == "update" || whenMatched == "delete",
       s"whenMatched must be update or delete, got $whenMatched")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -55,17 +56,24 @@ object DeltaMerge {
       s"merge key $k is not a column of the source"))
     val needFullSource = whenMatched == "update" || insertUnmatched
     if (needFullSource)
-      require(DataType.equalsStructurally(source.schema, schema, ignoreNullability = true),
+      require(DeltaWrite.sameSchema(source.schema, schema),
         s"merge source schema ${source.schema.simpleString} must match table " +
           s"schema ${schema.simpleString} (UPDATE SET * / INSERT * semantics)")
 
-    val dup = source.groupBy(keyCols.map(col): _*).count()
+    // The source plan is referenced by the cardinality check, srcKeys, the
+    // update join, the insert anti-join, and two CDC branches — up to ~6
+    // re-derivations of what may itself be a join/aggregate (the q97
+    // pathology). Materialize it ONCE; every consumer below reads the
+    // checkpointed blocks.
+    val source1 = source.localCheckpoint()
+
+    val dup = source1.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
     require(dup == 0L,
       "merge source has more than one row for some key — the update would be " +
         "nondeterministic (Delta MERGE cardinality violation)")
 
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val srcKeys = source1.select(keyCols.map(col): _*).distinct()
     val touched = touchedFiles(spark, path, meta, live,
       prov => prov.join(srcKeys, keyCols, "left_semi"))
 
@@ -80,7 +88,7 @@ object DeltaMerge {
           .filter(col("__m").isNull)
           .select(schema.fieldNames.map(col).toSeq: _*)
       case "update" =>
-        val marked = source.select(
+        val marked = source1.select(
           (keyCols.map(col) ++ nonKey.map(c => col(c).as(s"__s_$c")) :+
             lit(true).as("__m")): _*)
         base.join(marked, keyCols, "left_outer")
@@ -92,7 +100,7 @@ object DeltaMerge {
     val newData =
       if (insertUnmatched)
         survivors.unionByName(
-          source.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+          source1.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
             .select(schema.fieldNames.map(col).toSeq: _*))
       else survivors
 
@@ -110,17 +118,17 @@ object DeltaMerge {
             .as("_change_type"): _*)
         val matchedPost =
           if (whenMatched == "update")
-            Some(source.join(baseKeys, keyCols, "left_semi")
+            Some(source1.join(baseKeys, keyCols, "left_semi")
               .select(fieldCols :+ lit("update_postimage").as("_change_type"): _*))
           else None
         val inserts =
           if (insertUnmatched)
-            Some(source.join(baseKeys, keyCols, "left_anti")
+            Some(source1.join(baseKeys, keyCols, "left_anti")
               .select(fieldCols :+ lit("insert").as("_change_type"): _*))
           else None
         Some((Seq(matchedPre) ++ matchedPost ++ inserts).reduce(_ unionByName _))
       }
-    commitRewrite(spark, path, meta, touched, newData,
+    commitRewrite(spark, path, readVersion, meta, touched, newData,
       operation = "MERGE",
       opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""",
       cdcData = cdc, txn = txn)
@@ -142,6 +150,7 @@ object DeltaMerge {
     * version, or -1 when no row matched.
     */
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
@@ -155,7 +164,7 @@ object DeltaMerge {
       if (cdfEnabled(meta))
         Some(base.filter(hit).select(fieldCols :+ lit("delete").as("_change_type"): _*))
       else None
-    commitRewrite(spark, path, meta, touched, survivors,
+    commitRewrite(spark, path, readVersion, meta, touched, survivors,
       operation = "DELETE",
       opParams = s""""predicate":${jsString(condition.toString)}""",
       cdcData = cdc)
@@ -176,6 +185,7 @@ object DeltaMerge {
   def updateWhere(spark: SparkSession, path: String, condition: Column,
       set: Map[String, Column]): Long = {
     require(set.nonEmpty, "set must map at least one column")
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -208,7 +218,7 @@ object DeltaMerge {
           .unionByName(base.filter(hit).select(updatedCols: _*)
             .withColumn("_change_type", lit("update_postimage"))))
       } else None
-    commitRewrite(spark, path, meta, touched, rewritten,
+    commitRewrite(spark, path, readVersion, meta, touched, rewritten,
       operation = "UPDATE",
       opParams = s""""predicate":${jsString(condition.toString)}""",
       cdcData = cdc)
@@ -226,13 +236,21 @@ object DeltaMerge {
       .collect().map(_.getString(0))
     // `__file` is the scan's qualified URI; live paths are log-relative —
     // or ABSOLUTE for clone-referenced files. Part names embed a UUID, so
-    // suffix match is exact within one table either way.
-    live.filter { f =>
-      val needle =
-        if (f.path.startsWith("/") || f.path.contains("://")) f.path
-        else "/" + f.path
-      abs.exists(_.endsWith(needle))
-    }
+    // matching on the BASENAME is exact within one table; the endsWith
+    // re-check below only disambiguates the (practically impossible)
+    // basename collision. Keyed lookup keeps this O(|touched| + |live|) —
+    // a naive abs×live suffix scan is 10¹⁰+ compares at a million files.
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val byBase: Map[String, Seq[DeltaRead.LiveFile]] = live.groupBy(f => basename(f.path))
+    val hitPaths: Set[String] = abs.iterator.flatMap { a =>
+      byBase.getOrElse(basename(a), Nil).filter { f =>
+        val needle =
+          if (f.path.startsWith("/") || f.path.contains("://")) f.path
+          else "/" + f.path
+        a.endsWith(needle)
+      }.map(_.path)
+    }.toSet
+    live.filter(f => hitPaths.contains(f.path))
   }
 
   /** Publish a copy-on-write commit: stage `newData` (partitioned like the
@@ -240,7 +258,7 @@ object DeltaMerge {
     * atomically, via [[DeltaWrite.publishCommit]]'s single-writer rename.
     */
   private def commitRewrite(spark: SparkSession, path: String,
-      meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
+      readVersion: Long, meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
       newData: DataFrame, operation: String, opParams: String,
       cdcData: Option[DataFrame] = None,
       txn: Option[(String, Long)] = None): Long = {
@@ -260,41 +278,51 @@ object DeltaMerge {
           meta.partitionCols.map(c => l2p.getOrElse(c, c)))
       } else (newData, meta.partitionCols)
     val adds = DeltaWrite.stageDataFiles(stageDf, root, stageCols)
-    val version = DeltaRead.latestVersion(spark, path) + 1
     // change-data files: the changed rows (+ _change_type +
     // _commit_version, so a file stream over _change_data/ needs no log
     // lookup) staged under _change_data/, committed as cdc actions
     // (dataChange=false — CDF readers use them INSTEAD of the add/remove
-    // pair for this commit)
-    val cdcStaged = cdcData.toSeq.flatMap { c =>
-      val stageC =
-        if (meta.mappingMode == "name") {
-          val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-          val phys = DeltaRead.physicalSchema(ms)
-          c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
-        } else c
-      DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
+    // pair for this commit). Staged inside mkLines because the rows embed
+    // the final commit version: an OCC retry at a new version restages
+    // them (cheap — only the changed rows) and drops the orphaned attempt.
+    var cdcStaged: Seq[(String, Long)] = Seq.empty
+    def mkLines(version: Long): Seq[String] = {
+      cdcStaged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+      cdcStaged = cdcData.toSeq.flatMap { c =>
+        val stageC =
+          if (meta.mappingMode == "name") {
+            val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+            val phys = DeltaRead.physicalSchema(ms)
+            c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
+          } else c
+        DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
+      }
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
+      txn.foreach { case (appId, txnVersion) =>
+        lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
+      }
+      touched.foreach { f =>
+        lines += s"""{"remove":{"path":${jsString(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+      adds.foreach { case (rel, pv, size, stats) =>
+        val pvJson = pv.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+        val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+      }
+      cdcStaged.foreach { case (rel, size) =>
+        lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
+      }
+      lines.toSeq
     }
-    val now = System.currentTimeMillis()
-    val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
-    txn.foreach { case (appId, txnVersion) =>
-      lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
-    }
-    touched.foreach { f =>
-      lines += s"""{"remove":{"path":${jsString(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
-    }
-    adds.foreach { case (rel, pv, size, stats) =>
-      val pvJson = pv.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
-      val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
-    }
-    cdcStaged.foreach { case (rel, size) =>
-      lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
-    }
-    DeltaWrite.publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
-    version
+    // OCC: row-level DML tolerates concurrent appends and disjoint
+    // rewrites (WriteSerializable); a winner touching any of OUR files
+    // refuses — one of the two rewrites would otherwise be lost.
+    DeltaWrite.commitWithRetry(spark, path, readVersion,
+      ConflictGuard.disjointRewrite(touched.map(_.path).toSet, txn.map(_._1)),
+      mkLines)
   }
 
   private def jsString(s: String): String =

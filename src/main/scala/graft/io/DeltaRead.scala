@@ -56,6 +56,17 @@ object DeltaRead {
       configuration.getOrElse("delta.columnMapping.mode", "none")
   }
 
+  /** The table's protocol as of the replayed version — LAST protocol
+    * action wins, like metaData. Checkpoint and clone writers must carry
+    * this forward verbatim: deriving a protocol from the mapping mode
+    * alone would silently DOWNGRADE a table whose history declared
+    * features (typeWidening, deletionVectors, ...), and the
+    * checkpoint/clone can become the only protocol record once the JSON
+    * tail is cleaned.
+    */
+  private[io] final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
+
   /** The PHYSICAL schema of a column-mapped table (mode `name`): every
     * StructField — at any nesting depth, including structs inside arrays
     * and maps — renamed to its `delta.columnMapping.physicalName` field
@@ -419,9 +430,18 @@ object DeltaRead {
     * physical history is retention-bounded: VACUUM deletes aged
     * `_change_data/` files exactly like data tombstones, per Delta's own
     * contract. Name-mapped tables serve logical columns, as everywhere.
+    *
+    * ENABLEMENT BOUNDARY (deliberately RELAXED by default): Delta errors
+    * when the requested range predates the version at which CDF was
+    * enabled; this reader instead serves pre-enablement APPENDS exactly
+    * (their rows are fully recorded in add files) and still fails loudly
+    * on any pre-enablement commit it cannot decompose — the feed is never
+    * silently incomplete. Pass `strict = true` for Delta's own contract:
+    * refuse any range starting before the last observable false→true flip
+    * of `delta.enableChangeDataFeed`.
     */
   def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Option[Long] = None): DataFrame = {
+      toVersion: Option[Long] = None, strict: Boolean = false): DataFrame = {
     val (meta, _) = replayLog(spark, path, toVersion)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -431,11 +451,40 @@ object DeltaRead {
     val fs = root.getFileSystem(conf)
     val dir = new Path(path, "_delta_log")
     val hi = toVersion.getOrElse(Long.MaxValue)
-    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
+    val allVersions = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
-        n.dropRight(5).toLong }
-      .filter(v => v > fromVersion && v <= hi).toSeq.sorted
+        n.dropRight(5).toLong }.toSeq.sorted
+    val versions = allVersions.filter(v => v > fromVersion && v <= hi)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // strict = Delta's own contract: a range whose start predates the
+    // OBSERVABLE enablement of delta.enableChangeDataFeed refuses.
+    // (Transitions cleaned out of the JSON history cannot be checked.)
+    if (strict) {
+      var cdfOn = false
+      var enabledAt = -1L
+      allVersions.foreach { v =>
+        val in0 = fs.open(new Path(dir, f"$v%020d.json"))
+        val content0 = try scala.io.Source.fromInputStream(in0, "UTF-8").mkString
+          finally in0.close()
+        content0.split('\n').iterator.filter(_.nonEmpty)
+          .filter(_.contains("\"metaData\"")).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("metaData")) {
+              val on = Option(node.get("metaData").get("configuration")).exists(c =>
+                Option(c.get("delta.enableChangeDataFeed")).exists(_.asText() == "true"))
+              if (on && !cdfOn) enabledAt = v
+              cdfOn = on
+            }
+          }
+      }
+      if (enabledAt >= 0)
+        require(fromVersion >= enabledAt - 1,
+          s"changeFeed($fromVersion): delta.enableChangeDataFeed was enabled at " +
+            s"version $enabledAt of $path — changes before it were never recorded; " +
+            s"request fromVersion >= ${enabledAt - 1} (or strict = false for the " +
+            "relaxed append-decomposition contract)")
+    }
 
     val perVersion: Seq[DataFrame] = versions.flatMap { v =>
       val in = fs.open(new Path(dir, f"$v%020d.json"))
@@ -580,6 +629,16 @@ object DeltaRead {
     */
   private[io] def replayLog(spark: SparkSession, path: String,
       versionAsOf: Option[Long]): (Meta, Seq[LiveFile]) = {
+    val (m, l, _) = replayLogWithProtocol(spark, path, versionAsOf)
+    (m, l)
+  }
+
+  /** [[replayLog]] plus the replayed [[Protocol]] (last protocol action
+    * wins; a feature-free default for logs predating explicit protocol
+    * records).
+    */
+  private[io] def replayLogWithProtocol(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): (Meta, Seq[LiveFile], Protocol) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val dir = new Path(path, "_delta_log")
@@ -593,6 +652,7 @@ object DeltaRead {
     // traveling to a version before the checkpoint.
     val lastCp = readLastCheckpoint(spark, fs, dir).filter(_.version <= cut)
     var meta: Meta = null
+    var protocol: Protocol = Protocol(1, 2)
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
 
     lastCp.foreach { cpRef =>
@@ -626,12 +686,21 @@ object DeltaRead {
         if (cols.contains("protocol")) {
           val pcols = cp.select(col("protocol")).schema.head.dataType
             .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+          def optArr(name: String) =
+            if (pcols.contains(name)) col(s"protocol.$name")
+            else lit(null).cast("array<string>")
           cp.select(col("protocol.minReaderVersion"),
-              if (pcols.contains("readerFeatures")) col("protocol.readerFeatures")
-              else lit(null).cast("array<string>"))
+              optArr("readerFeatures"),
+              if (pcols.contains("minWriterVersion")) col("protocol.minWriterVersion")
+              else lit(2),
+              optArr("writerFeatures"))
             .filter(col("minReaderVersion").isNotNull).collect()
-            .foreach(r => checkProtocol(r.getInt(0),
-              if (r.isNullAt(1)) Nil else r.getSeq[String](1), where))
+            .foreach { r =>
+              val rf = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+              checkProtocol(r.getInt(0), rf, where)
+              protocol = Protocol(r.getInt(0), r.getInt(2), rf,
+                if (r.isNullAt(3)) Nil else r.getSeq[String](3))
+            }
         }
         if (cols.contains("metaData")) {
           // The column-mapping gate must ALSO run on the checkpoint path:
@@ -749,11 +818,14 @@ object DeltaRead {
         val node = mapper.readTree(line)
         if (node.has("protocol")) {
           val p = node.get("protocol")
-          checkProtocol(
-            Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-            Option(p.get("readerFeatures"))
-              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-            s"$dir version $v")
+          val minR = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+          val rf = Option(p.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          checkProtocol(minR, rf, s"$dir version $v")
+          protocol = Protocol(minR,
+            Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2), rf,
+            Option(p.get("writerFeatures"))
+              .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
         }
         if (node.has("metaData")) {
           val m = node.get("metaData")
@@ -782,7 +854,7 @@ object DeltaRead {
           live.remove(node.get("remove").get("path").asText())
       }
     }
-    (meta, live.values.toSeq)
+    (meta, live.values.toSeq, protocol)
   }
 
   /** Refuse tables whose protocol demands read behavior this reader does

@@ -12,8 +12,40 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * object, and not private: a private nested case class breaks the encoder's
   * generated-code accessor resolution).
   */
+private[io] case class CheckpointDv(storageType: String, pathOrInlineDv: String,
+    offset: Option[Long], sizeInBytes: Long, cardinality: Long)
+
 private[io] case class CheckpointAdd(path: String, partitionValues: Map[String, String],
-    size: Long, modificationTime: Long, stats: String)
+    size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
+    deletionVector: Option[CheckpointDv])
+
+/** What a commit knows about itself for the optimistic-concurrency
+  * conflict check ([[DeltaWrite.commitWithRetry]]): the files it removes,
+  * whether concurrent data changes invalidate it, and the txn appId whose
+  * concurrent advancement would spend its idempotence token.
+  */
+private[io] final case class ConflictGuard(
+    ourRemoves: Set[String],
+    allowConcurrentDataChange: Boolean,
+    appId: Option[String])
+
+private[io] object ConflictGuard {
+  /** Blind append: reads only the metadata — concurrent data change never
+    * conflicts; a metadata/protocol change (or a txn bump of OUR appId)
+    * does. Blind appends always win the retry. */
+  def blindAppend(appId: Option[String] = None): ConflictGuard =
+    ConflictGuard(Set.empty, allowConcurrentDataChange = true, appId)
+  /** Row-level DML / maintenance rewrite: tolerates concurrent appends and
+    * DISJOINT removes (WriteSerializable); refuses when a winner removed a
+    * file this commit also rewrites. */
+  def disjointRewrite(removes: Set[String], appId: Option[String] = None): ConflictGuard =
+    ConflictGuard(removes, allowConcurrentDataChange = true, appId)
+  /** Overwrite / restore / schema or property change: the commit's content
+    * IS the snapshot — any concurrent data or metadata change invalidates
+    * it. */
+  def exclusive(removes: Set[String] = Set.empty, appId: Option[String] = None): ConflictGuard =
+    ConflictGuard(removes, allowConcurrentDataChange = false, appId)
+}
 
 /** Minimal single-writer Delta Lake COMMIT protocol — the write half of
   * [[DeltaRead]], against the same PUBLIC delta.io log format (no delta
@@ -47,6 +79,32 @@ private[io] case class CheckpointAdd(path: String, partitionValues: Map[String, 
   * data job, which Spark already distributes.
   */
 object DeltaWrite {
+
+  /** Nullability- and metadata-normalized copy of a type, for schema
+    * EQUALITY checks: `DataType.equalsStructurally` ignores field NAMES,
+    * so a rename-only batch would silently pass an append guard and stage
+    * files under the wrong parquet column names (null-filled forever on
+    * read). Names must compare — at every nesting level; nullability and
+    * field metadata (column-mapping ids, comments) must not.
+    */
+  private[io] def comparableType(dt: DataType): DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructField}
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, comparableType(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        ArrayType(comparableType(at.elementType), containsNull = true)
+      case mt: MapType => MapType(comparableType(mt.keyType),
+        comparableType(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  /** Positional, name-checking, nullability/metadata-insensitive schema
+    * equality — the append/overwrite/merge-source validation contract.
+    */
+  private[io] def sameSchema(a: StructType, b: StructType): Boolean =
+    comparableType(a) == comparableType(b)
 
   /** Write `df` to the Delta table at `path`. `mode` ∈ {append, overwrite}
     * (the reference's validated surface). Returns the committed version.
@@ -107,11 +165,14 @@ object DeltaWrite {
     val logDir = new Path(root, "_delta_log")
 
     // Existing table state (None for a fresh path): schema compatibility
-    // for append, tombstones for overwrite.
+    // for append, tombstones for overwrite. The read version is captured
+    // BEFORE the replay — the OCC conflict window starts at the snapshot
+    // this commit's content derives from.
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
       if (fs.exists(logDir)) Some(DeltaRead.replayLog(spark, path, None)).filter(_._1 != null)
       else None
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
 
     existing.foreach { case (meta, _) =>
       // name-mapped tables are writable (the batch renames to the stored
@@ -128,7 +189,7 @@ object DeltaWrite {
         // mapped tables keep ONE schema across overwrites too: a changed
         // schema would silently drop the mapping metadata (the batch
         // carries none) while the files stay physical — recreate instead
-        require(DataType.equalsStructurally(df.schema, oldLogical, ignoreNullability = true),
+        require(sameSchema(df.schema, oldLogical),
           s"batch schema ${df.schema.simpleString} does not match the mapped " +
             s"table's logical schema ${oldLogical.simpleString} — recreate the " +
             "table to change its schema")
@@ -139,14 +200,13 @@ object DeltaWrite {
           // evolution contract: shared columns keep their type exactly;
           // batch-only columns append; table-only columns null-fill on read
           old.fields.filter(f => df.schema.fieldNames.contains(f.name)).foreach { f =>
-            require(DataType.equalsStructurally(df.schema(f.name).dataType, f.dataType,
-              ignoreNullability = true),
+            require(comparableType(df.schema(f.name).dataType) == comparableType(f.dataType),
               s"mergeSchema append changes the type of ${f.name}: table has " +
                 s"${f.dataType.simpleString}, batch has " +
                 s"${df.schema(f.name).dataType.simpleString} — widen the batch explicitly")
           }
         } else {
-          require(DataType.equalsStructurally(df.schema, old, ignoreNullability = true),
+          require(sameSchema(df.schema, old),
             s"append schema ${df.schema.simpleString} does not match table schema " +
               s"${old.simpleString} — overwrite to change the schema, or " +
               "mergeSchema=true to evolve it")
@@ -228,8 +288,8 @@ object DeltaWrite {
       lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
     }
     val schemaChanged = existing.forall { case (meta, _) =>
-      !DataType.equalsStructurally(tableSchema,
-        DataType.fromJson(meta.schemaJson).asInstanceOf[StructType], ignoreNullability = true) ||
+      !sameSchema(tableSchema,
+        DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]) ||
         // evolution must also publish nullability-only widening (a column
         // the batch omits flips required → optional, or the reader breaks)
         (mergeSchema && tableSchema.json != meta.schemaJson) ||
@@ -263,8 +323,15 @@ object DeltaWrite {
       lines += s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
     }
 
-    publishCommit(fs, logDir, version, lines.toSeq)
-    version
+    // OCC: a plain append is blind (retries past any concurrent data
+    // change); overwrite, table creation, and schema-changing commits
+    // depend on the whole snapshot and refuse concurrent activity.
+    val guard =
+      if (mode == "overwrite" || schemaChanged || version == 0L)
+        ConflictGuard.exclusive(
+          existing.map(_._2.map(_.path).toSet).getOrElse(Set.empty), txn.map(_._1))
+      else ConflictGuard.blindAppend(txn.map(_._1))
+    commitWithRetry(spark, path, readVersion, guard, _ => lines.toSeq)
   }
 
   /** SET TBLPROPERTIES: commit a metaData action whose configuration is
@@ -276,11 +343,12 @@ object DeltaWrite {
   def setTableProperties(spark: SparkSession, path: String,
       props: Map[String, String]): Long = {
     require(props.nonEmpty, "props must be non-empty")
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, _) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
@@ -291,8 +359,7 @@ object DeltaWrite {
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""",
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    publishCommit(fs, new Path(root, "_delta_log"), version, lines)
-    version
+    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ => lines)
   }
 
   /** ADD CONSTRAINT `name` CHECK (`exprSql`): stored as
@@ -351,6 +418,7 @@ object DeltaWrite {
     * log-only operation cannot cheaply verify remote existence).
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (metaNow, liveNow) = DeltaRead.replayLog(spark, path, None)
     require(metaNow != null, s"$path has no metaData action in its _delta_log")
     val (metaThen, liveThen) = DeltaRead.replayLog(spark, path, Some(toVersion))
@@ -363,7 +431,7 @@ object DeltaWrite {
     if (toAdd.isEmpty && toRemove.isEmpty && !metaChanged) return -1L
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
@@ -382,13 +450,13 @@ object DeltaWrite {
       val pvJson = f.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")
-      require(f.dv.isEmpty,
-        s"restore would resurrect ${f.path} WITH a deletion vector — DV " +
-          "serialization is not supported by this writer; compact first")
-      lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField}}"""
+      // a resurrected file carries its historical DV verbatim — the blob
+      // still resolves against this table's root (VACUUM spares live DVs)
+      val dvField = f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+      lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
     }
-    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
-    version
+    commitWithRetry(spark, path, readVersion,
+      ConflictGuard.exclusive(toRemove.map(_.path).toSet), _ => lines.toSeq)
   }
 
   /** SHALLOW CLONE: create a NEW Delta table at `dest` whose version-0
@@ -407,11 +475,8 @@ object DeltaWrite {
     * know).
     */
   def cloneShallow(spark: SparkSession, src: String, dest: String): Long = {
-    val (meta, live) = DeltaRead.replayLog(spark, src, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, src, None)
     require(meta != null, s"$src has no metaData action in its _delta_log")
-    require(live.forall(_.dv.isEmpty),
-      s"cloneShallow($src): the source carries deletion vectors, whose blobs " +
-        "resolve relative to the SOURCE table root — compact them away first")
     val srcRoot = new Path(src)
     val destRoot = new Path(dest)
     val fs = destRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -422,24 +487,57 @@ object DeltaWrite {
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
-    val (minReader, minWriter) =
-      if (meta.mappingMode == "name") (2, 5) else (1, 2)
     val configJson = meta.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     lines += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE","operationParameters":{"source":${js(src)}},"engineInfo":"graft"}}"""
-    lines += s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
+    // the SOURCE's replayed protocol, features included — a clone that
+    // re-derived (reader, writer) from the mapping mode would drop
+    // declared features (typeWidening, deletionVectors) from its only
+    // protocol record
+    lines += protocolJson(proto)
     lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
     live.foreach { f =>
       val abs = s"$srcQualified/${f.path}"
       val pvJson = f.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")
-      lines += s"""{"add":{"path":${js(abs)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField}}"""
+      // uuid-relative DV blobs resolve against the table root, which for
+      // the clone is WRONG — rewrite them to absolute `p` form pointing
+      // into the source (inline `i` and already-absolute `p` carry over)
+      val dvField = f.dv.map { d =>
+        val portable =
+          if (d.storageType == "u")
+            d.copy(storageType = "p", pathOrInlineDv = fs.makeQualified(
+              DeletionVectors.resolvedPath(srcRoot, d)).toUri.getPath)
+          else d
+        s""","deletionVector":${dvJson(portable)}"""
+      }.getOrElse("")
+      lines += s"""{"add":{"path":${js(abs)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
     }
     publishCommit(fs, new Path(destRoot, "_delta_log"), version, lines.toSeq)
     version
+  }
+
+  /** A `protocol` action JSON line — features serialized only when
+    * declared, versions verbatim from the replayed [[DeltaRead.Protocol]].
+    */
+  private def protocolJson(p: DeltaRead.Protocol): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def arr(name: String, fs0: Seq[String]): String =
+      if (fs0.isEmpty) ""
+      else s""","$name":${fs0.map(mapper.writeValueAsString).mkString("[", ",", "]")}"""
+    s"""{"protocol":{"minReaderVersion":${p.minReader},"minWriterVersion":${p.minWriter}""" +
+      arr("readerFeatures", p.readerFeatures) + arr("writerFeatures", p.writerFeatures) + "}}"
+  }
+
+  /** A `deletionVector` descriptor as the add action's JSON field. */
+  private def dvJson(d: DeletionVectors.Descriptor): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val off = d.offset.map(o => s""","offset":$o""").getOrElse("")
+    s"""{"storageType":${js(d.storageType)},"pathOrInlineDv":${js(d.pathOrInlineDv)}$off,"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
   }
 
   /** ALTER COLUMN TYPE (widening only): commit a metaData action whose
@@ -455,7 +553,8 @@ object DeltaWrite {
   def widenColumnType(spark: SparkSession, path: String, column: String,
       to: DataType): Long = {
     import org.apache.spark.sql.types._
-    val (meta, _) = DeltaRead.replayLog(spark, path, None)
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     require(meta.mappingMode == "none",
       "widenColumnType on a column-mapped table is not supported here")
@@ -476,19 +575,24 @@ object DeltaWrite {
       schema(idx).copy(dataType = to)))
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val configJson = meta.configuration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    // MERGE the feature into the replayed protocol — overwriting it would
+    // silently drop features a prior commit (or a foreign writer) declared
+    val newProto = DeltaRead.Protocol(
+      math.max(3, proto.minReader), math.max(7, proto.minWriter),
+      (proto.readerFeatures :+ "typeWidening").distinct,
+      (proto.writerFeatures :+ "typeWidening").distinct)
     val lines = Seq(
       s"""{"commitInfo":{"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""",
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""",
+      protocolJson(newProto),
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    publishCommit(fs, new Path(root, "_delta_log"), version, lines)
-    version
+    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ => lines)
   }
 
   /** Stage change-data files under `_change_data/` (the CDF layout: an
@@ -546,6 +650,7 @@ object DeltaWrite {
       bins: Int = 256): Long = {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -559,10 +664,12 @@ object DeltaWrite {
     val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
     val (px, py) = (l2p(colX), l2p(colY))
 
+    val logicalData = StructType(
+      schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
     val groups = live.groupBy(_.partitionValues)
-      .map { case (pv, files) => (pv, files.filter(_.dv.isEmpty)) }
       .filter { case (_, files) =>
-        files.size >= 2 || files.map(_.size).sum > targetBytes }
+        files.size >= 2 || files.map(_.size).sum > targetBytes ||
+          files.exists(_.dv.isDefined) }
     if (groups.isEmpty) return -1L
 
     val conf = spark.sparkContext.hadoopConfiguration
@@ -578,7 +685,7 @@ object DeltaWrite {
         .select(col(s"`$px`").as("x"), col(s"`$py`").as("y")),
       "x", "y", bins)
 
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
@@ -590,8 +697,18 @@ object DeltaWrite {
       val nOut = math.max(1,
         math.ceil(files.map(_.size).sum.toDouble / targetBytes).toInt)
       val staging = new Path(root, s".optz-staging-${UUID.randomUUID()}")
-      spark.read.schema(dataSchema)
-        .parquet(files.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
+      val (dvFiles, plainFiles) = files.partition(_.dv.isDefined)
+      val plainDf =
+        if (plainFiles.isEmpty) None
+        else Some(spark.read.schema(dataSchema)
+          .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
+      // DV-bearing files recluster through the DV-filtering scan — the
+      // rewrite materializes their deletes away and drops the descriptor
+      val dvDf =
+        if (dvFiles.isEmpty) None
+        else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
+          .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
+      (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
         .withColumn("__bx", ZOrder.binOf(col(s"`$px`"), bx))
         .withColumn("__by", ZOrder.binOf(col(s"`$py`"), by))
         .withColumn("__z", ZOrder.interleaveBits(col("__bx"), col("__by")))
@@ -616,8 +733,9 @@ object DeltaWrite {
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
-    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
-    version
+    commitWithRetry(spark, path, readVersion,
+      ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
+      _ => lines.toSeq)
   }
 
   /** Mint column-mapping metadata for a fresh name-mapped table: every
@@ -649,9 +767,13 @@ object DeltaWrite {
     (StructType(schema.fields.map(field)), id)
   }
 
-  /** Atomic commit publish: tmp file + rename to `NNN.json`. An existing
-    * destination means a concurrent writer committed this version first —
-    * the single-writer guard fails the commit instead of clobbering.
+  /** Atomic commit publish: tmp file + atomic put-if-absent to `NNN.json`.
+    * An existing destination means a concurrent writer committed this
+    * version first — the guard fails THIS commit instead of clobbering,
+    * and [[commitWithRetry]] turns that failure into the protocol's
+    * conflict-checked retry. On a local filesystem the put-if-absent is a
+    * hard link (O_EXCL semantics): exists-then-rename would be a TOCTOU
+    * race, because POSIX rename silently REPLACES an existing destination.
     */
   private[io] def publishCommit(fs: org.apache.hadoop.fs.FileSystem,
       logDir: Path, version: Long, lines: Seq[String]): Unit = {
@@ -660,29 +782,138 @@ object DeltaWrite {
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+    val scheme = fs.getUri.getScheme
+    val committed =
+      if (scheme == null || scheme == "file") {
+        val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+        val d = java.nio.file.Paths.get(dest.toUri.getPath)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    if (scheme == null || scheme == "file") fs.delete(tmp, false)
+    if (!committed) {
       fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
         s"commit $version already exists in $logDir — concurrent writer won")
     }
   }
 
+  /** OPTIMISTIC CONCURRENCY (the delta.io OCC contract, WriteSerializable
+    * isolation — Delta's default): publish at `firstAttempt`; on losing the
+    * version race, read every commit a concurrent writer landed since,
+    * conflict-check each against this commit's [[ConflictGuard]], and
+    * either RETRY at the new head (the work is provably disjoint) or
+    * refuse with the conflict spelled out. `mkLines` is called per attempt
+    * so content that depends on the final version (CDC files embed
+    * `_commit_version`) can re-derive. Returns the version that actually
+    * committed.
+    *
+    * Conflict semantics per winning commit, in the order Delta's own
+    * checker applies them:
+    *   - a `protocol` or `metaData` action refuses ALWAYS (this commit
+    *     validated its batch against the snapshot's schema, constraints,
+    *     and properties — all possibly stale now);
+    *   - a `txn` action advancing OUR appId refuses (the idempotence token
+    *     may already be spent — replaying it could double-apply);
+    *   - a `remove` of a file this commit also removes refuses (concurrent
+    *     delete/rewrite of the same file — one of the rewrites would be
+    *     silently lost);
+    *   - any other data change refuses only for snapshot-`exclusive`
+    *     commits (overwrite/restore: their content IS the snapshot).
+    *     Blind appends and disjoint rewrites proceed — that is the
+    *     WriteSerializable relaxation: a concurrent append commits even
+    *     when its rows would have matched an in-flight DELETE's predicate
+    *     (serial order: delete first, then append).
+    */
+  private[io] def commitWithRetry(spark: SparkSession, path: String,
+      readVersion: Long, guard: ConflictGuard,
+      mkLines: Long => Seq[String], maxRetries: Int = 20): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, "_delta_log")
+    // EVERY commit past the snapshot this commit's content derives from is
+    // a winner to conflict-check — including ones that landed between the
+    // snapshot replay and the first publish attempt (their version never
+    // collides with ours, so the rename race alone would miss them).
+    var checked = readVersion
+    var tries = 0
+    while (tries <= maxRetries) {
+      val head = DeltaRead.latestVersion(spark, path)
+      ((checked + 1) to head).foreach(v => checkWinner(fs, logDir, v, guard))
+      checked = math.max(checked, head)
+      try {
+        val attempt = head + 1
+        publishCommit(fs, logDir, attempt, mkLines(attempt))
+        return attempt
+      } catch {
+        case race: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > maxRetries) throw race
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Conflict-check one winning commit against our [[ConflictGuard]] —
+    * throws ConcurrentModificationException on true conflict, returns
+    * silently when this commit may retry on top of it.
+    */
+  private def checkWinner(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      version: Long, guard: ConflictGuard): Unit = {
+    def refuse(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict with concurrent version $version in $logDir: $why")
+    val p = new Path(logDir, f"$version%020d.json")
+    if (!fs.exists(p))
+      refuse("the winning commit JSON is no longer readable")
+    val in = fs.open(p)
+    val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    content.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      def dataChange(a: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        Option(a.get("dataChange")).forall(_.asBoolean(true))
+      if (node.has("protocol"))
+        refuse("a concurrent writer upgraded the table protocol")
+      if (node.has("metaData"))
+        refuse("a concurrent writer changed the table metadata " +
+          "(schema, partitioning, or properties)")
+      Option(node.get("txn")).foreach { t =>
+        if (guard.appId.exists(a => Option(t.get("appId")).exists(_.asText() == a)))
+          refuse(s"a concurrent writer advanced txn appId ${guard.appId.get} — " +
+            "this commit's idempotence token may already be spent")
+      }
+      Option(node.get("remove")).foreach { r =>
+        val rp = r.get("path").asText()
+        if (guard.ourRemoves.contains(rp))
+          refuse(s"a concurrent writer already removed $rp, which this commit " +
+            "also rewrites — one rewrite would be silently lost")
+        if (!guard.allowConcurrentDataChange && dataChange(r))
+          refuse("a concurrent writer removed data under this commit's snapshot")
+      }
+      Option(node.get("add")).foreach { a =>
+        if (!guard.allowConcurrentDataChange && dataChange(a))
+          refuse("a concurrent writer added data that this snapshot-exclusive " +
+            "commit (overwrite/restore) would silently drop")
+      }
+    }
+  }
+
   /** Snapshot the current table state into `NNN.checkpoint.parquet` +
     * `_last_checkpoint`, bounding future replay to commits after `NNN`.
-    * The checkpoint carries metaData, protocol, and every live add with
-    * its partitionValues/size/stats — exactly what [[DeltaRead]]'s fast
-    * path consumes.
+    * The checkpoint carries metaData, protocol (the REPLAYED protocol,
+    * features included — the checkpoint may become the only protocol
+    * record once the JSON tail is cleaned, so deriving one from the
+    * mapping mode would silently downgrade a typeWidening/DV table),
+    * and every live add with its partitionValues/size/stats/deletion
+    * vector — exactly what [[DeltaRead]]'s fast path consumes.
     */
   def checkpoint(spark: SparkSession, path: String): Long = {
     val version = DeltaRead.latestVersion(spark, path)
     require(version >= 0, s"$path has no commits to checkpoint")
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
-    require(live.forall(_.dv.isEmpty),
-      s"checkpoint($path): live files carry deletion vectors; this checkpoint " +
-        "writer does not serialize DV descriptors and would silently resurrect " +
-        "deleted rows once the JSON tail is cleaned — compact/rewrite the DV " +
-        "files first")
     // txn high-water marks must survive the checkpoint: once a later
     // cleanup drops pre-checkpoint JSON commits, these rows are the only
     // record the idempotent streaming sink can consult (spec: checkpoints
@@ -697,19 +928,20 @@ object DeltaWrite {
     val txnType = "struct<appId:string,version:bigint,lastUpdated:bigint>"
     val metaType = "struct<id:string,schemaString:string," +
       "partitionColumns:array<string>,configuration:map<string,string>>"
-    // the checkpoint may become the ONLY metaData/protocol record once the
-    // JSON tail is cleaned: the FULL configuration (column mapping mode,
-    // maxColumnId, ...) and the table's real protocol floor must survive it
-    val (minReader, minWriter) =
-      if (meta.mappingMode == "name") (2, 5) else (1, 2)
+    val protoType = "struct<minReaderVersion:int,minWriterVersion:int," +
+      "readerFeatures:array<string>,writerFeatures:array<string>>"
+    def featArr(fs0: Seq[String]) =
+      if (fs0.isEmpty) lit(null).cast("array<string>") else typedlit(fs0)
     val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
-      f.size, f.modificationTime, f.stats.orNull))
+      f.size, f.modificationTime, dataChange = false, f.stats.orNull,
+      f.dv.map(d => CheckpointDv(d.storageType, d.pathOrInlineDv, d.offset,
+        d.sizeInBytes, d.cardinality))))
     val addsDf = addRows.toDF()
       .select(struct(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), col("stats")).as("add"))
+        col("modificationTime"), col("dataChange"), col("stats"),
+        col("deletionVector")).as("add"))
       .withColumn("metaData", lit(null).cast(metaType))
-      .withColumn("protocol", lit(null).cast(
-        "struct<minReaderVersion:int,minWriterVersion:int>"))
+      .withColumn("protocol", lit(null).cast(protoType))
       .withColumn("txn", lit(null).cast(txnType))
     val metaDf = Seq(1).toDF("__one")
       .select(
@@ -718,16 +950,19 @@ object DeltaWrite {
           lit(meta.schemaJson).as("schemaString"),
           typedlit(meta.partitionCols).as("partitionColumns"),
           typedlit(meta.configuration).as("configuration")).as("metaData"),
-        struct(lit(minReader).as("minReaderVersion"),
-          lit(minWriter).as("minWriterVersion")).as("protocol"),
+        struct(lit(proto.minReader).as("minReaderVersion"),
+          lit(proto.minWriter).as("minWriterVersion"),
+          featArr(proto.readerFeatures).as("readerFeatures"),
+          featArr(proto.writerFeatures).as("writerFeatures")).as("protocol"),
         lit(null).cast(txnType).as("txn"))
-    val txnDf = txns.toSeq.toDF("__a", "__v")
+    val txnDf = txns.toSeq.map { case (a, (v, lu)) => (a, v, lu) }
+      .toDF("__a", "__v", "__lu")
       .select(
         lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
         lit(null).cast(metaType).as("metaData"),
-        lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        lit(null).cast(protoType).as("protocol"),
         struct(col("__a").as("appId"), col("__v").as("version"),
-          lit(0L).as("lastUpdated")).as("txn"))
+          col("__lu").as("lastUpdated")).as("txn"))
     val cpDf = metaDf
       .unionByName(txnDf)
       .unionByName(addsDf.select(col("add"), col("metaData"), col("protocol"), col("txn")))
@@ -754,16 +989,17 @@ object DeltaWrite {
     * with every JSON commit after the checkpoint. Empty map for a fresh
     * path. Cost: driver-side, O(log tail), never O(rows).
     */
-  private[io] def txnVersions(spark: SparkSession, path: String): Map[String, Long] = {
+  private[io] def txnVersions(spark: SparkSession, path: String): Map[String, (Long, Long)] = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val dir = new Path(root, "_delta_log")
     if (!fs.exists(dir)) return Map.empty
-    val acc = scala.collection.mutable.Map[String, Long]()
-    def bump(appId: String, v: Long): Unit =
-      acc(appId) = math.max(acc.getOrElse(appId, Long.MinValue), v)
+    // appId -> (high-water txn version, its lastUpdated timestamp)
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    def bump(appId: String, v: Long, lastUpdated: Long = 0L): Unit =
+      if (acc.get(appId).forall(_._1 < v)) acc(appId) = (v, lastUpdated)
     val lastCp = DeltaRead.readLastCheckpoint(spark, fs, dir)
     lastCp.foreach { cpRef =>
       val cpPaths = cpRef.parts match {
@@ -777,7 +1013,10 @@ object DeltaWrite {
         cp.select(col("txn")).filter(col("txn.appId").isNotNull).collect()
           .foreach { r =>
             val t = r.getStruct(0)
-            bump(t.getString(t.fieldIndex("appId")), t.getLong(t.fieldIndex("version")))
+            val lu = scala.util.Try(t.fieldIndex("lastUpdated")).toOption
+              .filterNot(t.isNullAt).map(t.getLong).getOrElse(0L)
+            bump(t.getString(t.fieldIndex("appId")),
+              t.getLong(t.fieldIndex("version")), lu)
           }
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -795,7 +1034,8 @@ object DeltaWrite {
         content.linesIterator.filter(_.contains("\"txn\"")).foreach { line =>
           val t = mapper.readTree(line).get("txn")
           if (t != null && t.get("appId") != null)
-            bump(t.get("appId").asText(), t.get("version").asLong())
+            bump(t.get("appId").asText(), t.get("version").asLong(),
+              Option(t.get("lastUpdated")).map(_.asLong()).getOrElse(0L))
         }
       }
     acc.toMap
@@ -806,7 +1046,7 @@ object DeltaWrite {
     * epoch id is <= this has already committed and must skip the replay.
     */
   def lastTxnVersion(spark: SparkSession, path: String, appId: String): Long =
-    txnVersions(spark, path).getOrElse(appId, -1L)
+    txnVersions(spark, path).get(appId).map(_._1).getOrElse(-1L)
 
   /** OPTIMIZE: bin-pack each partition's small live files (< `targetBytes`)
     * into ~`targetBytes` outputs and commit the swap as remove+add with
@@ -824,24 +1064,34 @@ object DeltaWrite {
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2): Long = {
     require(targetBytes > 0 && minFiles >= 2,
       s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
+    val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)
     val dataSchema = compactReadSchema(meta)
-    // Files carrying a deletion vector never bin-pack: this rewrite reads
-    // raw parquet and would resurrect DV-deleted rows. (A DV-aware rewrite
-    // is DeltaMerge's job — its reads go through the DV-filtering scan.)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val logicalData = StructType(
+      schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
+    // Files carrying a deletion vector ALWAYS rewrite (any size): their
+    // rows read through the DV-filtering scan, so the rewrite materializes
+    // the deletes away and the new file drops the descriptor — the seam
+    // that lets checkpoint/clone/streaming compose with externally-written
+    // DVs. DV-free files bin-pack by the size rule as before.
     val groups = live.groupBy(_.partitionValues)
-      .map { case (pv, files) => (pv, files.filter(f => f.size < targetBytes && f.dv.isEmpty)) }
-      .filter(_._2.size >= minFiles)
+      .map { case (pv, files) =>
+        val smalls = files.filter(f => f.size < targetBytes && f.dv.isEmpty)
+        val dvs = files.filter(_.dv.isDefined)
+        (pv, if (smalls.size >= minFiles || dvs.nonEmpty) smalls ++ dvs else Nil)
+      }
+      .filter(_._2.nonEmpty)
     if (groups.isEmpty) return -1L
 
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val version = DeltaRead.latestVersion(spark, path) + 1
+    val version = readVersion + 1
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
@@ -855,8 +1105,19 @@ object DeltaWrite {
       val nOut = math.max(1,
         math.ceil(smalls.map(_.size).sum.toDouble / targetBytes).toInt)
       val staging = new Path(root, s".opt-staging-${UUID.randomUUID()}")
-      spark.read.schema(dataSchema)
-        .parquet(smalls.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
+      val (dvFiles, plainFiles) = smalls.partition(_.dv.isDefined)
+      val plainDf =
+        if (plainFiles.isEmpty) None
+        else Some(spark.read.schema(dataSchema)
+          .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
+      // DV-bearing files go through the log-backed DV-filtering scan
+      // (logical columns), then rename back to the physical layout the
+      // staged files must store
+      val dvDf =
+        if (dvFiles.isEmpty) None
+        else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
+          .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
+      (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
         .coalesce(nOut)
         .write.mode("overwrite").parquet(staging.toString)
       listParquet(fs, staging).foreach { p =>
@@ -876,8 +1137,9 @@ object DeltaWrite {
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
-    publishCommit(fs, new Path(root, "_delta_log"), version, lines.toSeq)
-    version
+    commitWithRetry(spark, path, readVersion,
+      ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
+      _ => lines.toSeq)
   }
 
   /** VACUUM: physically delete data files that are no longer referenced by
@@ -897,6 +1159,13 @@ object DeltaWrite {
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val cutoff = System.currentTimeMillis() - retentionMs
+    // deletion-vector blobs referenced by the CURRENT snapshot must
+    // survive; orphaned ones (their file was rewritten/compacted) age out
+    // exactly like data tombstones
+    val liveDv: Set[String] = live.flatMap(_.dv)
+      .filter(d => d.storageType == "u" || d.storageType == "p")
+      .map(d => fs.makeQualified(DeletionVectors.resolvedPath(root, d)).toUri.getPath)
+      .toSet
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
@@ -904,8 +1173,12 @@ object DeltaWrite {
       val rel = relativize(root, st.getPath)
       val segs = rel.split('/')
       val skip = segs.head == "_delta_log" || segs.exists(_.startsWith("."))
-      if (!skip && rel.endsWith(".parquet") && !liveSet.contains(rel) &&
-          st.getModificationTime < cutoff) {
+      val aged = st.getModificationTime < cutoff
+      if (!skip && aged && rel.endsWith(".parquet") && !liveSet.contains(rel)) {
+        if (fs.delete(st.getPath, false)) deleted += rel
+      } else if (!skip && aged && st.getPath.getName.startsWith("deletion_vector_") &&
+          rel.endsWith(".bin") &&
+          !liveDv.contains(fs.makeQualified(st.getPath).toUri.getPath)) {
         if (fs.delete(st.getPath, false)) deleted += rel
       }
     }

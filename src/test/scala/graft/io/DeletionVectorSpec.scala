@@ -162,7 +162,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.toSeq == (1L to 8L))
   }
 
-  test("DV-aware composition: MERGE rewrites honor the DV; checkpoint/changesSince refuse") {
+  test("DV-aware composition: MERGE rewrites honor the DV; changesSince refuses") {
     val table = freshTable()
     val data = dvData(roaring32Array(Seq(2)))
     appendDvCommit(table,
@@ -175,17 +175,84 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.toMap.apply(5L) == "V5")
     assert(got.length == 9)
 
-    // writers that cannot preserve DVs refuse them loudly
+    // incremental exactness still refuses a range with row-level deletes
     val table2 = freshTable()
     appendDvCommit(table2,
       s"""{"storageType":"i","pathOrInlineDv":"${z85Encode(pad4(data))}","sizeInBytes":${pad4(data).length},"cardinality":1}""")
-    val e = intercept[IllegalArgumentException] { DeltaWrite.checkpoint(spark, table2) }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       DeltaRead.changesSince(spark, table2, fromVersion = 0L).collect()
     }
     assert(e2.getMessage.contains("remove") || e2.getMessage.contains("deletion"),
       e2.getMessage)
+  }
+
+  test("checkpoint serializes DV descriptors; compact materializes deletes away") {
+    val table = freshTable()
+    val data = dvData(roaring32Array(Seq(2)))
+    appendDvCommit(table,
+      s"""{"storageType":"i","pathOrInlineDv":"${z85Encode(pad4(data))}","sizeInBytes":${pad4(data).length},"cardinality":1}""") // v1
+    val expect = Seq(0L, 1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+
+    // checkpoint no longer refuses DV tables: the descriptor rides the
+    // checkpoint add row. Prove it by dropping every JSON commit — the
+    // checkpoint becomes the ONLY record, and the read must still filter.
+    val cpv = DeltaWrite.checkpoint(spark, table)
+    assert(cpv == 1L)
+    new java.io.File(table, "_delta_log").listFiles()
+      .filter(f => f.getName.endsWith(".json") && f.getName.dropRight(5).forall(_.isDigit))
+      .foreach(f => assert(f.delete()))
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // the replayed protocol survived the checkpoint (not derived from the
+    // mapping mode): reader 3 + deletionVectors feature, as the external
+    // DV commit declared
+    val proto = DeltaRead.replayLogWithProtocol(spark, table, None)._3
+    assert(proto.minReader == 3 && proto.readerFeatures.contains("deletionVectors"), proto)
+
+    // compact reads THROUGH the vector and commits the rewrite without the
+    // deleted rows — descriptor gone, rows identical
+    val cv = DeltaWrite.compact(spark, table)
+    assert(cv == 2L)
+    val liveAfter = DeltaRead.replayLog(spark, table, None)._2
+    assert(liveAfter.forall(_.dv.isEmpty), liveAfter)
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // with the DVs materialized away, a second checkpoint + clean replay
+    // round-trips too
+    assert(DeltaWrite.checkpoint(spark, table) == 2L)
+  }
+
+  test("shallow clone rewrites u-form DVs to absolute p-form; restore resurrects them") {
+    val table = freshTable()
+    val data = dvData(roaring32Array(Seq(0, 9)))
+    val uuid = java.util.UUID.randomUUID()
+    val uuidBytes = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val blob = ByteBuffer.allocate(1 + 4 + data.length + 4)
+      .put(1.toByte).putInt(data.length).put(data).putInt(crc.getValue.toInt).array()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(table, s"deletion_vector_$uuid.bin"), blob)
+    appendDvCommit(table,
+      s"""{"storageType":"u","pathOrInlineDv":"${z85Encode(uuidBytes)}","offset":1,"sizeInBytes":${data.length},"cardinality":2}""") // v1
+    val expect = (1L to 8L).toSeq
+
+    val dest = Files.createTempDirectory("graft_dv_clone").toString + "/t"
+    DeltaWrite.cloneShallow(spark, table, dest)
+    // the clone's descriptor must be ABSOLUTE (p) — uuid-relative would
+    // resolve against the clone's own root, where no blob exists
+    val cloneLive = DeltaRead.replayLog(spark, dest, None)._2
+    assert(cloneLive.flatMap(_.dv).map(_.storageType).distinct == Seq("p"), cloneLive)
+    assert(DeltaRead.readDeltaTable(spark, dest)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+
+    // restore across a DV-dropping rewrite resurrects the descriptor
+    DeltaWrite.compact(spark, table) // v2: deletes materialized, DV dropped
+    DeltaWrite.restore(spark, table, 1L) // v3: back to the DV-carrying state
+    val restoredLive = DeltaRead.replayLog(spark, table, None)._2
+    assert(restoredLive.exists(_.dv.isDefined), restoredLive)
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
   }
 
   /** Z85 needs length % 4; pad the data block with trailing zero bytes —
