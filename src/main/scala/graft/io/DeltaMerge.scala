@@ -264,6 +264,9 @@ object DeltaMerge {
       txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(meta.mappingMode != "id",
+      s"$operation on $path: id-mapped tables are read-only here — staging " +
+        "rewrites would need parquet field ids minted per file")
     // CHECK constraints hold for the post-DML rows too
     DeltaWrite.enforceConstraints(newData, meta, s"$operation on $path")
     // name-mapped tables: the DML logic above runs entirely on LOGICAL

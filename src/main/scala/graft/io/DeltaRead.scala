@@ -108,6 +108,41 @@ object DeltaRead {
       (if (pf.dataType == lf.dataType) c else c.cast(lf.dataType)).as(lf.name)
     }.toSeq
 
+  /** The physical schema of an ID-mapped table (mode `id`): physical
+    * names as in [[physicalSchema]], but every field ADDITIONALLY carries
+    * `parquet.field.id` = its `delta.columnMapping.id` — the metadata key
+    * Spark's parquet reader matches against the file's stored field ids
+    * when `spark.sql.parquet.fieldId.read.enabled` is on. That id match
+    * IS the mode's authority: the file's own column names are free to
+    * differ from the log's physical names (foreign writers exploit this),
+    * and a name-resolving read would silently null-fill — which is why
+    * this reader refused mode `id` until it could resolve by field id.
+    */
+  private[io] def physicalSchemaWithIds(logical: StructType): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder, StructField}
+    def renameType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(renameField))
+      case at: ArrayType => at.copy(elementType = renameType(at.elementType))
+      case mt: MapType =>
+        mt.copy(keyType = renameType(mt.keyType), valueType = renameType(mt.valueType))
+      case other => other
+    }
+    def renameField(f: StructField): StructField = {
+      require(f.metadata.contains("delta.columnMapping.id"),
+        s"id-mapped table field ${f.name} lacks delta.columnMapping.id — " +
+          "the log metaData is not a valid id-mode schema")
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      StructField(phys, renameType(f.dataType), f.nullable,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+    }
+    StructType(logical.fields.map(renameField))
+  }
+
   /** The inverse of [[logicalSelect]]: renames a logical-name DataFrame to
     * the physical layout — what [[DeltaWrite]] stages into a name-mapped
     * table. Same alias + positional-cast mechanics.
@@ -227,19 +262,29 @@ object DeltaRead {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     }
-    // Column mapping (mode `name`): the SCAN runs entirely under the
-    // physical names the parquet files and the log use — partition schema,
-    // data schema, partitionValues keys, and stats keys all line up with
-    // no translation inside the index — and one aliasing projection on top
-    // restores the logical names ([[logicalSelect]]). Unmapped tables take
-    // the same code path with phys == schema.
-    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    // Column mapping: the SCAN runs entirely under the physical names the
+    // parquet files and the log use — partition schema, data schema,
+    // partitionValues keys, and stats keys all line up with no translation
+    // inside the index — and one aliasing projection on top restores the
+    // logical names ([[logicalSelect]]). Mode `id` additionally stamps
+    // `parquet.field.id` on every read-schema field and flips the session
+    // flag, so the parquet reader resolves columns by FIELD ID (the mode's
+    // authority — file-local column names are free to differ). Unmapped
+    // tables take the same code path with phys == schema.
+    val phys = meta.mappingMode match {
+      case "name" => physicalSchema(schema)
+      case "id" =>
+        // session-scoped; inert for scans whose read schema carries no ids
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        physicalSchemaWithIds(schema)
+      case _ => schema
+    }
     val logToPhys = schema.fieldNames.zip(phys.fieldNames).toMap
     val physPartCols = meta.partitionCols.map(c => logToPhys.getOrElse(c, c))
     // tolerate either key convention in add.partitionValues (the spec says
     // physical names under mapping; normalize logical-keyed writers too)
     val normFiles =
-      if (meta.mappingMode == "name")
+      if (meta.mappingMode != "none")
         files.map(f => f.copy(partitionValues =
           f.partitionValues.map { case (k, v) => (logToPhys.getOrElse(k, k), v) }))
       else files
@@ -304,6 +349,10 @@ object DeltaRead {
   def readStreamAppendOnly(spark: SparkSession, path: String): DataFrame = {
     val (meta, liveFiles) = replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode != "id",
+      s"readStreamAppendOnly($path): id-mapped tables resolve columns by " +
+        "parquet field id, which the raw file stream cannot honor — use " +
+        "batch reads or changesSince")
     require(liveFiles.forall(_.dv.isEmpty),
       s"readStreamAppendOnly($path): the table carries deletion vectors — a raw " +
         "file stream would resurrect the deleted rows; use batch reads or changesSince")
@@ -444,6 +493,9 @@ object DeltaRead {
       toVersion: Option[Long] = None, strict: Boolean = false): DataFrame = {
     val (meta, _) = replayLog(spark, path, toVersion)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode != "id",
+      s"changeFeed($path): id-mapped tables are read-only here, and their " +
+        "_change_data files would need field-id resolution — unsupported")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
     val conf = spark.sparkContext.hadoopConfiguration
@@ -538,6 +590,9 @@ object DeltaRead {
   def readChangeFeedStream(spark: SparkSession, path: String): DataFrame = {
     val (meta, _) = replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode != "id",
+      s"readChangeFeedStream($path): id-mapped tables are unsupported here " +
+        "(field-id resolution does not compose with the raw file stream)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
     val fileSchema = phys.add("_change_type", "string").add("_commit_version", "long")
@@ -718,10 +773,8 @@ object DeltaRead {
                 if (r.isNullAt(2)) Map.empty[String, String]
                 else r.getMap[String, String](2).toMap
               val candidate = Meta(r.getString(0), r.getSeq[String](1), config)
-              require(candidate.mappingMode == "none" || candidate.mappingMode == "name",
-                s"$where enables column mapping '${candidate.mappingMode}' — only " +
-                  "'none' and 'name' modes are supported; resolving an id-mapped " +
-                  "table by name could silently misread it")
+              require(Seq("none", "name", "id").contains(candidate.mappingMode),
+                s"$where enables unknown column mapping '${candidate.mappingMode}'")
               meta = candidate
             }
         }
@@ -836,14 +889,11 @@ object DeltaRead {
               .map(e => e.getKey -> e.getValue.asText()).toMap
           }.getOrElse(Map.empty[String, String])
           val candidate = Meta(m.get("schemaString").asText(), pcols, config)
-          // `name` mode is implemented (physical-name scan + logical
-          // re-alias); `id` mode's authority is the parquet field id,
-          // which name resolution cannot honor for foreign writers —
-          // refuse rather than risk misreading
-          require(candidate.mappingMode == "none" || candidate.mappingMode == "name",
-            s"$dir enables column mapping '${candidate.mappingMode}' — only " +
-              "'none' and 'name' modes are supported; resolving an id-mapped " +
-              "table by name could silently misread it")
+          // `name` resolves by physical name; `id` resolves by parquet
+          // FIELD ID ([[physicalSchemaWithIds]]) — both read paths are
+          // implemented; only data-rewriting writers refuse mode `id`
+          require(Seq("none", "name", "id").contains(candidate.mappingMode),
+            s"$dir enables unknown column mapping '${candidate.mappingMode}'")
           meta = candidate
         }
         if (node.has("add")) {

@@ -653,6 +653,8 @@ object DeltaWrite {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
+    require(meta.mappingMode != "id",
+      s"compactZOrder($path): id-mapped tables are read-only here")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
       "z-order columns must be data columns (partition values carry no footer stats)")
@@ -1067,6 +1069,9 @@ object DeltaWrite {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live) = DeltaRead.replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action")
+    require(meta.mappingMode != "id",
+      s"compact($path): id-mapped tables are read-only here — the rewrite " +
+        "would need parquet field ids honored and re-minted")
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)

@@ -72,6 +72,41 @@ class DeltaCdfSpec extends SparkSpec {
     assert(feedRows(table, 2L) == Seq((3L, "delete", 1L, "a", 10L)))
   }
 
+  test("a _commit_version filter prunes whole change-file scans; projection prunes columns") {
+    val table = tmp("graft_cdf_prune")
+    DeltaWrite.writeDeltaTable(
+      (0L until 10L).map(i => (i, s"v$i", i * 10L)).toDF("id", "v", "n"),
+      table, "append")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L, Map("n" -> lit(-1L))) // v2
+    DeltaMerge.updateWhere(spark, table, col("id") === 2L, Map("n" -> lit(-2L))) // v3
+    DeltaMerge.deleteWhere(spark, table, col("id") === 3L) // v4
+
+    def scanStats(d: org.apache.spark.sql.DataFrame): (Long, Seq[String]) = {
+      d.collect()
+      val scans = d.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      (scans.map(_.metrics("numFiles").value).sum,
+        scans.flatMap(_.schema.fieldNames).distinct.toSeq)
+    }
+    val feed = DeltaRead.changeFeed(spark, table, 1L)
+    val (allFiles, _) = scanStats(feed)
+    assert(allFiles >= 3, s"expected at least one change file per DML, got $allFiles")
+    // _commit_version is a per-branch literal: a version filter constant-
+    // folds every other branch to an empty relation before any I/O
+    val (v3Files, _) = scanStats(feed.filter(col("_commit_version") === 3L))
+    assert(v3Files < allFiles, s"version filter did not prune: $v3Files of $allFiles")
+    val (v3bFiles, _) = scanStats(
+      DeltaRead.changeFeed(spark, table, 2L, Some(3L)))
+    assert(v3bFiles == v3Files, s"range-bounded read scans more than the filter: $v3bFiles vs $v3Files")
+    // column pruning reaches the change-file scan
+    val (_, cols) = scanStats(
+      feed.filter(col("_commit_version") === 3L).select("id", "_change_type"))
+    assert(!cols.contains("n") && !cols.contains("v"), cols.toString)
+  }
+
   test("streaming tail: DML change files stream in with their commit version") {
     val table = tmp("graft_cdf_stream")
     DeltaWrite.writeDeltaTable(

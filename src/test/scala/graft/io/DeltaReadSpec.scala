@@ -289,10 +289,10 @@ class DeltaReadSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
-  test("id-mapped table whose metaData lives only in the checkpoint is rejected") {
+  test("unknown-mode mapping whose metaData lives only in the checkpoint is rejected") {
     // the steady state after log cleanup: the ONLY metaData action is in the
     // checkpoint parquet — the mapping-mode gate must fire there too, not
-    // just on the JSON-commit path (name mode reads; id mode refuses)
+    // just on the JSON-commit path
     val table = Files.createTempDirectory("graft_delta_cpcm").toString
     val d = Seq((1L, "a")).toDF("id", "v")
     val f1 = addFile(table, "f1.parquet", d)
@@ -300,7 +300,7 @@ class DeltaReadSpec extends SparkSpec {
     val cp = spark.sql(
       s"""SELECT named_struct('schemaString', '$sj',
          |  'partitionColumns', array(),
-         |  'configuration', map('delta.columnMapping.mode', 'id')) AS metaData,
+         |  'configuration', map('delta.columnMapping.mode', 'unknownmode')) AS metaData,
          |  CAST(null AS STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>>) AS add
          |UNION ALL
          |SELECT null, named_struct('path', 'f1.parquet', 'partitionValues', map())
@@ -489,12 +489,18 @@ class DeltaReadSpec extends SparkSpec {
     // v3 with only harmless features still reads
     val ntz = table("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""")
     assert(DeltaRead.readDeltaTable(spark, ntz).count() == 1L)
-    // id-mode column mapping: the parquet field id is authoritative and
-    // name resolution cannot honor it — refuse
+    // id-mode column mapping with a schema that carries NO field ids:
+    // field-id resolution is impossible — loud failure, never a name-based
+    // guess (valid id tables are covered by the dedicated id-mode test)
     val cm = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       ""","configuration":{"delta.columnMapping.mode":"id"}""")
     val e2 = intercept[Exception](DeltaRead.readDeltaTable(spark, cm).count())
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    assert(e2.getMessage.contains("delta.columnMapping.id"), e2.getMessage)
+    // an unknown mapping mode refuses outright
+    val um = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      ""","configuration":{"delta.columnMapping.mode":"somefuturemode"}""")
+    val e3 = intercept[Exception](DeltaRead.readDeltaTable(spark, um).count())
+    assert(e3.getMessage.contains("unknown column mapping"), e3.getMessage)
     // name-mode mapping with no physicalName metadata: physical == logical,
     // reads fine (the real rename path is covered by the dedicated test)
     val nm = table("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -553,6 +559,69 @@ class DeltaReadSpec extends SparkSpec {
     val cs = DeltaRead.changesSince(spark, table, -1L)
     assert(cs.schema.fieldNames.toSeq == Seq("id", "v", "part"))
     assert(cs.count() == 4L)
+  }
+
+  test("id-mapped table: columns resolve by parquet FIELD ID, pruning and skipping intact") {
+    import org.apache.spark.sql.types._
+    val table = Files.createTempDirectory("graft_delta_cm_id").toString
+    // logical (id, v, part) with mapping ids 1/2/3 and physical names that
+    // the data files DO NOT use — in id mode the field id is the authority
+    // and file-local column names are free to differ (foreign writers
+    // exploit exactly this)
+    def m(id: Int, pn: String) = Metadata.fromJson(
+      s"""{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$pn"}""")
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m(1, "pn_one")),
+      StructField("v", StringType, nullable = true, m(2, "pn_two")),
+      StructField("part", StringType, nullable = true, m(3, "pn_part"))))
+    // file columns named x/y, carrying parquet field ids 1/2
+    def fid(id: Int) = Metadata.fromJson(s"""{"parquet.field.id":$id}""")
+    val fileSchema = StructType(Seq(
+      StructField("x", LongType, nullable = true, fid(1)),
+      StructField("y", StringType, nullable = true, fid(2))))
+    def fileDf(rows: Seq[(Long, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)), 1), fileSchema)
+    val f1 = addFile(table, "f1.parquet", fileDf(Seq((1L, "a"), (2L, "b"))))
+    val f2 = addFile(table, "f2.parquet", fileDf(Seq((100L, "c"), (101L, "d"))))
+    val sj = logical.json.replace("\"", "\\\"")
+    // stats + partitionValues keyed by the PHYSICAL name, per the spec
+    def stats(lo: Long, hi: Long) =
+      s"""{\\"numRecords\\":2,\\"minValues\\":{\\"pn_one\\":$lo},\\"maxValues\\":{\\"pn_one\\":$hi}}"""
+    writeCommit(table, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","schemaString":"$sj","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"pn_part":"a"},"size":${fsize(table, f1)},"dataChange":true,"stats":"${stats(1, 2)}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"pn_part":"b"},"size":${fsize(table, f2)},"dataChange":true,"stats":"${stats(100, 101)}"}}"""))
+
+    val df = DeltaRead.readDeltaTable(spark, table)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "a", "a"), (2L, "b", "a"),
+      (100L, "c", "b"), (101L, "d", "b")), rows.toSeq.toString)
+
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    // logical-name data filter → physical-keyed stats skipping still works
+    assert(filesRead(df.filter(col("id") === 100L)) == 1L)
+    // logical-name partition filter → physical partition pruning
+    assert(filesRead(df.filter(col("part") === "a")) == 1L)
+    // writes stay refused on id tables
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((7L, "z", "c")).toDF("id", "v", "part"),
+        table, "append", partitionBy = Seq("part"))
+    }
+    assert(e.getMessage.contains("'id'"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaMerge.deleteWhere(spark, table, col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
   }
 
   test("typeWidening: narrow pre-widening files promote to the log's widened schema") {
