@@ -165,6 +165,82 @@ object AnnIndex {
       .orderBy(col("cell"))
   }
 
+  /** Split oversized cells IN PLACE — the remediation op [[cellStats]]'s
+    * drift signal calls for (appends never move centroids, so a hot cell's
+    * probe cost balloons): every cell whose balance (share × nCells)
+    * exceeds `maxBalance` re-trains k=2 sub-centroids ON THAT CELL ONLY
+    * (sample-bounded, exactly like [[build]]'s trainer) and rewrites ONLY
+    * its partition directory — one sub-cell keeps the old id, the other
+    * appends as a fresh cell — so the cost is proportional to the
+    * oversized mass, never the corpus, and untouched cells' files stay
+    * byte-identical. Splits repeat worst-cell-first until the bound holds,
+    * a cell stops separating (near-identical vectors), or `maxSplits`.
+    * The sidecar's centroids/nCells update in the same pass; every
+    * query/join/append path reads them unchanged. Exactness at
+    * `nProbe = nCells` is preserved by construction (all cells scanned);
+    * sub-linear probes see strictly SMALLER hot cells. Returns the number
+    * of splits performed.
+    */
+  def rebalance(spark: SparkSession, path: String, maxBalance: Double = 4.0,
+      iters: Int = 2, seed: Long = 42L, maxSplits: Int = 32): Int = {
+    require(maxBalance > 1.0,
+      s"maxBalance must exceed 1 (the perfectly even share), got $maxBalance")
+    val meta = readMeta(spark, path)
+    val centroids = scala.collection.mutable.ArrayBuffer(meta.centroids: _*)
+    val counts = scala.collection.mutable.Map[Int, Long]()
+    spark.read.parquet(path).groupBy(col("cell")).count()
+      .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    val total = counts.values.sum.toDouble
+    if (total == 0) return 0
+    val unsplittable = scala.collection.mutable.Set[Int]()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var splits = 0
+    def worst: Option[(Int, Long)] = counts.filterNot(c => unsplittable(c._1))
+      .maxByOption(_._2).filter(_._2 * centroids.size / total > maxBalance)
+    var next = worst
+    while (splits < maxSplits && next.isDefined) {
+      val cell = next.get._1
+      val rows = spark.read.parquet(path).filter(col("cell") === cell)
+      val sub = Similarity.ivfCentroidsSampled(rows, "id", "vec", 2, iters,
+        seed + splits)
+      val newCell = centroids.size
+      val reassigned = rows.withColumn("cell",
+        when(Similarity.assignCell(col("vec"), sub) === 0, lit(cell))
+          .otherwise(lit(newCell)))
+      val staging = new org.apache.hadoop.fs.Path(path,
+        s".rebal-staging-${java.util.UUID.randomUUID()}")
+      reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+      val stagedCounts = spark.read.parquet(staging.toString)
+        .groupBy(col("cell")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (stagedCounts.size < 2) {
+        // the cell would not separate into two — never retry it
+        unsplittable += cell
+        fs.delete(staging, true)
+      } else {
+        val oldDir = new org.apache.hadoop.fs.Path(path, s"cell=$cell")
+        fs.delete(oldDir, true)
+        Seq(cell, newCell).foreach { c =>
+          val src = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+          val dst = new org.apache.hadoop.fs.Path(path, s"cell=$c")
+          require(fs.rename(src, dst), s"failed to move $src to $dst")
+        }
+        fs.delete(staging, true)
+        centroids(cell) = sub(0)
+        centroids += sub(1)
+        counts(cell) = stagedCounts(cell)
+        counts(newCell) = stagedCounts(newCell)
+        splits += 1
+      }
+      next = worst
+    }
+    if (splits > 0)
+      writeMeta(spark, path,
+        meta.copy(nCells = centroids.size, centroids = centroids.toSeq))
+    splits
+  }
+
   /** ANN-routed hard-negative mining for UNBOUNDED query sets — the scale
     * path past [[Similarity.hardNegatives]]'s broadcast form: instead of
     * broadcasting the query set and scoring it against the whole corpus,

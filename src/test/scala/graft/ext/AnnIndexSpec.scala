@@ -175,6 +175,60 @@ class AnnIndexSpec extends SparkSpec {
     assert(hot > 1.5, s"expected a ballooned cell, got max balance $hot")
   }
 
+  test("rebalance splits the hot cell only: bound holds, untouched cells byte-identical, exact results unchanged") {
+    val path = Files.createTempDirectory("graft_ann_rebal").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    // one-sided append: 24 extra vectors into cluster 0's cell → 36/60 of
+    // the mass in one cell, balance 1.8
+    val extra = (0 until 24).map { i =>
+      val v = Array.fill(8)(0.0f); v(0) = 10.1f + i * 0.01f; v(4) = 4f
+      (800L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(extra, "vec_id", "embedding", path)
+    val statsBefore = AnnIndex.cellStats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getDouble(3))).toMap
+    val hotCell = statsBefore.maxBy(_._2)._1
+    assert(statsBefore(hotCell) > 1.5, statsBefore.toString)
+
+    // exact results and untouched-cell bytes, captured before
+    val all = vecs.unionByName(extra)
+    val queries = all.filter(col("vec_id").isin(0L, 101L, 207L, 805L))
+    def exhaustive(nCells: Int) =
+      AnnIndex.knnJoin(spark, path, queries, "vec_id", "embedding",
+        nProbe = nCells, k = 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val before = exhaustive(3)
+    def cellBytes(cell: Int): Map[String, Seq[Byte]] = {
+      val dir = new java.io.File(path, s"cell=$cell")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    val coldCells = Seq(0, 1, 2).filterNot(_ == hotCell)
+    val coldBefore = coldCells.map(c => c -> cellBytes(c)).toMap
+
+    val splits = AnnIndex.rebalance(spark, path, maxBalance = 1.3)
+    assert(splits >= 1 && splits <= 3, s"expected a small number of splits, got $splits")
+    val metaAfter = AnnIndex.readMeta(spark, path)
+    assert(metaAfter.nCells == 3 + splits && metaAfter.centroids.size == 3 + splits)
+    // the bound holds everywhere
+    val statsAfter = AnnIndex.cellStats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(statsAfter.forall(_._3 <= 1.3), statsAfter.mkString(", "))
+    assert(statsAfter.map(_._2).sum == 60L, statsAfter.mkString(", "))
+    // untouched cells' files are byte-identical — the rewrite touched only
+    // the hot cell's directory
+    coldCells.foreach { c =>
+      assert(cellBytes(c) == coldBefore(c), s"cell $c files changed")
+    }
+    // exactness preserved: the full probe over the NEW cell set returns
+    // the identical neighbor sets
+    val after = exhaustive(metaAfter.nCells)
+    assert(after == before, s"$after vs $before")
+    // an already-balanced index is a no-op
+    assert(AnnIndex.rebalance(spark, path, maxBalance = 1.3) == 0)
+  }
+
   test("a non-index path is refused") {
     val e = intercept[IllegalArgumentException](
       AnnIndex.query(spark, Files.createTempDirectory("not_ann").toString,
