@@ -1147,6 +1147,46 @@ object DeltaWrite {
       _ => lines.toSeq)
   }
 
+  /** Metadata cleanup (Delta's log retention): delete commit JSONs — and
+    * superseded checkpoint files — whose version is covered by the LAST
+    * checkpoint and whose modification time is older than `retentionMs`.
+    * Replay correctness is untouched: the checkpoint is a complete
+    * snapshot at its version and [[DeltaRead.replayLog]] anchors on it,
+    * so only commits the fast path already skips are removed. The trades
+    * are Delta's own: time travel to a cleaned version fails loudly
+    * (never returns wrong data) and [[DeltaRead.versionAtTimestamp]]
+    * cannot resolve instants before the earliest surviving commit. txn
+    * high-water marks survive — the checkpoint carries them. Returns the
+    * deleted file names.
+    */
+  def cleanupMetadata(spark: SparkSession, path: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Seq[String] = {
+    require(retentionMs >= 0, s"retentionMs must be >= 0, got $retentionMs")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(new Path(path), "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    require(fs.exists(logDir), s"$path is not a Delta table (no _delta_log)")
+    val lastCp = DeltaRead.readLastCheckpoint(spark, fs, logDir)
+      .getOrElse(return Nil) // nothing to anchor replay on — delete nothing
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      val jsonV = if (n.endsWith(".json") && n.dropRight(5).forall(_.isDigit))
+        Some(n.dropRight(5).toLong) else None
+      // a superseded checkpoint: strictly older than the one
+      // _last_checkpoint names (any of the three naming forms)
+      val cpV = if (n.contains(".checkpoint.") || n.endsWith(".checkpoint.parquet"))
+        n.split('.').headOption.filter(_.forall(_.isDigit)).map(_.toLong) else None
+      val expendable =
+        jsonV.exists(_ <= lastCp.version) || cpV.exists(_ < lastCp.version)
+      if (expendable && st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += n
+      }
+    }
+    deleted.toSeq
+  }
+
   /** VACUUM: physically delete data files that are no longer referenced by
     * the CURRENT snapshot and whose modification time is older than
     * `retentionMs` — tombstoned by overwrite/OPTIMIZE, or orphaned by a

@@ -11,20 +11,23 @@ import org.apache.spark.sql.functions._
   * map task builds an OpenHashMap of boxed values, the (few) reducers merge
   * all those maps and Timsort the boxed entries — with a handful of groups
   * the final stage is a few huge single-threaded boxed sorts, and the maps
-  * traverse the JVM heap. This decomposition computes the SAME result as
-  *   1. `groupBy(key, value).count` — codegen'd HashAggregate, map-side
-  *      combined, fully parallel;
-  *   2. one window cumulative-sum per group — Tungsten UnsafeExternalSorter
-  *      on primitive rows (radix sort, spillable), no boxing;
-  *   3. a broadcast join of the (key, fraction, rank) targets against the
-  *      ranked runs, interpolating `v[k] + frac * (v[k+1] - v[k])` at
-  *      rank `r = p * (n - 1)` — identical to Percentile.getPercentile and
-  *      DuckDB's quantile_cont.
-  * Measured on par with the builtin at sf0.1 / 3 groups (min-of-5 ~1.1s
-  * both; tools/ProfilePct) — the win is the scale envelope: the sort is
-  * spillable and unboxed where the builtin's per-group value map must fit
-  * on one reducer's heap, which is exactly what breaks first at 100 TB
-  * group sizes.
+  * traverse the JVM heap. This decomposition computes the SAME result in
+  * ONE shuffle + ONE Tungsten sort of the data (UnsafeExternalSorter on
+  * primitive rows — radix sort, spillable, no boxing):
+  *   1. one window over (key ORDER BY v) assigns each row its 0-indexed
+  *      rank and the next value (`row_number`, `lead`);
+  *   2. a second window over the SAME partition key adds the group size —
+  *      its required (key) ordering is a PREFIX of the first window's
+  *      (key, v) sort, so it reuses the exchange AND the sort (the q44
+  *      prefix-ordering rule: longer ordering plans first);
+  *   3. a per-row lambda keeps the fractions whose floor rank
+  *      `floor(p * (n - 1))` lands exactly on this row, interpolating
+  *      `v[k] + frac * (v[k+1] - v[k])` — identical arithmetic to
+  *      Percentile.getPercentile and DuckDB's quantile_cont.
+  * An earlier shape computed step 3's targets with a separate
+  * `groupBy(key).count` + broadcast join — a SECOND full-data shuffle and
+  * two extra jobs for the same answer; folding the count into the window
+  * halves the passes over the data.
   *
   * Nulls in `valCol` are excluded, like the builtin. Returns one row per
   * (group, fraction): `keyCols..., frac DOUBLE, value DOUBLE`.
@@ -32,40 +35,65 @@ import org.apache.spark.sql.functions._
 object ExactPercentile {
 
   def groupedPercentiles(df: DataFrame, keyCols: Seq[String], valCol: String,
-      fractions: Seq[Double]): DataFrame = {
+      fractions: Seq[Double], buckets: Int = 64): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0 && f <= 1))
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val keys = keyCols.map(col)
     val v = col(valCol).cast("double")
     val nonNull = df.filter(v.isNotNull).select(keys :+ v.as("__v"): _*)
 
-    // (key, frac) -> fractional rank r in [0, n-1], split into k = floor(r)
-    // and the interpolation weight. Tiny: |groups| x |fractions| rows.
-    val targets = nonNull.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    // Pass 1 (map-side combined, tiny result): per-key value range for the
+    // uniform value bucketing. The bucket only steers PARALLELISM — a
+    // skewed distribution degrades to fewer effective buckets but never
+    // changes the answer.
+    val ranges = nonNull.groupBy(keys: _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val rawB = when(col("__lo") === col("__hi"), lit(1L))
+      .otherwise(width_bucket(col("__v"), col("__lo"), col("__hi"), lit(buckets)))
+    // width_bucket returns buckets+1 for v == hi — clamp into the top one
+    val withB = nonNull.join(broadcast(ranges), keyCols)
+      .withColumn("__b", least(rawB, lit(buckets.toLong)))
+
+    // Pass 2 (map-side combined to |keys|×|buckets| rows): per-bucket
+    // count and minimum → each bucket's global rank offset, the group
+    // total, and the NEXT non-empty bucket's first value (the lead for a
+    // bucket's last row).
+    val wKey = Window.partitionBy(keys: _*).orderBy(col("__b"))
+    val stats = withB.groupBy(keys :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bn"), min(col("__v")).as("__bmin"))
+      .withColumn("__off", coalesce(sum(col("__bn"))
+        .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__bn")).over(Window.partitionBy(keys: _*)))
+      .withColumn("__bnext", lead(col("__bmin"), 1).over(wKey))
+      .drop("__bmin")
+
+    // Pass 3: the data-sized window runs per (key, BUCKET) — parallelism =
+    // keys × buckets instead of keys, which is what makes a 3-group (or
+    // 1-group: global percentile) call scale across cores and executors.
+    // Global rank = bucket offset + local rank (buckets are value-ordered,
+    // so ranks never interleave across buckets; equal values share one
+    // bucket, so ties never straddle a boundary).
+    val wB = Window.partitionBy(keys :+ col("__b"): _*).orderBy(col("__v"))
+    // Rank k = floor(p * (n - 1)) lands on exactly one row per (group, p):
+    // explode the (tiny, constant) fraction array and keep the rows whose
+    // rank is hit — ×|fractions| narrow rows inside one whole-stage-codegen
+    // span (an array-filter lambda here would be CodegenFallback per row,
+    // measurably slower). frac == 0 short-circuits, so neither the (null)
+    // local lead of the group's overall last row nor a boundary repair is
+    // ever consulted on an exact-rank hit.
+    val frac = col("__p") * (col("__n") - 1) - col("__pos")
+    withB
+      .withColumn("__lpos", row_number().over(wB).cast("long") - 1L)
+      .withColumn("__lnext", lead(col("__v"), 1).over(wB))
+      .join(broadcast(stats), keyCols :+ "__b")
+      .withColumn("__pos", col("__off") + col("__lpos"))
       .withColumn("__p", explode(array(fractions.map(lit): _*)))
-      .withColumn("__r", col("__p") * (col("__n") - 1))
-      .withColumn("__k", floor(col("__r")))
-      .withColumn("__frac", col("__r") - col("__k"))
-      .select(keys ++ Seq(col("__p"), col("__k"), col("__frac")): _*)
-
-    // Sorted positions per group: ONE window (shuffle on key + Tungsten sort
-    // on (key, v)) assigns each row its 0-indexed rank and the next value.
-    val w = Window.partitionBy(keys: _*).orderBy(col("__v"))
-    val ranked = nonNull
-      .withColumn("__pos", row_number().over(w).cast("long") - 1L)
-      .withColumn("__next", lead(col("__v"), 1).over(w))
-
-    // Rank k lands on exactly one row; v[k+1] is that row's lead. frac == 0
-    // short-circuits so the (null) lead of a group's last row never poisons
-    // an exact-rank hit. Both frames descend from `nonNull` — alias them so
-    // the key equality is unambiguous to the self-join checker.
-    val joinCond = keyCols
-      .map(c => col(s"__t.`$c`") === col(s"__rk.`$c`"))
-      .reduce(_ && _) && col("__k") === col("__pos")
-    val vk = col("__v")
-    ranked.as("__rk").join(broadcast(targets.as("__t")), joinCond)
-      .select(keyCols.map(c => col(s"__rk.`$c`")) ++ Seq(
+      .filter(floor(col("__p") * (col("__n") - 1)) === col("__pos"))
+      .select(keys ++ Seq(
         col("__p").as("frac"),
-        when(col("__frac") === 0.0, vk)
-          .otherwise(vk + col("__frac") * (col("__next") - vk)).as("value")): _*)
+        when(frac === 0.0, col("__v"))
+          .otherwise(col("__v") +
+            frac * (coalesce(col("__lnext"), col("__bnext")) - col("__v")))
+          .as("value")): _*)
   }
 }

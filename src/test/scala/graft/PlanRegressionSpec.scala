@@ -31,7 +31,6 @@ class PlanRegressionSpec extends SparkSpec {
     "q27_cosine_topk",      // the 1-row query-vector broadcast
     "q97_mixture_sample",   // the 1-row mixture-unit broadcast
     "q32_source_sketch",    // corpus-pair count scalar
-    "q39_percentiles",      // rank-interpolation bounds row
     "q58_tfidf",            // corpus doc-count scalar
     "q66_bm25",             // avg doc length scalar
     "q73_equidepth_bins",   // total-count scalar
@@ -59,6 +58,16 @@ class PlanRegressionSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"scale anti-patterns: ${offenders.mkString(", ")}")
+  }
+
+  test("q39: bucketed percentile joins broadcast; the data never sort-merge joins") {
+    val p = plan("q39_percentiles")
+    // ranges and per-bucket stats both broadcast onto the data side (the
+    // stats branch re-derives the cheap ranges join — 3 BHJs total); the
+    // big window partitions by (key, bucket) — no SMJ, no NLJ anywhere
+    assert(count(p, "BroadcastHashJoin") == 3, p)
+    assert(count(p, "SortMergeJoin") == 0, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("q02: filter and projection are pushed to the parquet scan") {

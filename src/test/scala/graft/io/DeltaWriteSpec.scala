@@ -104,6 +104,43 @@ class DeltaWriteSpec extends SparkSpec {
       == Seq(3L))
   }
 
+  test("cleanupMetadata deletes checkpoint-covered commits past retention, nothing else") {
+    val table = tmp("graft_dw_lc")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite") // v0
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), table, "append")    // v1
+    DeltaWrite.checkpoint(spark, table) // at 1
+    DeltaWrite.writeDeltaTable(Seq((3L, "c")).toDF("id", "v"), table, "append",
+      partitionBy = Nil, txn = Some(("app", 9L)))                                  // v2
+    // no checkpoint pointer → nothing deleted (replay has no anchor)
+    val bare = tmp("graft_dw_lc2")
+    DeltaWrite.writeDeltaTable(Seq((1L, "x")).toDF("id", "v"), bare, "append")
+    assert(DeltaWrite.cleanupMetadata(spark, bare, retentionMs = 0L).isEmpty)
+
+    val deleted = DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L)
+    // v0 and v1 JSONs are covered by the checkpoint; v2 and the checkpoint
+    // itself survive
+    assert(deleted.toSet == Set(f"${0L}%020d.json", f"${1L}%020d.json"), deleted)
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaRead.latestVersion(spark, table) == 2L)
+    // txn high-water marks and incremental reads keep working
+    assert(DeltaWrite.lastTxnVersion(spark, table, "app") == 9L)
+    assert(DeltaRead.changesSince(spark, table, 1L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // time travel to a cleaned version fails loudly, never wrong data
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTable(spark, table, versionAsOf = Some(0L)).collect()
+    }
+    assert(e.getMessage.contains("time travel"), e.getMessage)
+
+    // a later checkpoint supersedes the earlier one: the old checkpoint
+    // file becomes expendable too
+    DeltaWrite.checkpoint(spark, table) // at 2
+    val deleted2 = DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L)
+    assert(deleted2.contains(f"${1L}%020d.checkpoint.parquet"), deleted2)
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 3L)
+  }
+
   test("append with a different schema or partitioning is refused; bad modes are refused") {
     val table = tmp("graft_dw6")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
