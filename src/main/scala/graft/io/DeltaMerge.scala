@@ -47,8 +47,9 @@ object DeltaMerge {
       s"whenMatched must be update or delete, got $whenMatched")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
@@ -151,8 +152,9 @@ object DeltaMerge {
     */
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -186,8 +188,9 @@ object DeltaMerge {
       set: Map[String, Column]): Long = {
     require(set.nonEmpty, "set must map at least one column")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"SET column $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))

@@ -169,9 +169,15 @@ object DeltaWrite {
     // BEFORE the replay — the OCC conflict window starts at the snapshot
     // this commit's content derives from.
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
-      if (fs.exists(logDir)) Some(DeltaRead.replayLog(spark, path, None)).filter(_._1 != null)
+    val existingFull: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile], DeltaRead.Protocol)] =
+      if (fs.exists(logDir))
+        Some(DeltaRead.replayLogWithProtocol(spark, path, None)).filter(_._1 != null)
       else None
+    val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
+      existingFull.map(t => (t._1, t._2))
+    existingFull.foreach { case (meta, _, proto) =>
+      checkWritable(meta, proto, s"write to $path",
+        removesData = mode == "overwrite") }
     val version = readVersion + 1
 
     existing.foreach { case (meta, _) =>
@@ -384,6 +390,59 @@ object DeltaWrite {
     setTableProperties(spark, path, Map(s"delta.constraints.$name" -> exprSql))
   }
 
+  /** Writer features whose semantics this engine actually HONORS when
+    * committing: appendOnly and CHECK constraints are enforced,
+    * changeDataFeed is emitted by every DML verb, name-mode columnMapping
+    * stages physically, widened types stage wide, deletion vectors read
+    * through and materialize away on rewrite, and the rest carry no
+    * writer-side obligation for this engine's commit shapes. Anything NOT
+    * here (identityColumns, rowTracking, icebergCompat*, domainMetadata,
+    * ...) imposes invariants a commit from this writer would silently
+    * break — refuse instead.
+    */
+  private val honoredWriterFeatures = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "columnMapping", "typeWidening", "typeWidening-preview",
+    "deletionVectors", "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+    "generatedColumns")
+
+  /** Refuse commits whose table demands WRITER semantics this engine does
+    * not honor — the write-side mirror of [[DeltaRead]]'s reader-protocol
+    * gate. Checks, in protocol order: writer version ceiling, undeclared/
+    * unknown writer features, `delta.appendOnly` (data-changing removes
+    * refused; dataChange=false maintenance rewrites are allowed, per the
+    * spec), row tracking (row ids would need to be minted/preserved), and
+    * schema-embedded obligations this writer cannot compute — column
+    * invariants (`delta.invariants`), generation expressions
+    * (`delta.generationExpression`), identity columns (`delta.identity.*`).
+    * The features `invariants`/`generatedColumns` are in the honored set
+    * because MOST tables declare them without using them (legacy writer
+    * versions imply them); the schema scan here is what actually gates.
+    */
+  private[io] def checkWritable(meta: DeltaRead.Meta, proto: DeltaRead.Protocol,
+      where: String, removesData: Boolean): Unit = {
+    require(proto.minWriter <= 7,
+      s"$where requires Delta writer version ${proto.minWriter}; max supported is 7")
+    val unknown = proto.writerFeatures.filterNot(honoredWriterFeatures)
+    require(unknown.isEmpty,
+      s"$where requires writer features ${unknown.mkString(", ")} — committing " +
+        "without honoring them would break another writer's invariants")
+    if (removesData)
+      require(!meta.configuration.get("delta.appendOnly").contains("true"),
+        s"$where: the table is delta.appendOnly — removing or rewriting data " +
+          "is forbidden by its own configuration")
+    require(!meta.configuration.get("delta.enableRowTracking").contains("true"),
+      s"$where: the table enables row tracking, which requires writers to " +
+        "mint and preserve row ids — unsupported here")
+    Seq("delta.invariants" -> "column invariants",
+      "delta.generationExpression" -> "generated columns",
+      "delta.identity" -> "identity columns").foreach { case (key, what) =>
+      require(!meta.schemaJson.contains(key),
+        s"$where: the table schema declares $what ($key), which this writer " +
+          "cannot compute or validate — a commit could silently violate them")
+    }
+  }
+
   /** Validate a batch against the table's stored CHECK constraints — one
     * aggregate pass counting violations of every constraint at once; any
     * violation refuses the commit before a single file is staged.
@@ -419,8 +478,9 @@ object DeltaWrite {
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (metaNow, liveNow) = DeltaRead.replayLog(spark, path, None)
+    val (metaNow, liveNow, protoNow) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(metaNow != null, s"$path has no metaData action in its _delta_log")
+    checkWritable(metaNow, protoNow, s"restore of $path", removesData = true)
     val (metaThen, liveThen) = DeltaRead.replayLog(spark, path, Some(toVersion))
     require(metaThen != null, s"$path had no metaData at version $toVersion")
     val nowByPath = liveNow.map(f => f.path -> f).toMap
@@ -651,10 +711,11 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
     require(meta.mappingMode != "id",
       s"compactZOrder($path): id-mapped tables are read-only here")
+    checkWritable(meta, proto, s"compactZOrder of $path", removesData = false)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
       "z-order columns must be data columns (partition values carry no footer stats)")
@@ -1067,11 +1128,14 @@ object DeltaWrite {
     require(targetBytes > 0 && minFiles >= 2,
       s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live) = DeltaRead.replayLog(spark, path, None)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
     require(meta.mappingMode != "id",
       s"compact($path): id-mapped tables are read-only here — the rewrite " +
         "would need parquet field ids honored and re-minted")
+    // dataChange=false: allowed even on delta.appendOnly tables (the spec's
+    // carve-out for maintenance rewrites)
+    checkWritable(meta, proto, s"compact of $path", removesData = false)
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)

@@ -141,6 +141,77 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, table).count() == 3L)
   }
 
+  test("writer protocol gate: appendOnly, unhonored writer features, schema obligations refuse") {
+    import org.apache.hadoop.fs.Path
+    // delta.appendOnly: appends land, anything removing data refuses,
+    // dataChange=false maintenance keeps its carve-out
+    val table = tmp("graft_dw_wp")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append")
+    DeltaWrite.setTableProperties(spark, table, Map("delta.appendOnly" -> "true"))
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), table, "append")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaMerge.deleteWhere(spark, table, col("id") === 1L) }
+    assert(e1.getMessage.contains("appendOnly"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((9L, "z")).toDF("id", "v"), table, "overwrite") }
+    assert(e2.getMessage.contains("appendOnly"), e2.getMessage)
+    assert(DeltaWrite.compact(spark, table) >= 1L) // maintenance allowed
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 2L)
+
+    // a writer feature this engine does not honor refuses every commit
+    val t2 = tmp("graft_dw_wp2")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), t2, "append")
+    val fs = new Path(t2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaWrite.publishCommit(fs, new Path(t2, "_delta_log"), 1L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"UPGRADE","operationParameters":{},"engineInfo":"other"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}"""))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), t2, "append") }
+    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    // reads stay fine — the gate is writer-side only
+    assert(DeltaRead.readDeltaTable(spark, t2).count() == 1L)
+
+    // schema-embedded generation expressions refuse writes this engine
+    // cannot compute
+    val t3 = tmp("graft_dw_wp3")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import org.apache.spark.sql.types._
+    val genSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("twice", LongType, nullable = true,
+        Metadata.fromJson("""{"delta.generationExpression":"id * 2"}"""))))
+    DeltaWrite.publishCommit(fs, new Path(t3, "_delta_log"), 0L, Seq(
+      """{"commitInfo":{"timestamp":1,"operation":"CREATE","operationParameters":{},"engineInfo":"other"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(genSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((1L, 2L)).toDF("id", "twice"), t3, "append") }
+    assert(e4.getMessage.contains("generated columns"), e4.getMessage)
+  }
+
+  test("a rename-only batch is refused: schema comparison checks field NAMES") {
+    val table = tmp("graft_dw_rn")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append")
+    // same types, renamed column — structurally equal, must still refuse
+    // (the files would stage under wrong parquet names and null-fill forever)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "renamed"),
+        table, "append") }
+    assert(e.getMessage.contains("does not match table schema"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaMerge.merge(spark, table,
+        Seq((1L, "x")).toDF("id", "renamed"), Seq("id")) }
+    assert(e2.getMessage.contains("must match table"), e2.getMessage)
+    // and a rename-only OVERWRITE publishes a fresh metaData (not silently
+    // the old schema)
+    DeltaWrite.writeDeltaTable(Seq((3L, "c")).toDF("id", "renamed"),
+      table, "overwrite")
+    assert(DeltaRead.readDeltaTable(spark, table).columns.toSeq ==
+      Seq("id", "renamed"))
+    assert(DeltaRead.readDeltaTable(spark, table).select("renamed")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
   test("append with a different schema or partitioning is refused; bad modes are refused") {
     val table = tmp("graft_dw6")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite")
