@@ -972,7 +972,18 @@ object DeltaWrite {
     * and every live add with its partitionValues/size/stats/deletion
     * vector — exactly what [[DeltaRead]]'s fast path consumes.
     */
-  def checkpoint(spark: SparkSession, path: String): Long = {
+  def checkpoint(spark: SparkSession, path: String): Long =
+    checkpoint(spark, path, parts = 1)
+
+  /** Multi-part variant: the snapshot writes as `parts` parallel slices
+    * (`NNN.checkpoint.MMM.PPP.parquet`, the protocol's multi-part naming,
+    * `_last_checkpoint` carrying `parts`). A single coalesced file is the
+    * right shape up to ~100k live files; past that the one-task write
+    * becomes the bottleneck and slices let every core participate —
+    * readers load all slices in one scan either way.
+    */
+  def checkpoint(spark: SparkSession, path: String, parts: Int): Long = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     val version = DeltaRead.latestVersion(spark, path)
     require(version >= 0, s"$path has no commits to checkpoint")
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
@@ -1031,16 +1042,32 @@ object DeltaWrite {
       .unionByName(addsDf.select(col("add"), col("metaData"), col("protocol"), col("txn")))
 
     val staging = new Path(new Path(path), s".cp-staging-${UUID.randomUUID()}")
-    cpDf.coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = listParquet(fs, staging).head
-    val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    fs.delete(dest, false)
-    require(fs.rename(part, dest), s"failed to publish checkpoint $dest")
+    (if (parts == 1) cpDf.coalesce(1) else cpDf.repartition(parts))
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = listParquet(fs, staging)
+    // empty partitions write no file — the slice count is what landed
+    val n = staged.size
+    val partsField =
+      if (parts == 1) {
+        val dest = new Path(logDir, f"$version%020d.checkpoint.parquet")
+        fs.delete(dest, false)
+        require(fs.rename(staged.head, dest), s"failed to publish checkpoint $dest")
+        ""
+      } else {
+        staged.zipWithIndex.foreach { case (p, i) =>
+          val dest = new Path(logDir,
+            f"$version%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+          fs.delete(dest, false)
+          require(fs.rename(p, dest), s"failed to publish checkpoint slice $dest")
+        }
+        s""","parts":$n"""
+      }
     fs.delete(staging, true)
     val lc = new Path(logDir, "_last_checkpoint")
     val tmp = new Path(logDir, s".tmp-lc-${UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(s"""{"version":$version,"size":${live.size + 2 + txns.size}}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"version":$version,"size":${live.size + 2 + txns.size}$partsField}""".getBytes("UTF-8"))
     finally out.close()
     fs.delete(lc, false)
     require(fs.rename(tmp, lc), s"failed to update $lc")

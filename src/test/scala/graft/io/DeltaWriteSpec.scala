@@ -104,6 +104,27 @@ class DeltaWriteSpec extends SparkSpec {
       == Seq(3L))
   }
 
+  test("multi-part checkpoint write: slices publish under protocol naming, replay stays exact") {
+    val table = tmp("graft_dw_mpcp")
+    DeltaWrite.writeDeltaTable(
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(5),
+      table, "overwrite")                                                       // v0
+    DeltaWrite.writeDeltaTable(Seq((100L, "x")).toDF("id", "v"), table, "append",
+      partitionBy = Nil, txn = Some(("mp", 3L)))                                // v1
+    val cpV = DeltaWrite.checkpoint(spark, table, parts = 3)
+    assert(cpV == 1L)
+    val names = new java.io.File(table, "_delta_log").listFiles().map(_.getName)
+    val slices = names.filter(_.matches(raw"0*1\.checkpoint\.\d{10}\.\d{10}\.parquet"))
+    assert(slices.length >= 2, names.mkString(", "))
+    // the checkpoint is the only record once the covered JSONs clean away
+    assert(DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L).nonEmpty)
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 21L)
+    assert(DeltaWrite.lastTxnVersion(spark, table, "mp") == 3L)
+    DeltaWrite.writeDeltaTable(Seq((101L, "y")).toDF("id", "v"), table, "append") // v2
+    assert(DeltaRead.changesSince(spark, table, 1L)
+      .collect().map(_.getLong(0)).toSeq == Seq(101L))
+  }
+
   test("cleanupMetadata deletes checkpoint-covered commits past retention, nothing else") {
     val table = tmp("graft_dw_lc")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite") // v0
