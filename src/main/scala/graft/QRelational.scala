@@ -66,10 +66,14 @@ object QRelational {
     * prefix), so AQE plans one exchange for the small side only.
     */
   def q04CompositeJoin(s: SparkSession, d: String): DataFrame = {
+    // the composite-key self-join ("rows carrying their order's max
+    // quantity") folds into ONE shuffle as a windowed max — the join form
+    // scanned lineitem twice and sort-merge-joined the 600k-row fact with
+    // itself for the same answer (the oracle keeps the join spelling)
     val li = lineitem(s, d)
-    val mx = li.groupBy(col("l_orderkey").as("g_orderkey"))
-      .agg(max(col("l_quantity")).as("max_qty"))
-    li.join(mx, col("l_orderkey") === col("g_orderkey") && col("l_quantity") === col("max_qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    li.withColumn("__mx", max(col("l_quantity")).over(w))
+      .filter(col("l_quantity") === col("__mx"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
