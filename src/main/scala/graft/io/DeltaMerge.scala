@@ -305,7 +305,7 @@ object DeltaMerge {
       }
       val now = System.currentTimeMillis()
       val lines = scala.collection.mutable.ArrayBuffer[String]()
-      lines += s"""{"commitInfo":{"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
+      lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
       txn.foreach { case (appId, txnVersion) =>
         lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
       }

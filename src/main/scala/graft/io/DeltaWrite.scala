@@ -284,7 +284,12 @@ object DeltaWrite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${js(mode)}},"engineInfo":"graft"}}"""
+    // per-OCC-attempt: a retried commit's in-commit clock must pass the
+    // winner it lost to, so the commitInfo line rebuilds in mkLines
+    def commitInfoLine(): String = {
+      val ict = existing.map(e => ictField(spark, path, e._1, now)).getOrElse("")
+      s"""{"commitInfo":{$ict"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${js(mode)}},"engineInfo":"graft"}}"""
+    }
     if (version == 0L)
       lines += (if (mappedSchema.isDefined)
         // column mapping requires reader 2 / writer 5 per the protocol
@@ -337,7 +342,8 @@ object DeltaWrite {
         ConflictGuard.exclusive(
           existing.map(_._2.map(_.path).toSet).getOrElse(Set.empty), txn.map(_._1))
       else ConflictGuard.blindAppend(txn.map(_._1))
-    commitWithRetry(spark, path, readVersion, guard, _ => lines.toSeq)
+    commitWithRetry(spark, path, readVersion, guard,
+      _ => commitInfoLine() +: lines.toSeq)
   }
 
   /** SET TBLPROPERTIES: commit a metaData action whose configuration is
@@ -362,10 +368,13 @@ object DeltaWrite {
     val configJson = merged.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
-    val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""",
+    // the MERGED configuration governs this commit's own clock — enabling
+    // delta.enableInCommitTimestamps stamps the enablement commit itself
+    val resultMeta = meta.copy(configuration = merged)
+    val tail = Seq(
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ => lines)
+    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
+      s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
   }
 
   /** ADD CONSTRAINT `name` CHECK (`exprSql`): stored as
@@ -404,7 +413,7 @@ object DeltaWrite {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "columnMapping", "typeWidening", "typeWidening-preview",
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
-    "generatedColumns")
+    "generatedColumns", "inCommitTimestamp")
 
   /** Refuse commits whose table demands WRITER semantics this engine does
     * not honor — the write-side mirror of [[DeltaRead]]'s reader-protocol
@@ -441,6 +450,44 @@ object DeltaWrite {
         s"$where: the table schema declares $what ($key), which this writer " +
           "cannot compute or validate — a commit could silently violate them")
     }
+  }
+
+  /** The `"inCommitTimestamp":N,` fragment for the NEXT commit's
+    * commitInfo when the table enables `delta.enableInCommitTimestamps` —
+    * strictly monotone past the last commit's in-commit clock
+    * (`max(wallclock, prev + 1)`, the protocol's rule, which is what makes
+    * timestamp time travel immune to wall-clock skew between writers).
+    * Empty when the feature is off. Re-derive PER OCC ATTEMPT: a retried
+    * commit must clock past the winner it lost to, not its own first try.
+    */
+  private[io] def ictField(spark: SparkSession, path: String,
+      meta: DeltaRead.Meta, now: Long): String = {
+    if (!meta.configuration.get("delta.enableInCommitTimestamps").contains("true"))
+      return ""
+    val dir = new Path(new Path(path), "_delta_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // last commit's in-commit clock (its wall-clock timestamp as the
+    // pre-enablement fallback); 0 when the JSON tail was cleaned — the
+    // wall clock then dominates, which stays monotone
+    val prev = fs.listStatus(dir).iterator.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
+      }
+      .toSeq.sortBy(_.getName).lastOption.map { p =>
+        val in = fs.open(p)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.linesIterator.filter(_.contains("\"commitInfo\""))
+          .map(mapper.readTree).collectFirst {
+            case n if n.has("commitInfo") =>
+              val ci = n.get("commitInfo")
+              Option(ci.get("inCommitTimestamp")).map(_.asLong())
+                .orElse(Option(ci.get("timestamp")).map(_.asLong()))
+          }.flatten.getOrElse(0L)
+      }.getOrElse(0L)
+    s""""inCommitTimestamp":${math.max(now, prev + 1)},"""
   }
 
   /** Validate a batch against the table's stored CHECK constraints — one
@@ -496,7 +543,10 @@ object DeltaWrite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":$toVersion},"engineInfo":"graft"}}"""
+    def commitInfoLine(): String = {
+      val ict = ictField(spark, path, if (metaChanged) metaThen else metaNow, now)
+      s"""{"commitInfo":{$ict"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":$toVersion},"engineInfo":"graft"}}"""
+    }
     if (metaChanged) {
       val configJson = metaThen.configuration.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
@@ -516,7 +566,8 @@ object DeltaWrite {
       lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
     }
     commitWithRetry(spark, path, readVersion,
-      ConflictGuard.exclusive(toRemove.map(_.path).toSet), _ => lines.toSeq)
+      ConflictGuard.exclusive(toRemove.map(_.path).toSet),
+      _ => commitInfoLine() +: lines.toSeq)
   }
 
   /** SHALLOW CLONE: create a NEW Delta table at `dest` whose version-0
@@ -551,7 +602,7 @@ object DeltaWrite {
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE","operationParameters":{"source":${js(src)}},"engineInfo":"graft"}}"""
+    lines += s"""{"commitInfo":{${ictField(spark, dest, meta, now)}"timestamp":$now,"operation":"CLONE","operationParameters":{"source":${js(src)}},"engineInfo":"graft"}}"""
     // the SOURCE's replayed protocol, features included — a clone that
     // re-derived (reader, writer) from the mapping mode would drop
     // declared features (typeWidening, deletionVectors) from its only
@@ -648,11 +699,11 @@ object DeltaWrite {
       math.max(3, proto.minReader), math.max(7, proto.minWriter),
       (proto.readerFeatures :+ "typeWidening").distinct,
       (proto.writerFeatures :+ "typeWidening").distinct)
-    val lines = Seq(
-      s"""{"commitInfo":{"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""",
+    val tail = Seq(
       protocolJson(newProto),
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ => lines)
+    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
+      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""" +: tail)
   }
 
   /** Stage change-data files under `_change_data/` (the CDF layout: an
@@ -753,7 +804,8 @@ object DeltaWrite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(s"$colX,$colY")},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
+    def commitInfoLine(): String =
+      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(s"$colX,$colY")},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
     groups.foreach { case (pv, files) =>
       val dirSegs = pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
@@ -798,7 +850,7 @@ object DeltaWrite {
     }
     commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
-      _ => lines.toSeq)
+      _ => commitInfoLine() +: lines.toSeq)
   }
 
   /** Mint column-mapping metadata for a fresh name-mapped table: every
@@ -1192,7 +1244,8 @@ object DeltaWrite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
-    lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
+    def commitInfoLine(): String =
+      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
     groups.foreach { case (pv, smalls) =>
       // dir layout from the pv's OWN keys (physical on mapped tables);
@@ -1235,7 +1288,7 @@ object DeltaWrite {
     }
     commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
-      _ => lines.toSeq)
+      _ => commitInfoLine() +: lines.toSeq)
   }
 
   /** Metadata cleanup (Delta's log retention): delete commit JSONs — and

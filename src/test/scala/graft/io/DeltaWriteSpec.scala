@@ -162,6 +162,33 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, table).count() == 3L)
   }
 
+  test("inCommitTimestamps: enabled tables stamp a strictly monotone in-commit clock") {
+    val table = tmp("graft_dw_ict")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append") // v0: off
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableInCommitTimestamps" -> "true")) // v1: the enablement commit stamps itself
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), table, "append") // v2
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L, Map("v" -> lit("A"))) // v3
+    assert(DeltaWrite.compact(spark, table) == 4L) // v4: maintenance stamps too
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def ict(v: Long): Option[Long] = {
+      val content = new String(java.nio.file.Files.readAllBytes(
+        Paths.get(table, "_delta_log", f"$v%020d.json")), "UTF-8")
+      content.linesIterator.filter(_.contains("commitInfo")).map(mapper.readTree)
+        .collectFirst { case n if n.has("commitInfo") =>
+          Option(n.get("commitInfo").get("inCommitTimestamp")).map(_.asLong()) }.flatten
+    }
+    assert(ict(0L).isEmpty, "pre-enablement commits carry no in-commit clock")
+    val vals = (1L to 4L).flatMap(v => ict(v))
+    assert(vals.size == 4, vals)
+    assert(vals == vals.sorted && vals.distinct == vals,
+      s"in-commit clock not strictly monotone: $vals")
+    // the in-commit clock is authoritative for timestamp time travel
+    assert(DeltaRead.versionAtTimestamp(spark, table, vals(1)) == 2L)
+    assert(DeltaRead.readDeltaTable(spark, table, timestampAsOf = Some(vals(1)))
+      .count() == 2L)
+  }
+
   test("writer protocol gate: appendOnly, unhonored writer features, schema obligations refuse") {
     import org.apache.hadoop.fs.Path
     // delta.appendOnly: appends land, anything removing data refuses,
