@@ -30,13 +30,17 @@ object Dedup {
   /** Distinct word n-gram shingles of a text column; docs with fewer than n
     * tokens yield an empty set.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // the token array MUST be let-bound: HOF lambdas run interpreted, so
+    // an unbound `toks` re-tokenizes the text at every element_at
+    // reference — n × |shingles| re-evaluations per row (measured 8s of
+    // b40's 14s before binding; see `bind`)
+    bind(TextAnalysis.tokens(text)) { toks =>
+      val grams = transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+      array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+    }
 
   /** Let-binding for column expressions: evaluates `c` ONCE per row and
     * feeds the bound value to `f`. Catalyst's CollapseProject inlines

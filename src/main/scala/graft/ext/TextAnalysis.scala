@@ -98,13 +98,17 @@ object TextAnalysis {
   /** ALL word n-grams (non-distinct, order kept) — the occurrence stream
     * the repetition signals below count over.
     */
-  def ngramsAll(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramsAll(c: Column, n: Int): Column =
+    // let-bound: an unbound `toks` re-tokenizes the text at every
+    // element_at reference inside the interpreted lambda — n × |ngrams|
+    // re-evaluations per row (the same pathology measured in
+    // Dedup.shingles; see that bind's comment)
+    bind(tokens(c)) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Gopher-style repetition signal: fraction of n-gram OCCURRENCES that
     * are repeats of an earlier one (1 − distinct/total). Machine-generated

@@ -23,6 +23,22 @@ class ExtSpec extends SparkSpec {
     assert(tiny.isEmpty)
   }
 
+  test("n-gram builders LET-BIND their token array (one tokenization per row, not per lambda ref)") {
+    // HOF lambdas run interpreted: an UNBOUND computed `toks` re-evaluates
+    // the tokenizer at every element_at reference — n × |ngrams| splits per
+    // row (measured 8s of b40's 14s). The bind turns the expression tree
+    // into transform(array(split(...)), ...), so exactly ONE `split` node
+    // must appear per builder — pin the mechanism, not the wall clock.
+    def tree(c: org.apache.spark.sql.Column): String =
+      org.apache.spark.sql.GraftSqlShims.expression(c).toString
+    def splits(c: org.apache.spark.sql.Column): Int =
+      "split\\(".r.findAllIn(tree(c)).length
+    assert(splits(Dedup.shingles(col("text"), 3)) == 1,
+      tree(Dedup.shingles(col("text"), 3)).take(400))
+    assert(splits(TextAnalysis.ngramsAll(col("text"), 2)) == 1,
+      tree(TextAnalysis.ngramsAll(col("text"), 2)).take(400))
+  }
+
   test("exact dedup groups identical texts") {
     val g = Dedup.exactDupGroups(docs, "text", "doc_id")
       .orderBy("keep_id").collect()
