@@ -11,53 +11,75 @@ import org.apache.spark.sql.functions._
   * map task builds an OpenHashMap of boxed values, the (few) reducers merge
   * all those maps and Timsort the boxed entries — with a handful of groups
   * the final stage is a few huge single-threaded boxed sorts, and the maps
-  * traverse the JVM heap. This decomposition computes the SAME result in
-  * ONE shuffle + ONE Tungsten sort of the data (UnsafeExternalSorter on
-  * primitive rows — radix sort, spillable, no boxing):
-  *   1. one window over (key ORDER BY v) assigns each row its 0-indexed
-  *      rank and the next value (`row_number`, `lead`);
-  *   2. a second window over the SAME partition key adds the group size —
-  *      its required (key) ordering is a PREFIX of the first window's
-  *      (key, v) sort, so it reuses the exchange AND the sort (the q44
-  *      prefix-ordering rule: longer ordering plans first);
-  *   3. a per-row lambda keeps the fractions whose floor rank
-  *      `floor(p * (n - 1))` lands exactly on this row, interpolating
-  *      `v[k] + frac * (v[k+1] - v[k])` — identical arithmetic to
-  *      Percentile.getPercentile and DuckDB's quantile_cont.
-  * An earlier shape computed step 3's targets with a separate
-  * `groupBy(key).count` + broadcast join — a SECOND full-data shuffle and
-  * two extra jobs for the same answer; folding the count into the window
-  * halves the passes over the data.
+  * traverse the JVM heap. This decomposition computes the SAME result with
+  * Tungsten sorts of (key, bucket)-sized runs (UnsafeExternalSorter on
+  * primitive rows — radix sort, spillable, no boxing), parallel across
+  * keys × buckets instead of keys:
+  *   1. rows bucket by an INTRINSIC order-preserving function of the value
+  *      (sign + scaled log2 of the magnitude — see [[orderBucket]]), so no
+  *      min/max pre-pass over the data is ever needed: bucketing is a
+  *      per-row expression, and at 100 TB that is one full scan saved
+  *      (an earlier shape paid a per-key min/max aggregate + broadcast
+  *      round just to define uniform bucket bounds);
+  *   2. a tiny per-(key, bucket) aggregate (map-side combined) yields each
+  *      bucket's count and minimum, and a window over those few rows turns
+  *      them into the bucket's global rank offset, the group total, and
+  *      the NEXT non-empty bucket's first value (the lead for a bucket's
+  *      last row);
+  *   3. the data-sized sort runs per (key, bucket): local rank + local
+  *      lead, global rank = bucket offset + local rank (buckets are
+  *      value-ordered, so ranks never interleave across buckets; equal
+  *      values share one bucket, so ties never straddle a boundary);
+  *      fractions whose floor rank `floor(p * (n - 1))` lands on this row
+  *      interpolate `v[k] + frac * (v[k+1] - v[k])` — identical arithmetic
+  *      to Percentile.getPercentile and DuckDB's quantile_cont.
+  *
+  * The bucket function only steers PARALLELISM — a distribution collapsed
+  * into one log2 cell degrades to fewer effective buckets but never
+  * changes the answer.
   *
   * Nulls in `valCol` are excluded, like the builtin. Returns one row per
   * (group, fraction): `keyCols..., frac DOUBLE, value DOUBLE`.
   */
 object ExactPercentile {
 
+  /** Order-preserving per-row bucket id: monotone non-decreasing in the
+    * value, computable without knowing the data's range.
+    *
+    * Positive values bucket by `floor(log2(v) * perOctave)` (finite for
+    * every positive double down to the smallest subnormal; +Inf floors to
+    * +Inf and casts to Long.MaxValue, which keeps it ordered last — NaN is
+    * routed there explicitly, and Spark's sort puts NaN after +Inf inside
+    * that shared bucket, matching the builtin's Double ordering). Negative
+    * values mirror: `-floor(log2(-v) * perOctave)` RISES as v rises toward
+    * zero, shifted below every non-negative bucket. Zeros (±0.0 compare
+    * equal) take a fixed bucket between the two ranges.
+    *
+    * `perOctave` sub-buckets per power of two: value ranges spanning a few
+    * orders of magnitude split into tens of buckets (e.g. prices in
+    * [900, 110k] ≈ 7 octaves → ~56 buckets at the default 8), enough to
+    * spread one group's sort across a cluster's cores.
+    */
+  private[graft] def orderBucket(v: Column, perOctave: Int): Column = {
+    val negShift = lit(1L << 40)
+    when(isnan(v), lit(Long.MaxValue))
+      .when(v > 0, floor(log2(v) * perOctave).cast("long"))
+      .when(v < 0, (-floor(log2(-v) * perOctave)).cast("long") - negShift)
+      .otherwise(lit(-(1L << 39)))
+  }
+
   def groupedPercentiles(df: DataFrame, keyCols: Seq[String], valCol: String,
-      fractions: Seq[Double], buckets: Int = 64): DataFrame = {
+      fractions: Seq[Double], perOctave: Int = 8): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0 && f <= 1))
-    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(perOctave >= 1, s"need perOctave >= 1, got $perOctave")
     val keys = keyCols.map(col)
     val v = col(valCol).cast("double")
-    val nonNull = df.filter(v.isNotNull).select(keys :+ v.as("__v"): _*)
+    val withB = df.filter(v.isNotNull)
+      .select(keys ++ Seq(v.as("__v"), orderBucket(v, perOctave).as("__b")): _*)
 
-    // Pass 1 (map-side combined, tiny result): per-key value range for the
-    // uniform value bucketing. The bucket only steers PARALLELISM — a
-    // skewed distribution degrades to fewer effective buckets but never
-    // changes the answer.
-    val ranges = nonNull.groupBy(keys: _*)
-      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val rawB = when(col("__lo") === col("__hi"), lit(1L))
-      .otherwise(width_bucket(col("__v"), col("__lo"), col("__hi"), lit(buckets)))
-    // width_bucket returns buckets+1 for v == hi — clamp into the top one
-    val withB = nonNull.join(broadcast(ranges), keyCols)
-      .withColumn("__b", least(rawB, lit(buckets.toLong)))
-
-    // Pass 2 (map-side combined to |keys|×|buckets| rows): per-bucket
+    // Tiny per-bucket stats (map-side combined to |keys|×|buckets| rows):
     // count and minimum → each bucket's global rank offset, the group
-    // total, and the NEXT non-empty bucket's first value (the lead for a
-    // bucket's last row).
+    // total, and the next non-empty bucket's first value.
     val wKey = Window.partitionBy(keys: _*).orderBy(col("__b"))
     val stats = withB.groupBy(keys :+ col("__b"): _*)
       .agg(count(lit(1)).as("__bn"), min(col("__v")).as("__bmin"))
@@ -67,12 +89,9 @@ object ExactPercentile {
       .withColumn("__bnext", lead(col("__bmin"), 1).over(wKey))
       .drop("__bmin")
 
-    // Pass 3: the data-sized window runs per (key, BUCKET) — parallelism =
+    // The data-sized window runs per (key, BUCKET) — parallelism =
     // keys × buckets instead of keys, which is what makes a 3-group (or
     // 1-group: global percentile) call scale across cores and executors.
-    // Global rank = bucket offset + local rank (buckets are value-ordered,
-    // so ranks never interleave across buckets; equal values share one
-    // bucket, so ties never straddle a boundary).
     val wB = Window.partitionBy(keys :+ col("__b"): _*).orderBy(col("__v"))
     // Rank k = floor(p * (n - 1)) lands on exactly one row per (group, p):
     // explode the (tiny, constant) fraction array and keep the rows whose
