@@ -298,34 +298,21 @@ object QCorpus {
 
   // ---------------------------------------------------------------- q71
   /** Gopher-style repetition filters: per-document top-word fraction and
-    * duplicate-bigram fraction, with the reject flag. The bigram ratio is
-    * computed entirely inside one projection (array_distinct over the
-    * in-row bigram array — no explode, no shuffle); the top-word fraction
-    * is the one aggregate. A corpus-scale quality pass is therefore one
-    * scan + one partial-agg shuffle keyed by doc_id.
+    * duplicate-bigram fraction, with the reject flag. BOTH ratios are pure
+    * per-row expressions ([[graft.ext.TextAnalysis]]: sorted-run max
+    * multiplicity for the top word, array_distinct for the bigrams — no
+    * explode, no shuffle, no join): a corpus-scale quality pass is one
+    * scan + the output sort. An earlier shape shuffled every (doc, token)
+    * pair through two aggregates just to find the max frequency. Docs
+    * shorter than 2 tokens drop, mirroring the oracle's bigram inner-join.
     */
   def q71Repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
-    val bigrams = documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      // guard: sequence(1, size-1) DESCENDS for a 1-token doc (size-1=0),
-      // hitting a slice(_, 0, _) error — the range-join bin-explode hazard.
-      // Dropping those docs mirrors the oracle (its bigram CTE inner-joins
-      // back, so bigram-less docs fall out of the result there too).
-      .filter(size(col("w")) >= 2)
+    import graft.ext.TextAnalysis
+    documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("w")) - 1),
-          i => concat_ws(" ", slice(col("w"), i, lit(2)))).as("bg"))
-      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bg"),
-        size(array_distinct(col("bg"))).cast("long").as("d_bg"))
-    toks.join(bigrams, "doc_id")
-      .select(col("doc_id"),
-        round(col("max_tf").cast("double") / col("n_tokens"), 6).as("top_word_frac"),
-        round(lit(1.0) - col("d_bg").cast("double") / col("n_bg"), 6).as("dup_bigram_frac"))
+        round(TextAnalysis.topNgramFraction(col("text"), 1), 6).as("top_word_frac"),
+        round(TextAnalysis.dupNgramFraction(col("text"), 2), 6).as("dup_bigram_frac"))
       .withColumn("rejected",
         col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.08)
       .orderBy(col("doc_id"))

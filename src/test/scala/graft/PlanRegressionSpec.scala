@@ -62,10 +62,10 @@ class PlanRegressionSpec extends SparkSpec {
 
   test("q39: bucketed percentile joins broadcast; the data never sort-merge joins") {
     val p = plan("q39_percentiles")
-    // ranges and per-bucket stats both broadcast onto the data side (the
-    // stats branch re-derives the cheap ranges join — 3 BHJs total); the
-    // big window partitions by (key, bucket) — no SMJ, no NLJ anywhere
-    assert(count(p, "BroadcastHashJoin") == 3, p)
+    // intrinsic (log2) bucketing needs no min/max pre-pass: the ONLY join
+    // is the tiny per-bucket stats broadcast onto the data side; the big
+    // window partitions by (key, bucket) — no SMJ, no NLJ anywhere
+    assert(count(p, "BroadcastHashJoin") == 1, p)
     assert(count(p, "SortMergeJoin") == 0, p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
