@@ -80,14 +80,19 @@ object DeletionVectors {
     */
   private[io] sealed trait Container extends Serializable {
     def contains(low: Char): Boolean
+    /** Member low-16-bit values in ascending order. */
+    def lowValues: Iterator[Char]
   }
   private[io] final case class ArrayContainer(values: Array[Char]) extends Container {
     def contains(low: Char): Boolean =
       java.util.Arrays.binarySearch(values, low) >= 0
+    def lowValues: Iterator[Char] = values.iterator
   }
   private[io] final case class BitmapContainer(words: Array[Long]) extends Container {
     def contains(low: Char): Boolean =
       (words(low >>> 6) & (1L << (low & 63))) != 0
+    def lowValues: Iterator[Char] = (0 until 65536).iterator
+      .filter(v => (words(v >>> 6) & (1L << (v & 63))) != 0).map(_.toChar)
   }
   private[io] final case class RunContainer(starts: Array[Char], lens: Array[Char])
       extends Container {
@@ -96,6 +101,9 @@ object DeletionVectors {
       if (i >= 0) return true
       i = -i - 2 // last run starting at or before low
       i >= 0 && low <= starts(i) + lens(i)
+    }
+    def lowValues: Iterator[Char] = starts.iterator.zip(lens.iterator).flatMap {
+      case (s, l) => (s.toInt to s.toInt + l.toInt).iterator.map(_.toChar)
     }
   }
 
@@ -133,6 +141,19 @@ object DeletionVectors {
       case (_, BitmapContainer(w)) => w.map(java.lang.Long.bitCount(_).toLong).sum
       case (_, RunContainer(_, l)) => l.map(_.toLong + 1).sum
     }.sum
+    /** All member row indexes in ascending order — the DV-union seam
+      * ([[DvWrite]] merges an existing vector with newly deleted rows by
+      * streaming both sorted sets; never materializes O(cardinality)).
+      * Bitmaps are stored dense in high-32 index order and containers in
+      * key order, so concatenation IS ascending order.
+      */
+    def values: Iterator[Long] = bitmaps.iterator.flatMap { case (high32, cs) =>
+      val hi = high32.toLong << 32
+      cs.iterator.flatMap { case (key, c) =>
+        val mid = (key.toLong << 16)
+        c.lowValues.map(low => hi | mid | low.toLong)
+      }
+    }
   }
 
   /** Deserialize the portable RoaringBitmapArray (after the magic). */

@@ -172,6 +172,190 @@ object DeltaMerge {
       cdcData = cdc)
   }
 
+  /** DELETE FROM the Delta table at `path` WHERE `condition` by DELETION
+    * VECTOR — the protocol's O(deleted rows) delete: instead of rewriting
+    * every touched file without its matches ([[deleteWhere]]'s
+    * copy-on-write), each touched file is re-added UNCHANGED with a
+    * bitmap marking the deleted row positions, all bitmaps packed into
+    * one new `deletion_vector_<uuid>.bin`. Deleting 0.1% of a 100 TB
+    * table writes kilobytes, not terabytes. Trade-offs vs copy-on-write:
+    * reads of touched files pay the (broadcast bitmap) position filter
+    * until [[DeltaWrite.compact]] materializes the deletes away, and the
+    * table's protocol is upgraded to (3, 7) + `deletionVectors` on first
+    * use — foreign readers must support the feature.
+    *
+    * Scale shape: the predicate pushes into the discovery scan (stats /
+    * partition skipping applies), per-file bitmaps are built and
+    * compressed ON EXECUTORS (one pass, sorted within file), and the
+    * driver receives only the serialized blobs — the same bytes it must
+    * write into the vector file. A file already carrying a vector gets
+    * the union (streamed merge of two sorted sets, never materialized);
+    * a file whose every remaining row matched is REMOVED outright rather
+    * than re-added fully shadowed. Works on id-mapped tables too — the
+    * one DML verb that never stages data files, so no field ids need
+    * minting. Returns the committed version, or -1 when no row matched.
+    */
+  def deleteWhereDv(spark: SparkSession, path: String, condition: Column): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val scan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
+      rowIndex = true)
+    val hit = coalesce(condition, lit(false))
+    // per-file deletion bitmaps, built where the rows are: partition by
+    // file, sort by (file, position), stream each file's run through the
+    // roaring serializer — one (file, blob, count) row per touched file
+    // reaches the driver
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = scan.filter(hit)
+      .select(col("__file"), col("__row_idx"))
+      .repartition(col("__file"))
+      .sortWithinPartitions(col("__file"), col("__row_idx"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val rows = it.buffered
+        new Iterator[(String, Array[Byte], Long)] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): (String, Array[Byte], Long) = {
+            val file = rows.head._1
+            var n = 0L
+            val idxs: Iterator[Long] = new Iterator[Long] {
+              def hasNext: Boolean = rows.hasNext && rows.head._1 == file
+              def next(): Long = { n += 1; rows.next()._2 }
+            }
+            val data = DvWrite.serializeData(idxs)
+            (file, data, n)
+          }
+        }
+      }.collect()
+    if (perFile.isEmpty) return -1L
+
+    // scan URIs → live files (basename-keyed, as in touchedFiles)
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val byBase = live.groupBy(f => basename(f.path))
+    def liveOf(uri: String): DeltaRead.LiveFile = {
+      val hits = byBase.getOrElse(basename(uri), Nil).filter { f =>
+        val needle =
+          if (f.path.startsWith("/") || f.path.contains("://")) f.path
+          else "/" + f.path
+        uri.endsWith(needle)
+      }
+      require(hits.size == 1, s"cannot attribute scanned file $uri to a live file")
+      hits.head
+    }
+    def numRecords(f: DeltaRead.LiveFile): Option[Long] = f.stats.flatMap { s =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      Option(n.get("numRecords")).map(_.asLong())
+    }
+
+    // union with any existing vector; split fully-deleted files out
+    final case class Planned(file: DeltaRead.LiveFile, data: Array[Byte], card: Long)
+    val planned = perFile.toSeq.map { case (uri, data, count) =>
+      val f = liveOf(uri)
+      f.dv match {
+        case None => Planned(f, data, count)
+        case Some(old) =>
+          // the scan never served already-deleted positions, so the two
+          // sorted sets are disjoint — cardinalities add
+          val oldBits = DeletionVectors.load(fs, root, old)
+          val fresh = DeletionVectors.deserializeBitmap(
+            java.util.Arrays.copyOfRange(data, 4, data.length))
+          val merged = DvWrite.serializeData(
+            DvWrite.mergeSorted(oldBits.values, fresh.values))
+          Planned(f, merged, old.cardinality + count)
+      }
+    }
+    // a file whose vector would shadow every physical row is tombstoned
+    // outright (it stays in `planned` for the remove; no re-add)
+    val shadowed = planned.filterNot(p => numRecords(p.file).contains(p.card))
+    val descriptors: Map[String, DeletionVectors.Descriptor] =
+      if (shadowed.isEmpty) Map.empty
+      else shadowed.map(_.file.path)
+        .zip(DvWrite.writeVectorFile(fs, root,
+          shadowed.map(p => (p.data, p.card)))).toMap
+
+    // first DV on the table upgrades the protocol — MERGED into the
+    // replayed record (never overwritten), with the legacy versions'
+    // implied features made explicit, per the table-features upgrade rule
+    val hasFeature = proto.minReader >= 3 &&
+      proto.readerFeatures.contains("deletionVectors") &&
+      proto.writerFeatures.contains("deletionVectors")
+    val protocolLine =
+      if (hasFeature) None
+      else {
+        require(proto.writerFeatures.nonEmpty || proto.minWriter <= 5,
+          s"DML on $path: cannot upgrade legacy writer version ${proto.minWriter} " +
+            "to table features — it implies features this writer does not honor")
+        val impliedW =
+          if (proto.writerFeatures.nonEmpty) Nil
+          else Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+            "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5)
+            .collect { case (feat, v) if proto.minWriter >= v => feat }
+        val impliedR =
+          if (proto.readerFeatures.nonEmpty) Nil
+          else if (proto.minReader >= 2) Seq("columnMapping")
+          else Nil
+        Some(DeltaWrite.protocolJson(DeltaRead.Protocol(
+          math.max(3, proto.minReader), math.max(7, proto.minWriter),
+          (proto.readerFeatures ++ impliedR :+ "deletionVectors").distinct,
+          (proto.writerFeatures ++ impliedW :+ "deletionVectors").distinct)))
+      }
+
+    // id-mapped + CDF: _change_data files would need parquet field ids
+    // minted to read back through the id-resolving CDF scan — the same
+    // staging problem that keeps copy-on-write DML off id tables
+    require(!(meta.mappingMode == "id" && cdfEnabled(meta)),
+      s"deleteWhereDv on $path: change-data capture on an id-mapped table " +
+        "would stage cdc files without field ids — disable CDF or use a " +
+        "name-mapped table")
+    val cdc =
+      if (!cdfEnabled(meta)) None
+      else Some(scan.filter(hit).select(
+        schema.fieldNames.map(col).toSeq :+ lit("delete").as("_change_type"): _*))
+
+    var cdcStaged: Seq[(String, Long)] = Seq.empty
+    def mkLines(version: Long): Seq[String] = {
+      cdcStaged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+      cdcStaged = cdc.toSeq.flatMap { c =>
+        val stageC =
+          if (meta.mappingMode == "name") {
+            val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+            val phys = DeltaRead.physicalSchema(ms)
+            c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
+          } else c
+        DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
+      }
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${jsString(condition.toString)},"deletionVectors":true},"engineInfo":"graft"}}"""
+      protocolLine.foreach(lines += _)
+      planned.foreach { p =>
+        val oldDvField = p.file.dv
+          .map(d => s""","deletionVector":${DeltaWrite.dvJson(d)}""").getOrElse("")
+        lines += s"""{"remove":{"path":${jsString(p.file.path)},"deletionTimestamp":$now,"dataChange":true$oldDvField}}"""
+      }
+      shadowed.foreach { p =>
+        val f = p.file
+        val pvJson = f.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+        val statsField = f.stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+        val dvField = s""","deletionVector":${DeltaWrite.dvJson(descriptors(f.path))}"""
+        lines += s"""{"add":{"path":${jsString(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
+      }
+      cdcStaged.foreach { case (rel, size) =>
+        lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
+      }
+      lines.toSeq
+    }
+    DeltaWrite.commitWithRetry(spark, path, readVersion,
+      ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet, None), mkLines)
+  }
+
   /** UPDATE the Delta table at `path` SET `set` WHERE `condition` — the
     * expression-based UPDATE between [[merge]]'s row-replacement and
     * [[deleteWhere]]'s removal: each `set` entry maps a column to an

@@ -253,12 +253,20 @@ object DeltaRead {
     * rewrite are invisible, exactly like any conforming Delta reader.
     * DV-free files stay on the plain fully-codegen'd scan; a table with no
     * DVs pays nothing.
+    *
+    * With `rowIndex = true` every row additionally carries `__file` and
+    * `__row_idx` — its PHYSICAL position in its parquet file (already-
+    * deleted positions never appear, since the DV branch filters them) —
+    * the seam [[DeltaMerge.deleteWhereDv]] uses to build new deletion
+    * bitmaps without rewriting data.
     */
   private[io] def filesDf(spark: SparkSession, path: String, meta: Meta,
-      files: Seq[LiveFile], provenance: Boolean): DataFrame = {
+      files: Seq[LiveFile], provenance: Boolean,
+      rowIndex: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty) {
-      val out = if (provenance) schema.add("__file", "string") else schema
+      var out = if (provenance || rowIndex) schema.add("__file", "string") else schema
+      if (rowIndex) out = out.add("__row_idx", "long")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
     }
@@ -312,7 +320,7 @@ object DeltaRead {
     }
 
     val (dvFiles, cleanFiles) = normFiles.partition(_.dv.isDefined)
-    if (dvFiles.isEmpty) return scanOf(cleanFiles, withRowIdx = false)
+    if (dvFiles.isEmpty) return scanOf(cleanFiles, withRowIdx = rowIndex)
 
     // deleted-position bitmaps: loaded once on the driver (O(files) blob
     // reads, O(deleted) bits), broadcast, probed per scanned row of the
@@ -328,11 +336,14 @@ object DeltaRead {
     val survives = udf { (file: String, idx: Long) =>
       bc.value.get(new Path(file).toUri.getPath).forall(!_.contains(idx))
     }
-    val dvScan = scanOf(dvFiles, withRowIdx = true)
+    val dvScan0 = scanOf(dvFiles, withRowIdx = true)
       .filter(survives(col("__file"), col("__row_idx")))
-      .drop((if (provenance) Seq("__row_idx") else Seq("__row_idx", "__file")): _*)
+    val dvScan =
+      if (rowIndex) dvScan0
+      else dvScan0.drop(
+        (if (provenance) Seq("__row_idx") else Seq("__row_idx", "__file")): _*)
     val cleanScan =
-      if (cleanFiles.isEmpty) None else Some(scanOf(cleanFiles, withRowIdx = false))
+      if (cleanFiles.isEmpty) None else Some(scanOf(cleanFiles, withRowIdx = rowIndex))
     cleanScan.map(_.unionByName(dvScan)).getOrElse(dvScan)
   }
 

@@ -634,7 +634,7 @@ object DeltaWrite {
   /** A `protocol` action JSON line — features serialized only when
     * declared, versions verbatim from the replayed [[DeltaRead.Protocol]].
     */
-  private def protocolJson(p: DeltaRead.Protocol): String = {
+  private[io] def protocolJson(p: DeltaRead.Protocol): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def arr(name: String, fs0: Seq[String]): String =
       if (fs0.isEmpty) ""
@@ -644,7 +644,7 @@ object DeltaWrite {
   }
 
   /** A `deletionVector` descriptor as the add action's JSON field. */
-  private def dvJson(d: DeletionVectors.Descriptor): String = {
+  private[io] def dvJson(d: DeletionVectors.Descriptor): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val off = d.offset.map(o => s""","offset":$o""").getOrElse("")

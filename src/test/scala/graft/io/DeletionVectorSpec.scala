@@ -10,9 +10,10 @@ import graft.SparkSpec
 
 /** Deletion-vector reads: fixtures are hand-encoded per the public Delta
   * protocol layout (Z85, the versioned blob framing, 64-bit portable
-  * roaring bitmaps — the ENCODER lives only in this spec; production code
-  * only decodes), committed into tables written by [[DeltaWrite]], and the
-  * rows the vector marks must provably vanish from every read while time
+  * roaring bitmaps) — this spec keeps its OWN encoder, independent of the
+  * production [[DvWrite]] one, so the read path is exercised against
+  * foreign-style bytes rather than round-tripping our writer. The rows
+  * the vector marks must provably vanish from every read while time
   * travel to the pre-DV version still sees them.
   */
 class DeletionVectorSpec extends SparkSpec {

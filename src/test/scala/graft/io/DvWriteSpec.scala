@@ -1,0 +1,188 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion-vector WRITES ([[DvWrite]] + [[DeltaMerge.deleteWhereDv]]):
+  * the serializer must round-trip through the production decoder at every
+  * container shape, and a DV delete must mark rows invisible WITHOUT
+  * rewriting a single data file — file identity, union-on-redelete,
+  * full-shadow removal, protocol upgrade, CDF, compaction interplay, and
+  * time travel are all pinned here.
+  */
+class DvWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def ids(path: String, versionAsOf: Option[Long] = None): Seq[Long] =
+    DeltaRead.readDeltaTable(spark, path, versionAsOf)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+
+  private def liveFiles(path: String): Seq[DeltaRead.LiveFile] =
+    DeltaRead.replayLog(spark, path, None)._2
+
+  test("serializeData round-trips the decoder: array, bitmap, multi-key, high-32 gaps") {
+    // array container (small), bitmap container (> 4096 in one key),
+    // second 16-bit key, and a value in high-32 bitmap 2 (forces dense
+    // empty bitmap padding for high-32 index 1)
+    val small = Seq(0L, 1L, 5L, 65535L, 65536L, 100000L)
+    val dense = (10000L until 15000L) // 5000 values in one container → bitmap
+    val high = Seq((2L << 32) | 7L, (2L << 32) | 65540L)
+    val all = (small ++ dense ++ high).sorted
+    val data = DvWrite.serializeData(all.iterator)
+    // production decoder path: strip LE magic, deserialize, compare
+    val magic = java.nio.ByteBuffer.wrap(data.take(4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(magic == 1681511377)
+    val bm = DeletionVectors.deserializeBitmap(data.drop(4))
+    assert(bm.cardinality == all.size)
+    assert(bm.values.toSeq == all)
+    all.foreach(v => assert(bm.contains(v), s"missing $v"))
+    assert(!bm.contains(2L))
+    assert(!bm.contains(1L << 32))
+    assert(!bm.contains(9000L))
+  }
+
+  test("Z85 encode inverts the production decoder") {
+    val bytes = Array.tabulate[Byte](16)(i => (i * 37 + 5).toByte)
+    assert(DeletionVectors.decodeZ85(DvWrite.encodeZ85(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("mergeSorted unions ascending streams with dedup") {
+    val m = DvWrite.mergeSorted(Iterator(1L, 3L, 5L), Iterator(2L, 3L, 6L)).toSeq
+    assert(m == Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("deleteWhereDv: rows vanish, data files survive BY IDENTITY, version bumps") {
+    val table = tmp("graft_dvw1")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(3)
+    DeltaWrite.writeDeltaTable(df, table, "append")
+    val before = liveFiles(table)
+    assert(before.size >= 2)
+
+    val v = DeltaMerge.deleteWhereDv(spark, table, col("id") % 10 === 3)
+    assert(v == 1L)
+    assert(ids(table) == (0L until 100L).filterNot(_ % 10 == 3))
+    // every data file survives by identity — a DV delete never rewrites
+    val after = liveFiles(table)
+    assert(after.map(_.path).toSet == before.map(_.path).toSet,
+      s"data files changed: ${before.map(_.path)} vs ${after.map(_.path)}")
+    // every touched file carries a vector whose cardinality sums to 10
+    assert(after.flatMap(_.dv).map(_.cardinality).sum == 10L)
+    // the vectors live in ONE packed blob
+    val dvFiles = after.flatMap(_.dv).map(_.pathOrInlineDv).distinct
+    assert(dvFiles.size == 1, s"expected one packed DV blob, got $dvFiles")
+    // time travel to the pre-delete version sees all rows
+    assert(ids(table, Some(0L)) == (0L until 100L))
+  }
+
+  test("deleteWhereDv upgrades the protocol once and appends still work") {
+    val table = tmp("graft_dvw2")
+    DeltaWrite.writeDeltaTable(
+      (0L until 10L).map(i => (i, "x")).toDF("id", "v"), table, "append")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") === 1L)
+    val (_, _, proto) = DeltaRead.replayLogWithProtocol(spark, table, None)
+    assert(proto.minReader == 3 && proto.minWriter == 7)
+    assert(proto.readerFeatures.contains("deletionVectors"))
+    assert(proto.writerFeatures.contains("deletionVectors"))
+    // implied legacy features are made explicit on upgrade
+    assert(proto.writerFeatures.contains("appendOnly"))
+    // the table still accepts plain appends and a second DV delete
+    DeltaWrite.writeDeltaTable(
+      Seq((100L, "y")).toDF("id", "v"), table, "append")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") === 100L)
+    assert(ids(table) == (0L until 10L).filterNot(_ == 1L))
+    // second upgrade is a no-op: exactly one protocol action past v0
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val protoLines = (1L to DeltaRead.latestVersion(spark, table)).count { v =>
+      val p = new Path(table, f"_delta_log/$v%020d.json")
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      s.contains("\"protocol\"")
+    }
+    assert(protoLines == 1, s"expected one protocol upgrade, got $protoLines")
+  }
+
+  test("re-delete on a vectored file UNIONS the bitmaps") {
+    val table = tmp("graft_dvw3")
+    DeltaWrite.writeDeltaTable(
+      (0L until 50L).map(i => (i, "x")).toDF("id", "v").coalesce(1), table, "append")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") < 10L)
+    DeltaMerge.deleteWhereDv(spark, table, col("id") >= 40L)
+    assert(ids(table) == (10L until 40L))
+    val dvs = liveFiles(table).flatMap(_.dv)
+    assert(dvs.size == 1 && dvs.head.cardinality == 20L)
+  }
+
+  test("a fully-shadowed file is removed outright, not re-added") {
+    val table = tmp("graft_dvw4")
+    // two single-file commits; the second holds only large ids
+    DeltaWrite.writeDeltaTable(
+      (0L until 10L).map(i => (i, "a")).toDF("id", "v").coalesce(1), table, "append")
+    DeltaWrite.writeDeltaTable(
+      (100L until 110L).map(i => (i, "b")).toDF("id", "v").coalesce(1), table, "append")
+    assert(liveFiles(table).size == 2)
+    DeltaMerge.deleteWhereDv(spark, table, col("id") >= 100L)
+    val after = liveFiles(table)
+    assert(after.size == 1, s"fully-deleted file should be removed: $after")
+    assert(after.head.dv.isEmpty)
+    assert(ids(table) == (0L until 10L))
+  }
+
+  test("no-match DV delete returns -1 and commits nothing") {
+    val table = tmp("graft_dvw5")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "append")
+    assert(DeltaMerge.deleteWhereDv(spark, table, col("id") === 99L) == -1L)
+    assert(DeltaRead.latestVersion(spark, table) == 0L)
+  }
+
+  test("CDF: DV delete emits delete rows through the change feed") {
+    val table = tmp("graft_dvw6")
+    DeltaWrite.writeDeltaTable(
+      (0L until 20L).map(i => (i, "x")).toDF("id", "v"), table, "append")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val v = DeltaMerge.deleteWhereDv(spark, table, col("id") % 7 === 0)
+    // fromVersion is exclusive: start one before the delete commit
+    val feed = DeltaRead.changeFeed(spark, table, fromVersion = v - 1)
+      .filter(col("_change_type") === "delete")
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(feed == Seq(0L, 7L, 14L))
+    assert(ids(table) == (0L until 20L).filterNot(_ % 7 == 0))
+  }
+
+  test("compact materializes DV deletes away; checkpoint carries descriptors") {
+    val table = tmp("graft_dvw7")
+    DeltaWrite.writeDeltaTable(
+      (0L until 60L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2), table, "append")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 3 === 1)
+    val expected = (0L until 60L).filterNot(_ % 3 == 1)
+
+    // checkpoint at the DV-carrying version, then read through it
+    DeltaWrite.checkpoint(spark, table)
+    assert(ids(table) == expected)
+
+    // compaction rewrites through the vector and drops the descriptors
+    DeltaWrite.compact(spark, table)
+    val after = liveFiles(table)
+    assert(after.forall(_.dv.isEmpty), s"compaction left DVs: $after")
+    assert(ids(table) == expected)
+  }
+
+  test("deleteWhereDv on a name-mapped table resolves logical predicates") {
+    val table = tmp("graft_dvw8")
+    DeltaWrite.writeDeltaTableMapped(
+      (0L until 30L).map(i => (i, s"n$i")).toDF("id", "v"), table, "append")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") >= 20L)
+    assert(ids(table) == (0L until 20L))
+    // protocol keeps columnMapping alongside the new feature
+    val (_, _, proto) = DeltaRead.replayLogWithProtocol(spark, table, None)
+    assert(proto.readerFeatures.contains("deletionVectors"))
+  }
+}
