@@ -56,6 +56,23 @@ object Bench {
       path
     }
   }
+  // b57's own standing table (not shared with b54 — the two merge paths
+  // must not contaminate each other's file accounting across passes)
+  private val dvTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def dvTable(s: SparkSession, dir: String): String = {
+    val cur = dvTablePath.get()
+    if (cur != null) cur
+    else {
+      val path = benchTmp("dv_table") + "/orders_delta"
+      graft.io.DeltaWrite.writeDeltaTable(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        path, "append")
+      dvTablePath.set(path)
+      path
+    }
+  }
+
   private val cdfTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
   private[graft] def cdfTable(s: SparkSession, dir: String): String = {
     val cur = cdfTablePath.get()
@@ -85,7 +102,7 @@ object Bench {
       // the DML/CDF gate forms rebuild their Delta table in-query (4-5
       // commits of table-build tax per run) to make the oracle hashable;
       // b54/b55 bench the amortized shape — verbs/reads on a standing table
-      "q106_merge_roundtrip", "q109_change_feed",
+      "q106_merge_roundtrip", "q109_change_feed", "q111_dv_dml",
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -190,6 +207,21 @@ object Bench {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (round(col("o_totalprice") * 100, 0).cast("long") + 1).as("cents"))
       graft.io.DeltaMerge.merge(s, path, src, Seq("o_orderkey"))
+      graft.io.DeltaRead.readDeltaTable(s, path)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+    // b54's workload through the DELETION-VECTOR path: same source, same
+    // standing-table shape — the delta between b54 and b57 is what a
+    // merge buys by shadowing matched rows instead of rewriting their
+    // files (at sf0.1 the table is small; at 100 TB the gap is the point)
+    "b57_merge_upsert_dv" -> ((s, dir) => {
+      val path = dvTable(s, dir)
+      val src = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (round(col("o_totalprice") * 100, 0).cast("long") + 1).as("cents"))
+      graft.io.DeltaMerge.merge(s, path, src, Seq("o_orderkey"),
+        useDeletionVectors = true)
       graft.io.DeltaRead.readDeltaTable(s, path)
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     }),

@@ -38,11 +38,19 @@ object DeltaMerge {
     * cardinality guard: a key matching two source rows would update
     * nondeterministically — refused loudly, checked with one aggregate
     * over the source side only).
+    *
+    * With `useDeletionVectors = true` the matched rows' positions are
+    * shadowed by deletion vectors instead of rewriting their files:
+    * updated rows and inserts append as new files, touched files stay
+    * byte-identical — commit cost O(changed rows), the right shape when
+    * a merge touches a sliver of a huge table ([[deleteWhereDv]]'s
+    * trade-offs and protocol upgrade apply).
     */
   def merge(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String], whenMatched: String = "update",
       insertUnmatched: Boolean = true,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      useDeletionVectors: Boolean = false): Long = {
     require(whenMatched == "update" || whenMatched == "delete",
       s"whenMatched must be update or delete, got $whenMatched")
     require(keyCols.nonEmpty, "keyCols must be non-empty")
@@ -75,6 +83,9 @@ object DeltaMerge {
         "nondeterministic (Delta MERGE cardinality violation)")
 
     val srcKeys = source1.select(keyCols.map(col): _*).distinct()
+    if (useDeletionVectors)
+      return mergeDv(spark, path, readVersion, source1, srcKeys, keyCols,
+        whenMatched, insertUnmatched, txn, meta, live, proto, schema)
     val touched = touchedFiles(spark, path, meta, live,
       prov => prov.join(srcKeys, keyCols, "left_semi"))
 
@@ -207,12 +218,159 @@ object DeltaMerge {
     val scan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
       rowIndex = true)
     val hit = coalesce(condition, lit(false))
-    // per-file deletion bitmaps, built where the rows are: partition by
-    // file, sort by (file, position), stream each file's run through the
-    // roaring serializer — one (file, blob, count) row per touched file
-    // reaches the driver
+    // without CDF the bitmap build is the hits' only consumer — one scan;
+    // with CDF the pre-images read them again, so materialize the matched
+    // rows (O(deleted rows)) once instead of re-deriving the table scan
+    val hits =
+      if (cdfEnabled(meta)) scan.filter(hit).localCheckpoint()
+      else scan.filter(hit)
+    val planned = buildDvPlans(spark, fs, root, live, hits)
+    if (planned.isEmpty) return -1L
+    val cdc =
+      if (!cdfEnabled(meta)) None
+      else Some(hits.select(
+        schema.fieldNames.map(col).toSeq :+ lit("delete").as("_change_type"): _*))
+    commitDvDml(spark, path, readVersion, meta, proto, planned,
+      newAdds = Nil, operation = "DELETE",
+      opParams = s""""predicate":${jsString(condition.toString)},"deletionVectors":true""",
+      cdcData = cdc)
+  }
+
+  /** UPDATE ... SET ... WHERE by DELETION VECTOR: the matched rows'
+    * positions are shadowed in their (unchanged) files and the updated
+    * versions append as NEW files — cost O(changed rows), where
+    * [[updateWhere]] rewrites every row of every touched file. Same
+    * trade-offs and protocol upgrade as [[deleteWhereDv]]. The staged
+    * rows mean id-mapped tables are refused here (unlike the pure
+    * delete). Returns the committed version, or -1 when nothing matched.
+    */
+  def updateWhereDv(spark: SparkSession, path: String, condition: Column,
+      set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "set must map at least one column")
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"SET column $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val scan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
+      rowIndex = true)
+    val hit = coalesce(condition, lit(false))
+    // the matched rows feed the bitmap build, the staged replacements,
+    // and (under CDF) both images — materialize them once (O(changed
+    // rows), this verb's contract) so the table is scanned exactly once
+    val hits = scan.filter(hit).localCheckpoint()
+    val planned = buildDvPlans(spark, fs, root, live, hits)
+    if (planned.isEmpty) return -1L
+    def updatedCols = schema.fieldNames.map { n =>
+      set.get(n) match {
+        case Some(e) => e.cast(schema(n).dataType).as(n)
+        case None => col(n)
+      }
+    }.toSeq
+    val newRows = hits.select(updatedCols: _*)
+    val cdc =
+      if (!cdfEnabled(meta)) None
+      else {
+        val fieldCols = schema.fieldNames.map(col).toSeq
+        Some(hits
+          .select(fieldCols :+ lit("update_preimage").as("_change_type"): _*)
+          .unionByName(newRows
+            .withColumn("_change_type", lit("update_postimage"))))
+      }
+    commitDvDml(spark, path, readVersion, meta, proto, planned,
+      newAdds = stageForTable(spark, meta, newRows, root),
+      operation = "UPDATE",
+      opParams = s""""predicate":${jsString(condition.toString)},"deletionVectors":true""",
+      cdcData = cdc)
+  }
+
+  /** [[merge]] with `useDeletionVectors = true`: matched positions are
+    * discovered on ONE row-index scan semi-joined to the source keys; the
+    * matched rows (bounded by |source| — the merge cardinality guard
+    * caps one match per source key) are materialized once, and every
+    * downstream consumer — the bitmap build, the matched/insert key
+    * split, the CDC pre-images — derives from that small checkpoint. The
+    * table is scanned exactly once, where the copy-on-write path reads
+    * its touched subset three times.
+    */
+  private def mergeDv(spark: SparkSession, path: String, readVersion: Long,
+      source1: DataFrame, srcKeys: DataFrame, keyCols: Seq[String],
+      whenMatched: String, insertUnmatched: Boolean,
+      txn: Option[(String, Long)], meta: DeltaRead.Meta,
+      live: Seq[DeltaRead.LiveFile], proto: DeltaRead.Protocol,
+      schema: StructType): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rowScan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
+      rowIndex = true)
+    // checkpoint only what downstream needs: keys + position without CDF
+    // (the scan then prunes every other column), full rows when the CDC
+    // pre-images will read them
+    val matchedAll = rowScan.join(srcKeys, keyCols, "left_semi")
+    val matched =
+      (if (cdfEnabled(meta)) matchedAll
+       else matchedAll.select(
+         keyCols.map(col) ++ Seq(col("__file"), col("__row_idx")): _*))
+        .localCheckpoint()
+    val planned = buildDvPlans(spark, fs, root, live, matched)
+    if (planned.isEmpty && !insertUnmatched) return -1L
+    // a source key matched iff it appears among the matched rows — the
+    // key set is tiny (≤ |source|), so both joins below broadcast it
+    val matchedKeys = matched.select(keyCols.map(col): _*).distinct()
+    val fieldCols = schema.fieldNames.map(col).toSeq
+    val matchedSrc =
+      if (whenMatched == "update")
+        Some(source1.join(matchedKeys, keyCols, "left_semi").select(fieldCols: _*))
+      else None
+    val inserts =
+      if (insertUnmatched)
+        Some(source1.join(matchedKeys, keyCols, "left_anti").select(fieldCols: _*))
+      else None
+    val newRows = (matchedSrc.toSeq ++ inserts).reduceOption(_ unionByName _)
+    val cdc =
+      if (!cdfEnabled(meta)) None
+      else {
+        val matchedPre = matched
+          .select(fieldCols :+ lit(
+            if (whenMatched == "delete") "delete" else "update_preimage")
+            .as("_change_type"): _*)
+        val matchedPost = matchedSrc.map(
+          _.select(fieldCols :+ lit("update_postimage").as("_change_type"): _*))
+        val insertRows = inserts.map(
+          _.select(fieldCols :+ lit("insert").as("_change_type"): _*))
+        Some((Seq(matchedPre) ++ matchedPost ++ insertRows).reduce(_ unionByName _))
+      }
+    commitDvDml(spark, path, readVersion, meta, proto, planned,
+      newAdds = newRows.map(stageForTable(spark, meta, _, root)).getOrElse(Nil),
+      operation = "MERGE",
+      opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)},"deletionVectors":true""",
+      cdcData = cdc, txn = txn)
+  }
+
+  // ------------------------------------------------------- DV DML internals
+
+  /** One touched file's planned vector: union of its existing DV (if any)
+    * with the newly shadowed positions.
+    */
+  private final case class DvPlan(file: DeltaRead.LiveFile, data: Array[Byte],
+      card: Long)
+
+  /** Per-file deletion bitmaps for `hits` (a DataFrame carrying `__file`
+    * and `__row_idx`), built where the rows are: partition by file, sort
+    * by (file, position), stream each file's run through the roaring
+    * serializer — one (file, blob, count) row per touched file reaches
+    * the driver, which only unions in pre-existing vectors (the scan
+    * never serves already-deleted positions, so the sets are disjoint).
+    */
+  private def buildDvPlans(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, live: Seq[DeltaRead.LiveFile], hits: DataFrame): Seq[DvPlan] = {
     import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = scan.filter(hit)
+    val perFile: Array[(String, Array[Byte], Long)] = hits
       .select(col("__file"), col("__row_idx"))
       .repartition(col("__file"))
       .sortWithinPartitions(col("__file"), col("__row_idx"))
@@ -233,95 +391,125 @@ object DeltaMerge {
           }
         }
       }.collect()
-    if (perFile.isEmpty) return -1L
 
     // scan URIs → live files (basename-keyed, as in touchedFiles)
     def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val byBase = live.groupBy(f => basename(f.path))
     def liveOf(uri: String): DeltaRead.LiveFile = {
-      val hits = byBase.getOrElse(basename(uri), Nil).filter { f =>
+      val cands = byBase.getOrElse(basename(uri), Nil).filter { f =>
         val needle =
           if (f.path.startsWith("/") || f.path.contains("://")) f.path
           else "/" + f.path
         uri.endsWith(needle)
       }
-      require(hits.size == 1, s"cannot attribute scanned file $uri to a live file")
-      hits.head
+      require(cands.size == 1, s"cannot attribute scanned file $uri to a live file")
+      cands.head
     }
-    def numRecords(f: DeltaRead.LiveFile): Option[Long] = f.stats.flatMap { s =>
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-      Option(n.get("numRecords")).map(_.asLong())
-    }
-
-    // union with any existing vector; split fully-deleted files out
-    final case class Planned(file: DeltaRead.LiveFile, data: Array[Byte], card: Long)
-    val planned = perFile.toSeq.map { case (uri, data, count) =>
+    perFile.toSeq.map { case (uri, data, count) =>
       val f = liveOf(uri)
       f.dv match {
-        case None => Planned(f, data, count)
+        case None => DvPlan(f, data, count)
         case Some(old) =>
-          // the scan never served already-deleted positions, so the two
-          // sorted sets are disjoint — cardinalities add
           val oldBits = DeletionVectors.load(fs, root, old)
           val fresh = DeletionVectors.deserializeBitmap(
             java.util.Arrays.copyOfRange(data, 4, data.length))
           val merged = DvWrite.serializeData(
             DvWrite.mergeSorted(oldBits.values, fresh.values))
-          Planned(f, merged, old.cardinality + count)
+          DvPlan(f, merged, old.cardinality + count)
       }
     }
-    // a file whose vector would shadow every physical row is tombstoned
-    // outright (it stays in `planned` for the remove; no re-add)
-    val shadowed = planned.filterNot(p => numRecords(p.file).contains(p.card))
-    val descriptors: Map[String, DeletionVectors.Descriptor] =
-      if (shadowed.isEmpty) Map.empty
-      else shadowed.map(_.file.path)
-        .zip(DvWrite.writeVectorFile(fs, root,
-          shadowed.map(p => (p.data, p.card)))).toMap
+  }
 
-    // first DV on the table upgrades the protocol — MERGED into the
-    // replayed record (never overwritten), with the legacy versions'
-    // implied features made explicit, per the table-features upgrade rule
+  /** The protocol-upgrade commit line when the replayed protocol lacks
+    * `deletionVectors` — MERGED into the replayed record (never
+    * overwritten), with the legacy versions' implied features made
+    * explicit, per the table-features upgrade rule.
+    */
+  private def dvProtocolUpgrade(proto: DeltaRead.Protocol,
+      where: String): Option[String] = {
     val hasFeature = proto.minReader >= 3 &&
       proto.readerFeatures.contains("deletionVectors") &&
       proto.writerFeatures.contains("deletionVectors")
-    val protocolLine =
-      if (hasFeature) None
-      else {
-        require(proto.writerFeatures.nonEmpty || proto.minWriter <= 5,
-          s"DML on $path: cannot upgrade legacy writer version ${proto.minWriter} " +
-            "to table features — it implies features this writer does not honor")
-        val impliedW =
-          if (proto.writerFeatures.nonEmpty) Nil
-          else Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
-            "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5)
-            .collect { case (feat, v) if proto.minWriter >= v => feat }
-        val impliedR =
-          if (proto.readerFeatures.nonEmpty) Nil
-          else if (proto.minReader >= 2) Seq("columnMapping")
-          else Nil
-        Some(DeltaWrite.protocolJson(DeltaRead.Protocol(
-          math.max(3, proto.minReader), math.max(7, proto.minWriter),
-          (proto.readerFeatures ++ impliedR :+ "deletionVectors").distinct,
-          (proto.writerFeatures ++ impliedW :+ "deletionVectors").distinct)))
-      }
+    if (hasFeature) None
+    else {
+      require(proto.writerFeatures.nonEmpty || proto.minWriter <= 5,
+        s"$where: cannot upgrade legacy writer version ${proto.minWriter} " +
+          "to table features — it implies features this writer does not honor")
+      val impliedW =
+        if (proto.writerFeatures.nonEmpty) Nil
+        else Seq("appendOnly" -> 2, "invariants" -> 2, "checkConstraints" -> 3,
+          "changeDataFeed" -> 4, "generatedColumns" -> 4, "columnMapping" -> 5)
+          .collect { case (feat, v) if proto.minWriter >= v => feat }
+      val impliedR =
+        if (proto.readerFeatures.nonEmpty) Nil
+        else if (proto.minReader >= 2) Seq("columnMapping")
+        else Nil
+      Some(DeltaWrite.protocolJson(DeltaRead.Protocol(
+        math.max(3, proto.minReader), math.max(7, proto.minWriter),
+        (proto.readerFeatures ++ impliedR :+ "deletionVectors").distinct,
+        (proto.writerFeatures ++ impliedW :+ "deletionVectors").distinct)))
+    }
+  }
+
+  /** Stage `rows` as fresh table data files under the table's physical
+    * layout — the shared staging step of every DML verb that writes new
+    * rows; mapped tables (both modes — id staging embeds the footer field
+    * ids) rename before staging. Returns [[DeltaWrite.stageDataFiles]]'
+    * add tuples.
+    */
+  private def stageForTable(spark: SparkSession, meta: DeltaRead.Meta,
+      rows: DataFrame, root: Path): Seq[(String, Map[String, String], Long, Option[String])] = {
+    DeltaWrite.enforceConstraints(rows, meta, s"DML on $root")
+    val (stageDf, stageCols) =
+      if (meta.mappingMode != "none") {
+        val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+        val l2p = ms.fieldNames
+          .zip(DeltaRead.physicalSchema(ms).fieldNames).toMap
+        (DeltaWrite.stagePhysical(rows, ms, meta.mappingMode),
+          meta.partitionCols.map(c => l2p.getOrElse(c, c)))
+      } else (rows, meta.partitionCols)
+    DeltaWrite.stageDataFiles(stageDf, root, stageCols)
+  }
+
+  /** Publish a DV-based DML commit: tombstone every planned file, re-add
+    * the partially-shadowed ones with their vector (fully-shadowed files
+    * stay removed), add any freshly staged files, stage cdc — atomically
+    * under the disjoint-rewrite OCC guard, upgrading the protocol on the
+    * table's first vector.
+    */
+  private def commitDvDml(spark: SparkSession, path: String, readVersion: Long,
+      meta: DeltaRead.Meta, proto: DeltaRead.Protocol, planned: Seq[DvPlan],
+      newAdds: Seq[(String, Map[String, String], Long, Option[String])],
+      operation: String, opParams: String, cdcData: Option[DataFrame],
+      txn: Option[(String, Long)] = None): Long = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def numRecords(f: DeltaRead.LiveFile): Option[Long] = f.stats.flatMap { s =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      Option(n.get("numRecords")).map(_.asLong())
+    }
+    // a file whose vector would shadow every physical row is tombstoned
+    // outright (it stays in `planned` for the remove; no re-add)
+    val reAdded = planned.filterNot(p => numRecords(p.file).contains(p.card))
+    val descriptors: Map[String, DeletionVectors.Descriptor] =
+      if (reAdded.isEmpty) Map.empty
+      else reAdded.map(_.file.path)
+        .zip(DvWrite.writeVectorFile(fs, root,
+          reAdded.map(p => (p.data, p.card)))).toMap
+    val protocolLine = dvProtocolUpgrade(proto, s"$operation on $path")
 
     // id-mapped + CDF: _change_data files would need parquet field ids
     // minted to read back through the id-resolving CDF scan — the same
     // staging problem that keeps copy-on-write DML off id tables
-    require(!(meta.mappingMode == "id" && cdfEnabled(meta)),
-      s"deleteWhereDv on $path: change-data capture on an id-mapped table " +
+    require(!(meta.mappingMode == "id" && cdcData.isDefined),
+      s"$operation on $path: change-data capture on an id-mapped table " +
         "would stage cdc files without field ids — disable CDF or use a " +
         "name-mapped table")
-    val cdc =
-      if (!cdfEnabled(meta)) None
-      else Some(scan.filter(hit).select(
-        schema.fieldNames.map(col).toSeq :+ lit("delete").as("_change_type"): _*))
 
     var cdcStaged: Seq[(String, Long)] = Seq.empty
     def mkLines(version: Long): Seq[String] = {
       cdcStaged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
-      cdcStaged = cdc.toSeq.flatMap { c =>
+      cdcStaged = cdcData.toSeq.flatMap { c =>
         val stageC =
           if (meta.mappingMode == "name") {
             val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -332,14 +520,17 @@ object DeltaMerge {
       }
       val now = System.currentTimeMillis()
       val lines = scala.collection.mutable.ArrayBuffer[String]()
-      lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${jsString(condition.toString)},"deletionVectors":true},"engineInfo":"graft"}}"""
+      lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
       protocolLine.foreach(lines += _)
+      txn.foreach { case (appId, txnVersion) =>
+        lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
+      }
       planned.foreach { p =>
         val oldDvField = p.file.dv
           .map(d => s""","deletionVector":${DeltaWrite.dvJson(d)}""").getOrElse("")
         lines += s"""{"remove":{"path":${jsString(p.file.path)},"deletionTimestamp":$now,"dataChange":true$oldDvField}}"""
       }
-      shadowed.foreach { p =>
+      reAdded.foreach { p =>
         val f = p.file
         val pvJson = f.partitionValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
@@ -347,13 +538,20 @@ object DeltaMerge {
         val dvField = s""","deletionVector":${DeltaWrite.dvJson(descriptors(f.path))}"""
         lines += s"""{"add":{"path":${jsString(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
       }
+      newAdds.foreach { case (rel, pv, size, stats) =>
+        val pvJson = pv.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+        val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+        lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+      }
       cdcStaged.foreach { case (rel, size) =>
         lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
       }
       lines.toSeq
     }
     DeltaWrite.commitWithRetry(spark, path, readVersion,
-      ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet, None), mkLines)
+      ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet,
+        txn.map(_._1)), mkLines)
   }
 
   /** UPDATE the Delta table at `path` SET `set` WHERE `condition` — the
@@ -451,20 +649,23 @@ object DeltaMerge {
       txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(meta.mappingMode != "id",
-      s"$operation on $path: id-mapped tables are read-only here — staging " +
-        "rewrites would need parquet field ids minted per file")
+    // id-mapped + CDF: the cdc staging below cannot mint field ids for
+    // the _change_data files the id-resolving CDF reader would need
+    require(!(meta.mappingMode == "id" && cdcData.isDefined),
+      s"$operation on $path: change-data capture on an id-mapped table " +
+        "would stage cdc files without field ids — disable CDF or use a " +
+        "name-mapped table")
     // CHECK constraints hold for the post-DML rows too
     DeltaWrite.enforceConstraints(newData, meta, s"$operation on $path")
-    // name-mapped tables: the DML logic above runs entirely on LOGICAL
-    // names (filesDf serves them); the rewrite stages back under the
-    // table's PHYSICAL layout, exactly like DeltaWrite does
+    // mapped tables: the DML logic above runs entirely on LOGICAL names
+    // (filesDf serves them); the rewrite stages back under the table's
+    // PHYSICAL layout (id mode: footer field ids too), like DeltaWrite
     val (stageDf, stageCols) =
-      if (meta.mappingMode == "name") {
+      if (meta.mappingMode != "none") {
         val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-        val phys = DeltaRead.physicalSchema(ms)
-        val l2p = ms.fieldNames.zip(phys.fieldNames).toMap
-        (newData.select(DeltaRead.physicalSelect(ms, phys): _*),
+        val l2p = ms.fieldNames
+          .zip(DeltaRead.physicalSchema(ms).fieldNames).toMap
+        (DeltaWrite.stagePhysical(newData, ms, meta.mappingMode),
           meta.partitionCols.map(c => l2p.getOrElse(c, c)))
       } else (newData, meta.partitionCols)
     val adds = DeltaWrite.stageDataFiles(stageDf, root, stageCols)

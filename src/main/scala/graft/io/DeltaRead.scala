@@ -144,13 +144,20 @@ object DeltaRead {
   }
 
   /** The inverse of [[logicalSelect]]: renames a logical-name DataFrame to
-    * the physical layout — what [[DeltaWrite]] stages into a name-mapped
-    * table. Same alias + positional-cast mechanics.
+    * the physical layout — what [[DeltaWrite]] stages into a mapped
+    * table. Same alias + positional-cast mechanics; the target field's
+    * METADATA rides the alias (and nested metadata rides the cast's
+    * target type), so staging against [[physicalSchemaWithIds]] leaves
+    * `parquet.field.id` on every level of the output schema — which is
+    * exactly what makes Spark's parquet writer emit footer field ids for
+    * id-mapped staging.
     */
   private[io] def physicalSelect(logical: StructType, phys: StructType): Seq[Column] =
     logical.fields.zip(phys.fields).map { case (lf, pf) =>
       val c = col(s"`${lf.name}`")
-      (if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)).as(pf.name)
+      val cast = if (pf.dataType == lf.dataType) c else c.cast(pf.dataType)
+      if (pf.metadata == org.apache.spark.sql.types.Metadata.empty) cast.as(pf.name)
+      else cast.as(pf.name, pf.metadata)
     }.toSeq
 
   /** One live file: path (log-relative), partition values, and the

@@ -137,25 +137,30 @@ object DeltaWrite {
       mergeSchema: Boolean): Long =
     writeDeltaTableImpl(df, path, mode, partitionBy, txn, mergeSchema)
 
-  /** Create (or write into) a NAME-MAPPED Delta table: a fresh table gets
-    * column-mapping metadata minted for every field — sequential
+  /** Create (or write into) a COLUMN-MAPPED Delta table: a fresh table
+    * gets column-mapping metadata minted for every field — sequential
     * `delta.columnMapping.id`s and `col-<uuid>` physical names at every
     * nesting level — with the protocol bumped to reader 2 / writer 5 and
-    * `delta.columnMapping.mode = name` in the table configuration; the
-    * data files stage under the PHYSICAL names, which is the whole point
-    * of the mode (logical renames never touch files again). Writing into
-    * an existing mapped table works through the plain [[writeDeltaTable]]
-    * too — the writer detects the mode from the log and renames the batch
-    * to the stored physical layout before staging.
+    * `delta.columnMapping.mode` (`name` by default, or `id`) in the table
+    * configuration; the data files stage under the PHYSICAL names — and,
+    * for mode `id`, with the parquet FOOTER FIELD IDS that are that
+    * mode's resolution authority — which is the whole point of mapping
+    * (logical renames never touch files again). Writing into an existing
+    * mapped table works through the plain [[writeDeltaTable]] too — the
+    * writer detects the mode from the log and renames the batch to the
+    * stored physical layout before staging.
     */
   def writeDeltaTableMapped(df: DataFrame, path: String, mode: String,
-      partitionBy: Seq[String] = Nil): Long =
+      partitionBy: Seq[String] = Nil, mappingMode: String = "name"): Long = {
+    require(mappingMode == "name" || mappingMode == "id",
+      s"mappingMode must be name or id, got $mappingMode")
     writeDeltaTableImpl(df, path, mode, partitionBy, None, mergeSchema = false,
-      createMapped = true)
+      createMapped = Some(mappingMode))
+  }
 
   private def writeDeltaTableImpl(df: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
-      mergeSchema: Boolean, createMapped: Boolean = false): Long = {
+      mergeSchema: Boolean, createMapped: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
     val spark = df.sparkSession
@@ -181,13 +186,13 @@ object DeltaWrite {
     val version = readVersion + 1
 
     existing.foreach { case (meta, _) =>
-      // name-mapped tables are writable (the batch renames to the stored
-      // physical layout below); id-mapped tables are not — their parquet
-      // field-id authority is something this writer cannot honor
-      require(meta.mappingMode == "none" || meta.mappingMode == "name",
-        s"$path enables column mapping '${meta.mappingMode}' — only 'none' " +
-          "and 'name' modes are writable here")
-      if (meta.mappingMode == "name") {
+      // mapped tables are writable in BOTH modes: the batch renames to the
+      // stored physical layout below, and id mode additionally stages its
+      // parquet footer field ids (the mode's resolution authority)
+      require(Seq("none", "name", "id").contains(meta.mappingMode),
+        s"$path enables column mapping '${meta.mappingMode}' — only 'none', " +
+          "'name', and 'id' modes are writable here")
+      if (meta.mappingMode != "none") {
         require(!mergeSchema,
           "mergeSchema is not supported on a column-mapped table — evolving " +
             "it would need fresh physical names/ids minted per new column")
@@ -232,17 +237,21 @@ object DeltaWrite {
     // an existing mapped table supplies its own; a fresh createMapped
     // table mints ids + physical names now. None for unmapped tables.
     val minted: Option[(StructType, Int)] =
-      if (createMapped) {
-        require(existing.isEmpty || existing.exists(_._1.mappingMode == "name"),
+      if (createMapped.isDefined) {
+        require(existing.isEmpty || existing.exists(_._1.mappingMode != "none"),
           s"$path already exists WITHOUT column mapping — enabling mapping on " +
             "an existing table would orphan its logical-name files")
         if (existing.isEmpty) Some(mintMappingMetadata(df.schema)) else None
       } else None
     val mappedSchema: Option[StructType] = existing match {
-      case Some((meta, _)) if meta.mappingMode == "name" =>
+      case Some((meta, _)) if meta.mappingMode != "none" =>
         Some(DataType.fromJson(meta.schemaJson).asInstanceOf[StructType])
       case _ => minted.map(_._1)
     }
+    // the mode the staged files must serve: an existing table's stored
+    // mode wins; a fresh createMapped table uses the requested one
+    val effectiveMapping: String = existing.map(_._1.mappingMode)
+      .filter(_ != "none").orElse(createMapped).getOrElse("none")
 
     // The schema the table carries AFTER this commit: evolved appends
     // keep the old column order and append the batch's new columns. Any
@@ -271,9 +280,9 @@ object DeltaWrite {
     // directories follow automatically).
     val (stageDf, stagePartitionBy) = mappedSchema match {
       case Some(ms) =>
-        val phys = DeltaRead.physicalSchema(ms)
-        val l2p = ms.fieldNames.zip(phys.fieldNames).toMap
-        (df.select(DeltaRead.physicalSelect(ms, phys): _*),
+        val l2p = ms.fieldNames
+          .zip(DeltaRead.physicalSchema(ms).fieldNames).toMap
+        (stagePhysical(df, ms, effectiveMapping),
           partitionBy.map(c => l2p.getOrElse(c, c)))
       case None => (df, partitionBy)
     }
@@ -312,7 +321,7 @@ object DeltaWrite {
       val pcols = partitionBy.map(js).mkString("[", ",", "]")
       val config = minted match {
         case Some((_, maxId)) =>
-          s"""{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId"}"""
+          s"""{"delta.columnMapping.mode":"${createMapped.getOrElse("name")}","delta.columnMapping.maxColumnId":"$maxId"}"""
         case None =>
           // a schema-changing overwrite must CARRY the existing table
           // configuration — emitting {} would silently drop properties
@@ -734,12 +743,28 @@ object DeltaWrite {
     */
   private def compactReadSchema(meta: DeltaRead.Meta): StructType = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val phys = if (meta.mappingMode == "name")
-      DeltaRead.physicalSchema(schema) else schema
+    // id mode reads AND stages by field id: the raw-byte rewrite carries
+    // `parquet.field.id` metadata through the read schema, so Spark both
+    // resolves source columns by footer id (the caller flips the read
+    // flag) and emits ids into the staged footers
+    val phys = meta.mappingMode match {
+      case "name" => DeltaRead.physicalSchema(schema)
+      case "id" => DeltaRead.physicalSchemaWithIds(schema)
+      case _ => schema
+    }
     val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
     val physPartCols = meta.partitionCols.map(c => l2p.getOrElse(c, c))
     StructType(phys.fields.filterNot(f => physPartCols.contains(f.name)))
   }
+
+  /** Session flags an id-mapped maintenance rewrite needs: resolve source
+    * columns by footer field id, emit ids into staged footers.
+    */
+  private def enableFieldIdIo(spark: SparkSession, meta: DeltaRead.Meta): Unit =
+    if (meta.mappingMode == "id") {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
 
   /** OPTIMIZE ZORDER BY (colX, colY): rewrite every partition's live data
     * files clustered on the interleaved quantile ranks of the two columns
@@ -764,16 +789,15 @@ object DeltaWrite {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
-    require(meta.mappingMode != "id",
-      s"compactZOrder($path): id-mapped tables are read-only here")
     checkWritable(meta, proto, s"compactZOrder of $path", removesData = false)
+    enableFieldIdIo(spark, meta)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
       "z-order columns must be data columns (partition values carry no footer stats)")
     Seq(colX, colY).foreach(c => require(schema.fieldNames.contains(c),
       s"$c is not a column of the table (${schema.fieldNames.mkString(", ")})"))
     val dataSchema = compactReadSchema(meta)
-    val phys = if (meta.mappingMode == "name")
+    val phys = if (meta.mappingMode != "none")
       DeltaRead.physicalSchema(schema) else schema
     val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
     val (px, py) = (l2p(colX), l2p(colY))
@@ -861,6 +885,25 @@ object DeltaWrite {
     * renames metadata-only. Returns the metadata-bearing logical schema
     * and the max assigned id (for `delta.columnMapping.maxColumnId`).
     */
+  /** Rename a logical-name batch to a mapped table's physical layout for
+    * staging. Mode `name` stages under the physical names; mode `id`
+    * ADDITIONALLY carries `parquet.field.id` metadata on every field (via
+    * [[DeltaRead.physicalSchemaWithIds]]) and flips the session's
+    * field-id write flag, so the staged footers embed the ids that are
+    * the mode's resolution authority — a conforming id-mode reader never
+    * looks at the column names at all.
+    */
+  private[io] def stagePhysical(df: DataFrame, ms: StructType,
+      mappingMode: String): DataFrame = {
+    val phys = mappingMode match {
+      case "id" =>
+        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        DeltaRead.physicalSchemaWithIds(ms)
+      case _ => DeltaRead.physicalSchema(ms)
+    }
+    df.select(DeltaRead.physicalSelect(ms, phys): _*)
+  }
+
   private def mintMappingMetadata(schema: StructType): (StructType, Int) = {
     import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder, StructField}
     var id = 0
@@ -1209,12 +1252,10 @@ object DeltaWrite {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
-    require(meta.mappingMode != "id",
-      s"compact($path): id-mapped tables are read-only here — the rewrite " +
-        "would need parquet field ids honored and re-minted")
     // dataChange=false: allowed even on delta.appendOnly tables (the spec's
     // carve-out for maintenance rewrites)
     checkWritable(meta, proto, s"compact of $path", removesData = false)
+    enableFieldIdIo(spark, meta)
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)

@@ -39,6 +39,7 @@ class PlanRegressionSpec extends SparkSpec {
     "q90_integrity",        // expected-totals row
     "q94_delta_roundtrip",  // version-count scalar
     "q106_merge_roundtrip", // v0/v1 row-count scalars (1-row aggregates crossed)
+    "q111_dv_dml",          // same v0/v1 row-count scalar crosses as q106
     "q98_triangles",        // three single-row count aggregates crossed
     // hardNegatives joins corpus to broadcast(queries) on a label
     // INEQUALITY — non-equi, so Spark plans BNLJ. The broadcast side is

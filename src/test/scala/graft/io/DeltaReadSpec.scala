@@ -612,16 +612,20 @@ class DeltaReadSpec extends SparkSpec {
     assert(filesRead(df.filter(col("id") === 100L)) == 1L)
     // logical-name partition filter → physical partition pruning
     assert(filesRead(df.filter(col("part") === "a")) == 1L)
-    // writes stay refused on id tables
-    val e = intercept[IllegalArgumentException] {
-      DeltaWrite.writeDeltaTable(Seq((7L, "z", "c")).toDF("id", "v", "part"),
-        table, "append", partitionBy = Seq("part"))
-    }
-    assert(e.getMessage.contains("'id'"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaMerge.deleteWhere(spark, table, col("id") === 1L)
-    }
-    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    // id tables are WRITABLE: the append stages physical names + footer
+    // field ids, and resolves alongside the foreign-named fixture files
+    DeltaWrite.writeDeltaTable(Seq((7L, "z", "c")).toDF("id", "v", "part"),
+      table, "append", partitionBy = Seq("part"))
+    val after = DeltaRead.readDeltaTable(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(after.toSeq == Seq((1L, "a", "a"), (2L, "b", "a"), (7L, "z", "c"),
+      (100L, "c", "b"), (101L, "d", "b")), after.toSeq.toString)
+    // copy-on-write DML reads the foreign-named file by id and restages it
+    DeltaMerge.deleteWhere(spark, table, col("id") === 1L)
+    val afterDel = DeltaRead.readDeltaTable(spark, table).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(afterDel.toSeq == Seq((2L, "b", "a"), (7L, "z", "c"),
+      (100L, "c", "b"), (101L, "d", "b")), afterDel.toSeq.toString)
   }
 
   test("typeWidening: narrow pre-widening files promote to the log's widened schema") {

@@ -566,6 +566,48 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("WITHOUT column mapping"), e2.getMessage)
   }
 
+  test("id-mapped create: footer FIELD IDS on disk, id-resolved reads, DML and compact work") {
+    import org.apache.spark.sql.types._
+    val table = tmp("graft_dw_cmid")
+    val d0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v0 = DeltaWrite.writeDeltaTableMapped(d0, table, "append",
+      mappingMode = "id")
+    assert(v0 == 0L)
+    val (meta0, files0) = DeltaRead.replayLog(spark, table, None)
+    assert(meta0.mappingMode == "id")
+    // staged parquet stores col-<uuid> names...
+    val fpaths = files0.map(f => new java.io.File(table, f.path).toString)
+    assert(spark.read.parquet(fpaths: _*).columns.forall(_.startsWith("col-")))
+    // ...and FOOTER FIELD IDS: a read under totally different names but
+    // matching ids resolves the data — names never mattered
+    def fid(id: Int) = Metadata.fromJson(s"""{"parquet.field.id":$id}""")
+    val foreign = StructType(Seq(
+      StructField("whatever", LongType, nullable = true, fid(1)),
+      StructField("other", StringType, nullable = true, fid(2))))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val viaIds = spark.read.schema(foreign).parquet(fpaths: _*)
+      .orderBy("whatever").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaIds.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")), viaIds.toSeq.toString)
+
+    def rows() = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // plain appends and the whole DML surface run on the id table
+    DeltaWrite.writeDeltaTable(Seq((4L, "d")).toDF("id", "v"), table, "append")
+    DeltaMerge.merge(spark, table, Seq((2L, "B"), (5L, "e")).toDF("id", "v"),
+      Seq("id"))
+    DeltaMerge.updateWhere(spark, table, col("id") === 3L,
+      Map("v" -> lit("C")))
+    DeltaMerge.deleteWhere(spark, table, col("id") === 1L)
+    assert(rows() == Seq((2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")))
+    // DV delete (never stages) and maintenance compaction too
+    DeltaMerge.deleteWhereDv(spark, table, col("id") === 5L)
+    assert(rows() == Seq((2L, "B"), (3L, "C"), (4L, "d")))
+    DeltaWrite.compact(spark, table)
+    assert(rows() == Seq((2L, "B"), (3L, "C"), (4L, "d")))
+    assert(DeltaRead.replayLog(spark, table, None)._2.forall(_.dv.isEmpty))
+  }
+
   test("restore rolls the live set back as a new commit; history and travel intact") {
     val table = tmp("graft_dw_restore")
     DeltaWrite.writeDeltaTable(

@@ -175,6 +175,77 @@ class DvWriteSpec extends SparkSpec {
     assert(ids(table) == expected)
   }
 
+  test("updateWhereDv: old positions shadowed in place, updated rows in new files") {
+    val table = tmp("graft_dvw9")
+    val df = (0L until 40L).map(i => (i, i * 10L)).toDF("id", "n").repartition(2)
+    DeltaWrite.writeDeltaTable(df, table, "append")
+    val before = liveFiles(table).map(_.path).toSet
+
+    val v = DeltaMerge.updateWhereDv(spark, table, col("id") < 4L,
+      Map("n" -> (col("n") + 1L)))
+    assert(v == 1L)
+    val got = DeltaRead.readDeltaTable(spark, table)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 40L).map(i => (i, if (i < 4) i * 10 + 1 else i * 10)))
+    // originals survive by identity (now DV-shadowed); updates appended new
+    val after = liveFiles(table)
+    assert(before.subsetOf(after.map(_.path).toSet))
+    assert(after.map(_.path).toSet.size > before.size)
+    assert(after.flatMap(_.dv).map(_.cardinality).sum == 4L)
+    // time travel: pre-update values intact
+    val v0 = DeltaRead.readDeltaTable(spark, table, Some(0L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v0 == (0L until 40L).map(i => (i, i * 10)))
+  }
+
+  test("updateWhereDv emits pre/post images through the change feed") {
+    val table = tmp("graft_dvw10")
+    DeltaWrite.writeDeltaTable(
+      (0L until 10L).map(i => (i, i)).toDF("id", "n"), table, "append")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val v = DeltaMerge.updateWhereDv(spark, table, col("id") === 5L,
+      Map("n" -> lit(99L)))
+    val feed = DeltaRead.changeFeed(spark, table, fromVersion = v - 1)
+      .select("id", "n", "_change_type").orderBy("_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(feed == Seq((5L, 99L, "update_postimage"), (5L, 5L, "update_preimage")))
+  }
+
+  test("merge with useDeletionVectors matches copy-on-write results, keeps files") {
+    val cow = tmp("graft_dvw11a")
+    val dv = tmp("graft_dvw11b")
+    val base = (0L until 30L).map(i => (i, s"v$i", i)).toDF("id", "v", "n")
+    val src = Seq((3L, "X", 300L), (7L, "Y", 700L), (50L, "Z", 500L))
+      .toDF("id", "v", "n")
+    Seq(cow, dv).foreach(t =>
+      DeltaWrite.writeDeltaTable(base.repartition(2), t, "append"))
+    val beforeDv = liveFiles(dv).map(_.path).toSet
+
+    DeltaMerge.merge(spark, cow, src, Seq("id"))
+    DeltaMerge.merge(spark, dv, src, Seq("id"), useDeletionVectors = true)
+
+    def all(t: String) = DeltaRead.readDeltaTable(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(all(dv) == all(cow))
+    // DV merge keeps every original file; COW rewrote the touched ones
+    assert(beforeDv.subsetOf(liveFiles(dv).map(_.path).toSet))
+    assert(liveFiles(dv).flatMap(_.dv).map(_.cardinality).sum == 2L)
+  }
+
+  test("merge useDeletionVectors whenMatched=delete shadows without rewrite") {
+    val table = tmp("graft_dvw12")
+    DeltaWrite.writeDeltaTable(
+      (0L until 20L).map(i => (i, s"v$i", i)).toDF("id", "v", "n").coalesce(1),
+      table, "append")
+    val before = liveFiles(table).map(_.path).toSet
+    DeltaMerge.merge(spark, table, Seq(Tuple1(4L), Tuple1(8L)).toDF("id"),
+      Seq("id"), whenMatched = "delete", insertUnmatched = false,
+      useDeletionVectors = true)
+    assert(ids(table) == (0L until 20L).filterNot(i => i == 4 || i == 8))
+    assert(liveFiles(table).map(_.path).toSet == before)
+  }
+
   test("deleteWhereDv on a name-mapped table resolves logical predicates") {
     val table = tmp("graft_dvw8")
     DeltaWrite.writeDeltaTableMapped(
