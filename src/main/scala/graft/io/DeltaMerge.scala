@@ -146,6 +146,24 @@ object DeltaMerge {
       cdcData = cdc, txn = txn)
   }
 
+  /** A change-data batch renamed to the table's physical layout for
+    * staging under `_change_data/` — name mode renames, id mode
+    * additionally rides `parquet.field.id` metadata into the staged
+    * footers so the id-resolving CDF reader can serve them.
+    */
+  private def cdcPhysical(c: DataFrame, meta: DeltaRead.Meta): DataFrame =
+    if (meta.mappingMode == "none") c
+    else {
+      val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val phys = meta.mappingMode match {
+        case "id" =>
+          c.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          DeltaRead.physicalSchemaWithIds(ms)
+        case _ => DeltaRead.physicalSchema(ms)
+      }
+      c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
+    }
+
   /** Whether the table opted into the change data feed
     * (`delta.enableChangeDataFeed = true` — set at create or via
     * [[DeltaWrite.setTableProperties]]). DML on a CDF table pays one
@@ -202,9 +220,8 @@ object DeltaMerge {
     * write into the vector file. A file already carrying a vector gets
     * the union (streamed merge of two sorted sets, never materialized);
     * a file whose every remaining row matched is REMOVED outright rather
-    * than re-added fully shadowed. Works on id-mapped tables too — the
-    * one DML verb that never stages data files, so no field ids need
-    * minting. Returns the committed version, or -1 when no row matched.
+    * than re-added fully shadowed. Returns the committed version, or -1
+    * when no row matched.
     */
   def deleteWhereDv(spark: SparkSession, path: String, condition: Column): Long = {
     val readVersion = DeltaRead.latestVersion(spark, path)
@@ -240,9 +257,8 @@ object DeltaMerge {
     * positions are shadowed in their (unchanged) files and the updated
     * versions append as NEW files — cost O(changed rows), where
     * [[updateWhere]] rewrites every row of every touched file. Same
-    * trade-offs and protocol upgrade as [[deleteWhereDv]]. The staged
-    * rows mean id-mapped tables are refused here (unlike the pure
-    * delete). Returns the committed version, or -1 when nothing matched.
+    * trade-offs and protocol upgrade as [[deleteWhereDv]]. Returns the
+    * committed version, or -1 when nothing matched.
     */
   def updateWhereDv(spark: SparkSession, path: String, condition: Column,
       set: Map[String, Column]): Long = {
@@ -460,6 +476,9 @@ object DeltaMerge {
   private def stageForTable(spark: SparkSession, meta: DeltaRead.Meta,
       rows: DataFrame, root: Path): Seq[(String, Map[String, String], Long, Option[String])] = {
     DeltaWrite.enforceConstraints(rows, meta, s"DML on $root")
+    // DML rows carry every column — applyGenerated is pure validation
+    // here (a stale generated value after an update refuses loudly)
+    DeltaWrite.applyGenerated(rows, meta, s"DML on $root")
     val (stageDf, stageCols) =
       if (meta.mappingMode != "none") {
         val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -498,25 +517,12 @@ object DeltaMerge {
           reAdded.map(p => (p.data, p.card)))).toMap
     val protocolLine = dvProtocolUpgrade(proto, s"$operation on $path")
 
-    // id-mapped + CDF: _change_data files would need parquet field ids
-    // minted to read back through the id-resolving CDF scan — the same
-    // staging problem that keeps copy-on-write DML off id tables
-    require(!(meta.mappingMode == "id" && cdcData.isDefined),
-      s"$operation on $path: change-data capture on an id-mapped table " +
-        "would stage cdc files without field ids — disable CDF or use a " +
-        "name-mapped table")
-
     var cdcStaged: Seq[(String, Long)] = Seq.empty
     def mkLines(version: Long): Seq[String] = {
       cdcStaged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
       cdcStaged = cdcData.toSeq.flatMap { c =>
-        val stageC =
-          if (meta.mappingMode == "name") {
-            val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-            val phys = DeltaRead.physicalSchema(ms)
-            c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
-          } else c
-        DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
+        DeltaWrite.stageCdcFiles(
+          cdcPhysical(c, meta).withColumn("_commit_version", lit(version)), root)
       }
       val now = System.currentTimeMillis()
       val lines = scala.collection.mutable.ArrayBuffer[String]()
@@ -649,14 +655,11 @@ object DeltaMerge {
       txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // id-mapped + CDF: the cdc staging below cannot mint field ids for
-    // the _change_data files the id-resolving CDF reader would need
-    require(!(meta.mappingMode == "id" && cdcData.isDefined),
-      s"$operation on $path: change-data capture on an id-mapped table " +
-        "would stage cdc files without field ids — disable CDF or use a " +
-        "name-mapped table")
     // CHECK constraints hold for the post-DML rows too
     DeltaWrite.enforceConstraints(newData, meta, s"$operation on $path")
+    // DML rows carry every column — applyGenerated is pure validation
+    // here (a stale generated value after an update refuses loudly)
+    DeltaWrite.applyGenerated(newData, meta, s"$operation on $path")
     // mapped tables: the DML logic above runs entirely on LOGICAL names
     // (filesDf serves them); the rewrite stages back under the table's
     // PHYSICAL layout (id mode: footer field ids too), like DeltaWrite
@@ -680,13 +683,8 @@ object DeltaMerge {
     def mkLines(version: Long): Seq[String] = {
       cdcStaged.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
       cdcStaged = cdcData.toSeq.flatMap { c =>
-        val stageC =
-          if (meta.mappingMode == "name") {
-            val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-            val phys = DeltaRead.physicalSchema(ms)
-            c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
-          } else c
-        DeltaWrite.stageCdcFiles(stageC.withColumn("_commit_version", lit(version)), root)
+        DeltaWrite.stageCdcFiles(
+          cdcPhysical(c, meta).withColumn("_commit_version", lit(version)), root)
       }
       val now = System.currentTimeMillis()
       val lines = scala.collection.mutable.ArrayBuffer[String]()

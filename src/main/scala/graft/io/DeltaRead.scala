@@ -511,11 +511,17 @@ object DeltaRead {
       toVersion: Option[Long] = None, strict: Boolean = false): DataFrame = {
     val (meta, _) = replayLog(spark, path, toVersion)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    require(meta.mappingMode != "id",
-      s"changeFeed($path): id-mapped tables are read-only here, and their " +
-        "_change_data files would need field-id resolution — unsupported")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    // id mode: the cdc files carry footer field ids (the DML verbs stage
+    // them with [[DeltaWrite.stagePhysical]]'s id projection), so the
+    // read resolves them the same way the data scan does
+    val phys = meta.mappingMode match {
+      case "name" => physicalSchema(schema)
+      case "id" =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        physicalSchemaWithIds(schema)
+      case _ => schema
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -573,9 +579,21 @@ object DeltaRead {
         if (node.has("remove") && dataChange(node.get("remove"))) removed += 1
       }
       val changed: Option[DataFrame] =
-        if (cdcPaths.nonEmpty)
-          Some(spark.read.parquet(cdcPaths.toSeq: _*)
+        if (cdcPaths.nonEmpty) {
+          // id mode needs the EXPLICIT physical schema (with field ids)
+          // so the parquet reader resolves by id; the bare-name extras
+          // (_change_type, _commit_version) match by name as usual
+          val reader =
+            if (meta.mappingMode == "id")
+              spark.read.schema(StructType(phys.fields ++ Seq(
+                org.apache.spark.sql.types.StructField("_change_type",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("_commit_version",
+                  org.apache.spark.sql.types.LongType))))
+            else spark.read
+          Some(reader.parquet(cdcPaths.toSeq: _*)
             .select(logicalSelect(schema, phys) :+ col("_change_type"): _*))
+        }
         else if (removed == 0 && adds.nonEmpty)
           Some(filesDf(spark, path, meta, adds.toSeq, provenance = false)
             .withColumn("_change_type", lit("insert")))
@@ -608,11 +626,17 @@ object DeltaRead {
   def readChangeFeedStream(spark: SparkSession, path: String): DataFrame = {
     val (meta, _) = replayLog(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    require(meta.mappingMode != "id",
-      s"readChangeFeedStream($path): id-mapped tables are unsupported here " +
-        "(field-id resolution does not compose with the raw file stream)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val phys = if (meta.mappingMode == "name") physicalSchema(schema) else schema
+    // id mode: the stream's explicit schema carries the field ids our DML
+    // stages into every cdc footer, and the flag makes the parquet source
+    // resolve by them — same mechanics as the batch changeFeed
+    val phys = meta.mappingMode match {
+      case "name" => physicalSchema(schema)
+      case "id" =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        physicalSchemaWithIds(schema)
+      case _ => schema
+    }
     val fileSchema = phys.add("_change_type", "string").add("_commit_version", "long")
     spark.readStream.schema(fileSchema)
       .parquet(new Path(path, "_change_data").toString)

@@ -158,12 +158,12 @@ object DeltaWrite {
       createMapped = Some(mappingMode))
   }
 
-  private def writeDeltaTableImpl(df: DataFrame, path: String, mode: String,
+  private def writeDeltaTableImpl(df0: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
       mergeSchema: Boolean, createMapped: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -178,6 +178,10 @@ object DeltaWrite {
       if (fs.exists(logDir))
         Some(DeltaRead.replayLogWithProtocol(spark, path, None)).filter(_._1 != null)
       else None
+    // generated columns resolve BEFORE schema validation: a batch that
+    // omits a generated column is completed to the table schema here
+    val df = existingFull.map(e => applyGenerated(df0, e._1, s"write to $path"))
+      .getOrElse(df0)
     val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
       existingFull.map(t => (t._1, t._2))
     existingFull.foreach { case (meta, _, proto) =>
@@ -452,13 +456,52 @@ object DeltaWrite {
     require(!meta.configuration.get("delta.enableRowTracking").contains("true"),
       s"$where: the table enables row tracking, which requires writers to " +
         "mint and preserve row ids — unsupported here")
+    // generated columns (`delta.generationExpression`) are HONORED, not
+    // refused: [[applyGenerated]] computes omitted columns and validates
+    // supplied ones on every staging path
     Seq("delta.invariants" -> "column invariants",
-      "delta.generationExpression" -> "generated columns",
       "delta.identity" -> "identity columns").foreach { case (key, what) =>
       require(!meta.schemaJson.contains(key),
         s"$where: the table schema declares $what ($key), which this writer " +
           "cannot compute or validate — a commit could silently violate them")
     }
+  }
+
+  /** Generated columns — the writer half of `delta.generationExpression`
+    * field metadata (the public spec's generated-columns feature, most
+    * commonly a derived partition column like `date(ts)`): a batch that
+    * OMITS the column gets it computed from the expression; a batch that
+    * SUPPLIES it is validated row-by-row (null-safe equality against the
+    * recomputed value) and refused on any mismatch — the spec's writer
+    * obligation, which also catches DML that updates a dependency while
+    * leaving the generated value stale. Expressions are compiled with
+    * Spark's `expr`, so the check is one codegen'd pass, no UDFs.
+    */
+  private[io] def applyGenerated(df: DataFrame, meta: DeltaRead.Meta,
+      where: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (!meta.schemaJson.contains("delta.generationExpression")) return df
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val gens = schema.fields
+      .filter(_.metadata.contains("delta.generationExpression"))
+    var out = df
+    gens.foreach { f =>
+      val g = f.metadata.getString("delta.generationExpression")
+      val genCol = expr(g).cast(f.dataType)
+      if (!out.columns.contains(f.name))
+        out = out.withColumn(f.name, genCol)
+      else {
+        val bad = out.filter(!(col(f.name) <=> genCol)).limit(1).count()
+        require(bad == 0L,
+          s"$where: generated column ${f.name} = $g — the batch supplies " +
+            "values that do not match the generation expression; omit the " +
+            "column to have it computed, or fix the values")
+      }
+    }
+    // computed columns appended at the end → restore the table's order
+    if (gens.exists(f => !df.columns.contains(f.name)))
+      out.select(schema.fieldNames.filter(out.columns.contains).map(col).toSeq: _*)
+    else out
   }
 
   /** The `"inCommitTimestamp":N,` fragment for the NEXT commit's

@@ -160,4 +160,40 @@ class DeltaCdfSpec extends SparkSpec {
     assert(physCols.count(_.startsWith("col-")) == 3, physCols.mkString(", "))
     assert(physCols.contains("_change_type"), physCols.mkString(", "))
   }
+
+  test("id-mapped table: the feed resolves cdc files by field id, batch and stream") {
+    val table = tmp("graft_cdf_id")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"), table, "append",
+      mappingMode = "id")
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    DeltaMerge.updateWhere(spark, table, col("id") === 2L, Map("v" -> lit("Z")))
+    DeltaMerge.deleteWhereDv(spark, table, col("id") === 1L)
+    val rows = feedRows(table, 1L)
+    assert(rows == Seq(
+      (2L, "update_postimage", 2L, "Z", 20L),
+      (2L, "update_preimage", 2L, "b", 20L),
+      (3L, "delete", 1L, "a", 10L)), rows.toString)
+    // the staged cdc parquet stores physical names AND footer field ids —
+    // prove the ids by resolving under entirely different names
+    import org.apache.spark.sql.types._
+    val ms = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaRead.replayLog(spark, table, None)._1.schemaJson).asInstanceOf[StructType]
+    def fid(id: Int) = Metadata.fromJson(s"""{"parquet.field.id":$id}""")
+    val foreign = StructType(Seq(
+      StructField("c1", LongType, nullable = true, fid(1)),
+      StructField("c2", StringType, nullable = true, fid(2)),
+      StructField("c3", LongType, nullable = true, fid(3)),
+      StructField("_change_type", StringType)))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val cdcDir = new java.io.File(table, "_change_data")
+    val viaIds = spark.read.schema(foreign).parquet(cdcDir.toString)
+      .orderBy("_change_type", "c1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(viaIds == Seq((1L, "a", "delete"),
+      (2L, "Z", "update_postimage"), (2L, "b", "update_preimage")),
+      viaIds.toString)
+    assert(ms.fields.forall(_.metadata.contains("delta.columnMapping.id")))
+  }
 }

@@ -219,8 +219,8 @@ class DeltaWriteSpec extends SparkSpec {
     // reads stay fine — the gate is writer-side only
     assert(DeltaRead.readDeltaTable(spark, t2).count() == 1L)
 
-    // schema-embedded generation expressions refuse writes this engine
-    // cannot compute
+    // schema-embedded generation expressions are HONORED: a matching
+    // batch lands, a violating batch refuses (foreign-created table)
     val t3 = tmp("graft_dw_wp3")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import org.apache.spark.sql.types._
@@ -232,9 +232,11 @@ class DeltaWriteSpec extends SparkSpec {
       """{"commitInfo":{"timestamp":1,"operation":"CREATE","operationParameters":{},"engineInfo":"other"}}""",
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
       s"""{"metaData":{"id":"g","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(genSchema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    DeltaWrite.writeDeltaTable(Seq((1L, 2L)).toDF("id", "twice"), t3, "append")
     val e4 = intercept[IllegalArgumentException] {
-      DeltaWrite.writeDeltaTable(Seq((1L, 2L)).toDF("id", "twice"), t3, "append") }
-    assert(e4.getMessage.contains("generated columns"), e4.getMessage)
+      DeltaWrite.writeDeltaTable(Seq((5L, 11L)).toDF("id", "twice"), t3, "append") }
+    assert(e4.getMessage.contains("generated column"), e4.getMessage)
+    assert(DeltaRead.readDeltaTable(spark, t3).count() == 1L)
   }
 
   test("a rename-only batch is refused: schema comparison checks field NAMES") {
@@ -606,6 +608,52 @@ class DeltaWriteSpec extends SparkSpec {
     DeltaWrite.compact(spark, table)
     assert(rows() == Seq((2L, "B"), (3L, "C"), (4L, "d")))
     assert(DeltaRead.replayLog(spark, table, None)._2.forall(_.dv.isEmpty))
+  }
+
+  test("generated columns: omitted columns compute, mismatched values refuse, DML validates") {
+    import org.apache.spark.sql.types.Metadata
+    val table = tmp("graft_dw_gen")
+    val md = Metadata.fromJson("""{"delta.generationExpression":"date(ts)"}""")
+    val base = Seq((1L, "2024-01-02 03:04:05"), (2L, "2024-02-03 04:05:06"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    // create WITH the generated column present and correct (its metadata
+    // rides the schemaString into the table definition)
+    DeltaWrite.writeDeltaTable(
+      base.withColumn("d", expr("date(ts)").as("d", md)),
+      table, "append", partitionBy = Seq("d"))
+
+    // append WITHOUT the column: computed from the expression
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "2024-03-04 05:06:07")).toDF("id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      table, "append", partitionBy = Seq("d"))
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("id", "d").collect().map(r => (r.getLong(0), r.getDate(1).toString))
+    assert(rows.toSeq == Seq((1L, "2024-01-02"), (2L, "2024-02-03"),
+      (3L, "2024-03-04")), rows.toSeq.toString)
+
+    // append WITH a wrong value: refused before staging
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.writeDeltaTable(
+        Seq((4L, "2024-04-05 06:07:08")).toDF("id", "ts")
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("d", lit("1999-01-01").cast("date")),
+        table, "append", partitionBy = Seq("d"))
+    }
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 3L)
+
+    // an update that goes STALE on the dependency refuses; a consistent
+    // one (dependency unchanged) commits
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaMerge.updateWhere(spark, table, col("id") === 1L,
+        Map("ts" -> lit("2025-06-07 08:09:10").cast("timestamp")))
+    }
+    assert(e2.getMessage.contains("generated column"), e2.getMessage)
+    DeltaMerge.updateWhere(spark, table, col("id") === 1L,
+      Map("id" -> lit(10L)))
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 10L))
   }
 
   test("restore rolls the live set back as a new commit; history and travel intact") {
