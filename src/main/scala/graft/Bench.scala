@@ -103,6 +103,7 @@ object Bench {
       // commits of table-build tax per run) to make the oracle hashable;
       // b54/b55 bench the amortized shape — verbs/reads on a standing table
       "q106_merge_roundtrip", "q109_change_feed", "q111_dv_dml",
+      "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -259,6 +260,17 @@ object Bench {
       val q = emb.orderBy("vec_id").select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       PQ.adcTopK(PQ.encode(emb, "vec_id", "embedding", cb), "vec_id", q, cb, 10)
+    }),
+    "b58_dedup_apply_fast" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true)
+      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+      Dedup.keepBest(docs, clusters, "doc_id", length(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).cast("long").as("chars_kept"))
+        .orderBy(col("source"))
     }),
     "b35_dup_clusters_fast" -> ((s, dir) =>
       Dedup.dupClusters(

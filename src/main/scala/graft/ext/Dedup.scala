@@ -516,4 +516,29 @@ object Dedup {
         round(jaccard(col("nsh"), col("osh")), 4).as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** The APPLY step after near-dup detection: given `clusters` — the
+    * `(id, cluster)` labeling [[dupClusters]] produces — keep ONE
+    * representative per cluster, the best by `score` (ties: smallest id,
+    * so the choice is deterministic), and drop every other member from
+    * `docs`. Documents in no cluster always survive.
+    *
+    * Scale shape: the argmax window runs over cluster MEMBERS only (the
+    * clustered docs are a vanishing sliver of a deduplicated corpus, and
+    * only `(id, score)` ever shuffles — never the text); the corpus
+    * itself pays one left-anti join against the drop list and is
+    * otherwise untouched, so the output keeps the input's partitioning
+    * for downstream stages.
+    */
+  def keepBest(docs: DataFrame, clusters: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = clusters.withColumnRenamed("id", idCol)
+      .join(docs.select(col(idCol), score.as("__score")), Seq(idCol))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__score").desc, col(idCol))
+    val drops = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol))
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -199,6 +199,21 @@ class ExtSpec extends SparkSpec {
     assert(gotDist == want)
   }
 
+  test("keepBest: one representative per cluster (best score, id tie-break); singletons survive") {
+    val docs = Seq(
+      (1L, "aaaa"), (2L, "aa"), (3L, "aaa"),    // cluster 1 → keep 1 (longest)
+      (10L, "bb"), (11L, "bb"),                 // cluster 10, tie → keep 10
+      (99L, "solo")                             // no cluster → survives
+    ).toDF("doc_id", "text")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)
+    ).toDF("id", "cluster")
+    val kept = Dedup.keepBest(docs, clusters, "doc_id",
+      org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L), kept.toString)
+  }
+
   test("dupClusters: integer and string id columns both work under the driver threshold") {
     // IntegerType ids exercise the widen-to-long path through the driver
     // fast path (was a ClassCastException before r5)
