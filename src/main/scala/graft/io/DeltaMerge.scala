@@ -128,9 +128,12 @@ object DeltaMerge {
           .select(fieldCols :+ lit(
             if (whenMatched == "delete") "delete" else "update_preimage")
             .as("_change_type"): _*)
+        // one post-image PER MATCHED TARGET ROW (duplicate-key targets
+        // update every copy), so join the per-row base keys — a semi-join
+        // on the source would collapse them to one per key
         val matchedPost =
           if (whenMatched == "update")
-            Some(source1.join(baseKeys, keyCols, "left_semi")
+            Some(baseKeys.join(source1, keyCols, "inner")
               .select(fieldCols :+ lit("update_postimage").as("_change_type"): _*))
           else None
         val inserts =
@@ -155,10 +158,10 @@ object DeltaMerge {
     if (meta.mappingMode == "none") c
     else {
       val ms = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      // id mode: the projected schema carries `parquet.field.id` metadata,
+      // which [[DeltaWrite.stagedWriter]] honors per-write — no session flag
       val phys = meta.mappingMode match {
-        case "id" =>
-          c.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-          DeltaRead.physicalSchemaWithIds(ms)
+        case "id" => DeltaRead.physicalSchemaWithIds(ms)
         case _ => DeltaRead.physicalSchema(ms)
       }
       c.select(DeltaRead.physicalSelect(ms, phys) :+ col("_change_type"): _*)
@@ -339,9 +342,16 @@ object DeltaMerge {
     // key set is tiny (≤ |source|), so both joins below broadcast it
     val matchedKeys = matched.select(keyCols.map(col): _*).distinct()
     val fieldCols = schema.fieldNames.map(col).toSeq
+    // UPDATE must re-append one row PER MATCHED TARGET ROW, not per source
+    // key: a duplicate-key target row shadows BOTH positions, and the
+    // copy-on-write path updates both (multiplicity preserved — upstream
+    // Delta MERGE semantics). Joining the per-row matched keys (NOT
+    // distinct) to the source (≤1 row/key by the cardinality guard)
+    // yields exactly one updated row per shadowed position.
     val matchedSrc =
       if (whenMatched == "update")
-        Some(source1.join(matchedKeys, keyCols, "left_semi").select(fieldCols: _*))
+        Some(matched.select(keyCols.map(col): _*)
+          .join(source1, keyCols, "inner").select(fieldCols: _*))
       else None
     val inserts =
       if (insertUnmatched)

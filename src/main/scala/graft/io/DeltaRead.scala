@@ -288,12 +288,16 @@ object DeltaRead {
     // tables take the same code path with phys == schema.
     val phys = meta.mappingMode match {
       case "name" => physicalSchema(schema)
-      case "id" =>
-        // session-scoped; inert for scans whose read schema carries no ids
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        physicalSchemaWithIds(schema)
+      case "id" => physicalSchemaWithIds(schema)
       case _ => schema
     }
+    // id mode: the read flag rides the RELATION's options (overlaid onto
+    // the per-query hadoop conf after session confs), so id-resolution is
+    // scoped to exactly this scan — never leaked session-wide
+    val scanOptions: Map[String, String] =
+      if (meta.mappingMode == "id")
+        Map(FieldIdParquetFileFormat.readFlag -> "true")
+      else Map.empty
     val logToPhys = schema.fieldNames.zip(phys.fieldNames).toMap
     val physPartCols = meta.partitionCols.map(c => logToPhys.getOrElse(c, c))
     // tolerate either key convention in add.partitionValues (the spec says
@@ -318,7 +322,7 @@ object DeltaRead {
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partitionSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-        Map.empty)(spark)
+        scanOptions)(spark)
       val base = spark.baseRelationToDataFrame(relation)
       val cols = logicalSelect(schema, phys) ++
         (if (provenance || withRowIdx) Seq(col("_metadata.file_path").as("__file")) else Nil) ++
@@ -514,12 +518,11 @@ object DeltaRead {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     // id mode: the cdc files carry footer field ids (the DML verbs stage
     // them with [[DeltaWrite.stagePhysical]]'s id projection), so the
-    // read resolves them the same way the data scan does
+    // read resolves them the same way the data scan does — via a
+    // read-scoped option, never a session flag
     val phys = meta.mappingMode match {
       case "name" => physicalSchema(schema)
-      case "id" =>
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        physicalSchemaWithIds(schema)
+      case "id" => physicalSchemaWithIds(schema)
       case _ => schema
     }
     val conf = spark.sparkContext.hadoopConfiguration
@@ -590,6 +593,7 @@ object DeltaRead {
                   org.apache.spark.sql.types.StringType),
                 org.apache.spark.sql.types.StructField("_commit_version",
                   org.apache.spark.sql.types.LongType))))
+                .option(FieldIdParquetFileFormat.readFlag, "true")
             else spark.read
           Some(reader.parquet(cdcPaths.toSeq: _*)
             .select(logicalSelect(schema, phys) :+ col("_change_type"): _*))
@@ -628,17 +632,19 @@ object DeltaRead {
     require(meta != null, s"$path has no metaData action in its _delta_log")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     // id mode: the stream's explicit schema carries the field ids our DML
-    // stages into every cdc footer, and the flag makes the parquet source
-    // resolve by them — same mechanics as the batch changeFeed
+    // stages into every cdc footer, and a SOURCE-scoped option makes the
+    // parquet source resolve by them — same mechanics as the batch
+    // changeFeed, no session flag
     val phys = meta.mappingMode match {
       case "name" => physicalSchema(schema)
-      case "id" =>
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        physicalSchemaWithIds(schema)
+      case "id" => physicalSchemaWithIds(schema)
       case _ => schema
     }
     val fileSchema = phys.add("_change_type", "string").add("_commit_version", "long")
-    spark.readStream.schema(fileSchema)
+    val reader = spark.readStream.schema(fileSchema)
+    (if (meta.mappingMode == "id")
+       reader.option(FieldIdParquetFileFormat.readFlag, "true")
+     else reader)
       .parquet(new Path(path, "_change_data").toString)
       .select(logicalSelect(schema, phys) :+ col("_change_type") :+
         col("_commit_version"): _*)

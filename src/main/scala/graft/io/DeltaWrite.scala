@@ -498,10 +498,16 @@ object DeltaWrite {
             "column to have it computed, or fix the values")
       }
     }
-    // computed columns appended at the end → restore the table's order
-    if (gens.exists(f => !df.columns.contains(f.name)))
-      out.select(schema.fieldNames.filter(out.columns.contains).map(col).toSeq: _*)
-    else out
+    // computed columns appended at the end → restore the table's order,
+    // KEEPING batch-only columns after it: a mergeSchema=true append may
+    // legitimately carry new columns that schema evolution (which runs
+    // after this) will add to the table — dropping them here would
+    // silently defeat the evolution
+    if (gens.exists(f => !df.columns.contains(f.name))) {
+      val ordered = schema.fieldNames.filter(out.columns.contains) ++
+        out.columns.filterNot(schema.fieldNames.contains)
+      out.select(ordered.map(col).toSeq: _*)
+    } else out
   }
 
   /** The `"inCommitTimestamp":N,` fragment for the NEXT commit's
@@ -768,7 +774,7 @@ object DeltaWrite {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     val staging = new Path(root, s".staging-cdc-${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(staging.toString)
+    stagedWriter(df).save(staging.toString)
     val out = listParquet(fs, staging).map { p =>
       val fresh = s"_change_data/cdc-${UUID.randomUUID()}.snappy.parquet"
       val dest = new Path(root, fresh)
@@ -800,14 +806,29 @@ object DeltaWrite {
     StructType(phys.fields.filterNot(f => physPartCols.contains(f.name)))
   }
 
-  /** Session flags an id-mapped maintenance rewrite needs: resolve source
-    * columns by footer field id, emit ids into staged footers.
+  /** A raw-file reader for a maintenance rewrite: when `schema` carries
+    * field ids (id mode), source columns resolve by footer field id via a
+    * READ-SCOPED option — never a session flag (which would leak
+    * id-resolution into unrelated parquet reads on the same session).
     */
-  private def enableFieldIdIo(spark: SparkSession, meta: DeltaRead.Meta): Unit =
-    if (meta.mappingMode == "id") {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    }
+  private def rawReader(spark: SparkSession,
+      schema: StructType): org.apache.spark.sql.DataFrameReader = {
+    val r = spark.read.schema(schema)
+    if (FieldIdParquetFileFormat.hasIds(schema))
+      r.option(FieldIdParquetFileFormat.readFlag, "true")
+    else r
+  }
+
+  /** A staging writer that emits `parquet.field.id` footer metadata when
+    * the batch schema carries it (id-mapped staging) — via
+    * [[FieldIdParquetFileFormat]]'s job-conf override, so the session's
+    * write flag is never touched. Plain parquet otherwise.
+    */
+  private[io] def stagedWriter(
+      df: DataFrame): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.mode("overwrite").format(
+      if (FieldIdParquetFileFormat.hasIds(df.schema)) FieldIdParquetFileFormat.name
+      else "parquet")
 
   /** OPTIMIZE ZORDER BY (colX, colY): rewrite every partition's live data
     * files clustered on the interleaved quantile ranks of the two columns
@@ -833,7 +854,6 @@ object DeltaWrite {
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action")
     checkWritable(meta, proto, s"compactZOrder of $path", removesData = false)
-    enableFieldIdIo(spark, meta)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
       "z-order columns must be data columns (partition values carry no footer stats)")
@@ -862,7 +882,7 @@ object DeltaWrite {
     val allPaths = groups.values.flatten
       .map(f => DeltaRead.resolveFilePath(path, f.path)).toSeq
     val (bx, by) = ZOrder.rankBounds(
-      spark.read.schema(dataSchema).parquet(allPaths: _*)
+      rawReader(spark, dataSchema).parquet(allPaths: _*)
         .select(col(s"`$px`").as("x"), col(s"`$py`").as("y")),
       "x", "y", bins)
 
@@ -882,7 +902,7 @@ object DeltaWrite {
       val (dvFiles, plainFiles) = files.partition(_.dv.isDefined)
       val plainDf =
         if (plainFiles.isEmpty) None
-        else Some(spark.read.schema(dataSchema)
+        else Some(rawReader(spark, dataSchema)
           .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
       // DV-bearing files recluster through the DV-filtering scan — the
       // rewrite materializes their deletes away and drops the descriptor
@@ -890,14 +910,14 @@ object DeltaWrite {
         if (dvFiles.isEmpty) None
         else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
           .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
-      (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
+      val clustered = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
         .withColumn("__bx", ZOrder.binOf(col(s"`$px`"), bx))
         .withColumn("__by", ZOrder.binOf(col(s"`$py`"), by))
         .withColumn("__z", ZOrder.interleaveBits(col("__bx"), col("__by")))
         .repartitionByRange(nOut, col("__z"))
         .sortWithinPartitions(col("__z"))
         .drop("__bx", "__by", "__z")
-        .write.mode("overwrite").parquet(staging.toString)
+      stagedWriter(clustered).save(staging.toString)
       listParquet(fs, staging).foreach { p =>
         val fresh = (dirSegs :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
         val dest = new Path(root, fresh)
@@ -939,9 +959,7 @@ object DeltaWrite {
   private[io] def stagePhysical(df: DataFrame, ms: StructType,
       mappingMode: String): DataFrame = {
     val phys = mappingMode match {
-      case "id" =>
-        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        DeltaRead.physicalSchemaWithIds(ms)
+      case "id" => DeltaRead.physicalSchemaWithIds(ms)
       case _ => DeltaRead.physicalSchema(ms)
     }
     df.select(DeltaRead.physicalSelect(ms, phys): _*)
@@ -1298,7 +1316,6 @@ object DeltaWrite {
     // dataChange=false: allowed even on delta.appendOnly tables (the spec's
     // carve-out for maintenance rewrites)
     checkWritable(meta, proto, s"compact of $path", removesData = false)
-    enableFieldIdIo(spark, meta)
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)
@@ -1341,7 +1358,7 @@ object DeltaWrite {
       val (dvFiles, plainFiles) = smalls.partition(_.dv.isDefined)
       val plainDf =
         if (plainFiles.isEmpty) None
-        else Some(spark.read.schema(dataSchema)
+        else Some(rawReader(spark, dataSchema)
           .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
       // DV-bearing files go through the log-backed DV-filtering scan
       // (logical columns), then rename back to the physical layout the
@@ -1350,9 +1367,8 @@ object DeltaWrite {
         if (dvFiles.isEmpty) None
         else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
           .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
-      (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
-        .coalesce(nOut)
-        .write.mode("overwrite").parquet(staging.toString)
+      val packed = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _).coalesce(nOut)
+      stagedWriter(packed).save(staging.toString)
       listParquet(fs, staging).foreach { p =>
         val fresh = (dirSegs :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
         val dest = new Path(root, fresh)
@@ -1470,9 +1486,9 @@ object DeltaWrite {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = root.getFileSystem(conf)
     val staging = new Path(root, s".staging-${UUID.randomUUID()}")
-    val writer = df.write.mode("overwrite")
+    val writer = stagedWriter(df)
     if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-    writer.parquet(staging.toString)
+    writer.save(staging.toString)
 
     val staged = listParquet(fs, staging)
     val adds = staged.map { p =>

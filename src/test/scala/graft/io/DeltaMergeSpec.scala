@@ -186,4 +186,40 @@ class DeltaMergeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must match table"))
   }
+
+  test("DV merge preserves duplicate-key TARGET row multiplicity, matching copy-on-write") {
+    // a target with two rows for key 1: upstream Delta MERGE (and our
+    // copy-on-write path) updates BOTH; the DV path must re-append one
+    // updated row per shadowed position, not one per source key
+    def build(prefix: String): String = {
+      val t = tmp(prefix)
+      DeltaWrite.writeDeltaTable(
+        Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+        t, "append")
+      DeltaWrite.setTableProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      t
+    }
+    val src = Seq((1L, "A"), (9L, "i")).toDF("id", "v")
+    def rows(t: String) = DeltaRead.readDeltaTable(spark, t)
+      .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val cow = build("graft_dm_dupcow")
+    val vCow = DeltaMerge.merge(spark, cow, src, Seq("id"))
+    val dv = build("graft_dm_dupdv")
+    val vDv = DeltaMerge.merge(spark, dv, src, Seq("id"),
+      useDeletionVectors = true)
+    val expected = Seq((1L, "A"), (1L, "A"), (2L, "b"), (3L, "c"), (9L, "i"))
+    assert(rows(cow) == expected, s"copy-on-write: ${rows(cow)}")
+    assert(rows(dv) == expected, s"deletion-vector: ${rows(dv)}")
+
+    // CDC parity too: two pre-images + two post-images for key 1, one insert
+    def cdc(t: String, v: Long) = DeltaRead.changeFeed(spark, t, v - 1, Some(v))
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val expectCdc = Map("update_preimage" -> 2L, "update_postimage" -> 2L,
+      "insert" -> 1L)
+    assert(cdc(cow, vCow) == expectCdc, s"copy-on-write cdc: ${cdc(cow, vCow)}")
+    assert(cdc(dv, vDv) == expectCdc, s"deletion-vector cdc: ${cdc(dv, vDv)}")
+  }
 }

@@ -628,6 +628,55 @@ class DeltaReadSpec extends SparkSpec {
       (100L, "c", "b"), (101L, "d", "b")), afterDel.toSeq.toString)
   }
 
+  test("id resolution is SCAN-scoped: works with session flags forced off, leaks nothing") {
+    import org.apache.spark.sql.types._
+    val rk = "spark.sql.parquet.fieldId.read.enabled"
+    val wk = "spark.sql.parquet.fieldId.write.enabled"
+    val table = Files.createTempDirectory("graft_delta_cm_scoped").toString
+    try {
+      def m(id: Int, pn: String) = Metadata.fromJson(
+        s"""{"delta.columnMapping.id":$id,"delta.columnMapping.physicalName":"$pn"}""")
+      val logical = StructType(Seq(
+        StructField("id", LongType, nullable = true, m(1, "pn_one")),
+        StructField("v", StringType, nullable = true, m(2, "pn_two"))))
+      // file columns named x/y — ONLY footer field ids can resolve them
+      def fid(id: Int) = Metadata.fromJson(s"""{"parquet.field.id":$id}""")
+      val fileSchema = StructType(Seq(
+        StructField("x", LongType, nullable = true, fid(1)),
+        StructField("y", StringType, nullable = true, fid(2))))
+      val f1 = addFile(table, "f1.parquet", spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")), 1),
+        fileSchema))
+      val sj = logical.json.replace("\"", "\\\"")
+      writeCommit(table, 0, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"m","schemaString":"$sj","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+        s"""{"add":{"path":"$f1","partitionValues":{},"size":${fsize(table, f1)},"dataChange":true}}"""))
+      // fixture written (the session WRITE flag defaults to true, so its
+      // footer carries the ids); now force BOTH session flags off — only
+      // graft's per-scan option / per-write format can make id I/O work
+      spark.conf.set(rk, "false")
+      spark.conf.set(wk, "false")
+
+      def rows() = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // read resolves by id with the SESSION flag off → the relation
+      // option is what carries it
+      assert(rows() == Seq((1L, "a"), (2L, "b")))
+      // writes stage footer ids with the session WRITE flag off too: the
+      // appended file must resolve alongside the foreign-named fixture
+      DeltaWrite.writeDeltaTable(Seq((3L, "c")).toDF("id", "v"), table, "append")
+      DeltaMerge.merge(spark, table, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+      assert(rows() == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      DeltaWrite.compact(spark, table)
+      assert(rows() == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+      // and none of it flipped the session flags
+      assert(spark.conf.get(rk) == "false", "read flag leaked session-wide")
+      assert(spark.conf.get(wk) == "false", "write flag leaked session-wide")
+    } finally { spark.conf.unset(rk); spark.conf.unset(wk) }
+  }
+
   test("typeWidening: narrow pre-widening files promote to the log's widened schema") {
     val table = Files.createTempDirectory("graft_delta_tw").toString
     // f1 written with (int, float) — the pre-widening narrow layout

@@ -656,6 +656,30 @@ class DeltaWriteSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 10L))
   }
 
+  test("mergeSchema append on a generated-column table keeps the batch-only columns") {
+    import org.apache.spark.sql.types.Metadata
+    val table = tmp("graft_dw_genms")
+    val md = Metadata.fromJson("""{"delta.generationExpression":"date(ts)"}""")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "2024-01-02 03:04:05")).toDF("id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("d", expr("date(ts)").as("d", md)),
+      table, "append")
+    // the batch OMITS the generated column (computed) AND carries a NEW
+    // column: applyGenerated's order-restoring select must not drop the
+    // new column before the mergeSchema evolution sees it
+    DeltaWrite.writeDeltaTable(
+      Seq((2L, "2024-02-03 04:05:06", "x")).toDF("id", "ts", "tag")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      table, "append", partitionBy = Nil, txn = None, mergeSchema = true)
+    val out = DeltaRead.readDeltaTable(spark, table)
+    assert(out.columns.toSeq == Seq("id", "ts", "d", "tag"), out.columns.toSeq)
+    val rows = out.orderBy("id").select("id", "d", "tag").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1L, "2024-01-02", None), (2L, "2024-02-03", Some("x"))),
+      rows.toString)
+  }
+
   test("restore rolls the live set back as a new commit; history and travel intact") {
     val table = tmp("graft_dw_restore")
     DeltaWrite.writeDeltaTable(
