@@ -217,16 +217,19 @@ object DeltaMerge {
     * use — foreign readers must support the feature.
     *
     * Scale shape: the predicate pushes into the discovery scan (stats /
-    * partition skipping applies), per-file bitmaps are built and
-    * compressed ON EXECUTORS (one pass, sorted within file), and the
-    * driver receives only the serialized blobs — the same bytes it must
-    * write into the vector file. A file already carrying a vector gets
-    * the union (streamed merge of two sorted sets, never materialized);
-    * a file whose every remaining row matched is REMOVED outright rather
-    * than re-added fully shadowed. Returns the committed version, or -1
-    * when no row matched.
+    * partition skipping applies), and per-file bitmaps are built,
+    * compressed, AND WRITTEN into vector files on executors (one pass,
+    * sorted within file; vector files rotate past `maxVectorFileBytes`)
+    * — the driver receives only (path, descriptor, cardinality) rows, so
+    * its memory is O(touched files) no matter how many rows a wide
+    * delete shadows. A file already carrying a vector gets the union
+    * (streamed merge of two sorted sets, never materialized); a file
+    * whose every remaining row matched is REMOVED outright rather than
+    * re-added fully shadowed. Returns the committed version, or -1 when
+    * no row matched.
     */
-  def deleteWhereDv(spark: SparkSession, path: String, condition: Column): Long = {
+  def deleteWhereDv(spark: SparkSession, path: String, condition: Column,
+      maxVectorFileBytes: Long = DvWrite.DefaultMaxVectorFileBytes): Long = {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
@@ -244,7 +247,7 @@ object DeltaMerge {
     val hits =
       if (cdfEnabled(meta)) scan.filter(hit).localCheckpoint()
       else scan.filter(hit)
-    val planned = buildDvPlans(spark, fs, root, live, hits)
+    val planned = buildDvPlans(spark, fs, root, live, hits, maxVectorFileBytes)
     if (planned.isEmpty) return -1L
     val cdc =
       if (!cdfEnabled(meta)) None
@@ -380,69 +383,111 @@ object DeltaMerge {
 
   // ------------------------------------------------------- DV DML internals
 
-  /** One touched file's planned vector: union of its existing DV (if any)
-    * with the newly shadowed positions.
+  /** One touched file's planned vector, ALREADY WRITTEN to a vector file:
+    * the descriptor covers the union of its existing DV (if any) with the
+    * newly shadowed positions; `descriptor` is None when every remaining
+    * row is shadowed — the file is removed outright, no vector needed.
     */
-  private final case class DvPlan(file: DeltaRead.LiveFile, data: Array[Byte],
-      card: Long)
+  private final case class DvPlan(file: DeltaRead.LiveFile,
+      descriptor: Option[DeletionVectors.Descriptor], card: Long)
 
-  /** Per-file deletion bitmaps for `hits` (a DataFrame carrying `__file`
-    * and `__row_idx`), built where the rows are: partition by file, sort
-    * by (file, position), stream each file's run through the roaring
-    * serializer — one (file, blob, count) row per touched file reaches
-    * the driver, which only unions in pre-existing vectors (the scan
-    * never serves already-deleted positions, so the sets are disjoint).
+  /** Attribute a scan's qualified URI to a live file (basename-keyed, as
+    * in touchedFiles; the endsWith re-check only disambiguates the
+    * practically-impossible basename collision).
+    */
+  private def liveByUri(byBase: Map[String, Seq[DeltaRead.LiveFile]],
+      uri: String): DeltaRead.LiveFile = {
+    val base = uri.substring(uri.lastIndexOf('/') + 1)
+    val cands = byBase.getOrElse(base, Nil).filter { f =>
+      val needle =
+        if (f.path.startsWith("/") || f.path.contains("://")) f.path
+        else "/" + f.path
+      uri.endsWith(needle)
+    }
+    require(cands.size == 1, s"cannot attribute scanned file $uri to a live file")
+    cands.head
+  }
+
+  /** Build AND WRITE per-file deletion vectors for `hits` (a DataFrame
+    * carrying `__file` and `__row_idx`) entirely on executors: partition
+    * by file, sort by (file, position), stream each file's run through
+    * the roaring serializer, union in the file's pre-existing vector
+    * (loaded executor-side; the scan never serves already-deleted
+    * positions, so the sets are disjoint), and append the result to a
+    * task-local [[DvWrite.VectorFileWriter]] — many vectors per file,
+    * rotated past a size bound. Only (path, descriptor, cardinality)
+    * rows reach the driver, so driver memory is O(touched files), never
+    * O(deleted rows): the one driver-memory cliff the DML path had.
+    * A file whose every remaining row is shadowed skips the vector write
+    * (descriptor None → removed outright); vector files from failed task
+    * attempts are unreferenced and age out via VACUUM.
     */
   private def buildDvPlans(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, live: Seq[DeltaRead.LiveFile], hits: DataFrame): Seq[DvPlan] = {
+      root: Path, live: Seq[DeltaRead.LiveFile], hits: DataFrame,
+      maxVectorFileBytes: Long = DvWrite.DefaultMaxVectorFileBytes): Seq[DvPlan] = {
     import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = hits
+    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val byBase = live.groupBy(f => basename(f.path))
+    val byBaseBc = spark.sparkContext.broadcast(byBase)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val rootStr = root.toString
+    // one vector file per non-empty task: bound the task count by the
+    // table's file count so a small delete stays a handful of blobs while
+    // a wide one still fans out to full parallelism
+    val numParts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, live.size))
+    val perFile: Array[(String, Option[DeletionVectors.Descriptor], Long)] = hits
       .select(col("__file"), col("__row_idx"))
-      .repartition(col("__file"))
+      .repartition(numParts, col("__file"))
       .sortWithinPartitions(col("__file"), col("__row_idx"))
       .as[(String, Long)]
       .mapPartitions { it =>
+        val tableRoot = new Path(rootStr)
+        lazy val taskFs = tableRoot.getFileSystem(confBc.value.value)
+        lazy val writer = new DvWrite.VectorFileWriter(taskFs, tableRoot,
+          maxVectorFileBytes)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val rows = it.buffered
-        new Iterator[(String, Array[Byte], Long)] {
+        val planned = new Iterator[(String, Option[DeletionVectors.Descriptor], Long)] {
           def hasNext: Boolean = rows.hasNext
-          def next(): (String, Array[Byte], Long) = {
-            val file = rows.head._1
+          def next(): (String, Option[DeletionVectors.Descriptor], Long) = {
+            val uri = rows.head._1
             var n = 0L
             val idxs: Iterator[Long] = new Iterator[Long] {
-              def hasNext: Boolean = rows.hasNext && rows.head._1 == file
+              def hasNext: Boolean = rows.hasNext && rows.head._1 == uri
               def next(): Long = { n += 1; rows.next()._2 }
             }
-            val data = DvWrite.serializeData(idxs)
-            (file, data, n)
+            val lf = liveByUri(byBaseBc.value, uri)
+            val (data, card) = lf.dv match {
+              case None => (DvWrite.serializeData(idxs), n)
+              case Some(old) =>
+                val oldBits = DeletionVectors.load(taskFs, tableRoot, old)
+                (DvWrite.serializeData(
+                  DvWrite.mergeSorted(oldBits.values, idxs)), old.cardinality + n)
+            }
+            val numRecords = lf.stats.flatMap { s =>
+              Option(mapper.readTree(s).get("numRecords")).map(_.asLong())
+            }
+            // fully shadowed → no vector: the commit removes the file
+            val desc =
+              if (numRecords.contains(card)) None
+              else Some(writer.append(data, card))
+            (uri, desc, card)
           }
         }
+        // close the task's vector file once its runs are drained
+        new Iterator[(String, Option[DeletionVectors.Descriptor], Long)] {
+          def hasNext: Boolean = {
+            val h = planned.hasNext
+            if (!h) writer.close()
+            h
+          }
+          def next(): (String, Option[DeletionVectors.Descriptor], Long) = planned.next()
+        }
       }.collect()
-
-    // scan URIs → live files (basename-keyed, as in touchedFiles)
-    def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val byBase = live.groupBy(f => basename(f.path))
-    def liveOf(uri: String): DeltaRead.LiveFile = {
-      val cands = byBase.getOrElse(basename(uri), Nil).filter { f =>
-        val needle =
-          if (f.path.startsWith("/") || f.path.contains("://")) f.path
-          else "/" + f.path
-        uri.endsWith(needle)
-      }
-      require(cands.size == 1, s"cannot attribute scanned file $uri to a live file")
-      cands.head
-    }
-    perFile.toSeq.map { case (uri, data, count) =>
-      val f = liveOf(uri)
-      f.dv match {
-        case None => DvPlan(f, data, count)
-        case Some(old) =>
-          val oldBits = DeletionVectors.load(fs, root, old)
-          val fresh = DeletionVectors.deserializeBitmap(
-            java.util.Arrays.copyOfRange(data, 4, data.length))
-          val merged = DvWrite.serializeData(
-            DvWrite.mergeSorted(oldBits.values, fresh.values))
-          DvPlan(f, merged, old.cardinality + count)
-      }
+    perFile.toSeq.map { case (uri, desc, card) =>
+      DvPlan(liveByUri(byBase, uri), desc, card)
     }
   }
 
@@ -513,18 +558,10 @@ object DeltaMerge {
       txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def numRecords(f: DeltaRead.LiveFile): Option[Long] = f.stats.flatMap { s =>
-      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-      Option(n.get("numRecords")).map(_.asLong())
-    }
-    // a file whose vector would shadow every physical row is tombstoned
+    // vectors were already written (executor-side) by buildDvPlans; a
+    // plan without a descriptor shadows every physical row — tombstoned
     // outright (it stays in `planned` for the remove; no re-add)
-    val reAdded = planned.filterNot(p => numRecords(p.file).contains(p.card))
-    val descriptors: Map[String, DeletionVectors.Descriptor] =
-      if (reAdded.isEmpty) Map.empty
-      else reAdded.map(_.file.path)
-        .zip(DvWrite.writeVectorFile(fs, root,
-          reAdded.map(p => (p.data, p.card)))).toMap
+    val reAdded = planned.filter(_.descriptor.isDefined)
     val protocolLine = dvProtocolUpgrade(proto, s"$operation on $path")
 
     var cdcStaged: Seq[(String, Long)] = Seq.empty
@@ -551,7 +588,7 @@ object DeltaMerge {
         val pvJson = f.partitionValues.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
         val statsField = f.stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
-        val dvField = s""","deletionVector":${DeltaWrite.dvJson(descriptors(f.path))}"""
+        val dvField = s""","deletionVector":${DeltaWrite.dvJson(p.descriptor.get)}"""
         lines += s"""{"add":{"path":${jsString(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
       }
       newAdds.foreach { case (rel, pv, size, stats) =>

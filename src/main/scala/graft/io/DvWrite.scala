@@ -156,40 +156,60 @@ object DvWrite {
         else { pb.next(); pa.next() }
     }
 
-  /** Write one deletion-vector FILE holding every vector of a commit
-    * (packed — the protocol's intended shape: a wide delete adds ONE blob,
-    * not one file per touched data file) and return a descriptor per
-    * vector, aligned with `vectors`. Layout per the decoder: version byte
-    * 1, then per vector at its offset [dataSize Int32 BE][data][CRC-32 of
-    * data, Int32 BE]. Descriptors use `u` storage (uuid-named file at the
-    * table root), so shallow clones rewrite them to absolute form exactly
-    * like foreign-written vectors.
+  /** Default rotation threshold for [[VectorFileWriter]] — vectors pack
+    * into one file per task until it crosses this, bounding any single
+    * vector file (and the sequential read a prefetching reader does) to
+    * ~the threshold plus one blob.
     */
-  private[io] def writeVectorFile(fs: FileSystem, tableRoot: Path,
-      vectors: Seq[(Array[Byte], Long)]): Seq[DeletionVectors.Descriptor] = {
-    require(vectors.nonEmpty, "writeVectorFile needs at least one vector")
-    val uuid = java.util.UUID.randomUUID()
-    val uuidBytes = ByteBuffer.allocate(16)
-      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
-      .array()
-    val file = new Path(tableRoot, s"deletion_vector_$uuid.bin")
-    val enc = encodeZ85(uuidBytes)
-    val descriptors = scala.collection.mutable.ArrayBuffer[DeletionVectors.Descriptor]()
-    val outStream = fs.create(file, false)
-    try {
-      outStream.write(1) // format version
-      var offset = 1L
-      vectors.foreach { case (data, cardinality) =>
-        val crc = new java.util.zip.CRC32()
-        crc.update(data)
-        val frame = ByteBuffer.allocate(4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
-        frame.putInt(data.length).put(data).putInt(crc.getValue.toInt)
-        outStream.write(frame.array())
-        descriptors += DeletionVectors.Descriptor("u", enc, Some(offset),
-          data.length.toLong, cardinality)
-        offset += 4 + data.length + 4
+  private[io] val DefaultMaxVectorFileBytes: Long = 64L << 20
+
+  /** Streams (data, cardinality) deletion-vector frames into uuid-named
+    * files under `tableRoot`, packing many vectors per file (the
+    * protocol's intended shape — a wide delete adds a handful of blobs,
+    * not one file per touched data file) and ROTATING to a fresh file
+    * once the current one crosses `maxFileBytes`.
+    *
+    * Built to run ON EXECUTORS: each DML task drains its partition of
+    * per-file bitmaps through one writer and ships back descriptors only,
+    * so the driver never holds vector bytes — deleting 1% of a 10¹¹-row
+    * table streams the ~compressed-bitmap volume straight from executors
+    * to storage instead of staging O(100 MB+) in driver memory. Layout
+    * per the decoder: version byte 1, then per vector at its offset
+    * [dataSize Int32 BE][data][CRC-32 of data, Int32 BE]. Descriptors use
+    * `u` storage (uuid-named file at the table root), so shallow clones
+    * rewrite them to absolute form exactly like foreign-written vectors.
+    * Files written by a failed/retried task are never referenced by a
+    * commit and age out via VACUUM like any orphan.
+    */
+  private[io] final class VectorFileWriter(fs: FileSystem, tableRoot: Path,
+      maxFileBytes: Long = DefaultMaxVectorFileBytes) {
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    private var enc: String = null
+    private var offset = 0L
+
+    def append(data: Array[Byte], cardinality: Long): DeletionVectors.Descriptor = {
+      if (out == null) {
+        val uuid = java.util.UUID.randomUUID()
+        val uuidBytes = ByteBuffer.allocate(16)
+          .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+          .array()
+        out = fs.create(new Path(tableRoot, s"deletion_vector_$uuid.bin"), false)
+        enc = encodeZ85(uuidBytes)
+        out.write(1) // format version
+        offset = 1L
       }
-    } finally outStream.close()
-    descriptors.toSeq
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val frame = ByteBuffer.allocate(4 + data.length + 4).order(ByteOrder.BIG_ENDIAN)
+      frame.putInt(data.length).put(data).putInt(crc.getValue.toInt)
+      out.write(frame.array())
+      val d = DeletionVectors.Descriptor("u", enc, Some(offset),
+        data.length.toLong, cardinality)
+      offset += 4 + data.length + 4
+      if (offset >= maxFileBytes) close()
+      d
+    }
+
+    def close(): Unit = if (out != null) { out.close(); out = null; enc = null }
   }
 }

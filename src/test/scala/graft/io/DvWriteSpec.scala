@@ -75,11 +75,42 @@ class DvWriteSpec extends SparkSpec {
       s"data files changed: ${before.map(_.path)} vs ${after.map(_.path)}")
     // every touched file carries a vector whose cardinality sums to 10
     assert(after.flatMap(_.dv).map(_.cardinality).sum == 10L)
-    // the vectors live in ONE packed blob
+    // the vectors pack into at most one blob PER WRITING TASK (task count
+    // is bounded by the table's file count), never one file per vector
     val dvFiles = after.flatMap(_.dv).map(_.pathOrInlineDv).distinct
-    assert(dvFiles.size == 1, s"expected one packed DV blob, got $dvFiles")
+    assert(dvFiles.size >= 1 && dvFiles.size <= before.size,
+      s"expected 1..${before.size} packed DV blobs, got $dvFiles")
     // time travel to the pre-delete version sees all rows
     assert(ids(table, Some(0L)) == (0L until 100L))
+  }
+
+  test("vector files ROTATE past the size bound: N files committed, read-back exact") {
+    val table = tmp("graft_dvw_rot")
+    val df = (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4)
+    DeltaWrite.writeDeltaTable(df, table, "append")
+    assert(liveFiles(table).size >= 3)
+    // a 1-byte bound forces rotation after EVERY vector: each touched
+    // file's descriptor must land in its own deletion_vector file
+    val v = DeltaMerge.deleteWhereDv(spark, table, col("id") % 4 === 1,
+      maxVectorFileBytes = 1L)
+    assert(v == 1L)
+    val after = liveFiles(table)
+    val descs = after.flatMap(_.dv)
+    assert(descs.map(_.pathOrInlineDv).distinct.size == descs.size,
+      s"rotation should give one vector file per vector, got " +
+        descs.map(_.pathOrInlineDv).toString)
+    // descriptors rotated into fresh files start past the version byte
+    assert(descs.forall(_.offset.contains(1L)), descs.toString)
+    // the on-disk file census matches the referenced set
+    val binFiles = new java.io.File(table).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+    assert(binFiles.size >= descs.size, s"$binFiles vs ${descs.size}")
+    // and the reads serve the exact survivor set through the rotated blobs
+    assert(ids(table) == (0L until 400L).filterNot(_ % 4 == 1))
+    // a re-delete unions through the rotated vectors too
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 4 === 2,
+      maxVectorFileBytes = 1L)
+    assert(ids(table) == (0L until 400L).filter(i => i % 4 == 0 || i % 4 == 3))
   }
 
   test("deleteWhereDv upgrades the protocol once and appends still work") {
