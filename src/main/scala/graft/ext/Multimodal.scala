@@ -7,14 +7,20 @@ import org.apache.spark.sql.functions._
   * plus typed metadata, with decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing is real — schema, partition-preserving batch
-  * shape, codegen'd metadata expressions. IMAGE dimension decode is real
-  * (JDK ImageIO header parse: PNG/BMP/GIF/JPEG) and AUDIO header decode is
-  * real (javax.sound.sampled: WAV/AIFF/AU sample rate, channels, bit
-  * depth, frame count — zero added deps); video and compressed-audio
-  * decode is STUBBED (deterministic fake: no demuxer libraries in this
-  * environment) behind the same `mapPartitions` seam a real decoder slots
-  * into. At 100 TB the decode stage is embarrassingly parallel and
-  * partition-local: no shuffle enters or leaves it.
+  * shape, codegen'd metadata expressions — and so are the HEADER PARSERS,
+  * all hand-rolled against the public container specs with zero added
+  * deps: images (PNG/BMP/GIF/JPEG dimensions via [[imageDims]]), PCM
+  * audio (WAV/AIFF/AU rate/channels/depth/frames via javax.sound in
+  * [[audioInfo]]), compressed audio (MP3 frame-header walk, FLAC
+  * STREAMINFO, Ogg page scan — [[compressedAudioInfo]]), ISO-BMFF video
+  * (MP4/MOV box walk for brand/timescale/duration/dimensions/frame count
+  * — [[videoInfo]]), EBML video (MKV/WebM element walk — [[ebmlInfo]]),
+  * and RIFF AVI. Only FRAME-PIXEL decode (full codec decompression) is
+  * out of scope — no codec libraries in this environment — and
+  * [[decodeStub]] stands in for it with a deterministic fake behind the
+  * same `mapPartitions` seam a real decoder slots into. At 100 TB every
+  * decode stage is embarrassingly parallel and partition-local: no
+  * shuffle enters or leaves it.
   */
 object Multimodal {
 

@@ -377,7 +377,9 @@ object DeltaRead {
         "batch reads or changesSince")
     require(liveFiles.forall(_.dv.isEmpty),
       s"readStreamAppendOnly($path): the table carries deletion vectors — a raw " +
-        "file stream would resurrect the deleted rows; use batch reads or changesSince")
+        "file stream would resurrect the deleted rows; poll changeDiff (exact " +
+        "insert/delete rows from the log), or enable delta.enableChangeDataFeed " +
+        "and tail readChangeFeedStream")
     // Delta data files do NOT contain the partition columns — their values
     // live in each add's partitionValues, which a FileStreamSource never
     // sees. Streaming a partitioned table here would emit those columns as
@@ -411,14 +413,146 @@ object DeltaRead {
     val (adds, removes) = actionsInRange(spark, path, fromVersion, toVersion)
     require(removes.isEmpty,
       s"changesSince($fromVersion): the range contains ${removes.size} remove action(s) " +
-        "(compaction or rewrite) — incremental reads are only exact on append-only " +
-        "ranges; re-read the table instead")
+        "(compaction or rewrite) — incremental ADD reads are only exact on " +
+        "append-only ranges; use changeDiff (log-diffed insert/delete rows) or " +
+        "enable delta.enableChangeDataFeed and use changeFeed")
     require(adds.forall(_.dv.isEmpty),
       s"changesSince($fromVersion): the range re-adds files with deletion vectors " +
-        "(row-level deletes) — not an append-only range; re-read the table instead")
+        "(row-level deletes) — not an append-only range; use changeDiff " +
+        "(log-diffed insert/delete rows) or enable delta.enableChangeDataFeed " +
+        "and use changeFeed")
     // same scan construction as a full read (log-backed index, column
     // mapping, pushdown) — just over the range's adds instead of the live set
     filesDf(spark, path, metaHead, adds, provenance = false)
+  }
+
+  /** Row-level changes in `(fromVersion, toVersion]` derived FROM THE LOG
+    * AND DATA FILES ALONE — the incremental surface for tables that never
+    * enabled the change data feed. Each commit's add/remove actions
+    * decompose into `(columns..., _change_type, _commit_version)` rows
+    * (the [[changeFeed]] shape):
+    *
+    *   - a plain add → its visible rows as `insert`;
+    *   - a re-add that GROWS a file's deletion vector (DV DELETE/UPDATE/
+    *     MERGE) → rows at the newly-shadowed positions as `delete`;
+    *   - a re-add that SHRINKS it (RESTORE) → re-exposed rows as `insert`;
+    *   - a remove without re-add (copy-on-write rewrite, or a DV delete
+    *     that shadowed a whole file) → its previously-visible rows as
+    *     `delete`.
+    *
+    * Exact as a MULTISET DIFF: applying the result to the `fromVersion`
+    * snapshot yields the `toVersion` snapshot. What it cannot recover is
+    * update IDENTITY — an UPDATE surfaces as delete+insert, where CDF
+    * records update_pre/postimage pairs — so when the table has CDF
+    * enabled (`preferCdf`, default), the range is served by [[changeFeed]]
+    * instead and this decomposition is only the fallback for ranges CDF
+    * cannot cover (pre-enablement history).
+    *
+    * Cost shape: O(changed files) driver-side log/bitmap work, one
+    * pruned scan per changed file per commit (position filters ride a
+    * broadcast bitmap) — right for poll-sized ranges; a range containing
+    * a full-table rewrite costs a full-table read, which is what that
+    * commit did. Files removed in the range must still exist on disk
+    * (i.e. not yet vacuumed) — refused loudly otherwise, naming the
+    * CDF remedy.
+    */
+  def changeDiff(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Option[Long] = None, preferCdf: Boolean = true): DataFrame = {
+    val (metaHead, _) = replayLog(spark, path, toVersion)
+    require(metaHead != null, s"$path has no metaData action in its _delta_log")
+    if (preferCdf &&
+        metaHead.configuration.get("delta.enableChangeDataFeed").contains("true"))
+      try return changeFeed(spark, path, fromVersion, toVersion)
+      catch { case _: IllegalArgumentException => () } // pre-enablement range → diff
+    val schema = DataType.fromJson(metaHead.schemaJson).asInstanceOf[StructType]
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, "_delta_log")
+    require(fs.exists(dir), s"$path is not a Delta table (no _delta_log)")
+    val hi = toVersion.getOrElse(Long.MaxValue)
+    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
+        n.dropRight(5).toLong }.toSeq.sorted.filter(v => v > fromVersion && v <= hi)
+    // file state as of fromVersion (empty before the first commit); kept
+    // current across EVERY action in the range — dataChange=false
+    // relocations (OPTIMIZE) update it without emitting rows, so a later
+    // DV delete on a compacted file still finds its prior vector
+    val state = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
+    if (fromVersion >= 0)
+      replayLog(spark, path, Some(fromVersion))._2.foreach(f => state(f.path) = f)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def bits(f: LiveFile): Option[DeletionVectors.RoaringArray] =
+      f.dv.map(d => DeletionVectors.load(fs, root, d))
+    /** Rows of `f` at positions (∈ inSet) ∧ (∉ notInSet), stamped. */
+    def slice(f: LiveFile, v: Long, changeType: String,
+        inSet: Option[DeletionVectors.RoaringArray],
+        notInSet: Option[DeletionVectors.RoaringArray]): DataFrame = {
+      require(fs.exists(new Path(resolveFilePath(path, f.path))),
+        s"changeDiff($fromVersion): version $v of $path changed ${f.path}, " +
+          "which no longer exists on disk (vacuumed) — this range cannot be " +
+          "served from the log; enable delta.enableChangeDataFeed so future " +
+          "DML records change files, and re-derive consumers from a snapshot")
+      val bcIn = spark.sparkContext.broadcast(inSet)
+      val bcOut = spark.sparkContext.broadcast(notInSet)
+      val keep = udf { idx: Long =>
+        bcIn.value.forall(_.contains(idx)) && !bcOut.value.exists(_.contains(idx))
+      }
+      filesDf(spark, path, metaHead, Seq(f.copy(dv = None)), provenance = false,
+          rowIndex = true)
+        .filter(keep(col("__row_idx")))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+        .withColumn("_change_type", lit(changeType))
+        .withColumn("_commit_version", lit(v))
+    }
+
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    versions.foreach { v =>
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val adds = scala.collection.mutable.ArrayBuffer[(LiveFile, Boolean)]()
+      val removes = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+      content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        def dc(a: com.fasterxml.jackson.databind.JsonNode): Boolean =
+          Option(a.get("dataChange")).forall(_.asBoolean(true))
+        if (node.has("add"))
+          adds += ((parseAdd(node.get("add")), dc(node.get("add"))))
+        if (node.has("remove"))
+          removes += ((node.get("remove").get("path").asText(), dc(node.get("remove"))))
+      }
+      val addPaths = adds.map(_._1.path).toSet
+      adds.foreach { case (f, dataChange) =>
+        if (dataChange) state.get(f.path) match {
+          case Some(prior) => // re-add: emit only the deletion-vector DELTA
+            if (f.dv != prior.dv) {
+              if (f.dv.isDefined)
+                frames += slice(f, v, "delete", bits(f), bits(prior))
+              if (prior.dv.isDefined) // RESTORE shrank the vector
+                frames += slice(f, v, "insert", bits(prior), bits(f))
+            }
+          case None =>
+            frames += slice(f, v, "insert", None, bits(f))
+        }
+      }
+      removes.foreach { case (p, dataChange) =>
+        if (dataChange && !addPaths.contains(p)) {
+          val prior = state.getOrElse(p, throw new IllegalArgumentException(
+            s"changeDiff($fromVersion): version $v of $path removes $p, which " +
+              "the range's running state does not contain — the log cannot be " +
+              "decomposed; enable delta.enableChangeDataFeed and use changeFeed"))
+          frames += slice(prior, v, "delete", None, bits(prior))
+        }
+      }
+      // state update AFTER emission (priors above read pre-commit state)
+      removes.foreach { case (p, _) => state.remove(p) }
+      adds.foreach { case (f, _) => state(f.path) = f }
+    }
+    if (frames.isEmpty) {
+      val out = schema.add("_change_type", "string").add("_commit_version", "long")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    } else frames.reduce(_ unionByName _)
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */

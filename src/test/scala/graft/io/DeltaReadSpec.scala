@@ -628,6 +628,57 @@ class DeltaReadSpec extends SparkSpec {
       (100L, "c", "b"), (101L, "d", "b")), afterDel.toSeq.toString)
   }
 
+  test("changeDiff serves append/DV-delete/COW/RESTORE history exactly (vs snapshot diff)") {
+    import org.apache.spark.sql.DataFrame
+    val table = Files.createTempDirectory("graft_delta_cdiff").toString
+    // v0: 40 rows in several files; v1: append; v2: DV delete; v3: COW
+    // delete (rewrite); v4: DV delete that fully shadows a file; v5:
+    // RESTORE back to v2 (re-adds removed files, re-exposes DV'd rows)
+    DeltaWrite.writeDeltaTable(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4),
+      table, "append")                                                  // v0
+    DeltaWrite.writeDeltaTable(
+      (40L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), table, "append") // v1
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 10 === 3)        // v2
+    DeltaMerge.deleteWhere(spark, table, col("id") % 10 === 4)          // v3
+    DeltaMerge.deleteWhereDv(spark, table, col("id") < 50)              // v4 (wide)
+    DeltaWrite.restore(spark, table, 2L)                                // v5
+
+    def snap(v: Long): Seq[(Long, String)] =
+      DeltaRead.readDeltaTable(spark, table, Some(v))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    def applyDiff(base: Seq[(Long, String)], d: DataFrame): Seq[(Long, String)] = {
+      val rows = d.select("id", "v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val counts = scala.collection.mutable.Map[(Long, String), Int]()
+      base.foreach(k => counts(k) = counts.getOrElse(k, 0) + 1)
+      rows.foreach {
+        case (id, v, "insert") => counts((id, v)) = counts.getOrElse((id, v), 0) + 1
+        case (id, v, "delete") =>
+          val n = counts.getOrElse((id, v), 0)
+          assert(n > 0, s"delete of absent row ($id,$v)")
+          if (n == 1) counts.remove((id, v)) else counts((id, v)) = n - 1
+        case other => fail(s"unexpected change type $other")
+      }
+      counts.flatMap { case (k, n) => Seq.fill(n)(k) }.toSeq.sorted
+    }
+    // every single-commit range replays its snapshot transition exactly
+    (0L to 5L).sliding(2).foreach { case Seq(a, b) =>
+      val d = DeltaRead.changeDiff(spark, table, a, Some(b))
+      assert(applyDiff(snap(a), d) == snap(b), s"range ($a,$b] diverged")
+      assert(d.select("_commit_version").distinct().collect()
+        .forall(_.getLong(0) == b))
+    }
+    // and the whole-history range composes to the head snapshot
+    val whole = DeltaRead.changeDiff(spark, table, -1L)
+    assert(applyDiff(Nil, whole) == snap(5L))
+    // changesSince still refuses the DV range, naming the remedy
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.changesSince(spark, table, 1L, Some(2L))
+    }
+    assert(e.getMessage.contains("changeDiff"), e.getMessage)
+  }
+
   test("id resolution is SCAN-scoped: works with session flags forced off, leaks nothing") {
     import org.apache.spark.sql.types._
     val rk = "spark.sql.parquet.fieldId.read.enabled"
