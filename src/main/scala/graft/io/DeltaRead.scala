@@ -893,30 +893,7 @@ object DeltaRead {
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
 
     lastCp.foreach { cpRef =>
-      // single-file NNN.checkpoint.parquet, a multi-part checkpoint
-      // (_last_checkpoint carries "parts": N naming
-      // NNN.checkpoint.MMM.PPP.parquet slices), or a V2 SPEC checkpoint
-      // (NNN.checkpoint.<uuid>.{parquet,json} — the name is not derivable
-      // from the version, so it is discovered by listing; any uuid file at
-      // the version is a complete checkpoint, per the protocol)
-      val cpPaths = cpRef.parts match {
-        case Some(n) => (1 to n).map(i => new Path(dir,
-          f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-        case None =>
-          val classic = new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet")
-          if (fs.exists(classic)) Seq(classic.toString)
-          else {
-            val prefix = f"${cpRef.version}%020d.checkpoint."
-            val found = fs.listStatus(dir).iterator.map(_.getPath.getName)
-              .filter(n => n.startsWith(prefix) &&
-                (n.endsWith(".parquet") || n.endsWith(".json")))
-              .toSeq.sorted
-            require(found.nonEmpty,
-              s"_last_checkpoint names version ${cpRef.version} but no " +
-                s"checkpoint file matches $dir/$prefix*")
-            Seq(new Path(dir, found.head).toString)
-          }
-      }
+      val cpPaths = checkpointFiles(fs, dir, cpRef)
 
       def processActions(cp: DataFrame, where: String): Unit = {
         val cols = cp.columns.toSet
@@ -1126,6 +1103,35 @@ object DeltaRead {
     * checkpoint is split into NNN.checkpoint.MMM.PPP.parquet slices.
     */
   private[io] final case class CheckpointRef(version: Long, parts: Option[Int])
+
+  /** Resolve a checkpoint reference to its TOP file(s): single-file
+    * NNN.checkpoint.parquet, a multi-part checkpoint (`parts` naming
+    * NNN.checkpoint.MMM.PPP.parquet slices), or a V2 SPEC checkpoint
+    * (NNN.checkpoint.<uuid>.{parquet,json} — the name is not derivable
+    * from the version, so it is discovered by listing; any uuid file at
+    * the version is a complete checkpoint, per the protocol). Shared by
+    * log replay, txn recovery, and metadata cleanup so every consumer
+    * understands all three naming forms.
+    */
+  private[io] def checkpointFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, cpRef: CheckpointRef): Seq[String] = cpRef.parts match {
+    case Some(n) => (1 to n).map(i => new Path(dir,
+      f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+    case None =>
+      val classic = new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet")
+      if (fs.exists(classic)) Seq(classic.toString)
+      else {
+        val prefix = f"${cpRef.version}%020d.checkpoint."
+        val found = fs.listStatus(dir).iterator.map(_.getPath.getName)
+          .filter(n => n.startsWith(prefix) &&
+            (n.endsWith(".parquet") || n.endsWith(".json")))
+          .toSeq.sorted
+        require(found.nonEmpty,
+          s"_last_checkpoint names version ${cpRef.version} but no " +
+            s"checkpoint file matches $dir/$prefix*")
+        Seq(new Path(dir, found.head).toString)
+      }
+  }
 
   private[io] def readLastCheckpoint(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: Path): Option[CheckpointRef] = {

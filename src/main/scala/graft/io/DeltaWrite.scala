@@ -1230,6 +1230,117 @@ object DeltaWrite {
     version
   }
 
+  /** V2 SPEC checkpoint: the snapshot's FILE ACTIONS move into sidecar
+    * parquet under `_delta_log/_sidecars/<uuid>.parquet` (written as
+    * `sidecarParts` parallel slices) and a uuid-named TOP file
+    * (`NNN.checkpoint.<uuid>.parquet`) keeps protocol, metaData, txn
+    * high-water marks, the `checkpointMetadata` action, and one `sidecar`
+    * reference per slice. This is the million-file regime's shape — the
+    * ecosystem's successor to multi-part naming: sidecars parallelize
+    * BOTH the write and later reads, and an engine can reuse unchanged
+    * sidecars across checkpoints. Classic ([[checkpoint]]) stays the
+    * default for interop with readers that predate the `v2Checkpoint`
+    * feature; [[DeltaRead]]'s fast path consumes either. Returns the
+    * checkpointed version.
+    */
+  def checkpointV2(spark: SparkSession, path: String, sidecarParts: Int = 1): Long = {
+    require(sidecarParts >= 1, s"sidecarParts must be >= 1, got $sidecarParts")
+    val version = DeltaRead.latestVersion(spark, path)
+    require(version >= 0, s"$path has no commits to checkpoint")
+    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action")
+    val txns = txnVersions(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val logDir = new Path(root, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1) sidecars: every live add (same row shape the classic checkpoint
+    // embeds), sliced for parallel write, one uuid-named file per slice
+    val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
+      f.size, f.modificationTime, dataChange = false, f.stats.orNull,
+      f.dv.map(d => CheckpointDv(d.storageType, d.pathOrInlineDv, d.offset,
+        d.sizeInBytes, d.cardinality))))
+    val addsDf = addRows.toDF()
+      .select(struct(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), col("dataChange"), col("stats"),
+        col("deletionVector")).as("add"))
+    val staging = new Path(root, s".cp2-staging-${UUID.randomUUID()}")
+    (if (sidecarParts == 1) addsDf.coalesce(1) else addsDf.repartition(sidecarParts))
+      .write.mode("overwrite").parquet(staging.toString)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val sidecars = listParquet(fs, staging).map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      val dest = new Path(sidecarDir, name)
+      require(fs.rename(p, dest), s"failed to publish sidecar $dest")
+      val st = fs.getFileStatus(dest)
+      (name, st.getLen, st.getModificationTime)
+    }
+    fs.delete(staging, true)
+
+    // 2) the top file: one metaData+protocol+checkpointMetadata row, one
+    // row per txn high-water mark, one row per sidecar reference
+    val txnType = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+    val metaType = "struct<id:string,schemaString:string," +
+      "partitionColumns:array<string>,configuration:map<string,string>>"
+    val protoType = "struct<minReaderVersion:int,minWriterVersion:int," +
+      "readerFeatures:array<string>,writerFeatures:array<string>>"
+    val scType = "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+    val cpmType = "struct<version:bigint>"
+    def featArr(fs0: Seq[String]) =
+      if (fs0.isEmpty) lit(null).cast("array<string>") else typedlit(fs0)
+    val metaDf = Seq(1).toDF("__one").select(
+      struct(lit(UUID.randomUUID().toString).as("id"),
+        lit(meta.schemaJson).as("schemaString"),
+        typedlit(meta.partitionCols).as("partitionColumns"),
+        typedlit(meta.configuration).as("configuration")).as("metaData"),
+      struct(lit(proto.minReader).as("minReaderVersion"),
+        lit(proto.minWriter).as("minWriterVersion"),
+        featArr(proto.readerFeatures).as("readerFeatures"),
+        featArr(proto.writerFeatures).as("writerFeatures")).as("protocol"),
+      lit(null).cast(txnType).as("txn"),
+      lit(null).cast(scType).as("sidecar"),
+      struct(lit(version).as("version")).as("checkpointMetadata"))
+    val txnDf = txns.toSeq.map { case (a, (v, lu)) => (a, v, lu) }
+      .toDF("__a", "__v", "__lu").select(
+        lit(null).cast(metaType).as("metaData"),
+        lit(null).cast(protoType).as("protocol"),
+        struct(col("__a").as("appId"), col("__v").as("version"),
+          col("__lu").as("lastUpdated")).as("txn"),
+        lit(null).cast(scType).as("sidecar"),
+        lit(null).cast(cpmType).as("checkpointMetadata"))
+    val scDf = sidecars.toDF("__p", "__s", "__m").select(
+      lit(null).cast(metaType).as("metaData"),
+      lit(null).cast(protoType).as("protocol"),
+      lit(null).cast(txnType).as("txn"),
+      struct(col("__p").as("path"), col("__s").as("sizeInBytes"),
+        col("__m").as("modificationTime")).as("sidecar"),
+      lit(null).cast(cpmType).as("checkpointMetadata"))
+    val topDf = metaDf.unionByName(txnDf).unionByName(scDf)
+    val staging2 = new Path(root, s".cp2-top-staging-${UUID.randomUUID()}")
+    topDf.coalesce(1).write.mode("overwrite").parquet(staging2.toString)
+    val topDest = new Path(logDir,
+      f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
+    require(fs.rename(listParquet(fs, staging2).head, topDest),
+      s"failed to publish v2 checkpoint $topDest")
+    fs.delete(staging2, true)
+
+    // 3) the pointer: no `parts` — readers discover the uuid name by
+    // prefix listing (the v2 discovery rule)
+    val lc = new Path(logDir, "_last_checkpoint")
+    val tmp = new Path(logDir, s".tmp-lc-${UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"version":$version,"size":${1 + txns.size + sidecars.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(lc, false)
+    require(fs.rename(tmp, lc), s"failed to update $lc")
+    version
+  }
+
   /** Highest committed `txn` version per appId — checkpoint `txn` rows
     * (the only record once log cleanup drops pre-checkpoint JSONs) merged
     * with every JSON commit after the checkpoint. Empty map for a fresh
@@ -1248,13 +1359,11 @@ object DeltaWrite {
       if (acc.get(appId).forall(_._1 < v)) acc(appId) = (v, lastUpdated)
     val lastCp = DeltaRead.readLastCheckpoint(spark, fs, dir)
     lastCp.foreach { cpRef =>
-      val cpPaths = cpRef.parts match {
-        case Some(n) => (1 to n).map(i => new Path(dir,
-          f"${cpRef.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-        case None =>
-          Seq(new Path(dir, f"${cpRef.version}%020d.checkpoint.parquet").toString)
-      }
-      val cp = spark.read.parquet(cpPaths: _*)
+      // all three naming forms — a v2 checkpoint carries its txn rows in
+      // the uuid-named TOP file
+      val cpPaths = DeltaRead.checkpointFiles(fs, dir, cpRef)
+      val cp = if (cpPaths.forall(_.endsWith(".json")))
+        spark.read.json(cpPaths: _*) else spark.read.parquet(cpPaths: _*)
       if (cp.columns.contains("txn"))
         cp.select(col("txn")).filter(col("txn.appId").isNotNull).collect()
           .foreach { r =>
@@ -1426,6 +1535,27 @@ object DeltaWrite {
         jsonV.exists(_ <= lastCp.version) || cpV.exists(_ < lastCp.version)
       if (expendable && st.getModificationTime < cutoff) {
         if (fs.delete(st.getPath, false)) deleted += n
+      }
+    }
+    // v2 sidecars: prune aged files the LAST checkpoint's top file does
+    // not reference (slices of superseded checkpoints; the spec lets a
+    // writer reuse unchanged sidecars, so reachability — not age alone —
+    // is the keep criterion)
+    val scDir = new Path(logDir, "_sidecars")
+    if (fs.exists(scDir)) {
+      import org.apache.spark.sql.functions.col
+      val tops = DeltaRead.checkpointFiles(fs, logDir, lastCp)
+      val top = if (tops.forall(_.endsWith(".json")))
+        spark.read.json(tops: _*) else spark.read.parquet(tops: _*)
+      val referenced: Set[String] =
+        if (!top.columns.contains("sidecar")) Set.empty
+        else top.select(col("sidecar.path")).filter(col("sidecar.path").isNotNull)
+          .collect().map(r => new Path(r.getString(0)).getName).toSet
+      fs.listStatus(scDir).foreach { st =>
+        val n = st.getPath.getName
+        if (!referenced.contains(n) && st.getModificationTime < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += s"_sidecars/$n"
+        }
       }
     }
     deleted.toSeq

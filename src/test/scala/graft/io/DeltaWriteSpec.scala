@@ -125,6 +125,46 @@ class DeltaWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(101L))
   }
 
+  test("v2 checkpoint write: uuid top + _sidecars slices, sole replay record, DV + txn survive") {
+    val table = tmp("graft_dw_v2cp")
+    DeltaWrite.writeDeltaTable(
+      (0L until 30L).map(i => (i, s"v$i")).toDF("id", "v").repartition(5),
+      table, "overwrite")                                                       // v0
+    DeltaWrite.writeDeltaTable(Seq((100L, "x")).toDF("id", "v"), table, "append",
+      partitionBy = Nil, txn = Some(("v2app", 7L)))                             // v1
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 10 === 3)                // v2
+    val cpV = DeltaWrite.checkpointV2(spark, table, sidecarParts = 2)
+    assert(cpV == 2L)
+    val logNames = new java.io.File(table, "_delta_log").listFiles().map(_.getName)
+    val top = logNames.filter(_.matches(
+      raw"0*2\.checkpoint\.[0-9a-f-]{36}\.parquet"))
+    assert(top.length == 1, logNames.mkString(", "))
+    val sidecars = new java.io.File(table, "_delta_log/_sidecars").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(sidecars.length == 2, sidecars.mkString(", "))
+    def rows() = DeltaRead.readDeltaTable(spark, table)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    val expect = ((0L until 30L) ++ Seq(100L)).filterNot(_ % 10 == 3)
+    assert(rows() == expect)
+    // the v2 checkpoint becomes the ONLY record: cleaned JSONs, replay
+    // through top + sidecars — rows, the deletion vector, and the txn
+    // high-water mark all survive
+    assert(DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L).nonEmpty)
+    assert(rows() == expect)
+    assert(DeltaWrite.lastTxnVersion(spark, table, "v2app") == 7L)
+    // and the table stays writable past it
+    DeltaWrite.writeDeltaTable(Seq((101L, "y")).toDF("id", "v"), table, "append") // v3
+    assert(DeltaRead.changesSince(spark, table, 2L)
+      .collect().map(_.getLong(0)).toSeq == Seq(101L))
+    // a LATER v2 checkpoint supersedes: the old top file and its now-
+    // unreferenced sidecars clean away, the new ones survive
+    DeltaWrite.checkpointV2(spark, table)                                       // at v3
+    val cleaned = DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L)
+    assert(sidecars.forall(s => cleaned.contains(s"_sidecars/$s")), cleaned.toString)
+    assert(cleaned.exists(_.startsWith(top.head.take(22))), cleaned.toString)
+    assert(rows() == (expect :+ 101L).sorted)
+  }
+
   test("cleanupMetadata deletes checkpoint-covered commits past retention, nothing else") {
     val table = tmp("graft_dw_lc")
     DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), table, "overwrite") // v0
