@@ -67,21 +67,33 @@ object AnnIndex {
     * next scan. This is the serving-corpus ingest shape: cost scales with
     * the batch, never the corpus. The trade is centroid staleness —
     * appended mass does not move the centroids (the IVF serving
-    * convention), so rebuild when drift degrades recall. PQ indexes refuse
-    * (appending codes would need the trained codebooks applied to the
-    * batch — rebuild instead), as does a batch whose columns don't match
-    * the index layout (a silent parquet schema union would corrupt reads).
+    * convention), so rebuild when drift degrades recall. A PQ index
+    * (m > 0) encodes the batch with its STORED codebooks — codes stay
+    * comparable to the built corpus by construction, with the same
+    * staleness trade as the centroids (codebooks never retrain on
+    * appended mass). A batch whose columns don't match the index layout
+    * refuses (a silent parquet schema union would corrupt reads).
     */
   def append(df: DataFrame, idCol: String, vecCol: String, path: String,
       extraCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val meta = readMeta(spark, path)
-    require(meta.m == 0,
-      s"$path is a PQ index (m=${meta.m}) — append cannot encode codes; rebuild instead")
-    val batch = df.select(col(idCol).cast("long").as("id") +: col(vecCol).as("vec") +:
+    require(meta.m == 0 || extraCols.isEmpty,
+      "extraCols are only supported for non-PQ indexes (m = 0)")
+    val base = df.select(col(idCol).cast("long").as("id") +: col(vecCol).as("vec") +:
       Similarity.assignCell(col(vecCol), meta.centroids).as("cell") +:
       extraCols.map(col): _*)
-      .withColumn("nrm", Similarity.l2Norm(col("vec")))
+    val batch = (meta.codebooks match {
+      case Some(centers) =>
+        val cb = PQ.Codebooks(meta.m, meta.dim / meta.m, meta.nCodes,
+          centers.map(_.map(_.toArray).toArray).toArray)
+        import spark.implicits._
+        base.as[(Long, Array[Float], Int)]
+          .mapPartitions(_.map { case (id, v, cell) =>
+            (id, v, cell, cb.encodeVec(v)) })
+          .toDF("id", "vec", "cell", "pq_code")
+      case None => base
+    }).withColumn("nrm", Similarity.l2Norm(col("vec")))
     val existing = spark.read.parquet(path).schema
     // full FIELD comparison (name + type, nullability-insensitive, order-
     // free): a same-named column with a different type would append cleanly
@@ -175,16 +187,33 @@ object AnnIndex {
     * oversized mass, never the corpus, and untouched cells' files stay
     * byte-identical. Splits repeat worst-cell-first until the bound holds,
     * a cell stops separating (near-identical vectors), or `maxSplits`.
+    *
+    * With `minBalance > 0` a MERGE pass follows: cells whose balance
+    * falls below it (post-delete / post-append drift accumulating dead or
+    * starved cells — each one a probe that reads almost nothing yet still
+    * costs a centroid compare and a directory listing) fold into their
+    * nearest-centroid neighbor, smallest first. A merge MOVES the starved
+    * cell's parquet files into the neighbor's directory (the cell id
+    * lives in the directory name, not the file bytes — zero data rewrite)
+    * and replaces the two centroids with their mass-weighted mean; a
+    * merge that would push the absorbing cell past `maxBalance` is
+    * skipped. Surviving cells renumber contiguously (metadata-only
+    * directory renames), so `nCells` genuinely shrinks.
+    *
     * The sidecar's centroids/nCells update in the same pass; every
     * query/join/append path reads them unchanged. Exactness at
     * `nProbe = nCells` is preserved by construction (all cells scanned);
-    * sub-linear probes see strictly SMALLER hot cells. Returns the number
-    * of splits performed.
+    * sub-linear probes see strictly SMALLER hot cells. Works for PQ
+    * indexes too (codes ride the moved/rewritten rows unchanged).
+    * Returns the number of splits + merges performed.
     */
   def rebalance(spark: SparkSession, path: String, maxBalance: Double = 4.0,
-      iters: Int = 2, seed: Long = 42L, maxSplits: Int = 32): Int = {
+      iters: Int = 2, seed: Long = 42L, maxSplits: Int = 32,
+      minBalance: Double = 0.0): Int = {
     require(maxBalance > 1.0,
       s"maxBalance must exceed 1 (the perfectly even share), got $maxBalance")
+    require(minBalance >= 0.0 && minBalance < 1.0,
+      s"minBalance must be in [0, 1), got $minBalance")
     val meta = readMeta(spark, path)
     val centroids = scala.collection.mutable.ArrayBuffer(meta.centroids: _*)
     val counts = scala.collection.mutable.Map[Int, Long]()
@@ -235,10 +264,79 @@ object AnnIndex {
       }
       next = worst
     }
-    if (splits > 0)
+
+    // ---- merge pass: fold starved cells into their nearest neighbor ----
+    var merges = 0
+    val removed = scala.collection.mutable.Set[Int]()
+    if (minBalance > 0.0) {
+      def countOf(c: Int): Long = counts.getOrElse(c, 0L)
+      def dist2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val unmergeable = scala.collection.mutable.Set[Int]()
+      var go = true
+      while (go) {
+        val live = centroids.indices.filterNot(removed)
+        val cand = live.filterNot(unmergeable)
+          .map(c => (countOf(c), c)).minOption
+        go = live.size > 1 && cand.exists { case (n, _) =>
+          n * live.size / total < minBalance }
+        if (go) {
+          val src = cand.get._2
+          val tgt = live.filter(_ != src)
+            .minBy(o => dist2(centroids(o), centroids(src)))
+          // absorbing must not recreate the hot-cell problem
+          if ((countOf(tgt) + countOf(src)) * (live.size - 1) / total > maxBalance)
+            unmergeable += src
+          else {
+            val srcDir = new org.apache.hadoop.fs.Path(path, s"cell=$src")
+            if (fs.exists(srcDir)) {
+              val tgtDir = new org.apache.hadoop.fs.Path(path, s"cell=$tgt")
+              fs.mkdirs(tgtDir)
+              fs.listStatus(srcDir).filter(_.getPath.getName.endsWith(".parquet"))
+                .foreach { st =>
+                  // fresh name: part names from different writes could collide
+                  val dst = new org.apache.hadoop.fs.Path(tgtDir,
+                    s"part-merge-${java.util.UUID.randomUUID()}.snappy.parquet")
+                  require(fs.rename(st.getPath, dst),
+                    s"failed to move ${st.getPath} to $dst")
+                }
+              fs.delete(srcDir, true)
+            }
+            val (ns, nt) = (countOf(src), countOf(tgt))
+            if (ns + nt > 0)
+              centroids(tgt) = centroids(tgt).zip(centroids(src)).map {
+                case (t, s) => (t * nt + s * ns) / (nt + ns) }
+            counts(tgt) = nt + ns
+            counts.remove(src)
+            removed += src
+            merges += 1
+          }
+        }
+      }
+      // renumber survivors contiguously (ascending order vacates every
+      // target slot before it is reused — new ids never exceed old ones)
+      if (removed.nonEmpty) {
+        val survivors = centroids.indices.filterNot(removed).toSeq
+        survivors.zipWithIndex.foreach { case (old, nw) =>
+          if (old != nw) {
+            val srcDir = new org.apache.hadoop.fs.Path(path, s"cell=$old")
+            if (fs.exists(srcDir)) {
+              val dstDir = new org.apache.hadoop.fs.Path(path, s"cell=$nw")
+              require(!fs.exists(dstDir), s"renumber target $dstDir occupied")
+              require(fs.rename(srcDir, dstDir), s"failed to rename $srcDir")
+            }
+          }
+        }
+        val renumbered = survivors.map(centroids)
+        centroids.clear()
+        centroids ++= renumbered
+      }
+    }
+
+    if (splits > 0 || merges > 0)
       writeMeta(spark, path,
         meta.copy(nCells = centroids.size, centroids = centroids.toSeq))
-    splits
+    splits + merges
   }
 
   /** ANN-routed hard-negative mining for UNBOUNDED query sets — the scale

@@ -140,12 +140,57 @@ class AnnIndexSpec extends SparkSpec {
       extra.withColumn("label", lit(1)), "vec_id", "embedding", path,
       extraCols = Seq("label")))
     assert(e.getMessage.contains("extraCols"), e.getMessage)
-    // a PQ index refuses append (codes cannot be encoded without rebuild)
+    // a PQ index appends by ENCODING the batch with its stored codebooks:
+    // the appended ids are visible to ADC-ranked probes immediately
     val pqPath = Files.createTempDirectory("graft_ann_app_pq").toString
     AnnIndex.build(vecs, "vec_id", "embedding", pqPath, nCells = 3, m = 4, nCodes = 8)
-    val e2 = intercept[IllegalArgumentException](
-      AnnIndex.append(extra, "vec_id", "embedding", pqPath))
-    assert(e2.getMessage.contains("PQ"), e2.getMessage)
+    AnnIndex.append(extra, "vec_id", "embedding", pqPath)
+    assert(AnnIndex.readMeta(spark, pqPath).m == 4) // sidecar untouched
+    val pqHits = AnnIndex.queryPq(spark, pqPath, raw(0L).map(_.toDouble),
+      nProbe = 1, k = 14).collect().map(_.getLong(0)).toSet
+    assert(pqHits.contains(900L) && pqHits.contains(901L), pqHits.toString)
+    // and the exact-vector query path sees them too (vec rides the append)
+    val exactHits = AnnIndex.query(spark, pqPath, raw(0L).map(_.toDouble),
+      nProbe = 1, k = 14).collect().map(_.getLong(0)).toSet
+    assert(exactHits.contains(900L) && exactHits.contains(901L), exactHits.toString)
+  }
+
+  test("rebalance merges starved cells into their nearest neighbor; exactness preserved") {
+    val path = Files.createTempDirectory("graft_ann_merge").toString
+    // clusters of 24/24/4 → the third cell is starved (balance 4*3/52 ≈ 0.23)
+    val pts = (for {
+      (axis, n) <- Seq((0, 24), (1, 24), (2, 4)); i <- 0 until n
+    } yield {
+      val v = Array.fill(8)(0.0f); v(axis) = 10f + i * 0.05f; v(axis + 4) = 4f
+      (axis * 100L + i, v)
+    }).toDF("vec_id", "embedding")
+    AnnIndex.build(pts, "vec_id", "embedding", path, nCells = 3)
+    val queries = pts.filter(col("vec_id").isin(0L, 101L, 201L))
+    def exhaustive(nCells: Int) =
+      AnnIndex.knnJoin(spark, path, queries, "vec_id", "embedding",
+        nProbe = nCells, k = 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val before = exhaustive(3)
+    val ops = AnnIndex.rebalance(spark, path, maxBalance = 4.0, minBalance = 0.3)
+    assert(ops == 1, s"expected exactly one merge, got $ops")
+    val meta = AnnIndex.readMeta(spark, path)
+    assert(meta.nCells == 2 && meta.centroids.size == 2, meta.nCells.toString)
+    // contiguous renumbering: only cell=0 / cell=1 directories remain
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(dirs.toSeq == Seq("cell=0", "cell=1"), dirs.mkString(", "))
+    // nothing lost: full probe returns identical neighbor sets
+    assert(exhaustive(2) == before)
+    val stats = AnnIndex.cellStats(spark, path).collect()
+    assert(stats.map(_.getLong(1)).sum == 52L, stats.mkString(", "))
+    // the merged index keeps serving appends and 1-probe queries
+    val more = Seq((900L, { val v = Array.fill(8)(0.0f); v(2) = 10.1f; v(6) = 4f; v }))
+      .toDF("vec_id", "embedding")
+    AnnIndex.append(more, "vec_id", "embedding", path)
+    val raw = pts.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hits = AnnIndex.query(spark, path, raw(201L).map(_.toDouble), nProbe = 1, k = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(900L), hits.toString)
   }
 
   test("knnJoin: exhaustive probe equals per-query exact search; cellStats flags drift") {
