@@ -135,10 +135,19 @@ object QCorpus {
     * heap cut — bounded here on purpose.)
     */
   def q67InvertedIndex(s: SparkSession, d: String): DataFrame = {
+    // ONE explode + ONE (token, doc_id) aggregate, shuffled by TOKEN alone
+    // (hash(token) co-locates every (token, doc_id) group — the subset
+    // rule), MATERIALIZED once: without the checkpoint the stats side and
+    // the postings-head side each re-derive the whole explode+aggregate
+    // (the q97 re-derivation pathology — two documents scans in the
+    // plan), and the token partitioning lets both downstream aggregates
+    // and the heap cut run exchange-free.
     val perDoc = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .repartition(col("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val stats = perDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
     val heads = graft.plans.TopKPerKey.topKPerKey(

@@ -71,6 +71,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q67: the explode+aggregate derives ONCE (checkpointed), not per consumer") {
+    val p = plan("q67_inverted_index")
+    // one documents scan feeds both the df/ctf stats and the postings
+    // heap cut through the checkpoint — the q97 re-derivation pathology
+    // (two scans, two explodes) must not come back
+    assert(count(p, "documents.parquet") <= 1, p)
+    assert(count(p, "Generate") <= 1, p)
+    assert(count(p, "TopKPerKeyFinal") == 1, p)
+  }
+
   test("q02: filter and projection are pushed to the parquet scan") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters: ["), p)
