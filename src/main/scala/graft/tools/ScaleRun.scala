@@ -1,0 +1,185 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The 10× scale self-test: run the scale-critical operator fleet at the
+  * driver's sf0.1 and at a [[ScaleData]]-derived ~sf1, and report each
+  * operator's measured cost-growth exponent α (cost ∝ N^α) for wall-clock,
+  * output rows, input bytes, and shuffle-write bytes.
+  *
+  * What "scales" must mean in numbers (recorded in COVERAGE.md):
+  *  - the dedup fleet (b31 LSH, b40 skew-guarded LSH, b47 substring) and
+  *    the DML fleet (b57 DV merge) are LINEAR: α ≈ 1 on rows/bytes, wall
+  *    within a slack band of 1 (local wall inherits the fixed per-query
+  *    floor, which deflates α at these sizes);
+  *  - ANN serving follows the production sizing rule nCells ∝ N (constant
+  *    per-cell mass): index build is linear, a single probe query is
+  *    CONSTANT (α ≈ 0 — reads nProbe cells of unchanged size no matter
+  *    the corpus), and all-corpus mining (b53) is linear (×N queries of
+  *    constant work), NOT the ×N² a flat layout would give.
+  *
+  * Pair/row-count exponents are the load-bearing ones: they are exact
+  * mechanism counts, immune to the ±30% machine-load band that wall-clock
+  * carries (CLAUDE.md), and a superlinear pair count is exactly how the
+  * guarded paths (b40's maxBucket chain cap) would fail first at 100 TB.
+  *
+  * Usage: `ScaleRun <smallDir> <bigDir> [factor]` — bigDir from
+  * [[ScaleData]]. Runs each op 3× per SF, takes min wall; byte metrics
+  * come from a task-metrics listener drained after the last run.
+  */
+object ScaleRun {
+  private final class Meter extends SparkListener {
+    val input = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { input.set(0L); shuffleWrite.set(0L) }
+  }
+
+  final case class Obs(name: String, secs: Double, rows: Long,
+      inputBytes: Long, shuffleBytes: Long)
+
+  def main(args: Array[String]): Unit = {
+    val small = args(0)
+    val big = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] = args.drop(3).toSet
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new Meter
+    spark.sparkContext.addSparkListener(meter)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    def timed(name: String, runs: Int = 3)(act: () => Long): Obs = {
+      if (only.nonEmpty && !only.exists(name.startsWith)) return Obs(name, -1, -1, -1, -1)
+      var best = Double.MaxValue
+      var rows = 0L
+      var i = 0
+      while (i < runs) {
+        val last = i == runs - 1
+        if (last) { Thread.sleep(300); meter.reset() }
+        val t0 = System.nanoTime()
+        rows = act()
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (secs < best) best = secs
+        i += 1
+      }
+      Thread.sleep(500) // listener bus drain
+      Obs(name, best, rows, meter.input.get(), meter.shuffleWrite.get())
+    }
+
+    def fleet(dir: String, mult: Int): Seq[Obs] = {
+      import graft.ext.{AnnIndex, Dedup, SubstringDedup}
+      val nCells = 16 * mult
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val out = Seq.newBuilder[Obs]
+
+      out += timed("b31_minhash_lsh")(() =>
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true).count())
+
+      out += timed("b40_minhash_skew")(() => {
+        val template = docs.orderBy("doc_id").limit(1)
+          .select(col("text")).crossJoin(
+            spark.range(10000).select((col("id") + 900000000L).as("doc_id")))
+          .select(col("doc_id"), col("text"))
+        val skewed = docs.select(col("doc_id"), col("text")).unionByName(template)
+          .repartition(col("doc_id"))
+        Dedup.minhashLshPairs(skewed, "doc_id", "text",
+          shingleN = 3, k = 16, bands = 4, threshold = 0.5, fast = true,
+          maxBucket = 1024).count()
+      })
+
+      out += timed("b47_substring_dedup")(() =>
+        SubstringDedup.dupStats(docs, "doc_id", "text",
+          gramLen = 40, hashed = true).count())
+
+      // ANN: production sizing — nCells grows with the corpus so per-cell
+      // mass stays constant; build once per (dir, run)
+      var annPath: String = null
+      out += timed("b50_ann_build")(() => {
+        annPath = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "ann").toString
+        AnnIndex.build(emb, "vec_id", "embedding", annPath,
+          nCells = nCells, extraCols = Seq("label"))
+        emb.count()
+      })
+      val wantsAnn = only.isEmpty || only.exists(o =>
+        "b50_ann_query".startsWith(o) || "b53_hard_negatives".startsWith(o))
+      if (annPath == null && wantsAnn) {
+        annPath = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "ann").toString
+        AnnIndex.build(emb, "vec_id", "embedding", annPath,
+          nCells = nCells, extraCols = Seq("label"))
+      }
+      if (wantsAnn) {
+        val q = emb.orderBy("vec_id").select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble).toArray
+        out += timed("b50_ann_query", runs = 5)(() =>
+          AnnIndex.query(spark, annPath, q, nProbe = 2, k = 10).count())
+        out += timed("b53_hard_negatives")(() =>
+          AnnIndex.hardNegatives(spark, annPath, emb, "vec_id", "embedding",
+            "label", nProbe = 2, k = 10).count())
+      }
+
+      // standing DV-merge table: built untimed, merges are the timed verb
+      val dml = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(tmp), "dv").toString + "/orders_delta"
+      if (only.isEmpty || only.exists("b57_merge_upsert_dv".startsWith))
+        graft.io.DeltaWrite.writeDeltaTable(
+          Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+          dml, "append")
+      out += timed("b57_merge_upsert_dv")(() => {
+        val src = Tables.orders(spark, dir)
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (round(col("o_totalprice") * 100, 0).cast("long") + 1).as("cents"))
+        graft.io.DeltaMerge.merge(spark, dml, src, Seq("o_orderkey"),
+          useDeletionVectors = true)
+        graft.io.DeltaRead.readDeltaTable(spark, dml).count()
+      })
+      out.result()
+    }
+
+    println(s"== small fleet: $small ==")
+    val s = fleet(small, 1)
+    println(s"== big fleet: $big (factor $factor) ==")
+    val b = fleet(big, factor)
+
+    def alpha(a: Double, bb: Double): Double =
+      math.log(bb / a) / math.log(factor.toDouble)
+    val lnF = "%.2f"
+    println(f"${"op"}%-22s ${"t_sm"}%7s ${"t_big"}%7s ${"a_wall"}%6s ${"rows_sm"}%9s ${"rows_big"}%9s ${"a_rows"}%6s ${"a_in"}%5s ${"a_shuf"}%6s")
+    val rows = s.zip(b).filter(_._1.secs >= 0).map { case (o1, o2) =>
+      val aWall = alpha(o1.secs, o2.secs)
+      val aRows = if (o1.rows > 0) alpha(o1.rows.toDouble, o2.rows.toDouble) else 0.0
+      val aIn = if (o1.inputBytes > 0) alpha(o1.inputBytes.toDouble, o2.inputBytes.toDouble) else 0.0
+      val aSh = if (o1.shuffleBytes > 0) alpha(o1.shuffleBytes.toDouble, o2.shuffleBytes.toDouble) else 0.0
+      println(f"${o1.name}%-22s ${o1.secs}%7.2f ${o2.secs}%7.2f ${lnF.format(aWall)}%6s ${o1.rows}%9d ${o2.rows}%9d ${lnF.format(aRows)}%6s ${lnF.format(aIn)}%5s ${lnF.format(aSh)}%6s")
+      s"""{"op":"${o1.name}","t_small":${o1.secs},"t_big":${o2.secs},"a_wall":${lnF.format(aWall)},"rows_small":${o1.rows},"rows_big":${o2.rows},"a_rows":${lnF.format(aRows)},"in_small":${o1.inputBytes},"in_big":${o2.inputBytes},"a_input":${lnF.format(aIn)},"sh_small":${o1.shuffleBytes},"sh_big":${o2.shuffleBytes},"a_shuffle":${lnF.format(aSh)}}"""
+    }
+    println("[" + rows.mkString(",\n ") + "]")
+    spark.stop()
+  }
+}
