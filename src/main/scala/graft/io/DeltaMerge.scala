@@ -92,13 +92,22 @@ object DeltaMerge {
     // Matched keys necessarily live in touched files, so both the update
     // join and the not-matched anti-join run against the TOUCHED subset —
     // the untouched 99% of the table is never read again.
-    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    val rt = DeltaWrite.rowTrackingOf(meta)
+    val base = baseWithRowIds(spark, path, meta, touched, rt)
     val nonKey = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    // row tracking: carried rows keep id + original version; UPDATED rows
+    // keep their id but null the version (modified by this commit);
+    // INSERTED rows are fresh on both (defaults apply)
+    val rtUpdated = rt.toSeq.flatMap(r => Seq(col(s"`${r.matId}`"),
+      when(col("__m").isNotNull, lit(null).cast("long"))
+        .otherwise(col(s"`${r.matVer}`")).as(r.matVer)))
+    val rtFresh = rt.toSeq.flatMap(r => Seq(
+      lit(null).cast("long").as(r.matId), lit(null).cast("long").as(r.matVer)))
     val survivors = whenMatched match {
       case "delete" =>
         base.join(srcKeys.withColumn("__m", lit(true)), keyCols, "left_outer")
           .filter(col("__m").isNull)
-          .select(schema.fieldNames.map(col).toSeq: _*)
+          .select(schema.fieldNames.map(col).toSeq ++ matCols(rt): _*)
       case "update" =>
         val marked = source1.select(
           (keyCols.map(col) ++ nonKey.map(c => col(c).as(s"__s_$c")) :+
@@ -107,13 +116,13 @@ object DeltaMerge {
           .select(schema.fieldNames.map { n =>
             if (keyCols.contains(n)) col(n)
             else when(col("__m").isNotNull, col(s"__s_$n")).otherwise(col(n)).as(n)
-          }.toSeq: _*)
+          }.toSeq ++ rtUpdated: _*)
     }
     val newData =
       if (insertUnmatched)
         survivors.unionByName(
           source1.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .select(schema.fieldNames.map(col).toSeq: _*))
+            .select(schema.fieldNames.map(col).toSeq ++ rtFresh: _*))
       else survivors
 
     if (touched.isEmpty && !insertUnmatched) return -1L
@@ -143,7 +152,7 @@ object DeltaMerge {
           else None
         Some((Seq(matchedPre) ++ matchedPost ++ inserts).reduce(_ unionByName _))
       }
-    commitRewrite(spark, path, readVersion, meta, touched, newData,
+    commitRewrite(spark, path, readVersion, meta, proto, touched, newData,
       operation = "MERGE",
       opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""",
       cdcData = cdc, txn = txn)
@@ -172,6 +181,30 @@ object DeltaMerge {
     * [[DeltaWrite.setTableProperties]]). DML on a CDF table pays one
     * extra pass over the touched subset to materialize the change rows.
     */
+  /** Read `touched` with STABLE ROW IDS attached when the table is
+    * row-tracked: logical columns plus the two materialized physical
+    * columns, each row's column values resolved to its stable id
+    * (`coalesce(materialized, baseRowId + position)`) and original
+    * commit version — the inputs a copy-on-write rewrite must carry
+    * forward so DML never moves a row's identity. Plain scan otherwise.
+    */
+  private def baseWithRowIds(spark: SparkSession, path: String,
+      meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
+      rt: Option[DeltaWrite.RowTracking]): DataFrame = rt match {
+    case None => DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    case Some(r) =>
+      val scanned = DeltaRead.filesDf(spark, path, meta, touched,
+        provenance = false, rowIndex = true,
+        extraPhysCols = DeltaWrite.rowTrackingFields(rt))
+      DeltaWrite.materializeRowIds(spark, path, r, touched, scanned)
+  }
+
+  /** The materialized-column Columns to append to a rewrite's output —
+    * empty when untracked.
+    */
+  private def matCols(rt: Option[DeltaWrite.RowTracking]): Seq[Column] =
+    rt.toSeq.flatMap(r => Seq(col(s"`${r.matId}`"), col(s"`${r.matVer}`")))
+
   private def cdfEnabled(meta: DeltaRead.Meta): Boolean =
     meta.configuration.get("delta.enableChangeDataFeed").contains("true")
 
@@ -190,15 +223,18 @@ object DeltaMerge {
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    val rt = DeltaWrite.rowTrackingOf(meta)
+    val base = baseWithRowIds(spark, path, meta, touched, rt)
     val hit = coalesce(condition, lit(false))
     val fieldCols = schema.fieldNames.map(col).toSeq
-    val survivors = base.filter(!hit).select(fieldCols: _*)
+    // row tracking: kept rows carry their stable id AND original commit
+    // version (a delete does not modify the rows it keeps)
+    val survivors = base.filter(!hit).select(fieldCols ++ matCols(rt): _*)
     val cdc =
       if (cdfEnabled(meta))
         Some(base.filter(hit).select(fieldCols :+ lit("delete").as("_change_type"): _*))
       else None
-    commitRewrite(spark, path, readVersion, meta, touched, survivors,
+    commitRewrite(spark, path, readVersion, meta, proto, touched, survivors,
       operation = "DELETE",
       opParams = s""""predicate":${jsString(condition.toString)}""",
       cdcData = cdc)
@@ -279,13 +315,18 @@ object DeltaMerge {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    val rt = DeltaWrite.rowTrackingOf(meta)
     val scan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
-      rowIndex = true)
+      rowIndex = true, extraPhysCols = DeltaWrite.rowTrackingFields(rt))
     val hit = coalesce(condition, lit(false))
     // the matched rows feed the bitmap build, the staged replacements,
     // and (under CDF) both images — materialize them once (O(changed
-    // rows), this verb's contract) so the table is scanned exactly once
-    val hits = scan.filter(hit).localCheckpoint()
+    // rows), this verb's contract) so the table is scanned exactly once.
+    // Row tracking: each hit resolves its stable id BEFORE shadowing, so
+    // the re-appended updated row can carry it materialized.
+    val hits = rt.fold(scan.filter(hit))(r => DeltaWrite.materializeRowIds(
+        spark, path, r, live, scan.filter(hit), keepHelpers = true))
+      .localCheckpoint()
     val planned = buildDvPlans(spark, fs, root, live, hits)
     if (planned.isEmpty) return -1L
     def updatedCols = schema.fieldNames.map { n =>
@@ -294,7 +335,11 @@ object DeltaMerge {
         case None => col(n)
       }
     }.toSeq
-    val newRows = hits.select(updatedCols: _*)
+    // updated rows KEEP their stable id (materialized) and null the
+    // commit version — this commit modifies them, the fresh default applies
+    val rtKeepId = rt.toSeq.flatMap(r => Seq(col(s"`${r.matId}`"),
+      lit(null).cast("long").as(r.matVer)))
+    val newRows = hits.select(updatedCols ++ rtKeepId: _*)
     val cdc =
       if (!cdfEnabled(meta)) None
       else {
@@ -302,7 +347,7 @@ object DeltaMerge {
         Some(hits
           .select(fieldCols :+ lit("update_preimage").as("_change_type"): _*)
           .unionByName(newRows
-            .withColumn("_change_type", lit("update_postimage"))))
+            .select(fieldCols :+ lit("update_postimage").as("_change_type"): _*)))
       }
     commitDvDml(spark, path, readVersion, meta, proto, planned,
       newAdds = stageForTable(spark, meta, newRows, root),
@@ -328,16 +373,21 @@ object DeltaMerge {
       schema: StructType): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rt = DeltaWrite.rowTrackingOf(meta)
     val rowScan = DeltaRead.filesDf(spark, path, meta, live, provenance = true,
-      rowIndex = true)
+      rowIndex = true, extraPhysCols = DeltaWrite.rowTrackingFields(rt))
     // checkpoint only what downstream needs: keys + position without CDF
     // (the scan then prunes every other column), full rows when the CDC
-    // pre-images will read them
-    val matchedAll = rowScan.join(srcKeys, keyCols, "left_semi")
+    // pre-images will read them. Row tracking resolves each matched row's
+    // stable id here, before its position is shadowed.
+    val matchedAll0 = rowScan.join(srcKeys, keyCols, "left_semi")
+    val matchedAll = rt.fold(matchedAll0)(r => DeltaWrite.materializeRowIds(
+      spark, path, r, live, matchedAll0, keepHelpers = true))
     val matched =
       (if (cdfEnabled(meta)) matchedAll
        else matchedAll.select(
-         keyCols.map(col) ++ Seq(col("__file"), col("__row_idx")): _*))
+         keyCols.map(col) ++ Seq(col("__file"), col("__row_idx")) ++
+           rt.toSeq.map(r => col(s"`${r.matId}`")): _*))
         .localCheckpoint()
     val planned = buildDvPlans(spark, fs, root, live, matched)
     if (planned.isEmpty && !insertUnmatched) return -1L
@@ -351,14 +401,20 @@ object DeltaMerge {
     // Delta MERGE semantics). Joining the per-row matched keys (NOT
     // distinct) to the source (≤1 row/key by the cardinality guard)
     // yields exactly one updated row per shadowed position.
+    val rtKeepId = rt.toSeq.flatMap(r => Seq(col(s"`${r.matId}`"),
+      lit(null).cast("long").as(r.matVer)))
+    val rtFresh = rt.toSeq.flatMap(r => Seq(
+      lit(null).cast("long").as(r.matId), lit(null).cast("long").as(r.matVer)))
     val matchedSrc =
       if (whenMatched == "update")
-        Some(matched.select(keyCols.map(col): _*)
-          .join(source1, keyCols, "inner").select(fieldCols: _*))
+        Some(matched.select(keyCols.map(col) ++
+            rt.toSeq.map(r => col(s"`${r.matId}`")): _*)
+          .join(source1, keyCols, "inner").select(fieldCols ++ rtKeepId: _*))
       else None
     val inserts =
       if (insertUnmatched)
-        Some(source1.join(matchedKeys, keyCols, "left_anti").select(fieldCols: _*))
+        Some(source1.join(matchedKeys, keyCols, "left_anti")
+          .select(fieldCols ++ rtFresh: _*))
       else None
     val newRows = (matchedSrc.toSeq ++ inserts).reduceOption(_ unionByName _)
     val cdc =
@@ -563,6 +619,10 @@ object DeltaMerge {
     // outright (it stays in `planned` for the remove; no re-add)
     val reAdded = planned.filter(_.descriptor.isDefined)
     val protocolLine = dvProtocolUpgrade(proto, s"$operation on $path")
+    val tracked = DeltaWrite.rowTrackingOf(meta).isDefined ||
+      proto.writerFeatures.contains("rowTracking")
+    lazy val snapWm = DeltaRead.rowIdHighWaterMark(
+      DeltaRead.replayFull(spark, path, None).domains)
 
     var cdcStaged: Seq[(String, Long)] = Seq.empty
     def mkLines(version: Long): Seq[String] = {
@@ -589,14 +649,19 @@ object DeltaMerge {
           .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
         val statsField = f.stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
         val dvField = s""","deletionVector":${DeltaWrite.dvJson(p.descriptor.get)}"""
-        lines += s"""{"add":{"path":${jsString(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
+        lines += s"""{"add":{"path":${jsString(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField${DeltaWrite.ridFieldOf(f)}}}"""
       }
-      newAdds.foreach { case (rel, pv, size, stats) =>
-        val pvJson = pv.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
-        val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
-        lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
-      }
+      val pending: Seq[(Long, String => String)] =
+        newAdds.map { case (rel, pv, size, stats) =>
+          val pvJson = pv.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+          val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+          val n = if (tracked) DeltaWrite.numRecordsOf(stats, s"$path DML $rel") else 0L
+          (n, (rid: String) =>
+            s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField$rid}}""")
+        }
+      lines ++= DeltaWrite.renderAdds(spark, path, tracked, snapWm,
+        readVersion + 1, pending)(version)
       cdcStaged.foreach { case (rel, size) =>
         lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
       }
@@ -635,19 +700,26 @@ object DeltaMerge {
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val hit = coalesce(condition, lit(false)) // NULL predicate = no match (SQL)
-    val base = DeltaRead.filesDf(spark, path, meta, touched, provenance = false)
+    val rt = DeltaWrite.rowTrackingOf(meta)
+    val base = baseWithRowIds(spark, path, meta, touched, rt)
     def updatedCols = schema.fieldNames.map { n =>
       set.get(n) match {
         case Some(e) => e.cast(schema(n).dataType).as(n)
         case None => col(n)
       }
     }.toSeq
+    // row tracking: every row keeps its stable id; UPDATED rows null out
+    // the materialized commit version (they are modified by THIS commit,
+    // so the fresh default applies), carried rows keep their original
+    val rtCols = rt.toSeq.flatMap(r => Seq(col(s"`${r.matId}`"),
+      when(hit, lit(null).cast("long")).otherwise(col(s"`${r.matVer}`"))
+        .as(r.matVer)))
     val rewritten = base.select(schema.fieldNames.map { n =>
       set.get(n) match {
         case Some(e) => when(hit, e.cast(schema(n).dataType)).otherwise(col(n)).as(n)
         case None => col(n)
       }
-    }.toSeq: _*)
+    }.toSeq ++ rtCols: _*)
     val cdc =
       if (cdfEnabled(meta)) {
         val fieldCols = schema.fieldNames.map(col).toSeq
@@ -656,7 +728,7 @@ object DeltaMerge {
           .unionByName(base.filter(hit).select(updatedCols: _*)
             .withColumn("_change_type", lit("update_postimage"))))
       } else None
-    commitRewrite(spark, path, readVersion, meta, touched, rewritten,
+    commitRewrite(spark, path, readVersion, meta, proto, touched, rewritten,
       operation = "UPDATE",
       opParams = s""""predicate":${jsString(condition.toString)}""",
       cdcData = cdc)
@@ -696,12 +768,17 @@ object DeltaMerge {
     * atomically, via [[DeltaWrite.publishCommit]]'s single-writer rename.
     */
   private def commitRewrite(spark: SparkSession, path: String,
-      readVersion: Long, meta: DeltaRead.Meta, touched: Seq[DeltaRead.LiveFile],
+      readVersion: Long, meta: DeltaRead.Meta, proto: DeltaRead.Protocol,
+      touched: Seq[DeltaRead.LiveFile],
       newData: DataFrame, operation: String, opParams: String,
       cdcData: Option[DataFrame] = None,
       txn: Option[(String, Long)] = None): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tracked = DeltaWrite.rowTrackingOf(meta).isDefined ||
+      proto.writerFeatures.contains("rowTracking")
+    lazy val snapWm = DeltaRead.rowIdHighWaterMark(
+      DeltaRead.replayFull(spark, path, None).domains)
     // CHECK constraints hold for the post-DML rows too
     DeltaWrite.enforceConstraints(newData, meta, s"$operation on $path")
     // DML rows carry every column — applyGenerated is pure validation
@@ -742,12 +819,17 @@ object DeltaMerge {
       touched.foreach { f =>
         lines += s"""{"remove":{"path":${jsString(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
-      adds.foreach { case (rel, pv, size, stats) =>
-        val pvJson = pv.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
-        val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
-        lines += s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
-      }
+      val pending: Seq[(Long, String => String)] =
+        adds.map { case (rel, pv, size, stats) =>
+          val pvJson = pv.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${jsString(k)}:${jsString(v)}" }.mkString("{", ",", "}")
+          val statsField = stats.map(s => s""","stats":${jsString(s)}""").getOrElse("")
+          val n = if (tracked) DeltaWrite.numRecordsOf(stats, s"$path DML $rel") else 0L
+          (n, (rid: String) =>
+            s"""{"add":{"path":${jsString(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField$rid}}""")
+        }
+      lines ++= DeltaWrite.renderAdds(spark, path, tracked, snapWm,
+        readVersion + 1, pending)(version)
       cdcStaged.foreach { case (rel, size) =>
         lines += s"""{"cdc":{"path":${jsString(rel)},"partitionValues":{},"size":$size,"dataChange":false}}"""
       }

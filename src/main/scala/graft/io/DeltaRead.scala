@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Read-only Delta Lake table support, implemented directly against the
   * PUBLIC Delta transaction-log format (delta.io protocol spec: a
@@ -167,7 +167,28 @@ object DeltaRead {
   private[io] final case class LiveFile(path: String,
       partitionValues: Map[String, String], size: Long = 0L,
       modificationTime: Long = 0L, stats: Option[String] = None,
-      dv: Option[DeletionVectors.Descriptor] = None)
+      dv: Option[DeletionVectors.Descriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
+
+  /** One `domainMetadata` action's live state: the latest configuration
+    * string per domain (last writer wins, like metaData); removed domains
+    * drop out of the map entirely. Row tracking keeps its high watermark
+    * here (domain `delta.rowTracking`); domains this engine does not
+    * understand are PRESERVED verbatim through checkpoints — dropping one
+    * would corrupt another writer's invariants once the JSON tail is
+    * cleaned.
+    */
+  private[io] type Domains = Map[String, String]
+
+  /** The row-id high watermark recorded in the `delta.rowTracking` domain
+    * (-1 when absent: no row ids assigned yet).
+    */
+  private[io] def rowIdHighWaterMark(domains: Domains): Long =
+    domains.get("delta.rowTracking").map { cfg =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(cfg)
+      Option(n.get("rowIdHighWaterMark")).map(_.asLong()).getOrElse(-1L)
+    }.getOrElse(-1L)
 
   /** Resolve an action's `path` field against the table root, per the
     * protocol: paths are percent-encoded URIs, RELATIVE to the table root
@@ -202,6 +223,79 @@ object DeltaRead {
     val (meta, files) = replayLog(spark, path, pinned)
     require(meta != null, s"$path has no metaData action in its _delta_log")
     filesDf(spark, path, meta, files, provenance = false)
+  }
+
+  /** Read a row-tracked Delta table with its ROW IDS and row commit
+    * versions surfaced as `_row_id` / `_row_commit_version` columns — the
+    * public row-tracking read semantics (delta.io spec, `rowTracking`
+    * writer feature):
+    *
+    *  - a row's id is its file's `add.baseRowId` + its PHYSICAL position
+    *    in the file (the "fresh" id), unless the file materializes stable
+    *    ids in the physical column named by
+    *    `delta.rowTracking.materializedRowIdColumnName` — which rewriting
+    *    writers (OPTIMIZE, copy-on-write DML) use to PRESERVE ids across
+    *    rewrites; the materialized value always wins.
+    *  - a row's commit version is `add.defaultRowCommitVersion` (the
+    *    commit that added its file) unless materialized — rewrites
+    *    materialize the ORIGINAL version for carried rows so compaction
+    *    does not make untouched rows look freshly modified.
+    *
+    * Deletion vectors compose for free: the DV branch filters shadowed
+    * positions BEFORE ids attach, and surviving rows keep their physical
+    * position — so row ids are stable under DV DML by construction.
+    *
+    * Refuses tables that do not enable row tracking (ids would be
+    * undefined) and live files missing `baseRowId` (enabled mid-history
+    * without a backfill — serving partial ids would be silent corruption).
+    */
+  def readDeltaTableWithRowIds(spark: SparkSession, path: String,
+      versionAsOf: Option[Long] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val pinned = timestampAsOf
+      .map(ts => versionAtTimestamp(spark, path, ts)).orElse(versionAsOf)
+    val snap = replayFull(spark, path, pinned)
+    require(snap.meta != null, s"$path has no metaData action in its _delta_log")
+    require(snap.protocol.writerFeatures.contains("rowTracking") ||
+        snap.meta.configuration.get("delta.enableRowTracking").contains("true"),
+      s"$path does not enable row tracking — row ids are undefined; " +
+        "create the table with delta.enableRowTracking=true")
+    val missing = snap.files.filter(_.baseRowId.isEmpty)
+    require(missing.isEmpty,
+      s"$path: ${missing.size} live file(s) carry no baseRowId — row " +
+        "tracking was enabled without backfilling existing files; serving " +
+        s"partial row ids would be silent corruption (e.g. ${missing.take(3).map(_.path)})")
+
+    val conf = snap.meta.configuration
+    val matId = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = conf.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val extra = (matId.toSeq ++ matVer.toSeq)
+      .map(n => StructField(n, LongType, nullable = true))
+    val base = filesDf(spark, path, snap.meta, snap.files,
+      provenance = false, rowIndex = true, extraPhysCols = extra)
+
+    // per-file (baseRowId, defaultRowCommitVersion), broadcast-joined on
+    // the scheme-normalized file path — file-count-sized, like any
+    // file-level metadata join
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val fileMap = snap.files.map { f =>
+      (fs.makeQualified(new Path(resolveFilePath(path, f.path))).toUri.getPath,
+        f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(-1L))
+    }.toDF("__fkey", "__base_rid", "__dflt_ver")
+    val normalized = base.withColumn("__fkey",
+      regexp_replace(col("__file"), "^[a-zA-Z][\\w+.-]*:/{1,3}", "/"))
+    val rowId = coalesce(
+      (matId.map(col).toSeq :+ (col("__base_rid") + col("__row_idx"))): _*)
+    val rowVer = coalesce((matVer.map(col).toSeq :+
+      when(col("__dflt_ver") >= 0, col("__dflt_ver"))): _*)
+    normalized.join(broadcast(fileMap), Seq("__fkey"))
+      .withColumn("_row_id", rowId)
+      .withColumn("_row_commit_version", rowVer)
+      .drop((Seq("__fkey", "__file", "__row_idx", "__base_rid", "__dflt_ver") ++
+        matId.toSeq ++ matVer.toSeq): _*)
   }
 
   /** The latest version whose commit timestamp is at or before `tsMillis`
@@ -269,10 +363,12 @@ object DeltaRead {
     */
   private[io] def filesDf(spark: SparkSession, path: String, meta: Meta,
       files: Seq[LiveFile], provenance: Boolean,
-      rowIndex: Boolean = false): DataFrame = {
+      rowIndex: Boolean = false,
+      extraPhysCols: Seq[StructField] = Nil): DataFrame = {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty) {
-      var out = if (provenance || rowIndex) schema.add("__file", "string") else schema
+      var out = StructType(schema.fields ++ extraPhysCols)
+      if (provenance || rowIndex) out = out.add("__file", "string")
       if (rowIndex) out = out.add("__row_idx", "long")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
@@ -310,8 +406,11 @@ object DeltaRead {
 
     def scanOf(subset: Seq[LiveFile], withRowIdx: Boolean): DataFrame = {
       val partitionSchema = StructType(physPartCols.map(c => phys(c)))
+      // extraPhysCols (e.g. row tracking's materialized row-id columns)
+      // are physical-only fields OUTSIDE the table schema: files that
+      // lack them read as null, files that carry them resolve by name
       val dataSchema = StructType(
-        phys.fields.filterNot(f => physPartCols.contains(f.name)))
+        phys.fields.filterNot(f => physPartCols.contains(f.name)) ++ extraPhysCols)
 
       // One scan relation over a LOG-BACKED FileIndex (the delta-core
       // seam): plan size is independent of partition count and layout,
@@ -325,6 +424,7 @@ object DeltaRead {
         scanOptions)(spark)
       val base = spark.baseRelationToDataFrame(relation)
       val cols = logicalSelect(schema, phys) ++
+        extraPhysCols.map(f => col(f.name)) ++
         (if (provenance || withRowIdx) Seq(col("_metadata.file_path").as("__file")) else Nil) ++
         (if (withRowIdx) Seq(col("_metadata.row_index").as("__row_idx")) else Nil)
       base.select(cols: _*)
@@ -840,7 +940,10 @@ object DeltaRead {
       modificationTime =
         Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
       stats = Option(a.get("stats")).map(_.asText()).filter(_.nonEmpty),
-      dv = dv)
+      dv = dv,
+      baseRowId = Option(a.get("baseRowId")).map(_.asLong()),
+      defaultRowCommitVersion =
+        Option(a.get("defaultRowCommitVersion")).map(_.asLong()))
   }
 
   /** Latest version number in the log (`-1` if the directory is empty).
@@ -876,6 +979,18 @@ object DeltaRead {
     */
   private[io] def replayLogWithProtocol(spark: SparkSession, path: String,
       versionAsOf: Option[Long]): (Meta, Seq[LiveFile], Protocol) = {
+    val s = replayFull(spark, path, versionAsOf)
+    (s.meta, s.files, s.protocol)
+  }
+
+  /** Full replayed snapshot: metadata, live files, protocol, and live
+    * domain metadata (the [[Domains]] map).
+    */
+  private[io] final case class Snapshot(meta: Meta, files: Seq[LiveFile],
+      protocol: Protocol, domains: Domains)
+
+  private[io] def replayFull(spark: SparkSession, path: String,
+      versionAsOf: Option[Long]): Snapshot = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
     val dir = new Path(path, "_delta_log")
@@ -891,6 +1006,7 @@ object DeltaRead {
     var meta: Meta = null
     var protocol: Protocol = Protocol(1, 2)
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
+    val domains = scala.collection.mutable.LinkedHashMap[String, String]()
 
     lastCp.foreach { cpRef =>
       val cpPaths = checkpointFiles(fs, dir, cpRef)
@@ -966,7 +1082,22 @@ object DeltaRead {
                 size = opt("size")(row.getLong).getOrElse(0L),
                 modificationTime = opt("modificationTime")(row.getLong).getOrElse(0L),
                 stats = opt("stats")(row.getString).filter(_.nonEmpty),
-                dv = dv))
+                dv = dv,
+                baseRowId = opt("baseRowId")(row.getLong),
+                defaultRowCommitVersion =
+                  opt("defaultRowCommitVersion")(row.getLong)))
+            }
+        if (cols.contains("domainMetadata"))
+          cp.select(col("domainMetadata"))
+            .filter(col("domainMetadata.domain").isNotNull).collect()
+            .foreach { r =>
+              val row = r.getStruct(0)
+              val dom = row.getString(row.fieldIndex("domain"))
+              val cfg = scala.util.Try(row.fieldIndex("configuration")).toOption
+                .filterNot(row.isNullAt).map(row.getString).getOrElse("")
+              val rm = scala.util.Try(row.fieldIndex("removed")).toOption
+                .filterNot(row.isNullAt).exists(row.getBoolean)
+              if (rm) domains.remove(dom) else domains.put(dom, cfg)
             }
       }
 
@@ -1061,9 +1192,16 @@ object DeltaRead {
         }
         if (node.has("remove"))
           live.remove(node.get("remove").get("path").asText())
+        if (node.has("domainMetadata")) {
+          val d = node.get("domainMetadata")
+          val dom = d.get("domain").asText()
+          if (Option(d.get("removed")).exists(_.asBoolean(false))) domains.remove(dom)
+          else domains.put(dom,
+            Option(d.get("configuration")).map(_.asText()).getOrElse(""))
+        }
       }
     }
-    (meta, live.values.toSeq, protocol)
+    Snapshot(meta, live.values.toSeq, protocol, domains.toMap)
   }
 
   /** Refuse tables whose protocol demands read behavior this reader does

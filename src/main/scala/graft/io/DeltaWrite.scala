@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Checkpoint row for the `add` side — file-scoped (not nested in the
   * object, and not private: a private nested case class breaks the encoder's
@@ -17,7 +17,8 @@ private[io] case class CheckpointDv(storageType: String, pathOrInlineDv: String,
 
 private[io] case class CheckpointAdd(path: String, partitionValues: Map[String, String],
     size: Long, modificationTime: Long, dataChange: Boolean, stats: String,
-    deletionVector: Option[CheckpointDv])
+    deletionVector: Option[CheckpointDv],
+    baseRowId: Option[Long], defaultRowCommitVersion: Option[Long])
 
 /** What a commit knows about itself for the optimistic-concurrency
   * conflict check ([[DeltaWrite.commitWithRetry]]): the files it removes,
@@ -158,11 +159,46 @@ object DeltaWrite {
       createMapped = Some(mappingMode))
   }
 
+  /** Create a ROW-TRACKED Delta table (the public `rowTracking` writer
+    * feature): the table opts in via `delta.enableRowTracking`, the
+    * protocol declares writer feature `rowTracking` + `domainMetadata`,
+    * and every subsequent commit — through the PLAIN [[writeDeltaTable]],
+    * the DML verbs, and the maintenance passes — keeps row ids stable:
+    *
+    *  - appends claim a contiguous `baseRowId` range per file under the
+    *    `delta.rowTracking` domain's high watermark (re-read per OCC
+    *    attempt, so concurrent appends never collide), and stamp
+    *    `defaultRowCommitVersion`;
+    *  - DV DML ([[DvWrite]], [[DeltaMerge]] with deletion vectors)
+    *    preserves ids by construction — physical positions never move —
+    *    with the re-added file's `baseRowId` carried verbatim;
+    *  - rewriting paths (copy-on-write DML, [[compact]]) MATERIALIZE the
+    *    ids (and original commit versions) they carry forward into the
+    *    physical columns named by the table configuration, which
+    *    [[DeltaRead.readDeltaTableWithRowIds]] prefers over the fresh
+    *    defaults.
+    *
+    * Fresh-table creation only (enabling on existing data would need a
+    * backfill); append/overwrite the result through [[writeDeltaTable]].
+    */
+  def writeDeltaTableRowTracked(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(DeltaRead.latestVersion(df.sparkSession, path) < 0,
+      s"$path already exists — row tracking can only be enabled at table " +
+        "creation (enabling later would need a baseRowId backfill of every " +
+        "live file)")
+    writeDeltaTableImpl(df, path, "overwrite", partitionBy, None,
+      mergeSchema = false, createRowTracked = true)
+  }
+
   private def writeDeltaTableImpl(df0: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
-      mergeSchema: Boolean, createMapped: Option[String] = None): Long = {
+      mergeSchema: Boolean, createMapped: Option[String] = None,
+      createRowTracked: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
+    require(!createRowTracked || createMapped.isEmpty,
+      "row tracking and column mapping cannot both be enabled at creation here")
     val spark = df0.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -174,19 +210,32 @@ object DeltaWrite {
     // BEFORE the replay — the OCC conflict window starts at the snapshot
     // this commit's content derives from.
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val existingFull: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile], DeltaRead.Protocol)] =
+    val existingFull: Option[DeltaRead.Snapshot] =
       if (fs.exists(logDir))
-        Some(DeltaRead.replayLogWithProtocol(spark, path, None)).filter(_._1 != null)
+        Some(DeltaRead.replayFull(spark, path, None)).filter(_.meta != null)
       else None
     // generated columns resolve BEFORE schema validation: a batch that
     // omits a generated column is completed to the table schema here
-    val df = existingFull.map(e => applyGenerated(df0, e._1, s"write to $path"))
+    val df = existingFull.map(e => applyGenerated(df0, e.meta, s"write to $path"))
       .getOrElse(df0)
     val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
-      existingFull.map(t => (t._1, t._2))
-    existingFull.foreach { case (meta, _, proto) =>
-      checkWritable(meta, proto, s"write to $path",
+      existingFull.map(t => (t.meta, t.files))
+    existingFull.foreach { s =>
+      checkWritable(s.meta, s.protocol, s"write to $path",
         removesData = mode == "overwrite") }
+    // row tracking: fresh tables opt in via createRowTracked; existing
+    // tables carry delta.enableRowTracking in their configuration. Every
+    // add this commit stages gets a fresh baseRowId range under the
+    // domain-metadata high watermark (re-read per OCC attempt — a
+    // concurrent winner may have advanced it).
+    // assignment is owed whenever the PROTOCOL supports the feature (the
+    // spec's "supported" state); enablement (delta.enableRowTracking)
+    // additionally obliges DML/maintenance to PRESERVE ids
+    val rowTracked = createRowTracked || existingFull.exists(e =>
+      e.meta.configuration.get("delta.enableRowTracking").contains("true") ||
+        e.protocol.writerFeatures.contains("rowTracking"))
+    val snapshotWm = existingFull
+      .map(s => DeltaRead.rowIdHighWaterMark(s.domains)).getOrElse(-1L)
     val version = readVersion + 1
 
     existing.foreach { case (meta, _) =>
@@ -307,6 +356,10 @@ object DeltaWrite {
       lines += (if (mappedSchema.isDefined)
         // column mapping requires reader 2 / writer 5 per the protocol
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else if (createRowTracked)
+        // rowTracking is a writer-only table feature (writer version 7);
+        // domainMetadata carries its high watermark
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","rowTracking"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     txn.foreach { case (appId, txnVersion) =>
       lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
@@ -326,6 +379,19 @@ object DeltaWrite {
       val config = minted match {
         case Some((_, maxId)) =>
           s"""{"delta.columnMapping.mode":"${createMapped.getOrElse("name")}","delta.columnMapping.maxColumnId":"$maxId"}"""
+        case None if createRowTracked && existing.isEmpty =>
+          // fresh row-tracked table: enable the feature and MINT the
+          // materialized-column names rewriting commits will preserve
+          // stable ids under (spec: writer-chosen, stored in the table
+          // configuration, outside the table schema)
+          val suffix = UUID.randomUUID().toString.take(8)
+          Seq(
+            "delta.enableRowTracking" -> "true",
+            "delta.rowTracking.materializedRowIdColumnName" ->
+              s"_row_id_mat_$suffix",
+            "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+              s"_row_ver_mat_$suffix")
+            .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
         case None =>
           // a schema-changing overwrite must CARRY the existing table
           // configuration — emitting {} would silently drop properties
@@ -340,12 +406,22 @@ object DeltaWrite {
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     }
-    adds.foreach { case (rel, pv, size, stats) =>
-      val pvJson = pv.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-      val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
-      lines += s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
-    }
+    // add actions: on a row-tracked table they render PER OCC ATTEMPT —
+    // each add claims a contiguous baseRowId range above the high
+    // watermark, and a retry must re-read the watermark a concurrent
+    // winner may have advanced (its own domainMetadata action carries the
+    // new mark). Non-tracked tables render once, outside the retry loop.
+    val pendingAdds: Seq[(Long, String => String)] =
+      adds.map { case (rel, pv, size, stats) =>
+        val pvJson = pv.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+        val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
+        val n = if (rowTracked) numRecordsOf(stats, s"$path add $rel") else 0L
+        (n, (rid: String) =>
+          s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField$rid}}""")
+      }
+    val addLines = renderAdds(spark, path, rowTracked, snapshotWm,
+      readVersion + 1, pendingAdds) _
 
     // OCC: a plain append is blind (retries past any concurrent data
     // change); overwrite, table creation, and schema-changing commits
@@ -356,7 +432,114 @@ object DeltaWrite {
           existing.map(_._2.map(_.path).toSet).getOrElse(Set.empty), txn.map(_._1))
       else ConflictGuard.blindAppend(txn.map(_._1))
     commitWithRetry(spark, path, readVersion, guard,
-      _ => commitInfoLine() +: lines.toSeq)
+      attempt => commitInfoLine() +: (lines.toSeq ++ addLines(attempt)))
+  }
+
+  /** `numRecords` from an add action's stats JSON — required for
+    * baseRowId range assignment on row-tracked tables (this writer's
+    * [[footerStats]] always records it).
+    */
+  private[io] def numRecordsOf(stats: Option[String], where: String): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    stats.flatMap(s => Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
+      .getOrElse(throw new IllegalStateException(
+        s"$where: row tracking needs numRecords stats to assign baseRowIds"))
+  }
+
+  /** Row-tracking state of a table: the materialized row-id / commit-
+    * version column names its configuration pins (minted at creation).
+    * None when the table does not enable row tracking.
+    */
+  private[io] final case class RowTracking(matId: String, matVer: String)
+  private[io] def rowTrackingOf(meta: DeltaRead.Meta): Option[RowTracking] =
+    if (!meta.configuration.get("delta.enableRowTracking").contains("true")) None
+    else Some(RowTracking(
+      meta.configuration.getOrElse(
+        "delta.rowTracking.materializedRowIdColumnName",
+        throw new IllegalStateException(
+          "row tracking enabled without materializedRowIdColumnName")),
+      meta.configuration.getOrElse(
+        "delta.rowTracking.materializedRowCommitVersionColumnName",
+        throw new IllegalStateException(
+          "row tracking enabled without materializedRowCommitVersionColumnName"))))
+
+  private[io] def rowTrackingFields(rt: Option[RowTracking]): Seq[StructField] =
+    rt.toSeq.flatMap(r => Seq(
+      StructField(r.matId, org.apache.spark.sql.types.LongType, nullable = true),
+      StructField(r.matVer, org.apache.spark.sql.types.LongType, nullable = true)))
+
+  /** Attach the MATERIALIZED row-id / commit-version values to a rewrite
+    * read: `df` must carry `__file` / `__row_idx` helper columns (and the
+    * two materialized columns, null where the source file lacks them);
+    * each row's stable id becomes `coalesce(materialized, baseRowId +
+    * row_idx)` and its commit version `coalesce(materialized,
+    * defaultRowCommitVersion)` — written PHYSICALLY into the staged file,
+    * so the rewrite never moves a row's identity. Per-file metadata joins
+    * broadcast, like every file-level map here.
+    */
+  private[io] def materializeRowIds(spark: SparkSession, path: String,
+      rt: RowTracking, files: Seq[DeltaRead.LiveFile], df: DataFrame,
+      keepHelpers: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fmap = files.map { f =>
+      val base = f.baseRowId.getOrElse(throw new IllegalStateException(
+        s"$path: live file ${f.path} has no baseRowId on a row-tracked table"))
+      (fs.makeQualified(new Path(DeltaRead.resolveFilePath(path, f.path)))
+        .toUri.getPath, base, f.defaultRowCommitVersion.getOrElse(-1L))
+    }.toDF("__fkey", "__base_rid", "__dflt_ver")
+    df.withColumn("__fkey",
+        regexp_replace(col("__file"), "^[a-zA-Z][\\w+.-]*:/{1,3}", "/"))
+      .join(broadcast(fmap), Seq("__fkey"))
+      .withColumn(rt.matId,
+        coalesce(col(s"`${rt.matId}`"), col("__base_rid") + col("__row_idx")))
+      .withColumn(rt.matVer,
+        coalesce(col(s"`${rt.matVer}`"), when(col("__dflt_ver") >= 0, col("__dflt_ver"))))
+      .drop((if (keepHelpers) Seq("__fkey", "__base_rid", "__dflt_ver")
+        else Seq("__fkey", "__file", "__row_idx", "__base_rid", "__dflt_ver")): _*)
+  }
+
+  /** Per-OCC-attempt add-line rendering for row-tracked commits: each
+    * pending add (numRecords, line-builder) claims a contiguous baseRowId
+    * range above the high watermark — re-read on RETRY attempts, since a
+    * concurrent winner advances it — and the commit closes with the
+    * domain-metadata action carrying the new mark. Non-tracked commits
+    * render each line with no rid field, once.
+    */
+  private[io] def renderAdds(spark: SparkSession, path: String,
+      tracked: Boolean, snapshotWm: Long, firstAttempt: Long,
+      pending: Seq[(Long, String => String)])(attempt: Long): Seq[String] =
+    if (!tracked) pending.map(_._2(""))
+    else {
+      var next = (if (attempt == firstAttempt) snapshotWm
+        else DeltaRead.rowIdHighWaterMark(
+          DeltaRead.replayFull(spark, path, None).domains)) + 1
+      val out = pending.map { case (n, f) =>
+        val base = next
+        next += n
+        f(s""","baseRowId":$base,"defaultRowCommitVersion":$attempt""")
+      }
+      out :+ rowTrackingDomainLine(next - 1)
+    }
+
+  /** Render a [[DeltaRead.LiveFile]]'s row-tracking fields for a re-add
+    * action (restore, clone, DV re-add): the original `baseRowId` /
+    * `defaultRowCommitVersion` carry VERBATIM — the file's physical rows
+    * never moved, so its ids must not either.
+    */
+  private[io] def ridFieldOf(f: DeltaRead.LiveFile): String =
+    f.baseRowId.map(b => s""","baseRowId":$b""" +
+      f.defaultRowCommitVersion.map(v => s""","defaultRowCommitVersion":$v""")
+        .getOrElse("")).getOrElse("")
+
+  /** The `delta.rowTracking` domain-metadata action carrying the new
+    * row-id high watermark.
+    */
+  private[io] def rowTrackingDomainLine(highWaterMark: Long): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfg = mapper.writeValueAsString(s"""{"rowIdHighWaterMark":$highWaterMark}""")
+    s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":$cfg,"removed":false}}"""
   }
 
   /** SET TBLPROPERTIES: commit a metaData action whose configuration is
@@ -416,24 +599,26 @@ object DeltaWrite {
     * committing: appendOnly and CHECK constraints are enforced,
     * changeDataFeed is emitted by every DML verb, name-mode columnMapping
     * stages physically, widened types stage wide, deletion vectors read
-    * through and materialize away on rewrite, and the rest carry no
-    * writer-side obligation for this engine's commit shapes. Anything NOT
-    * here (identityColumns, rowTracking, icebergCompat*, domainMetadata,
-    * ...) imposes invariants a commit from this writer would silently
+    * through and materialize away on rewrite, row tracking mints fresh
+    * baseRowId ranges on every commit (rewrites preserve ids via
+    * materialized columns), domain metadata replays and carries through
+    * checkpoints, and the rest carry no writer-side obligation for this
+    * engine's commit shapes. Anything NOT here (identityColumns,
+    * icebergCompat*, ...) imposes invariants a commit from this writer would silently
     * break — refuse instead.
     */
   private val honoredWriterFeatures = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "columnMapping", "typeWidening", "typeWidening-preview",
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
-    "generatedColumns", "inCommitTimestamp")
+    "generatedColumns", "inCommitTimestamp", "rowTracking", "domainMetadata")
 
   /** Refuse commits whose table demands WRITER semantics this engine does
     * not honor — the write-side mirror of [[DeltaRead]]'s reader-protocol
     * gate. Checks, in protocol order: writer version ceiling, undeclared/
     * unknown writer features, `delta.appendOnly` (data-changing removes
     * refused; dataChange=false maintenance rewrites are allowed, per the
-    * spec), row tracking (row ids would need to be minted/preserved), and
+    * spec), and
     * schema-embedded obligations this writer cannot compute — column
     * invariants (`delta.invariants`), generation expressions
     * (`delta.generationExpression`), identity columns (`delta.identity.*`).
@@ -449,13 +634,19 @@ object DeltaWrite {
     require(unknown.isEmpty,
       s"$where requires writer features ${unknown.mkString(", ")} — committing " +
         "without honoring them would break another writer's invariants")
+    require(!(meta.configuration.get("delta.enableRowTracking").contains("true")
+        && meta.mappingMode != "none"),
+      s"$where: row tracking on a column-mapped table is not writable here " +
+        "(materialized row-id columns would need mapped physical names)")
     if (removesData)
       require(!meta.configuration.get("delta.appendOnly").contains("true"),
         s"$where: the table is delta.appendOnly — removing or rewriting data " +
           "is forbidden by its own configuration")
-    require(!meta.configuration.get("delta.enableRowTracking").contains("true"),
-      s"$where: the table enables row tracking, which requires writers to " +
-        "mint and preserve row ids — unsupported here")
+    // row tracking (`delta.enableRowTracking`) is HONORED, not refused:
+    // appends mint fresh baseRowId ranges under the domain-metadata high
+    // watermark, DV DML preserves ids by construction (positions never
+    // move), and every rewriting path (COW DML, OPTIMIZE/compaction)
+    // MATERIALIZES the ids it carries forward — see [[rowTrackingOf]]
     // generated columns (`delta.generationExpression`) are HONORED, not
     // refused: [[applyGenerated]] computes omitted columns and validates
     // supplied ones on every staging path
@@ -590,7 +781,13 @@ object DeltaWrite {
     require(metaThen != null, s"$path had no metaData at version $toVersion")
     val nowByPath = liveNow.map(f => f.path -> f).toMap
     val thenByPath = liveThen.map(f => f.path -> f).toMap
-    val toAdd = liveThen.filterNot(f => nowByPath.contains(f.path))
+    // a file can be live in BOTH versions with a DIFFERENT deletion-vector
+    // state (a later DV delete re-added the same path with a bitmap):
+    // path-only diffing would keep the CURRENT vector and leave restored
+    // rows invisible — re-add such files with their target-version state
+    // (the add overwrites the live entry at replay; no remove needed)
+    val toAdd = liveThen.filter(f =>
+      nowByPath.get(f.path).forall(cur => cur.dv != f.dv))
     val toRemove = liveNow.filterNot(f => thenByPath.contains(f.path))
     val metaChanged = metaNow != metaThen
     if (toAdd.isEmpty && toRemove.isEmpty && !metaChanged) return -1L
@@ -621,7 +818,7 @@ object DeltaWrite {
       // a resurrected file carries its historical DV verbatim — the blob
       // still resolves against this table's root (VACUUM spares live DVs)
       val dvField = f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
-      lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
+      lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField${ridFieldOf(f)}}}"""
     }
     commitWithRetry(spark, path, readVersion,
       ConflictGuard.exclusive(toRemove.map(_.path).toSet),
@@ -644,7 +841,8 @@ object DeltaWrite {
     * know).
     */
   def cloneShallow(spark: SparkSession, src: String, dest: String): Long = {
-    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, src, None)
+    val snap = DeltaRead.replayFull(spark, src, None)
+    val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$src has no metaData action in its _delta_log")
     val srcRoot = new Path(src)
     val destRoot = new Path(dest)
@@ -667,6 +865,12 @@ object DeltaWrite {
     // protocol record
     lines += protocolJson(proto)
     lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+    // live domain metadata carries into the clone's v0: dropping the
+    // delta.rowTracking watermark would make the clone's first append
+    // mint ids that COLLIDE with the cloned files' ranges
+    snap.domains.toSeq.sortBy(_._1).foreach { case (dom, cfg) =>
+      lines += s"""{"domainMetadata":{"domain":${js(dom)},"configuration":${js(cfg)},"removed":false}}"""
+    }
     live.foreach { f =>
       val abs = s"$srcQualified/${f.path}"
       val pvJson = f.partitionValues.toSeq.sortBy(_._1)
@@ -683,7 +887,7 @@ object DeltaWrite {
           else d
         s""","deletionVector":${dvJson(portable)}"""
       }.getOrElse("")
-      lines += s"""{"add":{"path":${js(abs)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField}}"""
+      lines += s"""{"add":{"path":${js(abs)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField${ridFieldOf(f)}}}"""
     }
     publishCommit(fs, new Path(destRoot, "_delta_log"), version, lines.toSeq)
     version
@@ -851,9 +1055,14 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    val snap = DeltaRead.replayFull(spark, path, None)
+    val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$path has no metaData action")
     checkWritable(meta, proto, s"compactZOrder of $path", removesData = false)
+    // reclustering rewrites every row — materialize stable ids, like compact
+    val rt = rowTrackingOf(meta)
+    val matFields = rowTrackingFields(rt)
+    val tracked = rt.isDefined || proto.writerFeatures.contains("rowTracking")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
       "z-order columns must be data columns (partition values carry no footer stats)")
@@ -894,6 +1103,7 @@ object DeltaWrite {
     def commitInfoLine(): String =
       s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(s"$colX,$colY")},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
+    val pendingAdds = scala.collection.mutable.ArrayBuffer[(Long, String => String)]()
     groups.foreach { case (pv, files) =>
       val dirSegs = pv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       val nOut = math.max(1,
@@ -902,14 +1112,27 @@ object DeltaWrite {
       val (dvFiles, plainFiles) = files.partition(_.dv.isDefined)
       val plainDf =
         if (plainFiles.isEmpty) None
-        else Some(rawReader(spark, dataSchema)
-          .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
+        else {
+          val raw = rawReader(spark, StructType(dataSchema.fields ++ matFields))
+            .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
+          Some(rt.fold(raw)(r => materializeRowIds(spark, path, r, plainFiles,
+            raw.withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__row_idx", col("_metadata.row_index")))))
+        }
       // DV-bearing files recluster through the DV-filtering scan — the
       // rewrite materializes their deletes away and drops the descriptor
       val dvDf =
         if (dvFiles.isEmpty) None
-        else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
-          .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
+        else {
+          val scanned = DeltaRead.filesDf(spark, path, meta, dvFiles,
+            provenance = false, rowIndex = rt.isDefined, extraPhysCols = matFields)
+          val shaped = scanned.select(
+            DeltaRead.physicalSelect(logicalData, dataSchema) ++
+              matFields.map(f => col(s"`${f.name}`")) ++
+              (if (rt.isDefined) Seq(col("__file"), col("__row_idx")) else Nil): _*)
+          Some(rt.fold(shaped)(r =>
+            materializeRowIds(spark, path, r, dvFiles, shaped)))
+        }
       val clustered = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
         .withColumn("__bx", ZOrder.binOf(col(s"`$px`"), bx))
         .withColumn("__by", ZOrder.binOf(col(s"`$py`"), by))
@@ -926,18 +1149,23 @@ object DeltaWrite {
         val size = fs.getFileStatus(dest).getLen
         val pvJson = pv.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-        val statsField = footerStats(conf, dest)
-          .map(s => s""","stats":${js(s)}""").getOrElse("")
-        lines += s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField}}"""
+        val stats = footerStats(conf, dest)
+        val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
+        val n = if (tracked) numRecordsOf(stats, s"$path zorder $fresh") else 0L
+        pendingAdds += ((n, (rid: String) =>
+          s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
       }
       fs.delete(staging, true)
       files.foreach { f =>
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
+    val addLines = renderAdds(spark, path, tracked,
+      DeltaRead.rowIdHighWaterMark(snap.domains), readVersion + 1,
+      pendingAdds.toSeq) _
     commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
-      _ => commitInfoLine() +: lines.toSeq)
+      attempt => commitInfoLine() +: (addLines(attempt) ++ lines.toSeq))
   }
 
   /** Mint column-mapping metadata for a fresh name-mapped table: every
@@ -1142,7 +1370,8 @@ object DeltaWrite {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val version = DeltaRead.latestVersion(spark, path)
     require(version >= 0, s"$path has no commits to checkpoint")
-    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    val snap = DeltaRead.replayFull(spark, path, None)
+    val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$path has no metaData action")
     // txn high-water marks must survive the checkpoint: once a later
     // cleanup drops pre-checkpoint JSON commits, these rows are the only
@@ -1165,11 +1394,13 @@ object DeltaWrite {
     val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
       f.size, f.modificationTime, dataChange = false, f.stats.orNull,
       f.dv.map(d => CheckpointDv(d.storageType, d.pathOrInlineDv, d.offset,
-        d.sizeInBytes, d.cardinality))))
+        d.sizeInBytes, d.cardinality)),
+      f.baseRowId, f.defaultRowCommitVersion))
     val addsDf = addRows.toDF()
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("dataChange"), col("stats"),
-        col("deletionVector")).as("add"))
+        col("deletionVector"), col("baseRowId"),
+        col("defaultRowCommitVersion")).as("add"))
       .withColumn("metaData", lit(null).cast(metaType))
       .withColumn("protocol", lit(null).cast(protoType))
       .withColumn("txn", lit(null).cast(txnType))
@@ -1193,9 +1424,22 @@ object DeltaWrite {
         lit(null).cast(protoType).as("protocol"),
         struct(col("__a").as("appId"), col("__v").as("version"),
           col("__lu").as("lastUpdated")).as("txn"))
+    // live domain metadata (row tracking's high watermark and any domain
+    // another writer recorded) must survive the checkpoint: once cleanup
+    // drops the JSON tail, these rows are its only record
+    val dmType = "struct<domain:string,configuration:string,removed:boolean>"
+    val domDf = snap.domains.toSeq.toDF("__d", "__c").select(
+      lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
+      lit(null).cast(metaType).as("metaData"),
+      lit(null).cast(protoType).as("protocol"),
+      lit(null).cast(txnType).as("txn"),
+      struct(col("__d").as("domain"), col("__c").as("configuration"),
+        lit(false).as("removed")).as("domainMetadata"))
     val cpDf = metaDf
       .unionByName(txnDf)
       .unionByName(addsDf.select(col("add"), col("metaData"), col("protocol"), col("txn")))
+      .withColumn("domainMetadata", lit(null).cast(dmType))
+      .unionByName(domDf)
 
     val staging = new Path(new Path(path), s".cp-staging-${UUID.randomUUID()}")
     (if (parts == 1) cpDf.coalesce(1) else cpDf.repartition(parts))
@@ -1247,7 +1491,8 @@ object DeltaWrite {
     require(sidecarParts >= 1, s"sidecarParts must be >= 1, got $sidecarParts")
     val version = DeltaRead.latestVersion(spark, path)
     require(version >= 0, s"$path has no commits to checkpoint")
-    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    val snap = DeltaRead.replayFull(spark, path, None)
+    val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$path has no metaData action")
     val txns = txnVersions(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1262,11 +1507,13 @@ object DeltaWrite {
     val addRows = live.map(f => CheckpointAdd(f.path, f.partitionValues,
       f.size, f.modificationTime, dataChange = false, f.stats.orNull,
       f.dv.map(d => CheckpointDv(d.storageType, d.pathOrInlineDv, d.offset,
-        d.sizeInBytes, d.cardinality))))
+        d.sizeInBytes, d.cardinality)),
+      f.baseRowId, f.defaultRowCommitVersion))
     val addsDf = addRows.toDF()
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), col("dataChange"), col("stats"),
-        col("deletionVector")).as("add"))
+        col("deletionVector"), col("baseRowId"),
+        col("defaultRowCommitVersion")).as("add"))
     val staging = new Path(root, s".cp2-staging-${UUID.randomUUID()}")
     (if (sidecarParts == 1) addsDf.coalesce(1) else addsDf.repartition(sidecarParts))
       .write.mode("overwrite").parquet(staging.toString)
@@ -1319,7 +1566,18 @@ object DeltaWrite {
       struct(col("__p").as("path"), col("__s").as("sizeInBytes"),
         col("__m").as("modificationTime")).as("sidecar"),
       lit(null).cast(cpmType).as("checkpointMetadata"))
+    val dmType = "struct<domain:string,configuration:string,removed:boolean>"
+    val domDf = snap.domains.toSeq.toDF("__d", "__c").select(
+      lit(null).cast(metaType).as("metaData"),
+      lit(null).cast(protoType).as("protocol"),
+      lit(null).cast(txnType).as("txn"),
+      lit(null).cast(scType).as("sidecar"),
+      lit(null).cast(cpmType).as("checkpointMetadata"),
+      struct(col("__d").as("domain"), col("__c").as("configuration"),
+        lit(false).as("removed")).as("domainMetadata"))
     val topDf = metaDf.unionByName(txnDf).unionByName(scDf)
+      .withColumn("domainMetadata", lit(null).cast(dmType))
+      .unionByName(domDf)
     val staging2 = new Path(root, s".cp2-top-staging-${UUID.randomUUID()}")
     topDf.coalesce(1).write.mode("overwrite").parquet(staging2.toString)
     val topDest = new Path(logDir,
@@ -1417,14 +1675,22 @@ object DeltaWrite {
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024, minFiles: Int = 2): Long = {
+    import org.apache.spark.sql.functions.col
     require(targetBytes > 0 && minFiles >= 2,
       s"need targetBytes > 0 and minFiles >= 2, got $targetBytes/$minFiles")
     val readVersion = DeltaRead.latestVersion(spark, path)
-    val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    val snap = DeltaRead.replayFull(spark, path, None)
+    val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$path has no metaData action")
     // dataChange=false: allowed even on delta.appendOnly tables (the spec's
     // carve-out for maintenance rewrites)
     checkWritable(meta, proto, s"compact of $path", removesData = false)
+    // row-tracked tables: the rewrite MATERIALIZES each carried row's
+    // stable id and original commit version into the configured physical
+    // columns — compaction must never move a row's identity
+    val rt = rowTrackingOf(meta)
+    val matFields = rowTrackingFields(rt)
+    val tracked = rt.isDefined || proto.writerFeatures.contains("rowTracking")
     // the rewrite is a raw byte shuffle: on a name-mapped table the files
     // store PHYSICAL column names, so the read schema must be physical too
     // (a logical-name read would silently null every column)
@@ -1457,6 +1723,7 @@ object DeltaWrite {
     def commitInfoLine(): String =
       s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
+    val pendingAdds = scala.collection.mutable.ArrayBuffer[(Long, String => String)]()
     groups.foreach { case (pv, smalls) =>
       // dir layout from the pv's OWN keys (physical on mapped tables);
       // cosmetic either way — add.partitionValues is what readers use
@@ -1467,15 +1734,28 @@ object DeltaWrite {
       val (dvFiles, plainFiles) = smalls.partition(_.dv.isDefined)
       val plainDf =
         if (plainFiles.isEmpty) None
-        else Some(rawReader(spark, dataSchema)
-          .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*))
+        else {
+          val raw = rawReader(spark, StructType(dataSchema.fields ++ matFields))
+            .parquet(plainFiles.map(f => DeltaRead.resolveFilePath(path, f.path)): _*)
+          Some(rt.fold(raw)(r => materializeRowIds(spark, path, r, plainFiles,
+            raw.withColumn("__file", col("_metadata.file_path"))
+              .withColumn("__row_idx", col("_metadata.row_index")))))
+        }
       // DV-bearing files go through the log-backed DV-filtering scan
       // (logical columns), then rename back to the physical layout the
       // staged files must store
       val dvDf =
         if (dvFiles.isEmpty) None
-        else Some(DeltaRead.filesDf(spark, path, meta, dvFiles, provenance = false)
-          .select(DeltaRead.physicalSelect(logicalData, dataSchema): _*))
+        else {
+          val scanned = DeltaRead.filesDf(spark, path, meta, dvFiles,
+            provenance = false, rowIndex = rt.isDefined, extraPhysCols = matFields)
+          val shaped = scanned.select(
+            DeltaRead.physicalSelect(logicalData, dataSchema) ++
+              matFields.map(f => col(s"`${f.name}`")) ++
+              (if (rt.isDefined) Seq(col("__file"), col("__row_idx")) else Nil): _*)
+          Some(rt.fold(shaped)(r =>
+            materializeRowIds(spark, path, r, dvFiles, shaped)))
+        }
       val packed = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _).coalesce(nOut)
       stagedWriter(packed).save(staging.toString)
       listParquet(fs, staging).foreach { p =>
@@ -1486,18 +1766,23 @@ object DeltaWrite {
         val size = fs.getFileStatus(dest).getLen
         val pvJson = pv.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-        val statsField = footerStats(conf, dest)
-          .map(s => s""","stats":${js(s)}""").getOrElse("")
-        lines += s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField}}"""
+        val stats = footerStats(conf, dest)
+        val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
+        val n = if (tracked) numRecordsOf(stats, s"$path compact $fresh") else 0L
+        pendingAdds += ((n, (rid: String) =>
+          s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
       }
       fs.delete(staging, true)
       smalls.foreach { f =>
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     }
+    val addLines = renderAdds(spark, path, tracked,
+      DeltaRead.rowIdHighWaterMark(snap.domains), readVersion + 1,
+      pendingAdds.toSeq) _
     commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
-      _ => commitInfoLine() +: lines.toSeq)
+      attempt => commitInfoLine() +: (addLines(attempt) ++ lines.toSeq))
   }
 
   /** Metadata cleanup (Delta's log retention): delete commit JSONs — and

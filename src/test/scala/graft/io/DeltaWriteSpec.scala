@@ -252,10 +252,10 @@ class DeltaWriteSpec extends SparkSpec {
     val fs = new Path(t2).getFileSystem(spark.sparkContext.hadoopConfiguration)
     DeltaWrite.publishCommit(fs, new Path(t2, "_delta_log"), 1L, Seq(
       """{"commitInfo":{"timestamp":1,"operation":"UPGRADE","operationParameters":{},"engineInfo":"other"}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}"""))
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}"""))
     val e3 = intercept[IllegalArgumentException] {
       DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), t2, "append") }
-    assert(e3.getMessage.contains("rowTracking"), e3.getMessage)
+    assert(e3.getMessage.contains("identityColumns"), e3.getMessage)
     // reads stay fine — the gate is writer-side only
     assert(DeltaRead.readDeltaTable(spark, t2).count() == 1L)
 

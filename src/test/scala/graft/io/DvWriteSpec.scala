@@ -277,6 +277,21 @@ class DvWriteSpec extends SparkSpec {
     assert(liveFiles(table).map(_.path).toSet == before)
   }
 
+  test("RESTORE across a DV delete reverts the vector, not just removed paths") {
+    val table = tmp("graft_dvw_restore")
+    DeltaWrite.writeDeltaTable(
+      (0L until 12L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      table, "append")
+    // the touched file stays live at the SAME path, now carrying a DV:
+    // a path-only restore diff would keep the vector and leave the
+    // restored rows invisible (caught by RowTrackingSpec first)
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 3 === 0)
+    assert(ids(table) == (0L until 12L).filter(_ % 3 != 0))
+    DeltaWrite.restore(spark, table, 0L)
+    assert(ids(table) == (0L until 12L), "restore must clear the vector")
+    assert(liveFiles(table).forall(_.dv.isEmpty))
+  }
+
   test("deleteWhereDv on a name-mapped table resolves logical predicates") {
     val table = tmp("graft_dvw8")
     DeltaWrite.writeDeltaTableMapped(
