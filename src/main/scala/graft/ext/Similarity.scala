@@ -291,17 +291,21 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
-  /** Nearest-centroid cell id (0-based). Centroids are plan literals, so
-    * the argmin is pure per-row compute: ||v-c||² ranks as c·c - 2 v·c
-    * (v·v is constant per row), one native dot per centroid.
+  /** Nearest-centroid cell id (0-based), via the constant-codegen-size
+    * native kernel ([[graft.functions.IvfKernel]]): ||v-c||² ranks as
+    * c·c - 2 v·c (v·v is constant per row), the centroid matrix rides a
+    * reference object (NOT the generated source, which would blow the JIT
+    * limits at production cell counts), and above
+    * [[graft.functions.IvfKernel.PruneThreshold]] cells an exact
+    * triangle-inequality two-level search cuts per-row cost to
+    * ~O(dim·√C). Bit-identical to the previous composed form
+    * (IvfKernelSpec pins both equalities).
     */
-  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map { c =>
-      val c2 = c.map(x => x * x).sum
-      lit(c2) - lit(2.0) * dot(vec, typedlit(c))
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  def assignCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.IvfExpressions.NearestCell(
+        org.apache.spark.sql.GraftSqlShims.expression(vec),
+        graft.functions.IvfKernel.build(centroids)))
 
   /** Deterministic farthest-point seeding (k-means++ without randomness):
     * seed 1 is the min-xxhash64 vector; each next seed maximizes the
@@ -394,7 +398,7 @@ object Similarity {
   /** Farthest-point sweep over an in-memory sample (shared by the seeding
     * paths). Ties resolve to the lowest position: deterministic.
     */
-  private[ext] def farthestPointSweep(sample: Array[Array[Double]], nCells: Int)
+  private[graft] def farthestPointSweep(sample: Array[Array[Double]], nCells: Int)
       : Array[Array[Double]] = {
     val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
     val nearest = sample.map(sqDist(_, sample.head))
@@ -462,16 +466,15 @@ object Similarity {
   }
 
   /** The `nProbe` nearest cell ids (ascending distance; deterministic tie
-    * break by cell index via the lexicographic struct sort).
+    * break by cell index — same `(distance, index)` order as the previous
+    * lexicographic struct sort, through the same constant-codegen-size
+    * kernel as [[assignCell]]).
     */
-  def assignCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
-    val dists = array(centroids.zipWithIndex.map { case (c, j) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(vec, typedlit(c))).as("d"),
-        lit(j).as("cell"))
-    }: _*)
-    transform(slice(array_sort(dists), 1, nProbe), _.getField("cell"))
-  }
+  def assignCells(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.IvfExpressions.NearestCells(
+        org.apache.spark.sql.GraftSqlShims.expression(vec),
+        graft.functions.IvfKernel.build(centroids), nProbe))
 
   /** Multi-probe IVF k-NN: each query probes its `nProbe` nearest cells
     * (the recall knob — boundary points see their neighbours across the
