@@ -108,6 +108,50 @@ object AnnIndex {
     batch.write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Delete vectors by id WITHOUT rebuilding — the index lifecycle's
+    * takedown verb: ONE id-pushed scan discovers the files holding any of
+    * `ids` (the IN predicate reaches the parquet reader, so untouched
+    * files skip on row-group stats/dictionaries), ONLY those files rewrite
+    * without the ids, and the replacements move in per cell. Untouched
+    * cells — and untouched files inside touched cells — stay
+    * byte-identical; cost ∝ touched files, never the corpus. PQ codes ride
+    * the surviving rows unchanged, so ADC probes stay valid; a cell
+    * deleted empty simply stops matching probes (run [[rebalance]] with
+    * `minBalance` to fold starved cells after heavy deletes). Ids are a
+    * bounded in-list (the takedown-batch shape). Returns rows deleted.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "ids must be non-empty")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hit = col("id").isInCollection(ids)
+    val touched = spark.read.parquet(path).filter(hit)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0))
+    if (touched.isEmpty) return 0L
+    val df = spark.read.option("basePath", path)
+      .parquet(touched.toIndexedSeq: _*)
+    val nDel = df.filter(hit).count()
+    val staging = new org.apache.hadoop.fs.Path(path,
+      s".del-staging-${java.util.UUID.randomUUID()}")
+    df.filter(!hit).write.partitionBy("cell").parquet(staging.toString)
+    // move replacements into their cell dirs (staged names are
+    // uuid-unique), then drop the old files — per-file rename, metadata-only
+    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+      val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+      fs.mkdirs(dest)
+      fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+            s"failed to move ${f.getPath} into $dest")
+        }
+    }
+    touched.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.delete(staging, true)
+    nDel
+  }
+
   /** Exact top-k over the probed cells: load the sidecar, rank the query
     * against the centroids driver-side, scan ONLY the `nProbe` nearest
     * cells (a partition-pruning IN filter — untouched cells are never

@@ -280,4 +280,46 @@ class AnnIndexSpec extends SparkSpec {
         Array.fill(8)(0.0), 1, 3))
     assert(e.getMessage.contains("_ann_meta.json"), e.getMessage)
   }
+
+  test("delete removes ids from touched files only; untouched files byte-identical") {
+    val path = Files.createTempDirectory("graft_ann_del").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    def listing(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isDirectory).filter(_.getPath.getName.startsWith("cell="))
+        .flatMap(d => fs.listStatus(d.getPath))
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+    }
+    val before = listing()
+    // axis-2 cluster lives alone in its cell (nProbe=1 pruning test above);
+    // delete two of its members
+    val n = AnnIndex.delete(spark, path, Seq(205L, 207L))
+    assert(n == 2L)
+    val after = listing()
+    val ids = spark.read.parquet(path).select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(205L) && !ids.contains(207L) && ids.size == 34)
+    // files not holding the deleted ids carried over UNTOUCHED
+    val untouched = before.keySet.intersect(after.keySet)
+    untouched.foreach(k => assert(before(k) == after(k), k))
+    assert(untouched.nonEmpty, "expected untouched files to survive verbatim")
+    // the survivors in the touched cluster still rank for a probe query
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hits = AnnIndex.query(spark, path, raw(200L).map(_.toDouble), nProbe = 3, k = 34)
+      .collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(205L) && !hits.contains(207L) && hits.contains(206L))
+    // deleting an absent id is a no-op
+    assert(AnnIndex.delete(spark, path, Seq(999999L)) == 0L)
+  }
+
+  test("delete on a PQ index keeps ADC probes valid for the survivors") {
+    val path = Files.createTempDirectory("graft_ann_del_pq").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3, m = 4, nCodes = 8)
+    assert(AnnIndex.delete(spark, path, Seq(0L, 1L)) == 2L)
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val top = AnnIndex.queryPq(spark, path, raw(2L).map(_.toDouble), nProbe = 3, k = 10)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(0L) && !top.contains(1L) && top.contains(2L), top.toSeq.toString)
+  }
 }
