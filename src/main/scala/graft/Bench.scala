@@ -124,6 +124,8 @@ object Bench {
       // b54/b55 bench the amortized shape — verbs/reads on a standing table
       "q106_merge_roundtrip", "q109_change_feed", "q111_dv_dml",
       "q113_row_tracking", // in-query table build; b59 benches the standing read
+      "q114_change_diff", // in-query table build; b60 benches the standing diff
+      "q115_v2_checkpoint", // in-query table build + checkpoint; b38 benches maintenance
 
       "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
@@ -253,6 +255,16 @@ object Bench {
     "b55_change_feed" -> ((s, dir) => {
       val path = cdfTable(s, dir)
       graft.io.DeltaRead.changeFeed(s, path, 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+    // the NO-CDF incremental read on the same standing table: force the
+    // log-diff decomposition (preferCdf=false) over the COW update+delete
+    // history — the steady-state cost a poller pays when the table never
+    // recorded change files
+    "b60_change_diff" -> ((s, dir) => {
+      val path = cdfTable(s, dir)
+      graft.io.DeltaRead.changeDiff(s, path, 1L, preferCdf = false)
         .groupBy(col("_change_type"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
     }),

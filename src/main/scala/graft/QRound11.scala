@@ -62,9 +62,135 @@ object QRound11 {
       |WHERE k % 3 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Log-derived change feed WITHOUT CDF
+    * ([[graft.io.DeltaRead.changeDiff]]): the incremental surface for a
+    * table that never enabled `delta.enableChangeDataFeed`. Build a
+    * single-file orders slice (one file makes the COW rewrite scope — and
+    * so the diff's row multiset — exactly derivable by the oracle), then
+    * run one verb of each decomposition class: a DV DELETE (`%3` keys —
+    * newly-shadowed positions surface as `delete`), a COW UPDATE (`%5`
+    * keys — the rewrite surfaces as whole-file `delete`+`insert`, which
+    * is what that commit physically did), and a DV UPDATE (`%2` keys —
+    * shadowed positions as `delete`, the re-appended rows as `insert`).
+    * `changeDiff(0)` decomposes the `(0, head]` range from the log and
+    * data files alone; the output aggregates the multiset per
+    * `(version, change_type)` in integer cents, so a row mis-attributed
+    * to the wrong commit, a DV delta mis-diffed against the prior vector,
+    * or a resurrected shadowed row all break the hash. The oracle replays
+    * the same three verbs symbolically over the source parquet.
+    */
+  def q114ChangeDiff(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q114_").toFile,
+      "orders_cd").getAbsolutePath
+    val base = orders(s, d).filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .repartition(1)
+    graft.io.DeltaWrite.writeDeltaTable(base, path, "append") // v0
+    graft.io.DeltaMerge.deleteWhereDv(s, path, col("o_orderkey") % 3 === 0) // v1
+    graft.io.DeltaMerge.updateWhere(s, path, col("o_orderkey") % 5 === 0,
+      Map("cents" -> (col("cents") + 100))) // v2: copy-on-write rewrite
+    graft.io.DeltaMerge.updateWhereDv(s, path, col("o_orderkey") % 2 === 0,
+      Map("cents" -> (col("cents") + 9))) // v3: shadow + re-append
+    graft.io.DeltaRead.changeDiff(s, path, 0L)
+      .groupBy(col("_commit_version").as("ver"),
+        col("_change_type").as("change"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("ver"), col("change"))
+  }
+
+  private val q114Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderkey % 7 = 3),
+      |v2 AS (  -- post-COW-update values (the file the DV update shadows)
+      |  SELECT k, c + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END AS c
+      |  FROM base WHERE k % 3 <> 0),
+      |diff AS (
+      |  -- v1: DV delete shadows %3 keys at their original values
+      |  SELECT 1 AS ver, 'delete' AS ch, c FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  -- v2: COW rewrite of the (single) touched file = delete every
+      |  -- previously-visible row, insert every rewritten row
+      |  SELECT 2, 'delete', c FROM base WHERE k % 3 <> 0
+      |  UNION ALL
+      |  SELECT 2, 'insert', c FROM v2
+      |  UNION ALL
+      |  -- v3: DV update shadows %2 keys at v2 values, re-appends them +9
+      |  SELECT 3, 'delete', c FROM v2 WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 3, 'insert', c + 9 FROM v2 WHERE k % 2 = 0)
+      |SELECT CAST(ver AS BIGINT) AS ver, ch AS change,
+      |  count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+      |FROM diff
+      |GROUP BY ver, ch
+      |ORDER BY ver, change""".stripMargin
+
+  /** V2 spec checkpoint round trip
+    * ([[graft.io.DeltaWrite.checkpointV2]] →
+    * [[graft.io.DeltaRead.readDeltaTable]]): two appends + one DV DELETE,
+    * then a v2 checkpoint (uuid-named top file + TWO sidecar slices under
+    * `_delta_log/_sidecars/`), one more JSON append past it — and then
+    * every PRE-checkpoint JSON commit is deleted from the log. The final
+    * read has exactly one route to v0–v2 state: the checkpoint's sidecar
+    * file actions (which must carry the deletion vector through, or the
+    * DV-deleted rows resurrect) replayed under the JSON tail. A reader
+    * that ignores `_last_checkpoint`, loses a sidecar slice, or drops the
+    * DV struct in either direction breaks the hash — this is the gate
+    * form of DeltaWriteSpec's v2 round-trip, priced end-to-end. The
+    * oracle derives the same final state from the source parquet.
+    */
+  def q115V2Checkpoint(s: SparkSession, d: String): DataFrame = {
+    val path = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q115_").toFile,
+      "customer_v2cp").getAbsolutePath
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      cust.filter(col("c_custkey") % 2 === 0), path, "append") // v0
+    graft.io.DeltaWrite.writeDeltaTable(
+      cust.filter(col("c_custkey") % 2 === 1), path, "append") // v1
+    graft.io.DeltaMerge.deleteWhereDv(s, path, col("cents") < 0) // v2
+    graft.io.DeltaWrite.checkpointV2(s, path, sidecarParts = 2) // cp @ v2
+    graft.io.DeltaWrite.writeDeltaTable(
+      cust.filter(col("c_custkey") % 3 === 0)
+        .withColumn("cents", col("cents") + 1000), path, "append") // v3
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (0L to 2L).foreach { v => // the checkpoint is now the only source of v0-v2
+      fs.delete(new org.apache.hadoop.fs.Path(path,
+        f"_delta_log/$v%020d.json"), false)
+    }
+    graft.io.DeltaRead.readDeltaTable(s, path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q115Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS c
+      |  FROM customer),
+      |final AS (
+      |  SELECT seg, c FROM base WHERE c >= 0          -- v0+v1 minus the DV delete
+      |  UNION ALL
+      |  SELECT seg, c + 1000 FROM base WHERE k % 3 = 0 -- the post-checkpoint append
+      |)
+      |SELECT seg AS c_mktsegment, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY c_mktsegment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_row_tracking" -> (q113RowTracking _))
+    "q113_row_tracking" -> (q113RowTracking _),
+    "q114_change_diff" -> (q114ChangeDiff _),
+    "q115_v2_checkpoint" -> (q115V2Checkpoint _))
 
   val sql: Map[String, String] = Map(
-    "q113_row_tracking" -> q113Sql)
+    "q113_row_tracking" -> q113Sql,
+    "q114_change_diff" -> q114Sql,
+    "q115_v2_checkpoint" -> q115Sql)
 }
