@@ -474,21 +474,25 @@ object DeltaRead {
     require(meta.mappingMode != "id",
       s"readStreamAppendOnly($path): id-mapped tables resolve columns by " +
         "parquet field id, which the raw file stream cannot honor — use " +
-        "batch reads or changesSince")
+        "batch reads, changesSince, or stream " +
+        "format(\"graft.streaming.DeltaChangeSource\")")
     require(liveFiles.forall(_.dv.isEmpty),
       s"readStreamAppendOnly($path): the table carries deletion vectors — a raw " +
-        "file stream would resurrect the deleted rows; poll changeDiff (exact " +
-        "insert/delete rows from the log), or enable delta.enableChangeDataFeed " +
-        "and tail readChangeFeedStream")
+        "file stream would resurrect the deleted rows; stream the change tail " +
+        "(format(\"graft.streaming.DeltaChangeSource\")), poll changeDiff " +
+        "(exact insert/delete rows from the log), or enable " +
+        "delta.enableChangeDataFeed and tail readChangeFeedStream")
     // Delta data files do NOT contain the partition columns — their values
     // live in each add's partitionValues, which a FileStreamSource never
     // sees. Streaming a partitioned table here would emit those columns as
     // all-NULL silently; refuse instead ([[changesSince]] reads partition
-    // values from the log and is the poll-based alternative).
+    // values from the log, and format("graft.streaming.DeltaChangeSource")
+    // is the streaming alternative).
     require(meta.partitionCols.isEmpty,
       s"readStreamAppendOnly only supports unpartitioned tables; $path is " +
         s"partitioned by ${meta.partitionCols.mkString(", ")} and partition " +
-        "values exist only in the log — use changesSince instead")
+        "values exist only in the log — use changesSince or stream " +
+        "format(\"graft.streaming.DeltaChangeSource\") instead")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (meta.mappingMode == "name") {
       val phys = physicalSchema(schema)

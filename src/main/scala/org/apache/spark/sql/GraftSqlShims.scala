@@ -26,6 +26,19 @@ object GraftSqlShims {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Wrap an `InternalRow` RDD as a STREAMING DataFrame — the shape a v1
+    * streaming [[org.apache.spark.sql.execution.streaming.Source]] must
+    * return from `getBatch` (MicroBatchExecution asserts
+    * `isStreaming = true` on the returned plan). The RDD is typically a
+    * batch query's `queryExecution.toRdd`, which keeps the batch lazy:
+    * nothing runs until the micro-batch itself executes.
+    */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Spark's floating-point key normalization (-0.0 → 0.0, canonical NaN),
     * applied to Aggregate/Join/Window keys by the NormalizeFloatingNumbers
     * rule — custom operators that group or hash-partition on raw

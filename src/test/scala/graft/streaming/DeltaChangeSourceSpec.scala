@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
+
+/** The streaming change tail ([[DeltaChangeSource]]): version-offset
+  * micro-batches over a Delta table's DML history, with and without a
+  * recorded change feed, including exactly-once recovery from a
+  * checkpoint.
+  */
+class DeltaChangeSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def baseTable(path: String): Unit = {
+    val df = (1L to 20L).map(i => (i, i * 100L)).toDF("id", "cents")
+      .repartition(1)
+    DeltaWrite.writeDeltaTable(df, path, "append") // v0
+  }
+
+  private def readTail(path: String, starting: String): DataFrame =
+    spark.readStream
+      .format("graft.streaming.DeltaChangeSource")
+      .option("path", path)
+      .option("startingVersion", starting)
+      .load()
+
+  private def canon(rows: Seq[Row]): Seq[(Long, Long, String, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._4, t._3, t._1, t._2))
+
+  test("earliest replay over DV + COW history equals the batch changeDiff") {
+    val path = tmp("graft_tail_") + "/t"
+    baseTable(path)
+    DeltaMerge.deleteWhereDv(spark, path, col("id") % 5 === 0) // v1: DV delete
+    DeltaMerge.updateWhere(spark, path, col("id") % 3 === 0,
+      Map("cents" -> (col("cents") + 7))) // v2: COW rewrite
+    DeltaMerge.updateWhereDv(spark, path, col("id") % 2 === 0,
+      Map("cents" -> (col("cents") + 1))) // v3: DV shadow + re-append
+
+    val q = readTail(path, "earliest").writeStream
+      .format("memory").queryName("tail_earliest").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = canon(spark.table("tail_earliest").collect().toSeq)
+    val batch = canon(DeltaRead.changeDiff(spark, path, -1L)
+      .select(col("id"), col("cents"), col("_change_type"), col("_commit_version"))
+      .collect().toSeq)
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.exists(_._3 == "insert") &&
+      batch.exists(_._3 == "delete"))
+  }
+
+  test("latest tails only post-start commits; checkpoint restart re-serves nothing") {
+    val path = tmp("graft_tail_") + "/t"
+    val ckpt = tmp("graft_tail_ckpt_")
+    baseTable(path)
+
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+    def start() = readTail(path, "latest").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(got.isEmpty, "a 'latest' tail must not replay the base append")
+
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 7L) // v1
+    q1.processAllAvailable()
+    q1.stop()
+    val phase1 = got.toArray(Array.empty[(Long, Long, String, Long)]).toSeq
+    assert(phase1.toSet == Set((7L, 700L, "delete", 1L)))
+
+    // a commit while the stream is DOWN, then recovery from the checkpoint:
+    // the new range arrives once, the old range never re-arrives
+    DeltaMerge.updateWhereDv(spark, path, col("id") === 4L,
+      Map("cents" -> lit(9L))) // v2
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = got.toArray(Array.empty[(Long, Long, String, Long)]).toSeq
+    assert(all.size == 3, s"expected exactly 3 change rows total, got $all")
+    assert(all.toSet == Set((7L, 700L, "delete", 1L),
+      (4L, 400L, "delete", 2L), (4L, 9L, "insert", 2L)))
+  }
+
+  test("a partitioned table's tail carries the log-resident partition values") {
+    val path = tmp("graft_tail_") + "/t"
+    val df = (1L to 12L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par").repartition(1)
+    DeltaWrite.writeDeltaTable(df, path, "append", partitionBy = Seq("par")) // v0
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 4L) // v1
+
+    val q = readTail(path, "earliest").writeStream
+      .format("memory").queryName("tail_part").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("tail_part")
+      .select("id", "par", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(rows.count(_._3 == "insert") == 12)
+    assert(rows.filter(_._3 == "delete") == Seq((4L, "even", "delete", 1L)))
+    assert(rows.forall(r => r._2 == (if (r._1 % 2 == 0) "even" else "odd")),
+      "partition values must come through the log, never as NULL")
+  }
+
+  test("a CDF-recording table serves update pre/post images through the tail") {
+    val path = tmp("graft_tail_") + "/t"
+    baseTable(path)
+    DeltaWrite.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1
+    DeltaMerge.updateWhere(spark, path, col("id") === 3L,
+      Map("cents" -> (col("cents") + 50))) // v2, records cdc files
+
+    val q = readTail(path, "1").writeStream
+      .format("memory").queryName("tail_cdf").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val types = spark.table("tail_cdf")
+      .filter(col("id") === 3L).select("_change_type")
+      .as[String].collect().toSet
+    assert(types == Set("update_preimage", "update_postimage"),
+      s"expected the RECORDED feed's image pairs, got $types")
+  }
+}
