@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
+
+/** Streaming materialized-view maintenance ([[ChangeViewSink]]): the view
+  * table tracks the source's per-key count/sum EXACTLY under arbitrary
+  * DML served through the change tail, across multiple runs of the same
+  * checkpointed stream, and replayed epochs fold exactly once.
+  */
+class ChangeViewSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  private def viewEqualsSource(viewPath: String, srcPath: String): Unit = {
+    val got = ChangeViewSink.readView(spark, viewPath)
+      .select(col("grp"), col("n"), col("sum"))
+      .as[(String, Long, Double)].collect().toSet
+    val want = ChangeViewSink.expectedView(spark, srcPath, Seq("grp"), "cents")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want, s"view $got != source aggregate $want")
+  }
+
+  test("the view tracks DV/COW DML exactly across checkpointed runs") {
+    val src = tmp("graft_cvs_src_") + "/t"
+    val view = tmp("graft_cvs_view_") + "/v"
+    val ckpt = tmp("graft_cvs_ckpt_")
+    val df = (1L to 30L)
+      .map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i * 10L))
+      .toDF("id", "grp", "cents").repartition(1)
+    DeltaWrite.writeDeltaTable(df, src, "append") // v0
+    DeltaMerge.deleteWhereDv(spark, src, col("id") % 5 === 0) // v1
+    DeltaMerge.updateWhere(spark, src, col("id") % 4 === 0,
+      Map("cents" -> (col("cents") + 7))) // v2 (COW)
+
+    val q1 = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-spec", checkpoint = ckpt)
+    q1.awaitTermination()
+    viewEqualsSource(view, src)
+
+    // more DML while the stream is down — including a whole group's
+    // deletion (its view row must drop, not linger at n = 0)
+    DeltaMerge.updateWhereDv(spark, src, col("id") % 2 === 0,
+      Map("cents" -> (col("cents") + 1))) // v3
+    DeltaMerge.deleteWhere(spark, src, col("grp") === "a") // v4
+    DeltaWrite.writeDeltaTable(
+      Seq((100L, "d", 5L), (101L, "d", 6L)).toDF("id", "grp", "cents"),
+      src, "append") // v5
+
+    val q2 = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-spec", checkpoint = ckpt)
+    q2.awaitTermination()
+    viewEqualsSource(view, src)
+    val groups = ChangeViewSink.readView(spark, view)
+      .select("grp").as[String].collect().toSet
+    assert(groups == Set("b", "c", "d"), s"deleted group lingers: $groups")
+  }
+
+  test("a replayed epoch folds exactly once") {
+    val src = tmp("graft_cvs_src_") + "/t"
+    val view = tmp("graft_cvs_view_") + "/v"
+    val ckpt = tmp("graft_cvs_ckpt_")
+    DeltaWrite.writeDeltaTable(
+      (1L to 8L).map(i => (i, "g", 100L)).toDF("id", "grp", "cents")
+        .repartition(1), src, "append")
+    val q = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-replay", checkpoint = ckpt)
+    q.awaitTermination()
+
+    val batch = DeltaRead.changeDiff(spark, src, -1L)
+    // the stream already applied epoch 0; offering any epoch <= the txn
+    // watermark must be recognized and skipped
+    val applied = ChangeViewSink.applyBatch(batch, view, Seq("grp"), "cents",
+      appId = "cvs-replay", batchId = 0L)
+    assert(!applied, "replayed epoch must be skipped")
+    viewEqualsSource(view, src)
+  }
+}
