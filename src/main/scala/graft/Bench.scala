@@ -126,6 +126,7 @@ object Bench {
       "q113_row_tracking", // in-query table build; b59 benches the standing read
       "q114_change_diff", // in-query table build; b60 benches the standing diff
       "q115_v2_checkpoint", // in-query table build + checkpoint; b38 benches maintenance
+      "q116_change_view", // in-query tables + streaming query; b54/b60 bench the verbs
 
       "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime

@@ -184,13 +184,74 @@ object QRound11 {
       |GROUP BY seg
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Streaming materialized view, the whole CDC loop under the gate
+    * ([[graft.streaming.ChangeViewSink.maintain]]): build a source table,
+    * run one verb of each DML class against it (DV DELETE, COW UPDATE,
+    * DV UPDATE, append — v1..v4), then START A REAL STRUCTURED STREAMING
+    * QUERY that tails the source's change stream
+    * ([[graft.streaming.DeltaChangeSource]], version offsets) and folds
+    * every epoch into a per-group count/sum view Delta table,
+    * exactly-once. The emitted rows are the VIEW's final contents — so a
+    * mis-signed change row, a double-folded epoch, a lingering
+    * zero-count tombstone, or a lost partition of some micro-batch all
+    * break the hash. The oracle replays the four verbs symbolically and
+    * aggregates the final source state, which the view must equal
+    * exactly (count/sum form a group under insert/delete signs; sums
+    * are integer-valued doubles, exact well past this magnitude).
+    */
+  def q116ChangeView(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q116_").toFile
+    val src = new java.io.File(root, "orders_src").getAbsolutePath
+    val view = new java.io.File(root, "orders_view").getAbsolutePath
+    val base = orders(s, d).filter(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), col("o_orderstatus").as("grp"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .repartition(1)
+    graft.io.DeltaWrite.writeDeltaTable(base, src, "append") // v0
+    graft.io.DeltaMerge.deleteWhereDv(s, src, col("o_orderkey") % 3 === 0) // v1
+    graft.io.DeltaMerge.updateWhere(s, src, col("o_orderkey") % 5 === 0,
+      Map("cents" -> (col("cents") + 100))) // v2: copy-on-write
+    graft.io.DeltaMerge.updateWhereDv(s, src, col("o_orderkey") % 2 === 0,
+      Map("cents" -> (col("cents") + 9))) // v3: shadow + re-append
+    graft.io.DeltaWrite.writeDeltaTable(
+      base.select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+        lit("Z").as("grp"), (col("cents") + 1).as("cents")),
+      src, "append") // v4
+    val q = graft.streaming.ChangeViewSink.maintain(s, src, view,
+      Seq("grp"), "cents", appId = "q116",
+      checkpoint = new java.io.File(root, "ckpt").getAbsolutePath)
+    q.awaitTermination()
+    graft.streaming.ChangeViewSink.readView(s, view)
+      .select(col("grp"), col("n"), col("sum").cast("long").as("cents"))
+      .orderBy(col("grp"))
+  }
+
+  private val q116Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS grp,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      |  FROM orders WHERE o_orderkey % 7 = 2),
+      |final AS (
+      |  SELECT grp,
+      |    c + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END
+      |      + CASE WHEN k % 2 = 0 THEN 9 ELSE 0 END AS c
+      |  FROM base WHERE k % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'Z' AS grp, c + 1 AS c FROM base)
+      |SELECT grp, count(*) AS n, CAST(sum(c) AS BIGINT) AS cents
+      |FROM final
+      |GROUP BY grp
+      |ORDER BY grp""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_row_tracking" -> (q113RowTracking _),
     "q114_change_diff" -> (q114ChangeDiff _),
-    "q115_v2_checkpoint" -> (q115V2Checkpoint _))
+    "q115_v2_checkpoint" -> (q115V2Checkpoint _),
+    "q116_change_view" -> (q116ChangeView _))
 
   val sql: Map[String, String] = Map(
     "q113_row_tracking" -> q113Sql,
     "q114_change_diff" -> q114Sql,
-    "q115_v2_checkpoint" -> q115Sql)
+    "q115_v2_checkpoint" -> q115Sql,
+    "q116_change_view" -> q116Sql)
 }
