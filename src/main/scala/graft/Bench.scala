@@ -129,6 +129,7 @@ object Bench {
       "q116_change_view", // in-query tables + streaming query; b54/b60 bench the verbs
 
       "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
+      "q117_dsir_weights", // md5 family; b61 benches the xxhash64 weights+sample
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -306,6 +307,17 @@ object Bench {
       val q = emb.orderBy("vec_id").select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       PQ.adcTopK(PQ.encode(emb, "vec_id", "embedding", cb), "vec_id", q, cb, 10)
+    }),
+    // DSIR data selection, production family: xxhash64 feature bucketing,
+    // importance weights over the full raw corpus, Gumbel-top-k resample
+    "b61_dsir_fast" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Selection.dsirSample(
+        graft.ext.Selection.dsirWeights(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", buckets = 4096, fast = true),
+        "doc_id", k = 500)
     }),
     "b58_dedup_apply_fast" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

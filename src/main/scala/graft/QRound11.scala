@@ -243,15 +243,63 @@ object QRound11 {
       |GROUP BY grp
       |ORDER BY grp""".stripMargin
 
+  /** DSIR importance weights ([[graft.ext.Selection.dsirWeights]], md5
+    * family): score every non-`src0` document by how much likelier its
+    * hashed unigram+bigram features are under `src0`'s distribution than
+    * under the rest of the corpus — the data-selection recipe of Xie et
+    * al. 2023, in exact integer micro-nats (the per-bucket log-ratio is
+    * rounded ONCE; every downstream sum is integer, so the hash is immune
+    * to addition order). The oracle runs the identical algorithm —
+    * identical tokenization, md5 bucketing, Laplace smoothing, and a
+    * text-identical float formula for the one rounded expression.
+    */
+  def q117DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    graft.ext.Selection.dsirWeights(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", buckets = 4096)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source, unnest(w) AS g FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(w)),
+      |    i -> list_aggregate(w[i:i+1], 'string_agg', ' '))) AS g FROM toks),
+      |feats AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substring(md5(g), 1, 8))::BIGINT % 4096 AS b FROM grams),
+      |tgt AS (SELECT b, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY b),
+      |raw AS (SELECT b, count(*) AS cr FROM feats WHERE source <> 'src0' GROUP BY b),
+      |dlp AS (
+      |  SELECT coalesce(tgt.b, raw.b) AS b,
+      |    CAST(round((ln((coalesce(ct, 0) + 1.0) / ((SELECT sum(ct) FROM tgt) + 4096))
+      |              - ln((coalesce(cr, 0) + 1.0) / ((SELECT sum(cr) FROM raw) + 4096)))
+      |         * 1000000, 0) AS BIGINT) AS dlp
+      |  FROM tgt FULL OUTER JOIN raw ON tgt.b = raw.b),
+      |docb AS (
+      |  SELECT doc_id, b, count(*) AS c FROM feats WHERE source <> 'src0'
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id, CAST(sum(c * dlp) AS BIGINT) AS w_micros
+      |FROM docb JOIN dlp USING (b)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_row_tracking" -> (q113RowTracking _),
     "q114_change_diff" -> (q114ChangeDiff _),
     "q115_v2_checkpoint" -> (q115V2Checkpoint _),
-    "q116_change_view" -> (q116ChangeView _))
+    "q116_change_view" -> (q116ChangeView _),
+    "q117_dsir_weights" -> (q117DsirWeights _))
 
   val sql: Map[String, String] = Map(
     "q113_row_tracking" -> q113Sql,
     "q114_change_diff" -> q114Sql,
     "q115_v2_checkpoint" -> q115Sql,
-    "q116_change_view" -> q116Sql)
+    "q116_change_view" -> q116Sql,
+    "q117_dsir_weights" -> q117Sql)
 }

@@ -114,6 +114,12 @@ object ScaleRun {
         SubstringDedup.dupStats(docs, "doc_id", "text",
           gramLen = 40, hashed = true).count())
 
+      out += timed("b61_dsir")(() =>
+        graft.ext.Selection.dsirWeights(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", buckets = 4096, fast = true).count())
+
       // ANN: production sizing — nCells grows with the corpus so per-cell
       // mass stays constant; build once per (dir, run)
       var annPath: String = null
