@@ -130,6 +130,7 @@ object Bench {
 
       "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
       "q117_dsir_weights", // md5 family; b61 benches the xxhash64 weights+sample
+      "q118_quality_classifier", // identical computation to b62
       "q110_knn_join") // exhaustive oracle form; b53/b50 bench the probed regime
 
   private[graft] val fastVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -307,6 +308,17 @@ object Bench {
       val q = emb.orderBy("vec_id").select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
       PQ.adcTopK(PQ.encode(emb, "vec_id", "embedding", cb), "vec_id", q, cb, 10)
+    }),
+    // quality-classifier train + full-corpus score — the GD iteration
+    // count is the model-refresh shape a pipeline pays periodically
+    "b62_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.ext.Classifier.train(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", buckets = 4096, iters = 3)
+      graft.ext.Classifier.score(docs, "doc_id", "text", model)
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
     }),
     // DSIR data selection, production family: xxhash64 feature bucketing,
     // importance weights over the full raw corpus, Gumbel-top-k resample

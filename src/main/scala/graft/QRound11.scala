@@ -289,12 +289,32 @@ object QRound11 {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Trained quality classifier ([[graft.ext.Classifier]]) — rows-only
+    * like q99/q100 (iterative float training has no SQL equivalent;
+    * ClassifierSpec holds the contract: held-out separation,
+    * partitioning-exact weights). In-query training follows the q99
+    * posture: trained on the corpus itself (src0 as the "curated"
+    * positive class), deterministic on any partitioning because the
+    * gradient accumulates in integer micro-units.
+    */
+  def q118QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val model = graft.ext.Classifier.train(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"),
+      "doc_id", "text", buckets = 4096)
+    graft.ext.Classifier.score(docs, "doc_id", "text", model)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_row_tracking" -> (q113RowTracking _),
     "q114_change_diff" -> (q114ChangeDiff _),
     "q115_v2_checkpoint" -> (q115V2Checkpoint _),
     "q116_change_view" -> (q116ChangeView _),
-    "q117_dsir_weights" -> (q117DsirWeights _))
+    "q117_dsir_weights" -> (q117DsirWeights _),
+    "q118_quality_classifier" -> (q118QualityClassifier _))
 
   val sql: Map[String, String] = Map(
     "q113_row_tracking" -> q113Sql,

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained QUALITY CLASSIFIER over hashed n-gram features — the
+  * fasttext-style filter the big pretraining pipelines use to keep
+  * "looks like the reference corpus" documents (GPT-3 / LLaMA recipe:
+  * positive = curated corpus, negative = random crawl, keep by score):
+  * logistic regression on the SAME hashed unigram+bigram features as
+  * [[Selection]] (bag of buckets, length-normalized), trained by
+  * full-batch gradient descent as a handful of Spark aggregates per
+  * iteration.
+  *
+  * DETERMINISTIC BY CONSTRUCTION, the property every in-query trainer in
+  * this repo holds (Bpe, LangModel): each document's gradient
+  * contribution rounds ONCE to integer micro-units, so the per-bucket
+  * gradient is an exact integer sum — the same weights come out of any
+  * partitioning, any executor count, any run. Float drift from
+  * `sum(double)` addition order never enters the model.
+  *
+  * Scale shape: the feature matrix (one row per (doc, bucket), ≤
+  * |docs|·B) materializes once and every iteration is two broadcast-join
+  * + aggregate passes over it — the corpus text is tokenized exactly
+  * once, the weight table is ≤ `buckets` rows and broadcasts, and the
+  * only driver-resident state is the weight array (B longs). Iterations
+  * are a fixed small count (full-batch GD on a convex loss — this is a
+  * filter, not a leaderboard model).
+  */
+object Classifier {
+
+  /** `w`/`bias` in micro-units of the logit. */
+  final case class Model(buckets: Int, bias: Long, w: Map[Int, Long]) {
+    private[ext] def weightsDf(spark: org.apache.spark.sql.SparkSession) = {
+      import spark.implicits._
+      w.toSeq.map { case (b, v) => (b.toLong, v) }.toDF("__b", "__w")
+    }
+  }
+
+  /** One row per (doc, bucket): `(idCol, __y, __b, __f)` with `__f` the
+    * bucket's share of the doc's grams (length normalization — fasttext's
+    * mean-of-features, which keeps long docs from dominating the loss).
+    */
+  private def featureMatrix(df: DataFrame, idCol: String, textCol: String,
+      label: Int, buckets: Int, fast: Boolean): DataFrame = {
+    val feats = Selection.hashedGramBuckets(df, idCol, textCol, buckets, fast)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val total = Window.partitionBy(col(idCol))
+    feats
+      .withColumn("__f", col("__c").cast("double") / sum(col("__c")).over(total))
+      .select(col(idCol), lit(label).as("__y"), col("__b"), col("__f"))
+  }
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  /** Train on labeled corpora. `lr` is the gradient-ascent step on the
+    * MEAN log-likelihood gradient. Full-batch GD on logistic loss is
+    * stable for `lr < 8` here (the bias feature has value 1, so the
+    * loss's curvature bound is 1/4 regardless of the n-gram features,
+    * which are ≤ 1 by length normalization); the default stays safely
+    * under it and compensates with iterations — each iteration is two
+    * cheap aggregate passes over the materialized feature matrix, not a
+    * corpus re-read. (lr = 50 was tried first and DIVERGED exactly as
+    * the bound predicts: the bias oscillated with ~10× growth per pass.)
+    */
+  def train(pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
+      buckets: Int, iters: Int = 30, lr: Double = 6.0,
+      fast: Boolean = true): Model = {
+    require(iters > 0 && lr > 0)
+    val spark = pos.sparkSession
+    import spark.implicits._
+    // the bias rides as a synthetic bucket −1 with feature value 1 on
+    // every doc, so one formula covers weights AND bias — each GD pass is
+    // exactly ONE Spark job (logit aggregate → residual join → bucket
+    // gradient → driver collect) instead of separate p/gradient/bias
+    // actions. The matrix is HASH-PARTITIONED BY DOC before materializing:
+    // localCheckpoint preserves the physical partitioning, and hash(id)
+    // is a valid clustering for both the (id, y) aggregate and the
+    // residual join, so the pass shuffles only the ≤B-row gradient combine
+    def biasRows(df: DataFrame, label: Int) = df
+      .select(col(idCol), lit(label).as("__y"), lit(-1L).as("__b"),
+        lit(1.0).as("__f"))
+    val m = featureMatrix(pos, idCol, textCol, 1, buckets, fast)
+      .unionByName(featureMatrix(neg, idCol, textCol, 0, buckets, fast))
+      .unionByName(biasRows(pos, 1)).unionByName(biasRows(neg, 0))
+      .repartition(col(idCol))
+      .localCheckpoint() // tokenize the corpora exactly once, not per pass
+    val nDocs = m.filter(col("__b") === -1L).count().toDouble
+
+    var w = Map.empty[Int, Long] // key −1 is the bias
+    for (_ <- 1 to iters) {
+      val wDf = w.toSeq.map { case (b, v) => (b.toLong, v) }
+        .toDF("__b", "__w")
+      val p = m.join(broadcast(wDf), Seq("__b"), "left")
+        .groupBy(col(idCol), col("__y"))
+        .agg((coalesce(sum(col("__f") * col("__w")), lit(0.0)) / 1e6)
+          .as("__logit"))
+        .select(col(idCol), col("__y"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__logit")))).as("__p"))
+      // each (doc, bucket) contribution rounds ONCE to micros, so the
+      // bucket gradient is an exact integer sum — partitioning-independent
+      val grad = m.select(col(idCol), col("__b"), col("__f"))
+        .join(p, Seq(idCol))
+        .groupBy(col("__b"))
+        .agg(sum(round((col("__y") - col("__p")) * col("__f") * 1e6, 0)
+          .cast("long")).as("__g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = (w.keySet ++ grad.keySet).iterator.map { b =>
+        b -> (w.getOrElse(b, 0L)
+          + math.round(lr * grad.getOrElse(b, 0L) / nDocs))
+      }.toMap
+    }
+    Model(buckets, w.getOrElse(-1, 0L), w - (-1))
+  }
+
+  /** Score `df`: appends `score` ∈ (0, 1) — P(doc ~ positive corpus). */
+  def score(df: DataFrame, idCol: String, textCol: String, model: Model,
+      fast: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val m = featureMatrix(df, idCol, textCol, 0, model.buckets, fast)
+    val logits = m.join(broadcast(model.weightsDf(spark)), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(((lit(model.bias) + coalesce(sum(col("__f") * col("__w")), lit(0.0)))
+        / 1e6).as("__logit"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("__logit")))).as("score"))
+    df.join(logits, Seq(idCol), "left")
+      // a doc with zero grams has no matrix rows: bias-only score
+      .na.fill(1.0 / (1.0 + math.exp(-model.bias / 1e6)), Seq("score"))
+  }
+}

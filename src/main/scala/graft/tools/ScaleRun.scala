@@ -120,6 +120,14 @@ object ScaleRun {
           docs.filter(col("source") === "src0"),
           "doc_id", "text", buckets = 4096, fast = true).count())
 
+      out += timed("b62_classifier")(() => {
+        val model = graft.ext.Classifier.train(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text", buckets = 4096, iters = 3)
+        graft.ext.Classifier.score(docs, "doc_id", "text", model).count()
+      })
+
       // ANN: production sizing — nCells grows with the corpus so per-cell
       // mass stays constant; build once per (dir, run)
       var annPath: String = null
