@@ -56,7 +56,9 @@ object ChangeViewSink {
       keyCols.map(k => srcSchema(k)) ++ Seq(
         StructField("n", LongType), StructField("sum", DoubleType),
         StructField("mn", DoubleType), StructField("mx", DoubleType)))
-    if (!new java.io.File(viewPath, "_delta_log").exists())
+    val logDir = new org.apache.hadoop.fs.Path(viewPath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir))
       DeltaWrite.writeDeltaTable(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchema),
