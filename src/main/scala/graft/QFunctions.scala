@@ -141,7 +141,11 @@ object QFunctions {
       // identically ("3.0") in Spark and DuckDB for these values.
       .select(
         col("l_orderkey"),
-        concat_ws(",", transform(col("qtys"), _.cast("string"))).as("qtys_csv"),
+        // array-level Cast, not transform(_.cast): identical per-element
+        // rendering, but Cast is codegen'd where the HOF lambda is
+        // CodegenFallback — and it keeps the whole projection in one
+        // WholeStageCodegen span
+        concat_ws(",", col("qtys").cast("array<string>")).as("qtys_csv"),
         col("n_lines"))
       .orderBy(col("l_orderkey"))
 
