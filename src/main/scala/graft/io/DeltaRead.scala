@@ -552,13 +552,20 @@ object DeltaRead {
     * instead and this decomposition is only the fallback for ranges CDF
     * cannot cover (pre-enablement history).
     *
-    * Cost shape: O(changed files) driver-side log/bitmap work, one
-    * pruned scan per changed file per commit (position filters ride a
-    * broadcast bitmap) — right for poll-sized ranges; a range containing
-    * a full-table rewrite costs a full-table read, which is what that
-    * commit did. Files removed in the range must still exist on disk
-    * (i.e. not yet vacuumed) — refused loudly otherwise, naming the
-    * CDF remedy.
+    * Cost shape: O(changed files) driver-side log/bitmap work, and the
+    * PLAN is O(change types) ≤ 2 scan legs regardless of how many files
+    * or commits the range touches: all of one type's slices ride one
+    * [[filesDf]] scan over the distinct changed files, a single broadcast
+    * [[graft.functions.DiffExpressions.SliceTable]] maps each scanned
+    * `(file, row_idx)` to the commit versions at which that position
+    * changed (a codegen'd expression — no boxed UDF), and an `explode`
+    * stamps `_commit_version`. A range containing a full-table rewrite
+    * still costs a full-table read, which is what that commit did. Files
+    * removed in the range must still exist on disk (i.e. not yet
+    * vacuumed), and the range's commit JSONs must still be listable
+    * gap-free (a cleaned-up range CANNOT be decomposed — an `earliest`
+    * bootstrap after checkpoint cleanup would silently omit the cleaned
+    * commits' rows) — both refused loudly, naming the CDF remedy.
     */
   def changeDiff(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Option[Long] = None, preferCdf: Boolean = true): DataFrame = {
@@ -573,10 +580,27 @@ object DeltaRead {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "_delta_log")
     require(fs.exists(dir), s"$path is not a Delta table (no _delta_log)")
-    val hi = toVersion.getOrElse(Long.MaxValue)
+    val hi = math.min(toVersion.getOrElse(Long.MaxValue),
+      latestVersion(spark, path))
     val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
         n.dropRight(5).toLong }.toSeq.sorted.filter(v => v > fromVersion && v <= hi)
+    // The listed commit JSONs must cover the range GAP-FREE: after
+    // checkpoint cleanup ([[DeltaWrite.cleanupMetadata]]) deletes
+    // checkpoint-covered commits, an `earliest` (fromVersion = -1)
+    // bootstrap would otherwise silently omit the cleaned commits'
+    // inserts — the replayed diff no longer composes to the head
+    // snapshot. Refuse loudly instead (the fromVersion >= 0 path already
+    // fails at replayLog when fromVersion itself was cleaned; this check
+    // makes EVERY gap loud, not just the start).
+    val expectedRange = math.max(fromVersion + 1, 0L) to hi
+    require(versions == expectedRange,
+      s"changeDiff($fromVersion): commit JSONs for versions " +
+        s"${expectedRange.filterNot(versions.contains).mkString(", ")} of $path " +
+        "were cleaned up (checkpointed history) — the range cannot be " +
+        "decomposed from the log; enable delta.enableChangeDataFeed so " +
+        "future DML records change files, and re-derive consumers from a " +
+        "snapshot")
     // file state as of fromVersion (empty before the first commit); kept
     // current across EVERY action in the range — dataChange=false
     // relocations (OPTIMIZE) update it without emitting rows, so a later
@@ -588,29 +612,26 @@ object DeltaRead {
 
     def bits(f: LiveFile): Option[DeletionVectors.RoaringArray] =
       f.dv.map(d => DeletionVectors.load(fs, root, d))
-    /** Rows of `f` at positions (∈ inSet) ∧ (∉ notInSet), stamped. */
+    /** One slice REQUEST: rows of `file` at positions (∈ in) ∧ (∉ notIn)
+      * changed at `version` with `changeType`. Collected per action, then
+      * served GROUPED — one scan per change type — instead of one
+      * DataFrame leg each.
+      */
+    case class SliceReq(file: LiveFile, version: Long, changeType: String,
+        in: Option[DeletionVectors.RoaringArray],
+        notIn: Option[DeletionVectors.RoaringArray])
+    val slices = scala.collection.mutable.ArrayBuffer[SliceReq]()
     def slice(f: LiveFile, v: Long, changeType: String,
         inSet: Option[DeletionVectors.RoaringArray],
-        notInSet: Option[DeletionVectors.RoaringArray]): DataFrame = {
+        notInSet: Option[DeletionVectors.RoaringArray]): Unit = {
       require(fs.exists(new Path(resolveFilePath(path, f.path))),
         s"changeDiff($fromVersion): version $v of $path changed ${f.path}, " +
           "which no longer exists on disk (vacuumed) — this range cannot be " +
           "served from the log; enable delta.enableChangeDataFeed so future " +
           "DML records change files, and re-derive consumers from a snapshot")
-      val bcIn = spark.sparkContext.broadcast(inSet)
-      val bcOut = spark.sparkContext.broadcast(notInSet)
-      val keep = udf { idx: Long =>
-        bcIn.value.forall(_.contains(idx)) && !bcOut.value.exists(_.contains(idx))
-      }
-      filesDf(spark, path, metaHead, Seq(f.copy(dv = None)), provenance = false,
-          rowIndex = true)
-        .filter(keep(col("__row_idx")))
-        .select(schema.fieldNames.map(col).toSeq: _*)
-        .withColumn("_change_type", lit(changeType))
-        .withColumn("_commit_version", lit(v))
+      slices += SliceReq(f.copy(dv = None), v, changeType, inSet, notInSet)
     }
 
-    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     versions.foreach { v =>
       val in = fs.open(new Path(dir, f"$v%020d.json"))
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -632,12 +653,12 @@ object DeltaRead {
           case Some(prior) => // re-add: emit only the deletion-vector DELTA
             if (f.dv != prior.dv) {
               if (f.dv.isDefined)
-                frames += slice(f, v, "delete", bits(f), bits(prior))
+                slice(f, v, "delete", bits(f), bits(prior))
               if (prior.dv.isDefined) // RESTORE shrank the vector
-                frames += slice(f, v, "insert", bits(prior), bits(f))
+                slice(f, v, "insert", bits(prior), bits(f))
             }
           case None =>
-            frames += slice(f, v, "insert", None, bits(f))
+            slice(f, v, "insert", None, bits(f))
         }
       }
       removes.foreach { case (p, dataChange) =>
@@ -646,17 +667,46 @@ object DeltaRead {
             s"changeDiff($fromVersion): version $v of $path removes $p, which " +
               "the range's running state does not contain — the log cannot be " +
               "decomposed; enable delta.enableChangeDataFeed and use changeFeed"))
-          frames += slice(prior, v, "delete", None, bits(prior))
+          slice(prior, v, "delete", None, bits(prior))
         }
       }
       // state update AFTER emission (priors above read pre-commit state)
       removes.foreach { case (p, _) => state.remove(p) }
       adds.foreach { case (f, _) => state(f.path) = f }
     }
-    if (frames.isEmpty) {
+    if (slices.isEmpty) {
       val out = schema.add("_change_type", "string").add("_commit_version", "long")
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
-    } else frames.reduce(_ unionByName _)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
+    // Grouped service: ONE filesDf scan per change type over the type's
+    // distinct files (same file re-sliced at several versions scans once),
+    // one broadcast SliceTable, a codegen'd per-position version lookup,
+    // and an explode — plan size O(2), independent of files and commits.
+    def fileKey(f: LiveFile): String =
+      fs.makeQualified(new Path(resolveFilePath(path, f.path))).toUri.getPath
+    val frames = slices.groupBy(_.changeType).toSeq.sortBy(_._1).map {
+      case (changeType, reqs) =>
+        val files = reqs.map(r => r.file.path -> r.file).toMap.values.toSeq
+        val table = new graft.functions.DiffExpressions.SliceTable(
+          reqs.groupBy(r => fileKey(r.file)).map { case (k, rs) =>
+            k -> rs.sortBy(_.version).map(r =>
+              graft.functions.DiffExpressions.SliceEntry(
+                r.version, r.in.orNull, r.notIn.orNull)).toArray
+          })
+        val bc = spark.sparkContext.broadcast(table)
+        val shims = org.apache.spark.sql.GraftSqlShims
+        val versionsOf = shims.column(
+          graft.functions.DiffExpressions.SliceVersionsExpr(
+            shims.expression(col("__file")), shims.expression(col("__row_idx")), bc))
+        filesDf(spark, path, metaHead, files, provenance = false, rowIndex = true)
+          .select(schema.fieldNames.map(col).toSeq :+
+            explode(versionsOf).as("_commit_version"): _*)
+          .withColumn("_change_type", lit(changeType))
+          .select((schema.fieldNames.map(col).toSeq :+
+            col("_change_type")) :+ col("_commit_version"): _*)
+    }
+    frames.reduce(_ unionByName _)
   }
 
   /** add/remove actions with version in (fromExclusive, toInclusive]. */

@@ -648,8 +648,14 @@ class DeltaReadSpec extends SparkSpec {
       DeltaRead.readDeltaTable(spark, table, Some(v))
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
     def applyDiff(base: Seq[(Long, String)], d: DataFrame): Seq[(Long, String)] = {
-      val rows = d.select("id", "v", "_change_type").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // the diff is a multiset keyed by commit version (no row-order
+      // contract): replay commits in version order, inserts before
+      // deletes within a commit (a COW rewrite emits both for a
+      // surviving row at the SAME version — atomic within the commit)
+      val rows = d.select("id", "v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy { case (_, _, ct, cv) => (cv, if (ct == "insert") 0 else 1) }
+        .map { case (id, v, ct, _) => (id, v, ct) }
       val counts = scala.collection.mutable.Map[(Long, String), Int]()
       base.foreach(k => counts(k) = counts.getOrElse(k, 0) + 1)
       rows.foreach {
@@ -677,6 +683,44 @@ class DeltaReadSpec extends SparkSpec {
       DeltaRead.changesSince(spark, table, 1L, Some(2L))
     }
     assert(e.getMessage.contains("changeDiff"), e.getMessage)
+  }
+
+  test("changeDiff plans O(change types) scan legs, not O(files), and refuses cleaned ranges") {
+    val table = Files.createTempDirectory("graft_delta_cdiff_plan").toString
+    // a many-file, many-commit history: v0 = 20 files, v1 = 20 more,
+    // v2 = DV delete (re-adds touched files), v3 = COW delete (rewrites)
+    DeltaWrite.writeDeltaTable(
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(20),
+      table, "append")                                                   // v0
+    DeltaWrite.writeDeltaTable(
+      (200L until 400L).map(i => (i, s"v$i")).toDF("id", "v").repartition(20),
+      table, "append")                                                   // v1
+    DeltaMerge.deleteWhereDv(spark, table, col("id") % 7 === 0)          // v2
+    DeltaMerge.deleteWhere(spark, table, col("id") % 7 === 1)            // v3
+    val d = DeltaRead.changeDiff(spark, table, -1L)
+    d.collect()
+    // the old form planned one leg per (file, commit) — 40+ scans with
+    // two broadcasts each; the grouped form plans one leg per change type
+    val scans = d.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 2, s"expected <=2 scan legs, got ${scans.size}")
+    // and the grouped form is still the exact multiset diff: net count
+    // equals the head snapshot's row count
+    val net = d.groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val head = DeltaRead.readDeltaTable(spark, table).count()
+    assert(net.getOrElse("insert", 0L) - net.getOrElse("delete", 0L) == head)
+
+    // cleaned history: checkpoint + cleanup deletes pre-checkpoint commit
+    // JSONs → an `earliest` bootstrap must refuse loudly, never silently
+    // omit the cleaned commits' rows
+    DeltaWrite.checkpoint(spark, table)
+    DeltaWrite.cleanupMetadata(spark, table, retentionMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaRead.changeDiff(spark, table, -1L).collect()
+    }
+    assert(e.getMessage.contains("cleaned"), e.getMessage)
   }
 
   test("id resolution is SCAN-scoped: works with session flags forced off, leaks nothing") {
