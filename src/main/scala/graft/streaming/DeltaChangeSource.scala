@@ -1,6 +1,8 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftSqlShims, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -20,8 +22,9 @@ import graft.io.DeltaRead
   *   spark.readStream
   *     .format("graft.streaming.DeltaChangeSource")
   *     .option("path", tablePath)
-  *     .option("startingVersion", "0")   // or "earliest" / "latest" (default)
-  *     .load()                            // cols..., _change_type, _commit_version
+  *     .option("startingVersion", "0")     // or "earliest" / "latest" (default)
+  *     .option("maxVersionsPerBatch", "10") // admission bound (optional)
+  *     .load()                              // cols..., _change_type, _commit_version
   * }}}
   *
   * Offsets are COMMIT VERSIONS (the table's own log is the replay
@@ -40,11 +43,28 @@ import graft.io.DeltaRead
   * the stream starts — the CDC-consumer shape; "earliest" (= -1) replays
   * from the table's first commit — the bootstrap shape; an explicit N
   * serves `(N, head]`, matching the batch APIs' exclusive-from convention.
+  * A "latest" resolution is persisted under the source's `metadataPath`
+  * on FIRST creation and read back on recovery — resolving it per restart
+  * would silently re-floor an uncommitted batch-0 range at the NEW head
+  * and lose the original range (the classic v1-source recovery edge).
+  *
+  * Admission control: `maxVersionsPerBatch` bounds every micro-batch to
+  * at most that many commit versions past the previous end offset, so a
+  * stream recovering from a long outage drains the backlog in bounded
+  * epochs instead of one giant range. [[SupportsTriggerAvailableNow]] is
+  * implemented natively: `Trigger.AvailableNow` snapshots the head at
+  * start and drains `(committed, head]` — in `maxVersionsPerBatch`-sized
+  * epochs when set — then stops, with no engine fallback warning.
   *
   * The v1 `Source` API is deliberate: its `getBatch` returns a DataFrame,
   * which lets the micro-batch BE the (pruned, bitmap-filtered) change
   * query — the DSv2 micro-batch API would force hand-built partition
-  * readers and re-implement the entire change-decomposition scan.
+  * readers and re-implement the entire change-decomposition scan. The
+  * engine still routes offset computation through the admission-control
+  * seam ([[SupportsAdmissionControl.latestOffset]]) whenever a v1 source
+  * implements it — the same Source + SupportsAdmissionControl +
+  * SupportsTriggerAvailableNow combination Spark's own Kafka v1 source
+  * uses for `maxOffsetsPerTrigger`.
   */
 class DeltaChangeSource extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-delta-changes"
@@ -65,14 +85,14 @@ class DeltaChangeSource extends StreamSourceProvider with DataSourceRegister {
       params: Map[String, String]): Source = {
     val spark = ctx.sparkSession
     val path = pathOf(params)
-    val head = DeltaRead.latestVersion(spark, path)
-    val start = params.getOrElse("startingVersion",
-        params.getOrElse("startingversion", "latest")) match {
-      case "latest" => head
-      case "earliest" => -1L
-      case v => v.toLong
-    }
-    new DeltaChangeSource.ChangeTail(spark, path, start)
+    val start = DeltaChangeSource.resolveStartVersion(spark, path, metadataPath,
+      params.getOrElse("startingVersion",
+        params.getOrElse("startingversion", "latest")))
+    val maxVersions = params.get("maxVersionsPerBatch")
+      .orElse(params.get("maxversionsperbatch")).map(_.toLong)
+    maxVersions.foreach(n => require(n > 0,
+      s"maxVersionsPerBatch must be positive, got $n"))
+    new DeltaChangeSource.ChangeTail(spark, path, start, maxVersions)
   }
 }
 
@@ -83,28 +103,85 @@ object DeltaChangeSource {
       StructField("_commit_version", LongType)))
   }
 
+  /** The stream's start version, resolved EXACTLY ONCE per stream: the
+    * first creation resolves the option ("latest" → current head) and
+    * persists the result under `metadataPath`; every recovery reads the
+    * persisted value back. Without this, "latest" re-resolved at restart
+    * — if batch 0's offset was logged but not committed while commits
+    * landed during the outage, the recomputed floor would jump PAST the
+    * logged range and `getBatch` would serve it empty, permanently losing
+    * those rows.
+    */
+  private[streaming] def resolveStartVersion(spark: SparkSession, path: String,
+      metadataPath: String, option: String): Long = {
+    val fs = new Path(metadataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(metadataPath, "graft-start-version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val resolved = option match {
+        case "latest" => DeltaRead.latestVersion(spark, path)
+        case "earliest" => -1L
+        case v => v.toLong
+      }
+      fs.mkdirs(new Path(metadataPath))
+      val tmp = new Path(metadataPath, s".graft-start-version.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(resolved.toString.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, marker) || fs.exists(marker),
+        s"could not persist start version under $metadataPath")
+      resolved
+    }
+  }
+
   private final class ChangeTail(spark: SparkSession, path: String,
-      startVersion: Long) extends Source {
+      startVersion: Long, maxVersionsPerBatch: Option[Long])
+      extends Source with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
     override val schema: StructType = changeSchema(spark, path)
 
-    /** Always the log head: progress clipping is NOT this method's job —
-      * on a checkpoint restart the committed offset (not `startVersion`)
-      * is the range floor, and MicroBatchExecution owns that comparison.
-      * `startVersion` only floors the FIRST range, inside [[getBatch]]'s
-      * `getOrElse` — so a fresh "latest" stream's first micro-batch is
-      * empty rather than a replay, and a recovered stream picks up from
-      * its checkpoint even when the head moved while it was down.
+    /** Head snapshot taken when `Trigger.AvailableNow` starts: the drain
+      * target. `MaxValue` (no cap) for continuous triggers — `prepare` is
+      * only invoked for AvailableNow runs, and the source instance is
+      * per-query, so the cap never leaks across runs.
+      */
+    @volatile private var availableNowCap: Long = Long.MaxValue
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = DeltaRead.latestVersion(spark, path)
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    /** Next end offset: the log head, clipped to the AvailableNow snapshot
+      * and to `maxVersionsPerBatch` versions past the previous end —
+      * progress floors come from the ENGINE's `startOffset` (committed /
+      * available offset), never recomputed here, so recovery resumes from
+      * the checkpoint even when the head moved while the stream was down.
+      */
+    override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+      val from = Option(startOffset).map(versionOf).getOrElse(startVersion)
+      val head = math.min(DeltaRead.latestVersion(spark, path), availableNowCap)
+      val to = maxVersionsPerBatch.map(n => math.min(head, from + n)).getOrElse(head)
+      if (to <= from) startOffset else LongOffset(to)
+    }
+
+    /** Unbounded head — only reachable when the engine bypasses the
+      * admission-control seam (it does not for sources implementing it;
+      * kept for API completeness).
       */
     override def getOffset: Option[Offset] = {
       val head = DeltaRead.latestVersion(spark, path)
       if (head >= 0) Some(LongOffset(head)) else None
     }
 
-    /** Offsets arrive as [[LongOffset]] from this source's own
-      * `getOffset` and as serialized-json wrappers on checkpoint
-      * recovery — `json()` is the one representation both share.
+    /** Offsets arrive as [[LongOffset]] from this source's own offset
+      * methods and as serialized-json wrappers on checkpoint recovery —
+      * `json()` is the one representation all share.
       */
-    private def versionOf(o: Offset): Long = o.json().trim.toLong
+    private def versionOf(o: OffsetV2): Long = o.json().trim.toLong
 
     override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
       val from = start.map(versionOf).getOrElse(startVersion)

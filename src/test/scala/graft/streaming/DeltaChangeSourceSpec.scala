@@ -115,6 +115,105 @@ class DeltaChangeSourceSpec extends SparkSpec {
       "partition values must come through the log, never as NULL")
   }
 
+  test("maxVersionsPerBatch drains a backlog in bounded epochs under Trigger.AvailableNow") {
+    val path = tmp("graft_tail_") + "/t"
+    baseTable(path) // v0
+    // a 10-commit backlog: 9 more single-row DML commits
+    (1 to 9).foreach { i =>
+      DeltaMerge.updateWhereDv(spark, path, col("id") === i.toLong,
+        Map("cents" -> lit(i * 1000L))) // v1..v9
+    }
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Long])]()
+    val q = spark.readStream
+      .format("graft.streaming.DeltaChangeSource")
+      .option("path", path)
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerBatch", "3")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmp("graft_tail_ckpt_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        epochs.add((id, df.select("_commit_version").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().toSeq))
+        ()
+      }.start()
+    assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+    val served = epochs.toArray(Array.empty[(Long, Seq[Long])]).toSeq
+    // 10 versions (0..9) at <=3 versions/epoch: the engine's single-batch
+    // FALLBACK would serve everything in ONE epoch — >=4 non-empty epochs
+    // proves native SupportsTriggerAvailableNow + admission control
+    val nonEmpty = served.filter(_._2.nonEmpty)
+    assert(nonEmpty.size >= 4, s"expected >=4 bounded epochs, got $served")
+    assert(nonEmpty.forall { case (_, vs) => vs.distinct.size <= 3 },
+      s"an epoch exceeded maxVersionsPerBatch: $served")
+    // and the drain is complete + exactly-once: multiset equals the batch diff
+    val streamedAll = served.flatMap(_._2).sorted
+    val batchAll = DeltaRead.changeDiff(spark, path, -1L)
+      .select("_commit_version").as[Long].collect().toSeq.sorted
+    assert(streamedAll == batchAll)
+  }
+
+  test("mid-drain crash + restart preserves exactly-once across bounded epochs") {
+    val path = tmp("graft_tail_") + "/t"
+    val ckpt = tmp("graft_tail_ckpt_")
+    baseTable(path) // v0
+    (1 to 5).foreach { i =>
+      DeltaMerge.deleteWhereDv(spark, path, col("id") === i.toLong) // v1..v5
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(crashOnSecondEpoch: Boolean) = spark.readStream
+      .format("graft.streaming.DeltaChangeSource")
+      .option("path", path)
+      .option("startingVersion", "earliest")
+      .option("maxVersionsPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        // crash BEFORE observing the epoch's rows: the engine never
+        // commits it, so the restart must re-serve exactly this range
+        if (crashOnSecondEpoch && id == 1L && crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected mid-drain crash")
+        df.collect().foreach(r => got.add(
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+
+    val q1 = start(crashOnSecondEpoch = true)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(crashed.get, "the injected crash must have fired")
+    val q2 = start(crashOnSecondEpoch = false)
+    assert(q2.awaitTermination(120000), "recovery drain must terminate")
+
+    val all = got.toArray(Array.empty[(Long, Long, String, Long)]).toSeq
+      .sortBy(t => (t._4, t._3, t._1, t._2))
+    val batch = canon(DeltaRead.changeDiff(spark, path, -1L)
+      .select(col("id"), col("cents"), col("_change_type"), col("_commit_version"))
+      .collect().toSeq)
+    assert(all == batch,
+      s"exactly-once violated: streamed ${all.size} rows vs batch ${batch.size}")
+  }
+
+  test("'latest' start version is resolved once and persisted under metadataPath") {
+    val path = tmp("graft_tail_") + "/t"
+    val meta = tmp("graft_tail_meta_")
+    baseTable(path) // v0: head = 0
+    val first = DeltaChangeSource.resolveStartVersion(spark, path, meta, "latest")
+    assert(first == 0L)
+    // head moves while the stream is "down" — recovery must NOT re-resolve
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 1L) // v1
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 2L) // v2
+    val recovered = DeltaChangeSource.resolveStartVersion(spark, path, meta, "latest")
+    assert(recovered == first,
+      s"restart re-resolved 'latest' to $recovered (head moved) — the " +
+        "batch-0 range would be permanently lost")
+  }
+
   test("a CDF-recording table serves update pre/post images through the tail") {
     val path = tmp("graft_tail_") + "/t"
     baseTable(path)
