@@ -277,26 +277,51 @@ object DeltaRead {
       provenance = false, rowIndex = true, extraPhysCols = extra)
 
     // per-file (baseRowId, defaultRowCommitVersion), broadcast-joined on
-    // the scheme-normalized file path — file-count-sized, like any
-    // file-level metadata join
+    // the scheme-and-authority-free file path — file-count-sized, like any
+    // file-level metadata join. LEFT join + raise-on-miss: a key-
+    // normalization divergence must fail loudly, never drop rows.
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
     val fileMap = snap.files.map { f =>
       (fs.makeQualified(new Path(resolveFilePath(path, f.path))).toUri.getPath,
         f.baseRowId.get, f.defaultRowCommitVersion.getOrElse(-1L))
     }.toDF("__fkey", "__base_rid", "__dflt_ver")
-    val normalized = base.withColumn("__fkey",
-      regexp_replace(col("__file"), "^[a-zA-Z][\\w+.-]*:/{1,3}", "/"))
+    val normalized = base.withColumn("__fkey", fileKeyOf(col("__file")))
     val rowId = coalesce(
-      (matId.map(col).toSeq :+ (col("__base_rid") + col("__row_idx"))): _*)
+      (matId.map(col).toSeq :+ (col("__base_rid") + col("__row_idx")) :+
+        fileKeyMissError(col("__file"))): _*)
     val rowVer = coalesce((matVer.map(col).toSeq :+
       when(col("__dflt_ver") >= 0, col("__dflt_ver"))): _*)
-    normalized.join(broadcast(fileMap), Seq("__fkey"))
+    normalized.join(broadcast(fileMap), Seq("__fkey"), "left")
       .withColumn("_row_id", rowId)
       .withColumn("_row_commit_version", rowVer)
       .drop((Seq("__fkey", "__file", "__row_idx", "__base_rid", "__dflt_ver") ++
         matId.toSeq ++ matVer.toSeq): _*)
   }
+
+  /** Scheme-and-authority-free path of a scan's `_metadata.file_path` —
+    * TEXT-identical to `fs.makeQualified(p).toUri.getPath` on the driver
+    * side for every filesystem shape: `file:/p`, `file:///p`,
+    * `hdfs://host:port/p`, `s3a://bucket/k` all reduce to the bare path.
+    * The previous normalization stripped only the scheme and KEPT the URI
+    * authority (`hdfs://host:port/p` → `/host:port/p`) while the driver
+    * side dropped it — on any filesystem with an authority the inner
+    * file-map joins silently matched nothing. (Distinct authorities
+    * cannot collide post-strip within one table: a Delta table's files
+    * live under a single root.)
+    */
+  private[io] def fileKeyOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-zA-Z][\\w+.-]*:(//[^/]*)?", "")
+
+  /** Terminal `coalesce` branch for file-map joins: reached only when the
+    * LEFT join missed, i.e. the scan-side key normalization diverged from
+    * the driver-side one — raise with the offending path instead of
+    * fabricating or dropping row identity.
+    */
+  private[io] def fileKeyMissError(file: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    raise_error(concat(lit("row-tracking file map missed scan file "), file,
+      lit(" — file-key normalization diverged between scan and log sides")))
+      .cast(LongType)
 
   /** The latest version whose commit timestamp is at or before `tsMillis`
     * — Delta's timestamp time travel. A commit's timestamp is its

@@ -489,11 +489,15 @@ object DeltaWrite {
       (fs.makeQualified(new Path(DeltaRead.resolveFilePath(path, f.path)))
         .toUri.getPath, base, f.defaultRowCommitVersion.getOrElse(-1L))
     }.toDF("__fkey", "__base_rid", "__dflt_ver")
-    df.withColumn("__fkey",
-        regexp_replace(col("__file"), "^[a-zA-Z][\\w+.-]*:/{1,3}", "/"))
-      .join(broadcast(fmap), Seq("__fkey"))
+    // LEFT join + raise-on-miss (see [[DeltaRead.fileKeyOf]]): an inner
+    // join here silently DROPPED every row on a key mismatch — and DML
+    // survivor sets flow through this join, so a miss rewrote touched
+    // files to empty. A miss now fails the job, naming the file.
+    df.withColumn("__fkey", DeltaRead.fileKeyOf(col("__file")))
+      .join(broadcast(fmap), Seq("__fkey"), "left")
       .withColumn(rt.matId,
-        coalesce(col(s"`${rt.matId}`"), col("__base_rid") + col("__row_idx")))
+        coalesce(col(s"`${rt.matId}`"), col("__base_rid") + col("__row_idx"),
+          DeltaRead.fileKeyMissError(col("__file"))))
       .withColumn(rt.matVer,
         coalesce(col(s"`${rt.matVer}`"), when(col("__dflt_ver") >= 0, col("__dflt_ver"))))
       .drop((if (keepHelpers) Seq("__fkey", "__base_rid", "__dflt_ver")
@@ -571,6 +575,99 @@ object DeltaWrite {
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
     commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
+  }
+
+  /** Enable row tracking ON AN EXISTING table — the backfill op every
+    * real table acquires the feature through (creation-time enablement is
+    * [[writeDeltaTableRowTracked]]). One metadata-only commit:
+    *
+    *  1. protocol upgrade to writer version 7 with `rowTracking` +
+    *     `domainMetadata` declared — existing features preserved, and a
+    *     legacy (< 7) writer version's IMPLIED features enumerated, as
+    *     the spec requires when crossing into table-features territory;
+    *  2. configuration gains `delta.enableRowTracking` and freshly minted
+    *     materialized-column names (kept when already present — a
+    *     half-enabled table keeps its names);
+    *  3. every live file missing a `baseRowId` is RE-ADDED with a
+    *     contiguous freshly assigned range (`dataChange = false` — no
+    *     data changes, identity attaches) and `defaultRowCommitVersion`
+    *     = this commit, sized by its `numRecords` stats (refused loudly
+    *     when absent — ranges cannot be guessed);
+    *  4. the `delta.rowTracking` domain records the new high watermark.
+    *
+    * After this, [[DeltaRead.readDeltaTableWithRowIds]] serves stable ids
+    * for the whole table instead of refusing the unbackfilled state.
+    * Returns the committed version, or -1 when already fully enabled.
+    */
+  def enableRowTracking(spark: SparkSession, path: String): Long = {
+    val snap = DeltaRead.replayFull(spark, path, None)
+    require(snap.meta != null, s"$path has no metaData action in its _delta_log")
+    checkWritable(snap.meta, snap.protocol, s"enableRowTracking of $path",
+      removesData = false)
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val alreadyOn =
+      snap.meta.configuration.get("delta.enableRowTracking").contains("true")
+    val toBackfill = snap.files.filter(_.baseRowId.isEmpty)
+    if (alreadyOn && toBackfill.isEmpty) return -1L
+
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+
+    // protocol: crossing to writer v7 must enumerate the legacy versions'
+    // implied features alongside the new ones (spec: a table-features
+    // protocol lists EVERYTHING it requires)
+    val implied = Seq(
+      2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= snap.protocol.minWriter).flatMap(_._2)
+    val baseFeatures =
+      if (snap.protocol.minWriter >= 7) snap.protocol.writerFeatures
+      else implied
+    val features = (baseFeatures ++ Seq("domainMetadata", "rowTracking")).distinct
+    val newProto = snap.protocol.copy(minWriter = 7, writerFeatures = features)
+    if (newProto != snap.protocol) lines += protocolJson(newProto)
+
+    // configuration: mint materialized-column names unless already pinned
+    val suffix = UUID.randomUUID().toString.take(8)
+    val merged = Map(
+      "delta.rowTracking.materializedRowIdColumnName" -> s"_row_id_mat_$suffix",
+      "delta.rowTracking.materializedRowCommitVersionColumnName" ->
+        s"_row_ver_mat_$suffix") ++
+      snap.meta.configuration + ("delta.enableRowTracking" -> "true")
+    if (merged != snap.meta.configuration) {
+      val configJson = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      val pcols = snap.meta.partitionCols.map(js).mkString("[", ",", "]")
+      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(snap.meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+    }
+
+    // re-add unbackfilled files with contiguous ranges above the watermark;
+    // rendered per OCC attempt — defaultRowCommitVersion stamps the
+    // version that actually publishes
+    def backfillLines(attempt: Long): Seq[String] = {
+      var next = DeltaRead.rowIdHighWaterMark(snap.domains) + 1
+      val out = toBackfill.map { f =>
+        val n = numRecordsOf(f.stats,
+          s"enableRowTracking($path) backfill of ${f.path}")
+        val pvJson = f.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+        val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")
+        val dvField = f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
+        val line = s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":false$statsField$dvField,"baseRowId":$next,"defaultRowCommitVersion":$attempt}}"""
+        next += n
+        line
+      }
+      out :+ rowTrackingDomainLine(next - 1)
+    }
+    val info =
+      s"""{"commitInfo":{${ictField(spark, path, snap.meta.copy(configuration = merged), now)}"timestamp":$now,"operation":"ENABLE ROW TRACKING","operationParameters":{"backfilledFiles":${toBackfill.size}},"engineInfo":"graft"}}"""
+    // exclusive: the assigned ranges and backfill set ARE the snapshot —
+    // any concurrent commit invalidates both
+    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(),
+      attempt => info +: (lines.toSeq ++ backfillLines(attempt)))
   }
 
   /** ADD CONSTRAINT `name` CHECK (`exprSql`): stored as

@@ -222,4 +222,68 @@ class RowTrackingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("already exists"))
   }
+
+  test("enableRowTracking backfills a legacy table; DML preserves the backfilled ids") {
+    val path = tmp("rt_backfill") + "/t"
+    DeltaWrite.writeDeltaTable(table(10).repartition(2), path, "append")  // v0
+    DeltaWrite.writeDeltaTable(
+      spark.range(10, 15).select(col("id"), (col("id") * 10).as("v")),
+      path, "append")                                                     // v1
+    // a legacy table refuses row-id reads...
+    intercept[IllegalArgumentException] {
+      DeltaRead.readDeltaTableWithRowIds(spark, path)
+    }
+    // ...until the backfill commit assigns ranges to its existing files
+    val v = DeltaWrite.enableRowTracking(spark, path)
+    assert(v == 2L)
+    val ids0 = rowIds(path)
+    assert(ids0.size == 15)
+    assert(ids0.values.map(_._1).toSeq.sorted == (0L until 15L),
+      "backfill must assign contiguous disjoint ranges from the watermark")
+    assert(ids0.values.forall(_._2 == v),
+      "backfilled rows carry the backfill commit version")
+    // idempotent: already enabled + backfilled → no-op
+    assert(DeltaWrite.enableRowTracking(spark, path) == -1L)
+
+    // appends mint ABOVE the backfilled watermark — never colliding
+    DeltaWrite.writeDeltaTable(
+      spark.range(15, 18).select(col("id"), (col("id") * 10).as("v")),
+      path, "append")                                                     // v3
+    val ids1 = rowIds(path)
+    assert(ids1.values.map(_._1).toSeq.sorted == (0L until 18L))
+    assert((15L until 18L).forall(i => ids1(i)._1 >= 15L))
+
+    // DV delete and COW update preserve the backfilled identities
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 0L)               // v4
+    DeltaMerge.updateWhere(spark, path, col("id") === 7L,
+      Map("v" -> lit(999L)))                                              // v5 (COW)
+    val ids2 = rowIds(path)
+    assert(!ids2.contains(0L))
+    assert(ids2(7L)._1 == ids1(7L)._1,
+      "a COW rewrite must materialize and carry the backfilled id")
+    assert(ids1.filterNot(kv => kv._1 == 0L || kv._1 == 7L)
+      .forall { case (k, (rid, ver)) => ids2(k) == ((rid, ver)) },
+      "untouched rows keep id AND version across DML")
+  }
+
+  test("fileKeyOf matches the driver-side makeQualified(...).getPath for every URI shape") {
+    // the scan side normalizes _metadata.file_path with fileKeyOf; the
+    // driver side keys with makeQualified(...).toUri.getPath — these must
+    // agree on authority-carrying URIs or file-map joins silently miss
+    // (the r11 advisory: '/host:port/p' vs '/p')
+    val shapes = Seq(
+      "file:/tmp/t/part-0.parquet" -> "/tmp/t/part-0.parquet",
+      "file:///tmp/t/part-0.parquet" -> "/tmp/t/part-0.parquet",
+      "hdfs://nn:8020/warehouse/t/part-0.parquet" -> "/warehouse/t/part-0.parquet",
+      "s3a://bucket/key/part-0.parquet" -> "/key/part-0.parquet",
+      "/tmp/t/part-0.parquet" -> "/tmp/t/part-0.parquet")
+    val df = shapes.map(_._1).toDF("p")
+      .select(DeltaRead.fileKeyOf(col("p")).as("k"))
+    assert(df.as[String].collect().toSeq == shapes.map(_._2),
+      "scan-side key must equal Path(...).toUri.getPath for every shape")
+    shapes.foreach { case (uri, want) =>
+      assert(new org.apache.hadoop.fs.Path(uri).toUri.getPath == want,
+        s"driver-side normalization of $uri diverged")
+    }
+  }
 }
