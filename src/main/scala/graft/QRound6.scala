@@ -112,7 +112,12 @@ object QRound6 {
     * the exact selected set (sum/min/max of kept ids per source).
     */
   def q97MixtureSample(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    // the RAW load, not Tables.documents: both consumers (quota groupBy,
+    // sampler window) shuffle on `source` as their FIRST op, so the
+    // widened round-robin repartition was a full-table exchange feeding
+    // another exchange — pure overhead here (no per-row kernel work runs
+    // before the hash exchange restores parallelism)
+    val docs = Tables.load(s, d, "documents")
     val weightOf = (src: Column) =>
       substring(src, 4, 10).cast("int") % 4 + 1
     // quotas materialize once (20 rows) and feed both the output columns

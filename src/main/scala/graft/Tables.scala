@@ -23,20 +23,27 @@ object Tables {
     * downstream `.filter`/`.select` build fresh plans over the shared
     * `LogicalRelation`, so per-query pushdown, pruning, and physical
     * planning are untouched (PlanRegressionSpec pins that). Keyed weakly
-    * by session so stopped test sessions unpin their entries.
+    * by session, with the per-session map held through a SOFT reference:
+    * a cached DataFrame strongly references its session (via
+    * QueryExecution), so holding the map strongly would pin every
+    * WeakHashMap key forever (value → key strong cycle — the entries
+    * would never collect). The soft indirection breaks the cycle: under
+    * memory pressure the GC drops the map, which unpins the session; a
+    * live session just rebuilds its handles on the next load (~90ms).
     */
   private val handles =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
   private[graft] def memo(spark: SparkSession, key: String)
       (build: => DataFrame): DataFrame = {
     val bySession = handles.synchronized {
-      var m = handles.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        handles.put(spark, m)
-      }
-      m
+      val ref = handles.get(spark)
+      val live = if (ref == null) null else ref.get()
+      if (live == null) {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        handles.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      } else live
     }
     bySession.computeIfAbsent(key, _ => build)
   }

@@ -19,8 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Sidecar state. PQ codebooks are VERSIONED: `codebooks` is version 0
+    * (the build-time set), `codebookVersions` holds refresh generations
+    * 1..n ([[refreshCodebooks]]), and `cellVersions` records which
+    * generation each cell's stored codes were encoded under (absent = 0).
+    * Codes are only comparable within one generation, so every encode
+    * (append), decode (ADC probe), and file-moving maintenance op keys by
+    * the cell's generation.
+    */
   final case class Meta(dim: Int, nCells: Int, m: Int, nCodes: Int,
-      centroids: Seq[Seq[Double]], codebooks: Option[Seq[Seq[Seq[Double]]]])
+      centroids: Seq[Seq[Double]], codebooks: Option[Seq[Seq[Seq[Double]]]],
+      codebookVersions: Seq[Seq[Seq[Seq[Double]]]] = Nil,
+      cellVersions: Map[Int, Int] = Map.empty) {
+    /** Codebooks of generation `v` as the packed runtime form. */
+    private[ext] def codebooksAt(v: Int): PQ.Codebooks = {
+      val centers = if (v == 0) codebooks.getOrElse(
+        throw new IllegalArgumentException("index was built without PQ codes (m=0)"))
+        else codebookVersions(v - 1)
+      PQ.Codebooks(m, dim / m, nCodes, centers.map(_.map(_.toArray).toArray).toArray)
+    }
+    private[ext] def versionOfCell(cell: Int): Int = cellVersions.getOrElse(cell, 0)
+  }
 
   /** Build and persist: trains IVF centroids (sample-bounded) and, when
     * `m > 0`, PQ codebooks; writes `(id, cell, vec, nrm, pq_code?)`
@@ -84,13 +103,16 @@ object AnnIndex {
       Similarity.assignCell(col(vecCol), meta.centroids).as("cell") +:
       extraCols.map(col): _*)
     val batch = (meta.codebooks match {
-      case Some(centers) =>
-        val cb = PQ.Codebooks(meta.m, meta.dim / meta.m, meta.nCodes,
-          centers.map(_.map(_.toArray).toArray).toArray)
+      case Some(_) =>
+        // encode with each target CELL's codebook generation — mixing
+        // generations inside one cell would silently corrupt ADC probes
+        val byVersion = (0 to meta.codebookVersions.size)
+          .map(v => v -> meta.codebooksAt(v)).toMap
+        val cellVer = meta.cellVersions
         import spark.implicits._
         base.as[(Long, Array[Float], Int)]
           .mapPartitions(_.map { case (id, v, cell) =>
-            (id, v, cell, cb.encodeVec(v)) })
+            (id, v, cell, byVersion(cellVer.getOrElse(cell, 0)).encodeVec(v)) })
           .toDF("id", "vec", "cell", "pq_code")
       case None => base
     }).withColumn("nrm", Similarity.l2Norm(col("vec")))
@@ -119,6 +141,14 @@ object AnnIndex {
     * deleted empty simply stops matching probes (run [[rebalance]] with
     * `minBalance` to fold starved cells after heavy deletes). Ids are a
     * bounded in-list (the takedown-batch shape). Returns rows deleted.
+    *
+    * SWAP CONTRACT (single writer, like every maintenance op here): each
+    * cell's replaced files are dropped IMMEDIATELY after that cell's
+    * replacements rename in, so a concurrent reader or a crash can see
+    * duplicated survivors / resurrected ids in AT MOST ONE cell, never
+    * index-wide. There is no log to replay: after a crash mid-swap,
+    * rebuild the index (re-running delete would re-discover the old file
+    * and duplicate its survivors — don't).
     */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "ids must be non-empty")
@@ -136,9 +166,13 @@ object AnnIndex {
       s".del-staging-${java.util.UUID.randomUUID()}")
     df.filter(!hit).write.partitionBy("cell").parquet(staging.toString)
     // move replacements into their cell dirs (staged names are
-    // uuid-unique), then drop the old files — per-file rename, metadata-only
+    // uuid-unique) and drop each cell's replaced files the moment its
+    // replacements land — the duplicate-visibility window is one cell,
+    // never the whole touched set (see the swap contract above)
+    val remaining = scala.collection.mutable.LinkedHashSet(touched.toSeq: _*)
     fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
-      val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+      val cellName = d.getPath.getName
+      val dest = new org.apache.hadoop.fs.Path(root, cellName)
       fs.mkdirs(dest)
       fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
         .foreach { f =>
@@ -146,10 +180,93 @@ object AnnIndex {
             new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
             s"failed to move ${f.getPath} into $dest")
         }
+      remaining.filter(t =>
+        new org.apache.hadoop.fs.Path(t).getParent.getName == cellName)
+        .foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(t), false)
+          remaining -= t
+        }
     }
-    touched.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    // files whose every row was deleted stage no replacement dir
+    remaining.foreach(t => fs.delete(new org.apache.hadoop.fs.Path(t), false))
     fs.delete(staging, true)
     nDel
+  }
+
+  /** Retrain PQ codebooks on the CURRENT corpus and re-encode ONLY the
+    * cells whose quantization error materially improves — the maintenance
+    * verb closing [[append]]'s staleness trade (appends encode with
+    * stored codebooks, so after heavy drift the code error grows without
+    * bound and ADC recall decays). One bounded-sample train
+    * ([[PQ.train]], the build-time trainer), one corpus pass computing
+    * per-cell squared reconstruction error under the cell's CURRENT
+    * generation vs the candidate, then a staged rewrite of exactly the
+    * cells where `curErr > errorFactor × newErr` — untouched cells stay
+    * byte-identical and keep their generation. The sidecar appends the
+    * new generation to `codebookVersions` and flips only the re-encoded
+    * cells' `cellVersions`; probes and appends key every decode/encode by
+    * the cell's generation, so mixed-generation indexes stay exact.
+    * Returns the number of re-encoded cells (0 = candidate discarded, no
+    * generation recorded).
+    */
+  def refreshCodebooks(spark: SparkSession, path: String,
+      errorFactor: Double = 1.05, iters: Int = 2, seed: Long = 42L): Int = {
+    require(errorFactor >= 1.0, s"errorFactor must be >= 1, got $errorFactor")
+    val meta = readMeta(spark, path)
+    require(meta.m > 0, s"$path was built without PQ codes (m=0)")
+    val df = spark.read.parquet(path)
+    val newCb = PQ.train(df, "id", "vec", meta.m, meta.nCodes, iters, seed)
+    val byVersion = (0 to meta.codebookVersions.size)
+      .map(v => v -> meta.codebooksAt(v)).toMap
+    val cellVer = meta.cellVersions
+    import spark.implicits._
+    def sqErr(v: Array[Float], cb: PQ.Codebooks): Double = {
+      val d = cb.decode(cb.encodeVec(v))
+      var s = 0.0
+      var i = 0
+      while (i < d.length) { val t = v(i) - d(i); s += t * t; i += 1 }
+      s
+    }
+    val errs = df.select(col("cell"), col("vec")).as[(Int, Array[Float])]
+      .mapPartitions(_.map { case (cell, v) =>
+        (cell, sqErr(v, byVersion(cellVer.getOrElse(cell, 0))), sqErr(v, newCb))
+      })
+      .toDF("cell", "cur_err", "new_err")
+      .groupBy(col("cell"))
+      .agg(sum(col("cur_err")).as("cur"), sum(col("new_err")).as("nw"))
+      .collect()
+    val toRecode = errs.filter(r => r.getDouble(1) > errorFactor * r.getDouble(2))
+      .map(_.getInt(0)).toSeq.sorted
+    if (toRecode.isEmpty) return 0
+    val newVersion = meta.codebookVersions.size + 1
+
+    // staged rewrite of exactly the drifted cells (the delete() swap:
+    // whole-directory replacement per cell, one cell's window at a time)
+    val rows = df.filter(col("cell").isInCollection(toRecode))
+      .select(col("id"), col("vec"), col("cell"), col("nrm"))
+      .as[(Long, Array[Float], Int, Double)]
+      .mapPartitions(_.map { case (id, v, cell, nrm) =>
+        (id, v, cell, newCb.encodeVec(v), nrm) })
+      .toDF("id", "vec", "cell", "pq_code", "nrm")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path,
+      s".refresh-staging-${java.util.UUID.randomUUID()}")
+    rows.write.partitionBy("cell").parquet(staging.toString)
+    toRecode.foreach { c =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
+      val dst = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+      if (fs.exists(src)) {
+        fs.delete(dst, true)
+        require(fs.rename(src, dst), s"failed to move $src to $dst")
+      }
+    }
+    fs.delete(staging, true)
+    writeMeta(spark, path, meta.copy(
+      codebookVersions = meta.codebookVersions :+
+        newCb.centers.map(_.map(_.toSeq).toSeq).toSeq,
+      cellVersions = meta.cellVersions ++ toRecode.map(_ -> newVersion)))
+    toRecode.size
   }
 
   /** Exact top-k over the probed cells: load the sidecar, rank the query
@@ -260,6 +377,11 @@ object AnnIndex {
       s"minBalance must be in [0, 1), got $minBalance")
     val meta = readMeta(spark, path)
     val centroids = scala.collection.mutable.ArrayBuffer(meta.centroids: _*)
+    // PQ generation per cell rides every structural change: a split's new
+    // cell inherits its source generation (codes moved verbatim), a merge
+    // across generations is refused (mixed codes would corrupt ADC), and
+    // renumbering remaps the keys
+    val cellVers = scala.collection.mutable.Map(meta.cellVersions.toSeq: _*)
     val counts = scala.collection.mutable.Map[Int, Long]()
     spark.read.parquet(path).groupBy(col("cell")).count()
       .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
@@ -302,6 +424,7 @@ object AnnIndex {
         fs.delete(staging, true)
         centroids(cell) = sub(0)
         centroids += sub(1)
+        cellVers.get(cell).foreach(v => cellVers(newCell) = v)
         counts(cell) = stagedCounts(cell)
         counts(newCell) = stagedCounts(newCell)
         splits += 1
@@ -328,8 +451,12 @@ object AnnIndex {
           val src = cand.get._2
           val tgt = live.filter(_ != src)
             .minBy(o => dist2(centroids(o), centroids(src)))
-          // absorbing must not recreate the hot-cell problem
-          if ((countOf(tgt) + countOf(src)) * (live.size - 1) / total > maxBalance)
+          // absorbing must not recreate the hot-cell problem; and a PQ
+          // merge across codebook generations would mix incomparable
+          // codes in one directory — refuse the pair
+          if ((countOf(tgt) + countOf(src)) * (live.size - 1) / total > maxBalance ||
+              (meta.m > 0 &&
+                cellVers.getOrElse(src, 0) != cellVers.getOrElse(tgt, 0)))
             unmergeable += src
           else {
             val srcDir = new org.apache.hadoop.fs.Path(path, s"cell=$src")
@@ -352,6 +479,7 @@ object AnnIndex {
                 case (t, s) => (t * nt + s * ns) / (nt + ns) }
             counts(tgt) = nt + ns
             counts.remove(src)
+            cellVers.remove(src)
             removed += src
             merges += 1
           }
@@ -372,14 +500,19 @@ object AnnIndex {
           }
         }
         val renumbered = survivors.map(centroids)
+        val renumberedVers = survivors.zipWithIndex.flatMap { case (old, nw) =>
+          cellVers.get(old).map(nw -> _) }
         centroids.clear()
         centroids ++= renumbered
+        cellVers.clear()
+        cellVers ++= renumberedVers
       }
     }
 
     if (splits > 0 || merges > 0)
       writeMeta(spark, path,
-        meta.copy(nCells = centroids.size, centroids = centroids.toSeq))
+        meta.copy(nCells = centroids.size, centroids = centroids.toSeq,
+          cellVersions = cellVers.toMap))
     splits + merges
   }
 
@@ -432,16 +565,24 @@ object AnnIndex {
   def queryPq(spark: SparkSession, path: String, query: Array[Double],
       nProbe: Int, k: Int): DataFrame = {
     val meta = readMeta(spark, path)
-    val centers = meta.codebooks.getOrElse(
-      throw new IllegalArgumentException(s"$path was built without PQ codes (m=0)"))
-    val cb = PQ.Codebooks(meta.m, meta.dim / meta.m, meta.nCodes,
-      centers.map(_.map(_.toArray).toArray).toArray)
+    require(meta.codebooks.isDefined,
+      s"$path was built without PQ codes (m=0)")
     val probed = nearestCells(meta, query, nProbe)
-    PQ.adcTopK(
-      spark.read.parquet(path)
-        .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
-        .select(col("id"), col("pq_code")),
-      "id", query, cb, k)
+    // codes compare only within one codebook generation: probe per
+    // generation group (almost always exactly one) and take the global
+    // top-k over the per-group results — ADC distances are all against
+    // the SAME query, so the union ordering is sound
+    val groups = probed.groupBy(meta.versionOfCell)
+    val parts = groups.toSeq.sortBy(_._1).map { case (v, cells) =>
+      PQ.adcTopK(
+        spark.read.parquet(path)
+          .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+          .select(col("id"), col("pq_code")),
+        "id", query, meta.codebooksAt(v), k)
+    }
+    val all = parts.reduce(_ unionByName _)
+    if (parts.size == 1) all
+    else all.orderBy(col("adist"), col("id")).limit(k)
   }
 
   private def nearestCells(meta: Meta, query: Array[Double], nProbe: Int): Seq[Int] =
@@ -465,6 +606,21 @@ object AnnIndex {
         book.foreach { c => val a = b.addArray(); c.foreach(a.add) }
       }
     }
+    if (meta.codebookVersions.nonEmpty) {
+      val vs = root.putArray("codebookVersions")
+      meta.codebookVersions.foreach { books =>
+        val bs = vs.addArray()
+        books.foreach { book =>
+          val b = bs.addArray()
+          book.foreach { c => val a = b.addArray(); c.foreach(a.add) }
+        }
+      }
+    }
+    if (meta.cellVersions.nonEmpty) {
+      val cv = root.putObject("cellVersions")
+      meta.cellVersions.toSeq.sortBy(_._1).foreach { case (c, v) =>
+        cv.put(c.toString, v) }
+    }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_ann_meta.json"), true)
@@ -486,6 +642,13 @@ object AnnIndex {
       node.get("dim").asInt(), node.get("nCells").asInt(),
       node.get("m").asInt(), node.get("nCodes").asInt(),
       arr2(node.get("centroids")),
-      Option(node.get("codebooks")).map(_.elements().asScala.map(arr2).toSeq))
+      Option(node.get("codebooks")).map(_.elements().asScala.map(arr2).toSeq),
+      Option(node.get("codebookVersions"))
+        .map(_.elements().asScala.map(gen =>
+          gen.elements().asScala.map(arr2).toSeq).toSeq)
+        .getOrElse(Nil),
+      Option(node.get("cellVersions")).map { cv =>
+        cv.fieldNames().asScala.map(k => k.toInt -> cv.get(k).asInt()).toMap
+      }.getOrElse(Map.empty))
   }
 }

@@ -17,13 +17,19 @@ import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
   * The view's columns are `keyCols..., n, sum, mn, mx`
   * ([[graft.ext.Incremental]]'s state layout): count and sum form a group
   * under insert/delete signs, so they stay EXACT under arbitrary source
-  * DML (DV deletes, copy-on-write updates, merges); min/max are
-  * non-invertible and degrade to bounds once an extremum is deleted —
-  * the same contract as `Incremental.applyChanges`, which this is the
-  * streaming composition of. Cost per epoch is O(|batch| + touched keys):
-  * one aggregate over the change rows, one left-outer join against the
-  * view's touched keys, one MERGE whose copy-on-write scope is the
-  * touched keys' files — the view's history is never rescanned.
+  * DML (DV deletes, copy-on-write updates, merges). min/max are
+  * non-invertible, so each epoch runs a REPAIR pass for exactness: a key
+  * whose DELETED value reached its stored bound (`deleted <= mn` or
+  * `>= mx`) gets its min/max recomputed from the source snapshot AS OF
+  * the epoch's last change version — one extra source scan per epoch,
+  * only when bound-hitting deletes occurred, filtered to exactly the
+  * repair keys (literal `isin` for a small single-column key set, so file
+  * stats skipping applies; broadcast semi-join otherwise). The whole view
+  * is therefore exact under arbitrary DML, not count/sum-only. Epoch cost
+  * stays O(|batch| + touched keys): one aggregate over the change rows,
+  * one left-outer join against the view's touched keys, one MERGE whose
+  * copy-on-write scope is the touched keys' files — the view's history
+  * is never rescanned.
   *
   * Exactly-once across crashes, without a view-side log of applied
   * batches beyond Delta's own `txn` markers:
@@ -72,17 +78,22 @@ object ChangeViewSink {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, viewPath, keyCols, valueCol, appId, batchId): Unit
+        applyBatch(batch, viewPath, keyCols, valueCol, appId, batchId,
+          sourcePath = Some(sourcePath)): Unit
       }
       .start()
   }
 
   /** Fold one change batch into the view — also the poll-driven batch
     * surface (pair with [[graft.io.DeltaRead.changeDiff]]). Returns true
-    * when the epoch committed, false on a recognized replay.
+    * when the epoch committed, false on a recognized replay. With
+    * `sourcePath` the min/max repair pass runs (exact view); without it
+    * min/max degrade to bounds once an extremum is deleted — the legacy
+    * contract for callers that cannot hand the source back.
     */
   def applyBatch(changes: DataFrame, viewPath: String, keyCols: Seq[String],
-      valueCol: String, appId: String, batchId: Long): Boolean = {
+      valueCol: String, appId: String, batchId: Long,
+      sourcePath: Option[String] = None): Boolean = {
     val spark = changes.sparkSession
     if (batchId <= DeltaWrite.lastTxnVersion(spark, viewPath, appId)) {
       DeltaMerge.deleteWhere(spark, viewPath, col("n") <= 0) // heal step 2
@@ -92,28 +103,89 @@ object ChangeViewSink {
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(lit(-1L))
+    // touched-keys-sized; checkpointed once — the repair detection and the
+    // fold both read it, and it pins the epoch's last change version
     val delta = changes
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(when(v.isNotNull, sign).otherwise(lit(0L))).as("d_n"),
         sum(coalesce(v, lit(0.0)) * sign).as("d_sum"),
         min(when(sign > 0, v)).as("d_mn"),
-        max(when(sign > 0, v)).as("d_mx"))
+        max(when(sign > 0, v)).as("d_mx"),
+        min(when(sign < 0, v)).as("d_del_mn"),
+        max(when(sign < 0, v)).as("d_del_mx"),
+        max(col("_commit_version")).as("d_ver"))
+      .localCheckpoint()
     if (delta.isEmpty) return false
     // new state of the TOUCHED keys only (left outer: new keys have no
-    // state row) — materialized BEFORE the merge mutates what it reads
+    // state row) — materialized BEFORE the merge mutates what it reads.
+    // A surviving key whose DELETED values reach the POST-FOLD bound needs
+    // repair: the fold can only widen bounds, never shrink them back — and
+    // the comparison must be against the folded (not stored) bound, since
+    // a single epoch can both insert and delete the extremum (a bootstrap
+    // batch carries the whole history).
     val view = DeltaRead.readDeltaTable(spark, viewPath)
-    val folded = delta.join(view, keyCols, "left_outer")
+    val newMn = least(col("mn"), col("d_mn"))
+    val newMx = greatest(col("mx"), col("d_mx"))
+    val needsRepair = (coalesce(col("n"), lit(0L)) + col("d_n") > 0) && (
+      (col("d_del_mn").isNotNull && newMn.isNotNull &&
+        col("d_del_mn") <= newMn) ||
+      (col("d_del_mx").isNotNull && newMx.isNotNull &&
+        col("d_del_mx") >= newMx))
+    val folded0 = delta.join(view, keyCols, "left_outer")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col("n"), lit(0L)) + col("d_n")).as("n"),
         (coalesce(col("sum"), lit(0.0)) + col("d_sum")).as("sum"),
-        least(col("mn"), col("d_mn")).as("mn"),
-        greatest(col("mx"), col("d_mx")).as("mx")): _*)
+        newMn.as("mn"), newMx.as("mx"),
+        needsRepair.as("__repair"), col("d_ver").as("__ver")): _*)
       .localCheckpoint()
+    val folded = sourcePath match {
+      case Some(src) if !folded0.filter(col("__repair")).isEmpty =>
+        repairBounds(spark, src, folded0, keyCols, valueCol)
+      case _ => folded0.drop("__repair", "__ver")
+    }
     DeltaMerge.merge(spark, viewPath, folded, keyCols,
       txn = Some(appId -> batchId))
     DeltaMerge.deleteWhere(spark, viewPath, col("n") <= 0)
     true
+  }
+
+  /** Recompute min/max for the epoch's repair keys from the source AS OF
+    * the epoch's last change version (time travel — exact even when later
+    * commits already landed). The repair-key set is touched-keys-bounded
+    * and tiny by construction; a small single-column set becomes a
+    * literal `isin` filter so the log-backed index skips files by stats,
+    * larger or composite sets fall back to a broadcast semi-join.
+    */
+  private def repairBounds(spark: SparkSession, sourcePath: String,
+      folded0: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val repair = folded0.filter(col("__repair"))
+      .select((keyCols.map(col) :+ col("__ver")): _*).collect()
+    val ver = repair.map(_.getLong(keyCols.size)).max
+    val src = DeltaRead.readDeltaTable(spark, sourcePath, Some(ver))
+    val filtered =
+      if (keyCols.size == 1 && repair.length <= 10000)
+        src.filter(col(keyCols.head).isin(repair.map(_.get(0)).toSeq: _*))
+      else {
+        val keyDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(repair.toSeq, 1),
+          org.apache.spark.sql.types.StructType(
+            folded0.schema.fields.filter(f => keyCols.contains(f.name)) :+
+              org.apache.spark.sql.types.StructField("__ver",
+                org.apache.spark.sql.types.LongType)))
+          .drop("__ver")
+        src.join(broadcast(keyDf), keyCols, "left_semi")
+      }
+    val exact = filtered
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col(valueCol).cast("double")).as("__r_mn"),
+        max(col(valueCol).cast("double")).as("__r_mx"))
+    folded0.join(broadcast(exact), keyCols, "left_outer")
+      .select(keyCols.map(col) ++ Seq(col("n"), col("sum"),
+        when(col("__repair") && col("__r_mn").isNotNull, col("__r_mn"))
+          .otherwise(col("mn")).as("mn"),
+        when(col("__repair") && col("__r_mx").isNotNull, col("__r_mx"))
+          .otherwise(col("mx")).as("mx")): _*)
   }
 
   /** The consumer-facing view: tombstones filtered, `avg` derived. */
@@ -130,6 +202,7 @@ object ChangeViewSink {
     val v: Column = col(valueCol).cast("double")
     DeltaRead.readDeltaTable(spark, sourcePath)
       .groupBy(keyCols.map(col): _*)
-      .agg(count(v).as("n"), sum(v).as("sum"))
+      .agg(count(v).as("n"), sum(v).as("sum"),
+        min(v).as("mn"), max(v).as("mx"))
   }
 }

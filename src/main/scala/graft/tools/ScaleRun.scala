@@ -173,6 +173,51 @@ object ScaleRun {
           useDeletionVectors = true)
         graft.io.DeltaRead.readDeltaTable(spark, dml).count()
       })
+
+      // CDC fleet: change-diff service + one materialized-view epoch —
+      // the round-11 surface. DML touches 1% of rows, so changed-rows
+      // mechanisms must grow linearly with N (α_rows ≈ 1 for the diff;
+      // the view epoch's input tracks changed files, its shuffle the
+      // touched keys — never corpus²)
+      val wantsCdc = only.isEmpty || only.exists(o =>
+        "b60_change_diff".startsWith(o) || "b60_view_epoch".startsWith(o))
+      val cdcDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(tmp), "cdc").toString + "/orders_cdc"
+      if (wantsCdc) {
+        graft.io.DeltaWrite.writeDeltaTable(
+          Tables.orders(spark, dir).select(col("o_orderkey"),
+            col("o_orderstatus").as("grp"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+          cdcDir, "append")                                           // v0
+        graft.io.DeltaMerge.deleteWhereDv(spark, cdcDir,
+          col("o_orderkey") % 100 === 0)                              // v1
+      }
+      out += timed("b60_change_diff")(() =>
+        graft.io.DeltaRead.changeDiff(spark, cdcDir, 0L).count())
+      out += timed("b60_view_epoch")(() => {
+        val v = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "cview").toString + "/view"
+        val viewSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("mn",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("mx",
+            org.apache.spark.sql.types.DoubleType)))
+        graft.io.DeltaWrite.writeDeltaTable(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchema),
+          v, "append")
+        graft.streaming.ChangeViewSink.applyBatch(
+          graft.io.DeltaRead.changeDiff(spark, cdcDir, -1L),
+          v, Seq("grp"), "cents", appId = "b60", batchId = 0L,
+          sourcePath = Some(cdcDir))
+        graft.io.DeltaRead.readDeltaTable(spark, v).count()
+      })
       out.result()
     }
 

@@ -322,4 +322,68 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(!top.contains(0L) && !top.contains(1L) && top.contains(2L), top.toSeq.toString)
   }
+
+  test("refreshCodebooks re-encodes only drifted cells; ADC recall restored, others byte-identical") {
+    val path = Files.createTempDirectory("graft_ann_refresh").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3, m = 4, nCodes = 8)
+    // drift: append a cluster FAR outside the trained value range — its
+    // codes under the stored (gen-0) codebooks collapse onto centers that
+    // cannot represent it
+    val drifted = (0 until 12).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(3) = 100f + i * 0.05f
+      v(7) = 40f
+      (900L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(drifted, "vec_id", "embedding", path)
+    val q = drifted.collect().head.getSeq[Float](1).toArray.map(_.toDouble)
+    val before = AnnIndex.queryPq(spark, path, q, nProbe = 3, k = 12)
+      .collect().map(_.getLong(0)).count(_ >= 900L)
+
+    // snapshot every file's (path, length, mtime) per cell pre-refresh
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(cell: Int): Seq[(String, Long, Long)] = {
+      val d = new org.apache.hadoop.fs.Path(path, s"cell=$cell")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).map(s =>
+        (s.getPath.getName, s.getLen, s.getModificationTime)).toSeq.sorted
+    }
+    val pre = (0 until 3).map(c => c -> filesOf(c)).toMap
+
+    val recoded = AnnIndex.refreshCodebooks(spark, path, errorFactor = 1.05)
+    assert(recoded >= 1, "the drifted cell must re-encode")
+    val meta = AnnIndex.readMeta(spark, path)
+    assert(meta.codebookVersions.size == 1)
+    assert(meta.cellVersions.values.toSet == Set(1))
+    assert(meta.cellVersions.size == recoded)
+    // untouched cells: files byte-identical (same names, sizes, mtimes)
+    (0 until 3).filterNot(meta.cellVersions.contains).foreach { c =>
+      assert(filesOf(c) == pre(c), s"untouched cell $c was rewritten")
+    }
+    // ADC recall on the drifted cluster restored to exact
+    val after = AnnIndex.queryPq(spark, path, q, nProbe = 3, k = 12)
+      .collect().map(_.getLong(0))
+    assert(after.count(_ >= 900L) == 12,
+      s"post-refresh ADC must retrieve the whole drifted cluster " +
+        s"(pre-refresh found $before), got ${after.toSeq}")
+    // mixed-generation probe across ALL cells stays sound (per-generation
+    // ADC groups union into one top-k)
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val old = AnnIndex.queryPq(spark, path, raw(0L).map(_.toDouble), nProbe = 3, k = 12)
+      .collect().map(_.getLong(0))
+    assert(old.count(_ < 100L) >= 10, s"gen-0 cluster degraded: ${old.toSeq}")
+    // appends AFTER refresh encode with the target cell's generation:
+    // another drifted point must land among its cluster under ADC
+    val more = Seq((950L, {
+      val v = Array.fill(8)(0.0f); v(3) = 100.3f; v(7) = 40f; v
+    })).toDF("vec_id", "embedding")
+    AnnIndex.append(more, "vec_id", "embedding", path)
+    val again = AnnIndex.queryPq(spark, path, q, nProbe = 3, k = 13)
+      .collect().map(_.getLong(0))
+    assert(again.contains(950L),
+      s"post-refresh append must encode with the cell's generation: ${again.toSeq}")
+    // a second refresh on the now-consistent index is a no-op
+    assert(AnnIndex.refreshCodebooks(spark, path, errorFactor = 1.05) == 0)
+  }
 }

@@ -18,11 +18,14 @@ class ChangeViewSinkSpec extends SparkSpec {
   private def tmp(p: String): String = Files.createTempDirectory(p).toString
 
   private def viewEqualsSource(viewPath: String, srcPath: String): Unit = {
+    // min/max included: the per-epoch repair pass makes the WHOLE view
+    // exact, not count/sum-only
     val got = ChangeViewSink.readView(spark, viewPath)
-      .select(col("grp"), col("n"), col("sum"))
-      .as[(String, Long, Double)].collect().toSet
+      .select(col("grp"), col("n"), col("sum"), col("mn"), col("mx"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
     val want = ChangeViewSink.expectedView(spark, srcPath, Seq("grp"), "cents")
-      .as[(String, Long, Double)].collect().toSet
+      .select(col("grp"), col("n"), col("sum"), col("mn"), col("mx"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
     assert(got == want, s"view $got != source aggregate $want")
   }
 
@@ -59,6 +62,38 @@ class ChangeViewSinkSpec extends SparkSpec {
     val groups = ChangeViewSink.readView(spark, view)
       .select("grp").as[String].collect().toSet
     assert(groups == Set("b", "c", "d"), s"deleted group lingers: $groups")
+  }
+
+  test("deleting stored extrema repairs min/max exactly, filtering to repair keys") {
+    val src = tmp("graft_cvs_src_") + "/t"
+    val view = tmp("graft_cvs_view_") + "/v"
+    val ckpt = tmp("graft_cvs_ckpt_")
+    // two groups, distinct values; group files carry min/max stats
+    val df = (1L to 20L)
+      .map(i => (i, if (i <= 10) "a" else "b", i * 100L))
+      .toDF("id", "grp", "cents").repartition(1)
+    DeltaWrite.writeDeltaTable(df, src, "append") // v0
+    val q1 = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-repair", checkpoint = ckpt)
+    q1.awaitTermination()
+    viewEqualsSource(view, src)
+
+    // delete group a's MAX and group b's MIN — without the repair pass
+    // the view's bounds would linger at 1000/1100 forever
+    DeltaMerge.deleteWhereDv(spark, src,
+      col("cents") === 1000L || col("cents") === 1100L) // v1
+    val q2 = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-repair", checkpoint = ckpt)
+    q2.awaitTermination()
+    viewEqualsSource(view, src) // mn(a)=100..mx(a)=900, mn(b)=1200..mx(b)=2000
+
+    // deleting a non-extremum must NOT trigger repair work: bounds stay
+    // exact through the plain fold
+    DeltaMerge.deleteWhereDv(spark, src, col("cents") === 500L) // v2
+    val q3 = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-repair", checkpoint = ckpt)
+    q3.awaitTermination()
+    viewEqualsSource(view, src)
   }
 
   test("a replayed epoch folds exactly once") {
