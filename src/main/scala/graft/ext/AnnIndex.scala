@@ -391,45 +391,75 @@ object AnnIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var splits = 0
-    def worst: Option[(Int, Long)] = counts.filterNot(c => unsplittable(c._1))
-      .maxByOption(_._2).filter(_._2 * centroids.size / total > maxBalance)
-    var next = worst
-    while (splits < maxSplits && next.isDefined) {
-      val cell = next.get._1
-      val rows = spark.read.parquet(path).filter(col("cell") === cell)
-      val sub = Similarity.ivfCentroidsSampled(rows, "id", "vec", 2, iters,
-        seed + splits)
-      val newCell = centroids.size
-      val reassigned = rows.withColumn("cell",
-        when(Similarity.assignCell(col("vec"), sub) === 0, lit(cell))
-          .otherwise(lit(newCell)))
+    // BATCHED split rounds: every cell over the bound splits in ONE pass —
+    // one pooled sampling job (per-cell hash-ordered top-N, the
+    // sampleVectors order), driver-side k=2 training per cell, one staged
+    // write reassigning all of them via a per-cell when-chain, one staged
+    // count. The previous worst-first loop issued three Spark jobs PER
+    // split (up to 3×maxSplits); a round is three jobs total, and most
+    // rebalances converge in one round.
+    def breaching: Seq[Int] = counts.filterNot(c => unsplittable(c._1))
+      .filter(_._2 * centroids.size / total > maxBalance)
+      .toSeq.sortBy(-_._2).map(_._1)
+    var round = breaching
+    while (splits < maxSplits && round.nonEmpty) {
+      val cells = round.take(maxSplits - splits)
+      // pooled sample: one job, |cells| × 4096 rows collected
+      val sampleSize = 4096
+      val pooled = graft.plans.TopKPerKey.topKPerKey(
+          spark.read.parquet(path)
+            .filter(col("cell").isInCollection(cells))
+            .select(col("cell"), col("vec"),
+              xxhash64(col("id"), lit(seed)).as("__h")),
+          Seq("cell"), Seq(col("__h")), sampleSize)
+        .select(col("cell"), col("vec")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          c -> rs.map(_.getSeq[Float](1).map(_.toDouble).toArray) }
+      val subsOf: Map[Int, Seq[Seq[Double]]] = cells.map { c =>
+        c -> Similarity.lloydOnSample(pooled(c), 2, iters).map(_.toSeq).toSeq
+      }.toMap
+      val newIdOf: Map[Int, Int] =
+        cells.zipWithIndex.map { case (c, i) => c -> (centroids.size + i) }.toMap
+      // one staged write: each row routes through ITS cell's sub-centroids
+      val reassigned = spark.read.parquet(path)
+        .filter(col("cell").isInCollection(cells))
+        .withColumn("cell", cells.foldLeft(lit(null).cast("int")) { (acc, c) =>
+          when(col("cell") === c,
+            when(Similarity.assignCell(col("vec"), subsOf(c)) === 0, lit(c))
+              .otherwise(lit(newIdOf(c)))).otherwise(acc)
+        })
       val staging = new org.apache.hadoop.fs.Path(path,
         s".rebal-staging-${java.util.UUID.randomUUID()}")
       reassigned.write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
       val stagedCounts = spark.read.parquet(staging.toString)
         .groupBy(col("cell")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (stagedCounts.size < 2) {
-        // the cell would not separate into two — never retry it
-        unsplittable += cell
-        fs.delete(staging, true)
-      } else {
-        val oldDir = new org.apache.hadoop.fs.Path(path, s"cell=$cell")
+      // separating cells swap in; non-separating cells keep their original
+      // directory untouched and never retry. New ids assigned to cells
+      // that end up NOT splitting leave holes — compacted by appending
+      // split cells in order, so re-derive each split's final id.
+      val separated = cells.filter(c =>
+        stagedCounts.contains(c) && stagedCounts.contains(newIdOf(c)))
+      cells.filterNot(separated.contains).foreach(unsplittable += _)
+      separated.foreach { c =>
+        val finalNew = centroids.size
+        val oldDir = new org.apache.hadoop.fs.Path(path, s"cell=$c")
         fs.delete(oldDir, true)
-        Seq(cell, newCell).foreach { c =>
-          val src = new org.apache.hadoop.fs.Path(staging, s"cell=$c")
-          val dst = new org.apache.hadoop.fs.Path(path, s"cell=$c")
+        Seq(c -> c, newIdOf(c) -> finalNew).foreach { case (stagedId, dstId) =>
+          val src = new org.apache.hadoop.fs.Path(staging, s"cell=$stagedId")
+          val dst = new org.apache.hadoop.fs.Path(path, s"cell=$dstId")
           require(fs.rename(src, dst), s"failed to move $src to $dst")
         }
-        fs.delete(staging, true)
-        centroids(cell) = sub(0)
-        centroids += sub(1)
-        cellVers.get(cell).foreach(v => cellVers(newCell) = v)
-        counts(cell) = stagedCounts(cell)
-        counts(newCell) = stagedCounts(newCell)
+        centroids(c) = subsOf(c)(0)
+        centroids += subsOf(c)(1)
+        cellVers.get(c).foreach(v => cellVers(finalNew) = v)
+        counts(c) = stagedCounts(c)
+        counts(finalNew) = stagedCounts(newIdOf(c))
         splits += 1
       }
-      next = worst
+      fs.delete(staging, true)
+      round = breaching
     }
 
     // ---- merge pass: fold starved cells into their nearest neighbor ----

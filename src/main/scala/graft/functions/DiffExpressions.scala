@@ -83,6 +83,58 @@ object DiffExpressions {
     ArrayData.toArrayData(out)
   }
 
+  /** Per-file deleted-position bitmaps keyed like [[SliceTable]] (same
+    * one-entry normalization memo). Backs [[DvSurvivesExpr]].
+    */
+  final class DvTable(val entries: Map[String, RoaringArray])
+      extends Serializable {
+    @transient private var memo: (String, RoaringArray) = _
+    def bitmapOf(file: UTF8String): RoaringArray = {
+      val f = file.toString
+      val m = memo
+      if (m != null && m._1 == f) return m._2
+      val key = new org.apache.hadoop.fs.Path(f).toUri.getPath
+      val b = entries.getOrElse(key, null)
+      memo = (f, b)
+      b
+    }
+  }
+
+  /** Row survives when its physical position is NOT in its file's
+    * deletion-vector bitmap (file absent from the map = no vector).
+    */
+  def dvSurvives(file: UTF8String, idx: Long, bc: Broadcast[DvTable]): Boolean = {
+    val bits = bc.value.bitmapOf(file)
+    bits == null || !bits.contains(idx)
+  }
+
+  /** dv_survives(file, row_idx): the deletion-vector row filter — the
+    * hot-path replacement for the boxed udf form, which allocated a
+    * Hadoop Path per scanned row of every DV-bearing file and fell out
+    * of whole-stage codegen.
+    */
+  case class DvSurvivesExpr(left: Expression, right: Expression,
+      table: Broadcast[DvTable]) extends BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def prettyName: String = "graft_dv_survives"
+
+    override def nullSafeEval(file: Any, idx: Any): Any =
+      dvSurvives(file.asInstanceOf[UTF8String], idx.asInstanceOf[Long], table)
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("dvTable", table,
+        classOf[Broadcast[DvTable]].getName)
+      nullSafeCodeGen(ctx, ev, (f, i) =>
+        s"${ev.value} = graft.functions.DiffExpressions.dvSurvives($f, $i, $bcRef);")
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** slice_versions(file, row_idx): array of commit versions at which the
     * position changed (this change type), per the broadcast slice table.
     */

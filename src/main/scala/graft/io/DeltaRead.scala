@@ -468,12 +468,17 @@ object DeltaRead {
       fs.makeQualified(new Path(resolveFilePath(path, f.path))).toUri.getPath ->
         DeletionVectors.load(fs, root, f.dv.get)
     }.toMap
-    val bc = spark.sparkContext.broadcast(dvMap)
-    val survives = udf { (file: String, idx: Long) =>
-      bc.value.get(new Path(file).toUri.getPath).forall(!_.contains(idx))
-    }
+    val bc = spark.sparkContext.broadcast(
+      new graft.functions.DiffExpressions.DvTable(dvMap))
+    // codegen'd position filter (graft.functions.DiffExpressions pattern):
+    // the original boxed udf allocated a Hadoop Path per scanned row of
+    // every DV-bearing file and broke whole-stage codegen in the read hot
+    // path — the expression memoizes the per-file key normalization
+    val shims = org.apache.spark.sql.GraftSqlShims
+    val survives = shims.column(graft.functions.DiffExpressions.DvSurvivesExpr(
+      shims.expression(col("__file")), shims.expression(col("__row_idx")), bc))
     val dvScan0 = scanOf(dvFiles, withRowIdx = true)
-      .filter(survives(col("__file"), col("__row_idx")))
+      .filter(survives)
     val dvScan =
       if (rowIndex) dvScan0
       else dvScan0.drop(

@@ -274,6 +274,42 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.rebalance(spark, path, maxBalance = 1.3) == 0)
   }
 
+  test("rebalance splits SEVERAL breaching cells in one batched round; exactness holds") {
+    val path = Files.createTempDirectory("graft_ann_rebal_multi").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    // bloat TWO cells: 30 extra vectors into cluster 0's and cluster 1's
+    // cells each → both breach maxBalance=1.3 simultaneously
+    val extra = (0 until 60).map { i =>
+      val axis = i % 2
+      val v = Array.fill(8)(0.0f)
+      v(axis) = 10.1f + (i / 2) * 0.01f; v(axis + 4) = 4f
+      (800L + i, v)
+    }.toDF("vec_id", "embedding")
+    AnnIndex.append(extra, "vec_id", "embedding", path)
+    val statsBefore = AnnIndex.cellStats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(statsBefore.values.count(_ > 1.3) >= 2,
+      s"fixture must breach in >=2 cells: $statsBefore")
+
+    val all = vecs.unionByName(extra)
+    val queries = all.filter(col("vec_id").isin(0L, 101L, 207L, 805L, 806L))
+    def exhaustive(nCells: Int) =
+      AnnIndex.knnJoin(spark, path, queries, "vec_id", "embedding",
+        nProbe = nCells, k = 5).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val before = exhaustive(3)
+
+    val splits = AnnIndex.rebalance(spark, path, maxBalance = 1.3)
+    assert(splits >= 2, s"both breaching cells must split, got $splits")
+    val metaAfter = AnnIndex.readMeta(spark, path)
+    assert(metaAfter.nCells == 3 + splits)
+    val statsAfter = AnnIndex.cellStats(spark, path).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(statsAfter.forall(_._3 <= 1.3), statsAfter.mkString(", "))
+    assert(statsAfter.map(_._2).sum == 96L, statsAfter.mkString(", "))
+    assert(exhaustive(metaAfter.nCells) == before)
+  }
+
   test("a non-index path is refused") {
     val e = intercept[IllegalArgumentException](
       AnnIndex.query(spark, Files.createTempDirectory("not_ann").toString,
