@@ -217,9 +217,13 @@ object QRound11 {
       base.select((col("o_orderkey") + 50000000L).as("o_orderkey"),
         lit("Z").as("grp"), (col("cents") + 1).as("cents")),
       src, "append") // v4
+    // maxVersionsPerBatch = 2: the 5-commit history drains in >= 3 bounded
+    // epochs under native Trigger.AvailableNow — the gate exercises
+    // admission control + multi-epoch exactly-once, not just one big fold
     val q = graft.streaming.ChangeViewSink.maintain(s, src, view,
       Seq("grp"), "cents", appId = "q116",
-      checkpoint = new java.io.File(root, "ckpt").getAbsolutePath)
+      checkpoint = new java.io.File(root, "ckpt").getAbsolutePath,
+      maxVersionsPerBatch = Some(2L))
     q.awaitTermination()
     graft.streaming.ChangeViewSink.readView(s, view)
       .select(col("grp"), col("n"), col("sum").cast("long").as("cents"))

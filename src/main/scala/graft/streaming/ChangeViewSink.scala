@@ -56,7 +56,8 @@ object ChangeViewSink {
   def maintain(spark: SparkSession, sourcePath: String, viewPath: String,
       keyCols: Seq[String], valueCol: String, appId: String,
       checkpoint: String, startingVersion: String = "earliest",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersionsPerBatch: Option[Long] = None): StreamingQuery = {
     val srcSchema = DeltaRead.readDeltaTable(spark, sourcePath).schema
     val viewSchema = StructType(
       keyCols.map(k => srcSchema(k)) ++ Seq(
@@ -69,11 +70,13 @@ object ChangeViewSink {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], viewSchema),
         viewPath, "append")
-    spark.readStream
+    val reader = spark.readStream
       .format("graft.streaming.DeltaChangeSource")
       .option("path", sourcePath)
       .option("startingVersion", startingVersion)
-      .load()
+    maxVersionsPerBatch.foreach(n =>
+      reader.option("maxVersionsPerBatch", n.toString))
+    reader.load()
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
