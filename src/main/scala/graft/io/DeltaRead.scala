@@ -1031,20 +1031,26 @@ object DeltaRead {
   }
 
   /** Latest version number in the log (`-1` if the directory is empty).
-    * The checkpoint version counts too: once log cleanup has dropped every
-    * pre-checkpoint JSON, the checkpoint may be the only record of the
-    * head — a writer ignoring it would re-issue version 0 and corrupt the
-    * table.
+    * The checkpoint version counts too — and so does the highest
+    * compacted-range end ([[DeltaWrite.compactLog]]): once log cleanup
+    * has dropped per-commit JSONs, those may be the only record of the
+    * head — a writer ignoring them would re-issue an old version number
+    * and corrupt the table.
     */
   def latestVersion(spark: SparkSession, path: String): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "_delta_log")
     if (!fs.exists(dir)) return -1L
-    val fromJson = fs.listStatus(dir).iterator.map(_.getPath.getName)
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val fromJson = names.iterator
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
         n.dropRight(5).toLong }
       .foldLeft(-1L)(math.max)
-    math.max(fromJson,
+    val fromCompacted = names.iterator
+      .collect { case n if n.endsWith(".compacted.json") =>
+        n.stripSuffix(".compacted.json").split('.')(1).toLong }
+      .foldLeft(-1L)(math.max)
+    math.max(math.max(fromJson, fromCompacted),
       readLastCheckpoint(spark, fs, dir).map(_.version).getOrElse(-1L))
   }
 
@@ -1207,38 +1213,62 @@ object DeltaRead {
       }
     }
 
-    val versions = fs.listStatus(dir).iterator.map(_.getPath.getName)
+    val listed = fs.listStatus(dir).map(_.getPath.getName)
+    val base = lastCp.map(_.version).getOrElse(-1L)
+    val versions = listed.iterator
       .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
         n.dropRight(5).toLong }
-      .filter(v => v <= cut && lastCp.forall(v > _.version))
+      .filter(v => v <= cut && v > base)
       .toSeq.sorted
+    // LOG COMPACTION files (`<s>.<e>.compacted.json`, written by
+    // [[DeltaWrite.compactLog]]): a usable one lies wholly inside the
+    // replay window — never past the cut (its content is the range's END
+    // state, so a mid-range time travel cannot use it) and never below
+    // the checkpoint base.
+    val compactedAll = listed.iterator.collect {
+      case n if n.endsWith(".compacted.json") =>
+        val parts = n.stripSuffix(".compacted.json").split('.')
+        (parts(0).toLong, parts(1).toLong)
+    }.filter { case (s, e) => s > base && e <= cut }.toSeq.sorted
     // The requested version must actually EXIST — "any commit <= cut" is
     // not enough (versionAsOf=99 on a 2-version table would silently
     // return the head otherwise; Delta raises a time-travel error).
     versionAsOf.foreach { v =>
-      require(versions.contains(v) || lastCp.exists(_.version == v),
+      require(versions.contains(v) || lastCp.exists(_.version == v) ||
+          compactedAll.exists(_._2 == v),
         s"cannot time travel to version $v: no commit ${f"$v%020d"}.json and no " +
-          s"checkpoint at that version in $dir")
+          s"checkpoint or compacted range ending at that version in $dir")
     }
-    // Replay must be ANCHORED: either it starts from a checkpoint at/below
-    // the cut, or the JSON history is complete from version 0. A log whose
-    // pre-checkpoint JSON was cleaned replays truncated (missing adds)
-    // when the checkpoint is skipped by time travel — fail instead.
-    versions.headOption.foreach { first =>
-      val base = lastCp.map(_.version).getOrElse(-1L)
-      require(first == base + 1,
-        s"cannot replay $dir: JSON history starts at version $first but " +
-          (if (base >= 0) s"the usable checkpoint covers only up to $base"
-           else "there is no checkpoint at or below the requested version") +
-          " — intermediate commits were cleaned")
-      require(versions == (first to versions.last),
-        s"commit gap in $dir: have ${versions.mkString(",")}")
+    // Build the replay SEGMENTS from base+1 to the highest reachable
+    // version: at each step prefer the longest usable compacted span
+    // (one file substitutes its whole range), else the single commit
+    // JSON. Replay must be ANCHORED and GAP-FREE: a hole that neither a
+    // JSON nor a compacted span covers means commits were cleaned — fail
+    // instead of replaying truncated state.
+    val jsonSet = versions.toSet
+    val replayEnd = math.max(versions.lastOption.getOrElse(base),
+      compactedAll.map(_._2).maxOption.getOrElse(base))
+    val segments = scala.collection.mutable.ArrayBuffer[Path]()
+    var at = base + 1
+    while (at <= replayEnd) {
+      compactedAll.filter(_._1 == at).sortBy(-_._2).headOption match {
+        case Some((s, e)) =>
+          segments += new Path(dir, f"$s%020d.$e%020d.compacted.json")
+          at = e + 1
+        case None =>
+          require(jsonSet.contains(at),
+            s"cannot replay $dir: version $at has no commit JSON and no " +
+              s"compacted range starting there" +
+              (if (base >= 0) s" (usable checkpoint covers up to $base)"
+               else "") + " — intermediate commits were cleaned")
+          segments += new Path(dir, f"$at%020d.json")
+          at += 1
+      }
     }
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    versions.foreach { v =>
-      val p = new Path(dir, f"$v%020d.json")
-      val in = fs.open(p)
+    segments.foreach { seg =>
+      val in = fs.open(seg)
       val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
@@ -1248,7 +1278,7 @@ object DeltaRead {
           val minR = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
           val rf = Option(p.get("readerFeatures"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          checkProtocol(minR, rf, s"$dir version $v")
+          checkProtocol(minR, rf, s"$dir ${seg.getName}")
           protocol = Protocol(minR,
             Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2), rf,
             Option(p.get("writerFeatures"))

@@ -577,6 +577,101 @@ object DeltaWrite {
       s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
   }
 
+  /** LOG COMPACTION (the public `<start>.<end>.compacted.json` layout):
+    * aggregate the commit range's actions into one reconciled file so
+    * replay between checkpoints reads O(compactions) files instead of
+    * O(commits) — the bounded-replay story for tables taking thousands of
+    * small commits between checkpoints. Reconciliation is exactly replay
+    * semantics over the range in isolation:
+    *
+    *  - the LAST protocol / metaData action (when any);
+    *  - the latest `txn` per appId (idempotence watermarks carry);
+    *  - the latest `domainMetadata` per domain, removal tombstones kept;
+    *  - per file path, the NET action: still-live adds carry their final
+    *    state (DV, row-tracking fields) verbatim; files removed last keep
+    *    a remove tombstone (a file added before the range needs it to
+    *    drop at replay); added-then-removed-within vanishes entirely.
+    *
+    * Compaction is an OPTIMIZATION, not a commit: no version is consumed,
+    * the original JSONs stay (cleanup remains checkpoint-keyed — foreign
+    * readers are not required to understand compacted files), and the
+    * file publishes atomically (temp + rename). [[DeltaRead.replayFull]]
+    * substitutes the largest non-overlapping compacted coverage for the
+    * per-commit JSONs when replaying. Returns the written path.
+    *
+    * With no explicit range: compact everything after the last
+    * checkpoint (or from version 0) up to the head.
+    */
+  def compactLog(spark: SparkSession, path: String,
+      startVersion: Long = -1L, endVersion: Long = -1L): String = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, "_delta_log")
+    require(fs.exists(dir), s"$path is not a Delta table (no _delta_log)")
+    val jsons = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") && n.dropRight(5).forall(_.isDigit) =>
+        n.dropRight(5).toLong }.toSeq.sorted
+    val start = if (startVersion >= 0) startVersion else jsons.headOption.getOrElse(
+      throw new IllegalArgumentException(s"$path has no commit JSONs to compact"))
+    val end = if (endVersion >= 0) endVersion else jsons.last
+    require(start < end, s"compaction range [$start, $end] must span >= 2 commits")
+    val range = start to end
+    require(range.forall(jsons.contains),
+      s"compactLog($start, $end): missing commit JSONs " +
+        s"${range.filterNot(jsons.contains).mkString(", ")} in $dir")
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var protoLine: String = null
+    var metaLine: String = null
+    val txns = scala.collection.mutable.LinkedHashMap[String, String]()
+    val domains = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per path: Left(add line) when the last action is an add, Right
+    // (remove line) when it is a remove. The tombstone is ALWAYS kept —
+    // the range in isolation cannot distinguish a remove of a range-
+    // created file (tombstone harmless at replay) from a remove of a
+    // PRE-range file whose DV re-add happened inside the range (dropping
+    // that tombstone resurrects the pre-range state — a wrong answer this
+    // spec's DV-then-COW history caught).
+    val files = scala.collection.mutable.LinkedHashMap[String, Either[String, String]]()
+    range.foreach { v =>
+      val in = fs.open(new Path(dir, f"$v%020d.json"))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) protoLine = line
+        if (node.has("metaData")) metaLine = line
+        if (node.has("txn")) txns(node.get("txn").get("appId").asText()) = line
+        if (node.has("domainMetadata"))
+          domains(node.get("domainMetadata").get("domain").asText()) = line
+        if (node.has("add")) {
+          val p = node.get("add").get("path").asText()
+          files(p) = Left(mapper.writeValueAsString(
+            mapper.createObjectNode().set[com.fasterxml.jackson.databind.node.ObjectNode](
+              "add", node.get("add").deepCopy())))
+        }
+        if (node.has("remove")) {
+          val p = node.get("remove").get("path").asText()
+          files(p) = Right(mapper.writeValueAsString(
+            mapper.createObjectNode().set[com.fasterxml.jackson.databind.node.ObjectNode](
+              "remove", node.get("remove").deepCopy())))
+        }
+      }
+    }
+    val lines = Option(protoLine).toSeq ++ Option(metaLine).toSeq ++
+      txns.values ++ domains.values ++
+      files.values.collect { case Right(l) => l } ++
+      files.values.collect { case Left(l) => l }
+    val out = new Path(dir, f"$start%020d.$end%020d.compacted.json")
+    val tmp = new Path(dir, s".${out.getName}.${UUID.randomUUID()}.tmp")
+    val os = fs.create(tmp, true)
+    try lines.foreach(l => os.write((l + "\n").getBytes("UTF-8")))
+    finally os.close()
+    require(fs.rename(tmp, out) || fs.exists(out),
+      s"could not publish $out")
+    out.toString
+  }
+
   /** Enable row tracking ON AN EXISTING table — the backfill op every
     * real table acquires the feature through (creation-time enablement is
     * [[writeDeltaTableRowTracked]]). One metadata-only commit:
