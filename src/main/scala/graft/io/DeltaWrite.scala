@@ -2008,8 +2008,13 @@ object DeltaWrite {
       // _last_checkpoint names (any of the three naming forms)
       val cpV = if (n.contains(".checkpoint.") || n.endsWith(".checkpoint.parquet"))
         n.split('.').headOption.filter(_.forall(_.isDigit)).map(_.toLong) else None
+      // a compacted range ([[compactLog]]) is expendable once the
+      // checkpoint covers its END — replay never consults it again
+      val compV = if (n.endsWith(".compacted.json"))
+        Some(n.stripSuffix(".compacted.json").split('.')(1).toLong) else None
       val expendable =
-        jsonV.exists(_ <= lastCp.version) || cpV.exists(_ < lastCp.version)
+        jsonV.exists(_ <= lastCp.version) || cpV.exists(_ < lastCp.version) ||
+          compV.exists(_ <= lastCp.version)
       if (expendable && st.getModificationTime < cutoff) {
         if (fs.delete(st.getPath, false)) deleted += n
       }

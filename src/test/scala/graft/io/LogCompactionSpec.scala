@@ -119,5 +119,11 @@ class LogCompactionSpec extends SparkSpec {
       DeltaWrite.compactLog(spark, path, 2L, 99L)
     }
     assert(e.getMessage.contains("missing commit JSONs"), e.getMessage)
+
+    // cleanup retires the checkpoint-covered compacted range along with
+    // its commit JSONs; replay is unaffected
+    val cleaned = DeltaWrite.cleanupMetadata(spark, path, retentionMs = 0L)
+    assert(cleaned.exists(_.endsWith(".compacted.json")), cleaned.toString)
+    assert(DeltaRead.readDeltaTable(spark, path).count() == 16L)
   }
 }
