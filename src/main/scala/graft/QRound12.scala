@@ -69,9 +69,39 @@ object QRound12 {
       |GROUP BY seg
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Heavy-hitter tokens via the bounded Misra-Gries aggregate
+    * ([[graft.ext.TextAnalysis.heavyHitters]]): ONE aggregate pass over
+    * documents — tokenization happens inside the aggregate's update, so
+    * no per-token row ever exists and the shuffle is capacity × partitions
+    * rows regardless of corpus size (the exact `explode → groupBy` form
+    * shuffles every distinct token). The testdata vocabulary (31 tokens)
+    * fits the capacity (64), so Misra-Gries never decrements and the
+    * counts are EXACT — hashed against DuckDB's exact aggregation. The
+    * approximate regime (capacity < vocabulary) is spec-pinned with the
+    * classic retention/underestimate bounds (FreqSketchSpec).
+    */
+  def q120HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .agg(graft.ext.TextAnalysis.heavyHitters(col("text"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+  }
+
+  private val q120Sql =
+    """SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> ''
+      |GROUP BY tok
+      |ORDER BY cnt DESC, token
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q119_log_compaction" -> (q119LogCompaction _))
+    "q119_log_compaction" -> (q119LogCompaction _),
+    "q120_heavy_hitters" -> (q120HeavyHitters _))
 
   val sql: Map[String, String] = Map(
-    "q119_log_compaction" -> q119Sql)
+    "q119_log_compaction" -> q119Sql,
+    "q120_heavy_hitters" -> q120Sql)
 }

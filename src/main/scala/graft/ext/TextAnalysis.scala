@@ -88,6 +88,22 @@ object TextAnalysis {
       graft.functions.TextExpressions.LangIdExpr(
         org.apache.spark.sql.GraftSqlShims.expression(coalesce(c, lit(""))), markers))
 
+  /** Bounded heavy-hitter token counts ([[graft.functions.FreqSketch]]):
+    * a Misra-Gries aggregate that tokenizes inside `update` — no explode
+    * row ever leaves the scan stage, each partial buffer holds at most
+    * `capacity` counters, and the shuffle is `capacity × partitions` rows
+    * no matter the corpus. Tokens with true frequency > N/capacity are
+    * guaranteed retained; reported counts sit within N/capacity BELOW
+    * truth (never above); a vocabulary that fits the capacity gets EXACT
+    * counts (the q120 oracle regime). Returns
+    * `array<struct<token, cnt>>` sorted by (cnt desc, token).
+    */
+  def heavyHitters(text: Column, capacity: Int): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.FreqSketch.MisraGries(
+        org.apache.spark.sql.GraftSqlShims.expression(text), capacity)
+        .toAggregateExpression())
+
   /** Canonical-form fingerprint: lowercase, strip non-alphanumerics, collapse
     * runs of spaces, trim, md5. Two documents differing only in case /
     * punctuation / spacing collide — the cheap first-stage dedup key.
