@@ -28,11 +28,94 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unsupported filter shapes keep the file (skipping is an optimization,
   * never a correctness decision); missing stats keep the file.
   */
+/** GENERATED-COLUMN partition pruning: when a partition column is
+  * declared `delta.generationExpression` over a data column through a
+  * MONOTONE transform, a pushed data filter on the SOURCE column derives
+  * a partition-value bound — `ts >= T` prunes `day = date(ts)` partitions
+  * below `date(T)` without the query ever mentioning `day`. This is the
+  * optimization that makes date-partitioned 100 TB tables answer
+  * time-range queries from a handful of partitions; without it the
+  * time predicate only helps at the (already-open) file-stats level.
+  *
+  * Recognized (all monotone non-decreasing, so `src ⊙ L` maps to
+  * `part ⊙' f(L)` conservatively): `date(x)` / `CAST(x AS DATE)` on
+  * timestamp or date sources, `year(x)`, and prefix
+  * `substring(x, 1, n)`. Anything else derives nothing (pruning is an
+  * optimization, never a correctness decision). Disabled on mapped
+  * tables (generation expressions name logical columns; the scan runs
+  * physical names).
+  */
+private[io] final case class GenPrune(srcCol: String,
+    toPart: Any => Option[Any])
+
+private[io] object GeneratedPruning {
+  private val DateOf =
+    """(?i)\s*(?:date\s*\(\s*`?(\w+)`?\s*\)|cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\))\s*""".r
+  private val YearOf = """(?i)\s*year\s*\(\s*`?(\w+)`?\s*\)\s*""".r
+  private val PrefixOf =
+    """(?i)\s*substr(?:ing)?\s*\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)\s*""".r
+
+  def forPartitionCols(schema: StructType, partCols: Seq[String],
+      zoneId: String): Map[String, GenPrune] = {
+    val zone = java.time.ZoneId.of(zoneId)
+    def srcType(c: String): Option[DataType] =
+      schema.find(_.name == c).map(_.dataType)
+    def microsToLocalDate(micros: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L).atZone(zone).toLocalDate
+    partCols.flatMap { pc =>
+      schema.find(_.name == pc)
+        .filter(_.metadata.contains("delta.generationExpression"))
+        .flatMap { f =>
+          f.metadata.getString("delta.generationExpression") match {
+            case DateOf(c1, c2) =>
+              val src = Option(c1).getOrElse(c2)
+              srcType(src).collect {
+                case TimestampType => pc -> GenPrune(src, {
+                  case micros: Long =>
+                    Some(microsToLocalDate(micros).toEpochDay.toInt)
+                  case _ => None
+                })
+                case DateType => pc -> GenPrune(src, {
+                  case days: Int => Some(days)
+                  case _ => None
+                })
+              }
+            case YearOf(src) =>
+              srcType(src).collect {
+                case TimestampType => pc -> GenPrune(src, {
+                  case micros: Long => Some(microsToLocalDate(micros).getYear)
+                  case _ => None
+                })
+                case DateType => pc -> GenPrune(src, {
+                  case days: Int =>
+                    Some(java.time.LocalDate.ofEpochDay(days.toLong).getYear)
+                  case _ => None
+                })
+              }
+            case PrefixOf(src, len) =>
+              srcType(src).collect {
+                case StringType => pc -> GenPrune(src, {
+                  case s: UTF8String =>
+                    Some(UTF8String.fromString(
+                      s.toString.take(len.toInt)))
+                  case _ => None
+                })
+              }
+            case _ => None
+          }
+        }
+    }.toMap
+  }
+}
+
 private[io] class DeltaLogFileIndex(
     spark: SparkSession,
     tablePath: String,
     files: Seq[DeltaRead.LiveFile],
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    genPrune: Map[String, GenPrune] = Map.empty) extends FileIndex {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -69,10 +152,64 @@ private[io] class DeltaLogFileIndex(
     files
       .filter(f => partPred(partValues(f.partitionValues)))
       .filter(f => dataFilters.forall(mayMatch(f, _)))
+      .filter(f => dataFilters.forall(genMayMatch(partValues(f.partitionValues), _)))
       .groupBy(_.partitionValues)
       .map { case (pv, fs) =>
         PartitionDirectory(partValues(pv), fs.map(fileStatus).toArray)
       }.toSeq
+  }
+
+  /** Generated-column pruning test: false ONLY when a data filter on a
+    * generation SOURCE column proves the file's partition value cannot
+    * hold a matching row (monotone transforms — see [[GeneratedPruning]]).
+    * `src > L` and `src >= L` both require `part >= f(L)` (the transform
+    * collapses values, so the boundary partition may still hold matches);
+    * mirrored for `<`/`<=`; equality requires `part == f(L)`.
+    */
+  private def genMayMatch(partRow: InternalRow, filter: Expression): Boolean = {
+    if (genPrune.isEmpty) return true
+    def partVal(pc: String): Option[Any] = {
+      val i = partitionSchema.indexWhere(_.name == pc)
+      if (i < 0 || partRow.isNullAt(i)) None
+      else Some(partRow.get(i, partitionSchema(i).dataType))
+    }
+    def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Int, y: Int) => Some(Integer.compare(x, y))
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    /** cmp(partValue, f(L)) for the entry keyed by the filter's source. */
+    def bound(src: String, lit: Any): Option[Int] = for {
+      (pc, gp) <- genPrune.find(_._2.srcCol == src)
+      fl <- gp.toPart(lit)
+      pv <- partVal(pc)
+      c <- cmpAny(pv, fl)
+    } yield c
+    filter match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        bound(a.name, v).forall(_ == 0)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        genMayMatch(partRow, EqualTo(a, l))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        bound(a.name, v).forall(_ >= 0)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        bound(a.name, v).forall(_ >= 0)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        bound(a.name, v).forall(_ <= 0)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        bound(a.name, v).forall(_ <= 0)
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        genMayMatch(partRow, LessThan(a, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        genMayMatch(partRow, LessThanOrEqual(a, l))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        genMayMatch(partRow, GreaterThan(a, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        genMayMatch(partRow, GreaterThanOrEqual(a, l))
+      case And(l, r) => genMayMatch(partRow, l) && genMayMatch(partRow, r)
+      case _ => true
+    }
   }
 
   private lazy val fs =

@@ -439,10 +439,17 @@ object DeltaRead {
 
       // One scan relation over a LOG-BACKED FileIndex (the delta-core
       // seam): plan size is independent of partition count and layout,
-      // partition pruning evaluates against the log's partitionValues, and
-      // pushed data filters skip whole FILES via add.stats min/max — a
-      // pruned file is never opened.
-      val index = new DeltaLogFileIndex(spark, path, subset, partitionSchema)
+      // partition pruning evaluates against the log's partitionValues
+      // (INCLUDING bounds derived from data filters on generated-column
+      // sources — a ts range prunes day=date(ts) partitions), and pushed
+      // data filters skip whole FILES via add.stats min/max — a pruned
+      // file is never opened.
+      val genPrune =
+        if (meta.mappingMode != "none") Map.empty[String, GenPrune]
+        else GeneratedPruning.forPartitionCols(schema, meta.partitionCols,
+          spark.sessionState.conf.sessionLocalTimeZone)
+      val index = new DeltaLogFileIndex(spark, path, subset, partitionSchema,
+        genPrune)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         index, partitionSchema, dataSchema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,

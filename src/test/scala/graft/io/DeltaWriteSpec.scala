@@ -696,6 +696,56 @@ class DeltaWriteSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 10L))
   }
 
+  test("generated-column partition pruning: a ts range prunes day=date(ts) partitions") {
+    import org.apache.spark.sql.types.Metadata
+    val table = tmp("graft_dw_genprune")
+    val md = Metadata.fromJson("""{"delta.generationExpression":"date(ts)"}""")
+    // five days, one partition each, two files per day
+    val rows = (0 until 5).flatMap { d =>
+      (0 until 4).map(i => (d * 10L + i, s"2024-03-0${d + 1} 0$i:00:00"))
+    }
+    DeltaWrite.writeDeltaTable(
+      rows.toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("d", expr("date(ts)").as("d", md))
+        .repartition(2, col("id")),
+      table, "append", partitionBy = Seq("d"))
+    val allFiles = DeltaRead.replayLog(spark, table, None)._2.size
+    assert(allFiles >= 5, s"fixture needs per-day files, got $allFiles")
+
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    val t = DeltaRead.readDeltaTable(spark, table)
+    val whole = filesRead(t)
+    assert(whole == allFiles.toLong)
+    // the query never mentions `d` — the ts bounds must derive it
+    val pruned = t.filter(col("ts") >= lit("2024-03-04 00:00:00").cast("timestamp"))
+    val prunedFiles = filesRead(pruned)
+    assert(prunedFiles < whole,
+      s"ts bound derived no partition pruning: $prunedFiles of $whole")
+    // correctness: pruned result equals the unpruned filter
+    val want = rows.filter(_._2 >= "2024-03-04").map(_._1).sorted
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq == want)
+    // a two-sided range isolates one day + the conservative boundary
+    // partition (`ts < midnight` keeps day <= date(midnight): the
+    // transform collapses, so the derivation cannot exclude the boundary
+    // — file stats then skip it at the next level)
+    val oneDay = t.filter(col("ts") >= lit("2024-03-03 00:00:00").cast("timestamp")
+      && col("ts") < lit("2024-03-04 00:00:00").cast("timestamp"))
+    assert(filesRead(oneDay) <= 2 * whole / 5,
+      "a one-day range must touch at most day + boundary partitions")
+    assert(oneDay.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      rows.filter(r => r._2 >= "2024-03-03" && r._2 < "2024-03-04").map(_._1).sorted)
+    // equality on the source column pins the exact partition
+    val eq = t.filter(col("ts") === lit("2024-03-02 01:00:00").cast("timestamp"))
+    assert(filesRead(eq) <= whole / 5 + 1)
+    assert(eq.count() == 1L)
+  }
+
   test("mergeSchema append on a generated-column table keeps the batch-only columns") {
     import org.apache.spark.sql.types.Metadata
     val table = tmp("graft_dw_genms")
