@@ -267,6 +267,32 @@ private[io] class DeltaLogFileIndex(
           nc <- stat("nullCount", a.name); n <- Option(stats.get("numRecords"))
         } yield nc.toLong >= n.asLong() && n.asLong() > 0
         !allNull.getOrElse(false)
+      case org.apache.spark.sql.catalyst.expressions.In(
+          a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+        // IN-list: skip only when EVERY value falls outside [min, max] —
+        // the file-level form of the repair-scan `isin` filters
+        list.exists {
+          case Literal(v, _) if v != null =>
+            mayMatch(f, EqualTo(a, Literal(v, a.dataType)))
+          case _ => true // a null literal matches nothing but proves nothing
+        }
+      case org.apache.spark.sql.catalyst.expressions.InSet(
+          a: AttributeReference, set) =>
+        set.exists(v => v != null &&
+          mayMatch(f, EqualTo(a, Literal(v, a.dataType))))
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        mayMatch(f, l) || mayMatch(f, r)
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(
+          a: AttributeReference, Literal(v, StringType)) if v != null =>
+        // every p-prefixed string lies in [p, p-with-last-char-incremented):
+        // skip when the file's max < p or its min >= that upper bound
+        val p = v.toString
+        val pIncr = if (p.nonEmpty && p.last != Char.MaxValue)
+          Some(p.init + (p.last + 1).toChar) else None
+        val keep = for {
+          lo <- stat("minValues", a.name); hi <- stat("maxValues", a.name)
+        } yield hi.compareTo(p) >= 0 && pIncr.forall(q => lo.compareTo(q) < 0)
+        keep.getOrElse(true)
       case And(l, r) => mayMatch(f, l) && mayMatch(f, r)
       case _ => true
     }

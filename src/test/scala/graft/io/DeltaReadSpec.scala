@@ -132,12 +132,13 @@ class DeltaReadSpec extends SparkSpec {
     val f1 = addFile(table, "r1.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     val f2 = addFile(table, "r2.parquet", Seq((10L, "c"), (20L, "d")).toDF("id", "v"))
     val f3 = addFile(table, "r3.parquet", Seq((100L, "e")).toDF("id", "v"))
-    def add(f: String, lo: Long, hi: Long, n: Int) =
+    def add(f: String, lo: Long, hi: Long, vlo: String, vhi: String, n: Int) =
       s"""{"add":{"path":"$f","partitionValues":{},"size":${fsize(table, f)},"dataChange":true,""" +
-        s""""stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$lo},\\"maxValues\\":{\\"id\\":$hi}}"}}"""
+        s""""stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$lo,\\"v\\":\\"$vlo\\"},\\"maxValues\\":{\\"id\\":$hi,\\"v\\":\\"$vhi\\"}}"}}"""
     writeCommit(table, 0, Seq(
       s"""{"metaData":{"id":"md","schemaString":"${schemaJson(d)}","partitionColumns":[]}}""",
-      add(f1, 1L, 2L, 2), add(f2, 10L, 20L, 2), add(f3, 100L, 100L, 1)))
+      add(f1, 1L, 2L, "a", "b", 2), add(f2, 10L, 20L, "c", "d", 2),
+      add(f3, 100L, 100L, "e", "e", 1)))
 
     def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
@@ -157,6 +158,30 @@ class DeltaReadSpec extends SparkSpec {
     assert(filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("id") >= 10)) == 2L)
     // no filter → every file
     assert(filesRead(DeltaRead.readDeltaTable(spark, table)) == 3L)
+    // IN-list: only files whose [min, max] holds SOME listed value open
+    // (the ChangeViewSink repair path's isin filter skips at file level)
+    val in = DeltaRead.readDeltaTable(spark, table)
+      .filter(col("id").isin(2L, 100L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 100L))
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("id").isin(2L, 100L))) == 2L)
+    // OR of ranges: union of each side's may-match set
+    assert(filesRead(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("id") < 3 || col("id") > 50)) == 2L)
+    // string prefix: v starts with 'e' → only r3's [e, e] range
+    assert(filesReadStr(table, "e") == 1L)
+  }
+
+  /** StartsWith skipping needs string stats — a separate tiny fixture. */
+  private def filesReadStr(table: String, prefix: String): Long = {
+    val df = DeltaRead.readDeltaTable(spark, table)
+      .filter(col("v").startsWith(prefix))
+    df.collect()
+    new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+      .collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
   }
 
   test("typed partition columns: int values parse from the log and prune correctly") {
