@@ -667,9 +667,11 @@ object DeltaMerge {
       }
       lines.toSeq
     }
-    DeltaWrite.commitWithRetry(spark, path, readVersion,
+    val committed = DeltaWrite.commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet,
         txn.map(_._1)), mkLines)
+    DeltaWrite.maybeAutoCheckpoint(spark, path, committed, meta.configuration)
+    committed
   }
 
   /** UPDATE the Delta table at `path` SET `set` WHERE `condition` — the
@@ -838,9 +840,11 @@ object DeltaMerge {
     // OCC: row-level DML tolerates concurrent appends and disjoint
     // rewrites (WriteSerializable); a winner touching any of OUR files
     // refuses — one of the two rewrites would otherwise be lost.
-    DeltaWrite.commitWithRetry(spark, path, readVersion,
+    val committed = DeltaWrite.commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(touched.map(_.path).toSet, txn.map(_._1)),
       mkLines)
+    DeltaWrite.maybeAutoCheckpoint(spark, path, committed, meta.configuration)
+    committed
   }
 
   private def jsString(s: String): String =

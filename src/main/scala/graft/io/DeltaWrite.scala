@@ -431,8 +431,11 @@ object DeltaWrite {
         ConflictGuard.exclusive(
           existing.map(_._2.map(_.path).toSet).getOrElse(Set.empty), txn.map(_._1))
       else ConflictGuard.blindAppend(txn.map(_._1))
-    commitWithRetry(spark, path, readVersion, guard,
+    val committed = commitWithRetry(spark, path, readVersion, guard,
       attempt => commitInfoLine() +: (lines.toSeq ++ addLines(attempt)))
+    maybeAutoCheckpoint(spark, path, committed,
+      existing.map(_._1.configuration).getOrElse(Map.empty))
+    committed
   }
 
   /** `numRecords` from an add action's stats JSON — required for
@@ -576,6 +579,32 @@ object DeltaWrite {
     commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
   }
+
+  /** Honor `delta.checkpointInterval` (the standard writer-side table
+    * property): after a successful data commit whose version is a
+    * positive multiple of the interval, write a classic checkpoint so
+    * replay stays bounded WITHOUT anyone running manual maintenance —
+    * the delta-spark convention. A checkpoint is an optimization on top
+    * of an already-published commit, so failures warn and never fail the
+    * caller. The interval is read from the PRE-commit configuration a
+    * caller already holds (a commit that changes the property takes
+    * effect from the next commit — documented, matches the reference
+    * behavior closely enough for a single-writer engine).
+    */
+  private[io] def maybeAutoCheckpoint(spark: SparkSession, path: String,
+      version: Long, config: Map[String, String]): Unit =
+    config.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0)
+      .foreach { k =>
+        if (version > 0 && version % k == 0)
+          try checkpoint(spark, path)
+          catch {
+            case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"auto-checkpoint at $path version $version failed", e)
+          }
+      }
 
   /** LOG COMPACTION (the public `<start>.<end>.compacted.json` layout):
     * aggregate the commit range's actions into one reconciled file so

@@ -696,6 +696,33 @@ class DeltaWriteSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 10L))
   }
 
+  test("delta.checkpointInterval: data commits auto-checkpoint every N versions") {
+    val table = tmp("graft_dw_autocp")
+    DeltaWrite.writeDeltaTable(
+      (1L to 5L).map(i => (i, i)).toDF("id", "v"), table, "append")      // v0
+    def lastCp(): Option[Long] =
+      DeltaRead.readLastCheckpoint(spark,
+        new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(table, "_delta_log")).map(_.version)
+    assert(lastCp().isEmpty)
+    DeltaWrite.setTableProperties(spark, table,
+      Map("delta.checkpointInterval" -> "2"))                            // v1
+    DeltaWrite.writeDeltaTable(
+      (6L to 8L).map(i => (i, i)).toDF("id", "v"), table, "append")      // v2
+    assert(lastCp().contains(2L), s"append at v2 must auto-checkpoint: ${lastCp()}")
+    DeltaMerge.deleteWhereDv(spark, table, col("id") === 1L)             // v3
+    assert(lastCp().contains(2L), "v3 is off-interval")
+    DeltaMerge.updateWhere(spark, table, col("id") === 2L,
+      Map("v" -> lit(99L)))                                              // v4 (COW)
+    assert(lastCp().contains(4L), s"DML at v4 must auto-checkpoint: ${lastCp()}")
+    // the checkpointed state replays exactly
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((2L, 99L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 6L), (7L, 7L), (8L, 8L)), rows.toString)
+  }
+
   test("generated-column partition pruning: a ts range prunes day=date(ts) partitions") {
     import org.apache.spark.sql.types.Metadata
     val table = tmp("graft_dw_genprune")
