@@ -97,11 +97,68 @@ object QRound12 {
       |ORDER BY cnt DESC, token
       |LIMIT 20""".stripMargin
 
+  /** Collocation candidates (phrase-mining prep, the word2vec bigram
+    * pass): adjacent-token bigram counts joined with both unigram counts
+    * — everything INTEGER-exact, so the consumer can apply any
+    * association score (PMI, t-score) without cross-engine float drift
+    * in the gate. The token list materializes ONCE per row (a column
+    * reference, not a computed subtree — the CLAUDE.md lambda-rebinding
+    * trap), bigrams derive from two slices zipped, and the two unigram
+    * joins ride the tiny vocabulary.
+    */
+  def q121Collocations(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus scan: unigrams and bigrams ride the same explode (a
+    // bigram carries the joining space, a split-produced token cannot),
+    // one grouped count, and the tiny gram table localCheckpoints once
+    // to feed the bigram side and both unigram joins (the q97 pattern —
+    // a re-derived subplan would re-scan the corpus per consumer)
+    val grams = documents(s, d)
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x != '')"))
+      .select(explode(concat(col("toks"),
+        when(size(col("toks")) >= 2, expr(
+          "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+            "(a, b) -> concat(a, ' ', b))"))
+          .otherwise(expr("array()")))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uni = grams.filter(!col("gram").contains(" "))
+    grams.filter(col("gram").contains(" "))
+      .select(col("gram").as("bigram"), col("c").as("c_ab"),
+        split(col("gram"), " ").getItem(0).as("ta"),
+        split(col("gram"), " ").getItem(1).as("tb"))
+      .join(uni.select(col("gram").as("ta"), col("c").as("c_a")), Seq("ta"))
+      .join(uni.select(col("gram").as("tb"), col("c").as("c_b")), Seq("tb"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"))
+      .orderBy(col("c_ab").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val q121Sql =
+    """WITH t AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |u AS (SELECT unnest(toks) AS tok FROM t),
+      |uc AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+      |bc AS (SELECT bigram, count(*) AS c_ab FROM b GROUP BY bigram)
+      |SELECT bc.bigram, CAST(bc.c_ab AS BIGINT) AS c_ab,
+      |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b
+      |FROM bc
+      |JOIN uc ua ON ua.tok = string_split(bc.bigram, ' ')[1]
+      |JOIN uc ub ON ub.tok = string_split(bc.bigram, ' ')[2]
+      |ORDER BY c_ab DESC, bigram
+      |LIMIT 20""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_log_compaction" -> (q119LogCompaction _),
-    "q120_heavy_hitters" -> (q120HeavyHitters _))
+    "q120_heavy_hitters" -> (q120HeavyHitters _),
+    "q121_collocations" -> (q121Collocations _))
 
   val sql: Map[String, String] = Map(
     "q119_log_compaction" -> q119Sql,
-    "q120_heavy_hitters" -> q120Sql)
+    "q120_heavy_hitters" -> q120Sql,
+    "q121_collocations" -> q121Sql)
 }
