@@ -192,6 +192,14 @@ object ScaleRun {
         graft.io.DeltaMerge.deleteWhereDv(spark, cdcDir,
           col("o_orderkey") % 100 === 0)                              // v1
       }
+      // bounded-state heavy hitters: buffers hold <= capacity counters,
+      // so shuffle bytes must stay ~CONSTANT under 10x corpus growth
+      // (the exact explode->groupBy form's shuffle grows with tokens)
+      out += timed("b63_heavy_hitters")(() =>
+        Tables.documents(spark, dir)
+          .agg(graft.ext.TextAnalysis.heavyHitters(col("text"), 64).as("hh"))
+          .select(explode(col("hh"))).count())
+
       out += timed("b60_change_diff")(() =>
         graft.io.DeltaRead.changeDiff(spark, cdcDir, 0L).count())
       out += timed("b60_view_epoch")(() => {
