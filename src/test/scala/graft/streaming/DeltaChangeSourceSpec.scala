@@ -199,6 +199,27 @@ class DeltaChangeSourceSpec extends SparkSpec {
       s"exactly-once violated: streamed ${all.size} rows vs batch ${batch.size}")
   }
 
+  test("an 'earliest' bootstrap over cleaned history fails loudly, never truncates") {
+    val path = tmp("graft_tail_") + "/t"
+    baseTable(path)                                                     // v0
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 3L)             // v1
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 4L)             // v2
+    DeltaWrite.checkpoint(spark, path)                                  // cp @ v2
+    DeltaWrite.writeDeltaTable(
+      Seq((100L, 1L)).toDF("id", "cents"), path, "append")              // v3
+    DeltaWrite.cleanupMetadata(spark, path, retentionMs = 0L) // drops v0-v2 JSONs
+    val q = readTail(path, "earliest").writeStream
+      .format("memory").queryName("tail_cleaned").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    q.stop()
+    assert(e.getCause != null &&
+      String.valueOf(e.getCause.getMessage).contains("cleaned"),
+      s"expected the loud cleaned-history refusal, got: ${e.getCause}")
+  }
+
   test("'latest' start version is resolved once and persisted under metadataPath") {
     val path = tmp("graft_tail_") + "/t"
     val meta = tmp("graft_tail_meta_")
