@@ -576,15 +576,24 @@ object DeltaWrite {
     val resultMeta = meta.copy(configuration = merged)
     val tail = Seq(
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
+    val committed = commitWithRetry(spark, path, readVersion,
+      ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
+    maybeAutoCheckpoint(spark, path, committed, meta.configuration)
+    committed
   }
 
   /** Honor `delta.checkpointInterval` (the standard writer-side table
-    * property): after a successful data commit whose version is a
-    * positive multiple of the interval, write a classic checkpoint so
-    * replay stays bounded WITHOUT anyone running manual maintenance —
-    * the delta-spark convention. A checkpoint is an optimization on top
+    * property): after a successful commit, write a classic checkpoint
+    * when at least `interval` versions landed since the last checkpoint
+    * (none yet → since version 0), so replay stays bounded WITHOUT
+    * anyone running manual maintenance — the delta-spark convention.
+    * GAP-based, not `version % k` — a modulo trigger lets maintenance
+    * commits (compact, restore, SET TBLPROPERTIES, …) consume the
+    * multiple-of-k slots so an interleaved workload skips checkpoints
+    * indefinitely; the gap trigger fires on whichever commit crosses the
+    * interval, and EVERY commit path calls this (data, DML, and
+    * maintenance alike). A checkpoint is an optimization on top
     * of an already-published commit, so failures warn and never fail the
     * caller. The interval is read from the PRE-commit configuration a
     * caller already holds (a commit that changes the property takes
@@ -597,7 +606,11 @@ object DeltaWrite {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ > 0)
       .foreach { k =>
-        if (version > 0 && version % k == 0)
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lastCp = DeltaRead.readLastCheckpoint(spark, fs,
+          new Path(root, "_delta_log")).map(_.version).getOrElse(0L)
+        if (version > 0 && version - lastCp >= k)
           try checkpoint(spark, path)
           catch {
             case e: Exception =>
@@ -617,9 +630,18 @@ object DeltaWrite {
     *  - the latest `txn` per appId (idempotence watermarks carry);
     *  - the latest `domainMetadata` per domain, removal tombstones kept;
     *  - per file path, the NET action: still-live adds carry their final
-    *    state (DV, row-tracking fields) verbatim; files removed last keep
-    *    a remove tombstone (a file added before the range needs it to
-    *    drop at replay); added-then-removed-within vanishes entirely.
+    *    state (DV, row-tracking fields) verbatim; files whose LAST action
+    *    is a remove ALWAYS keep the remove tombstone — even when the add
+    *    also happened inside the range. The range in isolation cannot
+    *    tell a range-created file's remove from a PRE-range file's
+    *    DV-re-add-then-COW remove, and dropping the latter resurrects
+    *    pre-range state (LogCompactionSpec's DV+COW history pins this).
+    *
+    * Single-maintainer contract (same as [[graft.ext.AnnIndex]].delete):
+    * compactLog lists then re-reads commit JSONs non-atomically, so a
+    * CONCURRENT [[cleanupMetadata]] that deletes a listed JSON makes this
+    * call fail loudly (exception, no output published) — run maintenance
+    * verbs from one coordinator.
     *
     * Compaction is an OPTIMIZATION, not a commit: no version is consumed,
     * the original JSONs stay (cleanup remains checkpoint-keyed — foreign
@@ -790,8 +812,11 @@ object DeltaWrite {
       s"""{"commitInfo":{${ictField(spark, path, snap.meta.copy(configuration = merged), now)}"timestamp":$now,"operation":"ENABLE ROW TRACKING","operationParameters":{"backfilledFiles":${toBackfill.size}},"engineInfo":"graft"}}"""
     // exclusive: the assigned ranges and backfill set ARE the snapshot —
     // any concurrent commit invalidates both
-    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(),
+    val committed = commitWithRetry(spark, path, readVersion,
+      ConflictGuard.exclusive(),
       attempt => info +: (lines.toSeq ++ backfillLines(attempt)))
+    maybeAutoCheckpoint(spark, path, committed, snap.meta.configuration)
+    committed
   }
 
   /** ADD CONSTRAINT `name` CHECK (`exprSql`): stored as
@@ -1041,9 +1066,13 @@ object DeltaWrite {
       val dvField = f.dv.map(d => s""","deletionVector":${dvJson(d)}""").getOrElse("")
       lines += s"""{"add":{"path":${js(f.path)},"partitionValues":$pvJson,"size":${f.size},"modificationTime":${f.modificationTime},"dataChange":true$statsField$dvField${ridFieldOf(f)}}}"""
     }
-    commitWithRetry(spark, path, readVersion,
+    val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.exclusive(toRemove.map(_.path).toSet),
       _ => commitInfoLine() +: lines.toSeq)
+    // effective config after the restore commit governs the interval
+    maybeAutoCheckpoint(spark, path, committed,
+      (if (metaChanged) metaThen else metaNow).configuration)
+    committed
   }
 
   /** SHALLOW CLONE: create a NEW Delta table at `dest` whose version-0
@@ -1185,8 +1214,11 @@ object DeltaWrite {
     val tail = Seq(
       protocolJson(newProto),
       s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
-    commitWithRetry(spark, path, readVersion, ConflictGuard.exclusive(), _ =>
+    val committed = commitWithRetry(spark, path, readVersion,
+      ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""" +: tail)
+    maybeAutoCheckpoint(spark, path, committed, meta.configuration)
+    committed
   }
 
   /** Stage change-data files under `_change_data/` (the CDF layout: an
@@ -1384,9 +1416,11 @@ object DeltaWrite {
     val addLines = renderAdds(spark, path, tracked,
       DeltaRead.rowIdHighWaterMark(snap.domains), readVersion + 1,
       pendingAdds.toSeq) _
-    commitWithRetry(spark, path, readVersion,
+    val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
       attempt => commitInfoLine() +: (addLines(attempt) ++ lines.toSeq))
+    maybeAutoCheckpoint(spark, path, committed, snap.meta.configuration)
+    committed
   }
 
   /** Mint column-mapping metadata for a fresh name-mapped table: every
@@ -2001,9 +2035,11 @@ object DeltaWrite {
     val addLines = renderAdds(spark, path, tracked,
       DeltaRead.rowIdHighWaterMark(snap.domains), readVersion + 1,
       pendingAdds.toSeq) _
-    commitWithRetry(spark, path, readVersion,
+    val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.disjointRewrite(groups.values.flatten.map(_.path).toSet),
       attempt => commitInfoLine() +: (addLines(attempt) ++ lines.toSeq))
+    maybeAutoCheckpoint(spark, path, committed, snap.meta.configuration)
+    committed
   }
 
   /** Metadata cleanup (Delta's log retention): delete commit JSONs — and

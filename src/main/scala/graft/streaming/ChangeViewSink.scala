@@ -24,7 +24,10 @@ import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
   * the epoch's last change version — one extra source scan per epoch,
   * only when bound-hitting deletes occurred, filtered to exactly the
   * repair keys (literal `isin` for a small single-column key set, so file
-  * stats skipping applies; broadcast semi-join otherwise). The whole view
+  * stats skipping applies; a distributed semi-join otherwise — the key
+  * set itself never visits the driver, so a bootstrap epoch that touches
+  * every key in a 100 TB view repairs without driver memory entering the
+  * picture). The whole view
   * is therefore exact under arbitrary DML, not count/sum-only. Epoch cost
   * stays O(|batch| + touched keys): one aggregate over the change rows,
   * one left-outer join against the view's touched keys, one MERGE whose
@@ -45,6 +48,14 @@ import graft.io.{DeltaMerge, DeltaRead, DeltaWrite}
   *
   * Readers between the two commits may see a tombstone row; [[readView]]
   * filters them and derives `avg`, matching `Incremental.readView`.
+  *
+  * NULL group keys are UNSUPPORTED and refused loudly per epoch: every
+  * key-matching leg downstream (the fold's left-outer join, MERGE's
+  * semi/anti joins, the repair filter) is equality-keyed, and
+  * `NULL = NULL` is not true in SQL — a null-key group would silently
+  * fork its state row instead of folding. Rather than paying null-safe
+  * joins on every leg for a key that grouped aggregates rarely want,
+  * [[applyBatch]] asserts the change batch carries no null key.
   */
 object ChangeViewSink {
 
@@ -96,7 +107,8 @@ object ChangeViewSink {
     */
   def applyBatch(changes: DataFrame, viewPath: String, keyCols: Seq[String],
       valueCol: String, appId: String, batchId: Long,
-      sourcePath: Option[String] = None): Boolean = {
+      sourcePath: Option[String] = None,
+      isinFastPathMax: Int = IsinFastPathMax): Boolean = {
     val spark = changes.sparkSession
     if (batchId <= DeltaWrite.lastTxnVersion(spark, viewPath, appId)) {
       DeltaMerge.deleteWhere(spark, viewPath, col("n") <= 0) // heal step 2
@@ -120,6 +132,13 @@ object ChangeViewSink {
         max(col("_commit_version")).as("d_ver"))
       .localCheckpoint()
     if (delta.isEmpty) return false
+    // null group keys are unsupported (see class doc) — refuse before any
+    // state mutates; the check reads the checkpointed touched-keys frame.
+    if (!delta.filter(keyCols.map(col(_).isNull).reduce(_ || _)).isEmpty)
+      throw new IllegalArgumentException(
+        s"ChangeViewSink: change batch contains NULL in group key(s) " +
+          s"${keyCols.mkString(", ")}; null group keys are unsupported — " +
+          "filter or coalesce them in the source before maintaining a view")
     // new state of the TOUCHED keys only (left outer: new keys have no
     // state row) — materialized BEFORE the merge mutates what it reads.
     // A surviving key whose DELETED values reach the POST-FOLD bound needs
@@ -144,7 +163,7 @@ object ChangeViewSink {
       .localCheckpoint()
     val folded = sourcePath match {
       case Some(src) if !folded0.filter(col("__repair")).isEmpty =>
-        repairBounds(spark, src, folded0, keyCols, valueCol)
+        repairBounds(spark, src, folded0, keyCols, valueCol, isinFastPathMax)
       case _ => folded0.drop("__repair", "__ver")
     }
     DeltaMerge.merge(spark, viewPath, folded, keyCols,
@@ -153,37 +172,47 @@ object ChangeViewSink {
     true
   }
 
+  /** A repair-key set at most this large takes the driver fast path:
+    * single-column sets become a literal `isin` filter (the log-backed
+    * file index then skips files by stats), and the repaired bounds
+    * broadcast back. Sets past the cap — a bootstrap or recovery epoch
+    * can touch EVERY key in the view — stay entirely on the cluster.
+    */
+  private val IsinFastPathMax = 10000
+
   /** Recompute min/max for the epoch's repair keys from the source AS OF
     * the epoch's last change version (time travel — exact even when later
-    * commits already landed). The repair-key set is touched-keys-bounded
-    * and tiny by construction; a small single-column set becomes a
-    * literal `isin` filter so the log-backed index skips files by stats,
-    * larger or composite sets fall back to a broadcast semi-join.
+    * commits already landed). Only SCALARS ever cross to the driver (the
+    * epoch version and a limit-bounded key count): a small single-column
+    * key set becomes a literal `isin` filter so the log-backed index
+    * skips files by stats, anything larger repairs via a distributed
+    * semi-join against the (localCheckpoint'd) repair frame — a
+    * bootstrap epoch whose repair set is the whole view's key space
+    * never materializes it on the driver.
     */
   private def repairBounds(spark: SparkSession, sourcePath: String,
-      folded0: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
-    val repair = folded0.filter(col("__repair"))
-      .select((keyCols.map(col) :+ col("__ver")): _*).collect()
-    val ver = repair.map(_.getLong(keyCols.size)).max
+      folded0: DataFrame, keyCols: Seq[String], valueCol: String,
+      isinFastPathMax: Int): DataFrame = {
+    val repairKeys = folded0.filter(col("__repair"))
+    val ver = repairKeys.agg(max(col("__ver"))).head().getLong(0)
+    // bounded count: the limit caps both the work and the number returned
+    val bounded = repairKeys.limit(isinFastPathMax + 1).count()
+    val small = bounded <= isinFastPathMax
     val src = DeltaRead.readDeltaTable(spark, sourcePath, Some(ver))
     val filtered =
-      if (keyCols.size == 1 && repair.length <= 10000)
-        src.filter(col(keyCols.head).isin(repair.map(_.get(0)).toSeq: _*))
-      else {
-        val keyDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(repair.toSeq, 1),
-          org.apache.spark.sql.types.StructType(
-            folded0.schema.fields.filter(f => keyCols.contains(f.name)) :+
-              org.apache.spark.sql.types.StructField("__ver",
-                org.apache.spark.sql.types.LongType)))
-          .drop("__ver")
-        src.join(broadcast(keyDf), keyCols, "left_semi")
+      if (keyCols.size == 1 && small) {
+        // ≤ IsinFastPathMax values by the count check above
+        val keys = repairKeys.select(col(keyCols.head)).collect().map(_.get(0))
+        src.filter(col(keyCols.head).isin(keys.toSeq: _*))
+      } else {
+        val keyDf0 = repairKeys.select(keyCols.map(col): _*)
+        src.join(if (small) broadcast(keyDf0) else keyDf0, keyCols, "left_semi")
       }
     val exact = filtered
       .groupBy(keyCols.map(col): _*)
       .agg(min(col(valueCol).cast("double")).as("__r_mn"),
         max(col(valueCol).cast("double")).as("__r_mx"))
-    folded0.join(broadcast(exact), keyCols, "left_outer")
+    folded0.join(if (small) broadcast(exact) else exact, keyCols, "left_outer")
       .select(keyCols.map(col) ++ Seq(col("n"), col("sum"),
         when(col("__repair") && col("__r_mn").isNotNull, col("__r_mn"))
           .otherwise(col("mn")).as("mn"),

@@ -96,6 +96,61 @@ class ChangeViewSinkSpec extends SparkSpec {
     viewEqualsSource(view, src)
   }
 
+  test("a repair set past the isin cap repairs through the distributed path") {
+    val src = tmp("graft_cvs_src_") + "/t"
+    val view = tmp("graft_cvs_view_") + "/v"
+    // many groups, every one losing its stored MAX in one epoch — the
+    // bootstrap/recovery shape where the repair-key set is the whole key
+    // space. isinFastPathMax = 0 forces the cluster-side semi-join leg
+    // (the 100 TB path): keys must never need the driver for exactness.
+    val df = (1L to 400L)
+      .map(i => (i, s"g${i % 100}", i * 10L))
+      .toDF("id", "grp", "cents").repartition(4)
+    DeltaWrite.writeDeltaTable(df, src, "append") // v0
+    // delete each group's max (ids 301..400 hold the per-group maxima)
+    DeltaMerge.deleteWhereDv(spark, src, col("id") > 300L) // v1
+    DeltaWrite.writeDeltaTable(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("grp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("mn",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("mx",
+            org.apache.spark.sql.types.DoubleType)))),
+      view, "append")
+    val batch = DeltaRead.changeDiff(spark, src, -1L)
+    val applied = ChangeViewSink.applyBatch(batch, view, Seq("grp"), "cents",
+      appId = "cvs-large", batchId = 0L, sourcePath = Some(src),
+      isinFastPathMax = 0)
+    assert(applied, "epoch must commit")
+    viewEqualsSource(view, src) // all 100 groups repaired, bounds exact
+  }
+
+  test("null group keys are refused loudly before any state mutates") {
+    val src = tmp("graft_cvs_src_") + "/t"
+    val view = tmp("graft_cvs_view_") + "/v"
+    val ckpt = tmp("graft_cvs_ckpt_")
+    val df = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 20L))
+      .toDF("id", "grp", "cents").repartition(1)
+    DeltaWrite.writeDeltaTable(df, src, "append")
+    val q = ChangeViewSink.maintain(spark, src, view, Seq("grp"), "cents",
+      appId = "cvs-null", checkpoint = ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+    assert(rootMsgs(e).exists(_.contains("null group keys are unsupported")),
+      rootMsgs(e).mkString(" | "))
+    // nothing folded: the view is still empty (no data commits)
+    assert(ChangeViewSink.readView(spark, view).isEmpty)
+  }
+
   test("a replayed epoch folds exactly once") {
     val src = tmp("graft_cvs_src_") + "/t"
     val view = tmp("graft_cvs_view_") + "/v"
