@@ -55,12 +55,42 @@ private[io] object GeneratedPruning {
   private val PrefixOf =
     """(?i)\s*substr(?:ing)?\s*\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)\s*""".r
 
+  /** The table property recording the session timezone under which a
+    * table's generated TIMESTAMP-source partition values were computed.
+    * Written at table creation; without it, timestamp-source derivation
+    * is DISABLED (the reader's zone proves nothing about the writer's,
+    * and deriving under the wrong zone prunes files that hold matching
+    * rows — a wrong answer, not a missed optimization). DateType and
+    * string-prefix sources are zone-free and always derive.
+    */
+  val TimeZoneProp = "graft.generation.timeZone"
+
+  /** True when the schema declares a date()/year() generation expression
+    * over a TIMESTAMP source — the shapes whose partition values depend
+    * on the session timezone at write time, so creation must record it
+    * under [[TimeZoneProp]] for the reader to derive pruning bounds.
+    */
+  def needsWriterZone(schema: StructType): Boolean =
+    schema.fields.exists { f =>
+      f.metadata.contains("delta.generationExpression") &&
+        (f.metadata.getString("delta.generationExpression") match {
+          case DateOf(c1, c2) =>
+            schema.find(_.name == Option(c1).getOrElse(c2))
+              .exists(_.dataType == TimestampType)
+          case YearOf(src) =>
+            schema.find(_.name == src).exists(_.dataType == TimestampType)
+          case _ => false
+        })
+    }
+
   def forPartitionCols(schema: StructType, partCols: Seq[String],
-      zoneId: String): Map[String, GenPrune] = {
-    val zone = java.time.ZoneId.of(zoneId)
+      writerZone: Option[String]): Map[String, GenPrune] = {
+    val zoneOpt = writerZone.flatMap(z =>
+      scala.util.Try(java.time.ZoneId.of(z)).toOption)
     def srcType(c: String): Option[DataType] =
       schema.find(_.name == c).map(_.dataType)
-    def microsToLocalDate(micros: Long): java.time.LocalDate =
+    def microsToLocalDate(zone: java.time.ZoneId)(
+        micros: Long): java.time.LocalDate =
       java.time.Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L),
         Math.floorMod(micros, 1000000L) * 1000L).atZone(zone).toLocalDate
@@ -71,35 +101,44 @@ private[io] object GeneratedPruning {
           f.metadata.getString("delta.generationExpression") match {
             case DateOf(c1, c2) =>
               val src = Option(c1).getOrElse(c2)
-              srcType(src).collect {
-                case TimestampType => pc -> GenPrune(src, {
-                  case micros: Long =>
-                    Some(microsToLocalDate(micros).toEpochDay.toInt)
-                  case _ => None
-                })
-                case DateType => pc -> GenPrune(src, {
+              srcType(src) match {
+                // TIMESTAMP sources need the WRITER's zone (recorded at
+                // creation) — derived nothing without it
+                case Some(TimestampType) => zoneOpt.map(z =>
+                  pc -> GenPrune(src, {
+                    case micros: Long =>
+                      Some(microsToLocalDate(z)(micros).toEpochDay.toInt)
+                    case _ => None
+                  }))
+                case Some(DateType) => Some(pc -> GenPrune(src, {
                   case days: Int => Some(days)
                   case _ => None
-                })
+                }))
+                case _ => None
               }
             case YearOf(src) =>
-              srcType(src).collect {
-                case TimestampType => pc -> GenPrune(src, {
-                  case micros: Long => Some(microsToLocalDate(micros).getYear)
-                  case _ => None
-                })
-                case DateType => pc -> GenPrune(src, {
+              srcType(src) match {
+                case Some(TimestampType) => zoneOpt.map(z =>
+                  pc -> GenPrune(src, {
+                    case micros: Long =>
+                      Some(microsToLocalDate(z)(micros).getYear)
+                    case _ => None
+                  }))
+                case Some(DateType) => Some(pc -> GenPrune(src, {
                   case days: Int =>
                     Some(java.time.LocalDate.ofEpochDay(days.toLong).getYear)
                   case _ => None
-                })
+                }))
+                case _ => None
               }
             case PrefixOf(src, len) =>
               srcType(src).collect {
                 case StringType => pc -> GenPrune(src, {
-                  case s: UTF8String =>
-                    Some(UTF8String.fromString(
-                      s.toString.take(len.toInt)))
+                  // code-POINT prefix (substringSQL), matching the
+                  // substring() generation expression — a UTF-16 take(n)
+                  // diverges on supplementary characters and would prune
+                  // files holding matching rows
+                  case s: UTF8String => Some(s.substringSQL(1, len.toInt))
                   case _ => None
                 })
               }

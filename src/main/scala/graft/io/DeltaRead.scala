@@ -447,7 +447,7 @@ object DeltaRead {
       val genPrune =
         if (meta.mappingMode != "none") Map.empty[String, GenPrune]
         else GeneratedPruning.forPartitionCols(schema, meta.partitionCols,
-          spark.sessionState.conf.sessionLocalTimeZone)
+          meta.configuration.get(GeneratedPruning.TimeZoneProp))
       val index = new DeltaLogFileIndex(spark, path, subset, partitionSchema,
         genPrune)
       val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(

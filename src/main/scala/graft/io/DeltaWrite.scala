@@ -376,28 +376,41 @@ object DeltaWrite {
       require(mode == "overwrite" || existing.isEmpty || mergeSchema,
         "unreachable: append checked above")
       val pcols = partitionBy.map(js).mkString("[", ",", "]")
+      // generated date()/year() over TIMESTAMP: partition values depend on
+      // the writer's session zone — record it so the reader can derive
+      // pruning bounds (absent → derivation disabled, never wrong). Kept
+      // verbatim when already recorded: live files were written under it.
+      val genTz: Map[String, String] =
+        if (GeneratedPruning.needsWriterZone(tableSchema) &&
+            !existing.exists(_._1.configuration.contains(GeneratedPruning.TimeZoneProp)))
+          Map(GeneratedPruning.TimeZoneProp ->
+            spark.sessionState.conf.sessionLocalTimeZone)
+        else Map.empty
+      def renderConfig(m: Map[String, String]): String =
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val config = minted match {
         case Some((_, maxId)) =>
-          s"""{"delta.columnMapping.mode":"${createMapped.getOrElse("name")}","delta.columnMapping.maxColumnId":"$maxId"}"""
+          renderConfig(genTz ++ Map(
+            "delta.columnMapping.mode" -> createMapped.getOrElse("name"),
+            "delta.columnMapping.maxColumnId" -> maxId.toString))
         case None if createRowTracked && existing.isEmpty =>
           // fresh row-tracked table: enable the feature and MINT the
           // materialized-column names rewriting commits will preserve
           // stable ids under (spec: writer-chosen, stored in the table
           // configuration, outside the table schema)
           val suffix = UUID.randomUUID().toString.take(8)
-          Seq(
+          renderConfig(genTz ++ Map(
             "delta.enableRowTracking" -> "true",
             "delta.rowTracking.materializedRowIdColumnName" ->
               s"_row_id_mat_$suffix",
             "delta.rowTracking.materializedRowCommitVersionColumnName" ->
-              s"_row_ver_mat_$suffix")
-            .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+              s"_row_ver_mat_$suffix"))
         case None =>
           // a schema-changing overwrite must CARRY the existing table
           // configuration — emitting {} would silently drop properties
           // like delta.enableChangeDataFeed
-          existing.map(_._1.configuration).getOrElse(Map.empty).toSeq.sortBy(_._1)
-            .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+          renderConfig(existing.map(_._1.configuration).getOrElse(Map.empty) ++ genTz)
       }
       lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }

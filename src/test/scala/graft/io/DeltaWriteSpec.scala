@@ -773,6 +773,84 @@ class DeltaWriteSpec extends SparkSpec {
     assert(eq.count() == 1L)
   }
 
+  test("generated ts pruning survives a session-timezone change between write and read") {
+    import org.apache.spark.sql.types.Metadata
+    val table = tmp("graft_dw_genzone")
+    val md = Metadata.fromJson("""{"delta.generationExpression":"date(ts)"}""")
+    // an instant late in the UTC day: any zone east of UTC puts it on the
+    // NEXT local date, so a reader-zone derivation prunes the wrong day
+    val instant = java.time.Instant.parse("2024-03-01T23:30:00Z")
+    val other = java.time.Instant.parse("2024-02-01T10:00:00Z")
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      DeltaWrite.writeDeltaTable(
+        Seq((1L, java.sql.Timestamp.from(instant)),
+          (2L, java.sql.Timestamp.from(other))).toDF("id", "ts")
+          .withColumn("d", expr("date(ts)").as("d", md)).repartition(1),
+        table, "append", partitionBy = Seq("d"))
+      // creation recorded the writer zone for the reader's derivation
+      val (meta, _) = DeltaRead.replayLog(spark, table, None)
+      assert(meta.configuration.get(GeneratedPruning.TimeZoneProp)
+        .contains("UTC"), meta.configuration.toString)
+      // read under a zone 14h ahead: the instant's LOCAL date there is
+      // 2024-03-02 — deriving under the reader zone would prune the
+      // d=2024-03-01 partition that holds the row
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      val got = DeltaRead.readDeltaTable(spark, table)
+        .filter(col("ts") === lit(java.sql.Timestamp.from(instant)))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"zone-skewed pruning dropped the row: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+    // a FOREIGN table (no recorded zone) must keep files rather than
+    // derive under the reader zone
+    val stripped = DeltaRead.replayLog(spark, table, None)._1
+    assert(GeneratedPruning.forPartitionCols(
+      org.apache.spark.sql.types.DataType.fromJson(stripped.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType],
+      stripped.partitionCols, writerZone = None).isEmpty,
+      "ts-source derivation must be disabled without a recorded writer zone")
+  }
+
+  test("generated prefix pruning counts code points, not UTF-16 units") {
+    import org.apache.spark.sql.types.{Metadata, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = Metadata.fromJson("""{"delta.generationExpression":"substring(s, 1, 2)"}""")
+    val schema = StructType(Seq(StructField("s", StringType),
+      StructField("p", StringType, nullable = true, md)))
+    val gp = GeneratedPruning.forPartitionCols(schema, Seq("p"), writerZone = None)
+    val toPart = gp("p").toPart
+    // U+1D54F is ONE code point but TWO UTF-16 units: substring(s,1,2)
+    // (the generation expression Spark evaluates at write time) takes the
+    // first two CODE POINTS, so the partition value is "𝕏a" —
+    // a take(2)-over-chars derivation yields just the surrogate pair,
+    // and an equality bound of that prunes the partition holding the row
+    val supp = new String(Character.toChars(0x1D54F))
+    assert(toPart(UTF8String.fromString(s"${supp}abc")) ==
+      Some(UTF8String.fromString(s"${supp}a")),
+      s"derived ${toPart(UTF8String.fromString(s"${supp}abc"))}")
+    // BMP strings: unchanged semantics
+    assert(toPart(UTF8String.fromString("zzz9")) ==
+      Some(UTF8String.fromString("zz")))
+    // end-to-end (ASCII values — the local FS cannot encode non-BMP
+    // partition directories): equality on the source prunes to one file
+    val table = tmp("graft_dw_genprefix")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "aaa1"), (2L, "zzz9")).toDF("id", "s")
+        .withColumn("p", expr("substring(s, 1, 2)").as("p", md)).repartition(1),
+      table, "append", partitionBy = Seq("p"))
+    val t = DeltaRead.readDeltaTable(spark, table)
+    val q = t.filter(col("s") === lit("zzz9"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val files = {
+      q.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    assert(files == 1L, s"prefix equality must prune to one partition: $files")
+  }
+
   test("mergeSchema append on a generated-column table keeps the batch-only columns") {
     import org.apache.spark.sql.types.Metadata
     val table = tmp("graft_dw_genms")
