@@ -657,6 +657,12 @@ object AnnIndex {
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
   }
 
+  /** The persisted sidecar state (driver-side, a few KB) — the public
+    * introspection point maintenance callers key decisions on (PQ-ness,
+    * cell count) without re-deriving it from the data files.
+    */
+  def meta(spark: SparkSession, path: String): Meta = readMeta(spark, path)
+
   private[ext] def readMeta(spark: SparkSession, path: String): Meta = {
     val p = new org.apache.hadoop.fs.Path(path, "_ann_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
