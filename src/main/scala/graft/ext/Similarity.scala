@@ -127,6 +127,33 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), sim.as("sim"))
   }
 
+  /** Embedding-space decontamination — the q65 benchmark-overlap check in
+    * vector space: flag every candidate row whose cosine against ANY row
+    * of the eval slice reaches `threshold`, returning the match count and
+    * the strongest similarity per flagged candidate. The eval side
+    * BROADCASTS (an eval benchmark is thousands of rows; the candidate
+    * corpus never shuffles, never broadcasts), so the plan is one
+    * broadcast pass over the candidates — the shape that scales to a
+    * 100 TB train side — followed by a key-grouped aggregate whose input
+    * is only the SURVIVING pairs (the threshold lives in the join
+    * condition, [[nearDupPairs]]'s conjunct discipline: cheap nothing
+    * precedes it here, but a trailing filter would run the O(dim) dot
+    * for every (candidate, eval) pair twice). |eval| never multiplies
+    * the output.
+    */
+  def decontaminate(candidates: DataFrame, evalSlice: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"))
+    val e = evalSlice.select(col(vecCol).as("e_vec"),
+      l2Norm(col(vecCol)).as("e_nrm"))
+    val sim = round(dot(col("vec"), col("e_vec")) / (col("nrm") * col("e_nrm")), 6)
+    t.join(broadcast(e), sim >= threshold)
+      .select(col("id"), sim.as("sim"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched"), max(col("sim")).as("max_sim"))
+  }
+
   /** Exact threshold self-join as a TILED block join — the 100 TB shape for
     * [[nearDupPairs]] with `bucket = None`. A plain self-join under a
     * non-equi condition plans as a BroadcastNestedLoopJoin: the whole table
