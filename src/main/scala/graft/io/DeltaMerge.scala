@@ -219,7 +219,10 @@ object DeltaMerge {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    // deletes only REMOVE rows: identity values carry in survivors
+    // verbatim and the watermark stands (values are never reused)
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true,
+      identityOk = true)
     val touched = touchedFiles(spark, path, meta, live, _.filter(condition))
     if (touched.isEmpty) return -1L
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -269,7 +272,10 @@ object DeltaMerge {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    // deletes only REMOVE rows: identity values carry in survivors
+    // verbatim and the watermark stands (values are never reused)
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true,
+      identityOk = true)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,10 +314,17 @@ object DeltaMerge {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    // UPDATE carries identity values verbatim — but a SET targeting the
+    // identity column itself would mint values outside the contract
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true,
+      identityOk = true)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"SET column $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    set.keys.foreach(k => require(
+      !schema(k).metadata.contains("delta.identity.start"),
+      s"SET targets identity column $k — identity values are engine-assigned " +
+        "and never updated"))
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -692,10 +705,17 @@ object DeltaMerge {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    // UPDATE carries identity values verbatim — but a SET targeting the
+    // identity column itself would mint values outside the contract
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true,
+      identityOk = true)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"SET column $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    set.keys.foreach(k => require(
+      !schema(k).metadata.contains("delta.identity.start"),
+      s"SET targets identity column $k — identity values are engine-assigned " +
+        "and never updated"))
     // updating a partition column is fine: the rewrite stages with
     // partitionBy over the NEW values, so moved rows land in (and log
     // partitionValues for) their new partition directories

@@ -191,9 +191,49 @@ object DeltaWrite {
       mergeSchema = false, createRowTracked = true)
   }
 
+  /** Create an IDENTITY-COLUMN Delta table (the public `identityColumns`
+    * writer feature, `delta.identity.*` field metadata): `idCol` is
+    * ASSIGNED here — gap-free multiples of `step` from `start`, in the
+    * batch's partition-then-row order — and must not be supplied by the
+    * caller. The schema records start/step/allowExplicitInsert and the
+    * high watermark (the LAST issued value); the protocol declares writer
+    * 7 + `identityColumns`. Subsequent plain [[writeDeltaTable]] appends
+    * that OMIT the column get fresh values past the stored watermark and
+    * republish it in the same commit; appends that SUPPLY it refuse
+    * unless `allowExplicitInsert` (GENERATED ALWAYS vs BY DEFAULT), in
+    * which case the watermark advances to cover the supplied values.
+    * Identity-advancing commits conflict-check EXCLUSIVELY — two writers
+    * generating values concurrently would issue the same ones, so the
+    * loser refuses instead of silently duplicating (the single-sequencer
+    * contract; delta-spark treats this as a metadata conflict too).
+    */
+  def writeDeltaTableIdentity(df: DataFrame, path: String, idCol: String,
+      start: Long = 1L, step: Long = 1L, allowExplicitInsert: Boolean = false,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(step != 0L, "identity step must be non-zero")
+    require(!df.columns.contains(idCol),
+      s"$idCol must not be supplied at creation — identity values are assigned")
+    require(DeltaRead.latestVersion(df.sparkSession, path) < 0,
+      s"$path already exists — identity columns can only be declared at " +
+        "table creation here (adding one later would need a backfill)")
+    val (withId, n) = assignIdentityValues(df, idCol, start - step, step)
+    val mdb = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
+    // the watermark is the last ISSUED value — absent until one exists
+    if (n > 0) mdb.putLong("delta.identity.highWaterMark", start + step * (n - 1))
+    import org.apache.spark.sql.functions.col
+    val typed = withId.select(
+      col(idCol).as(idCol, mdb.build()) +: df.columns.map(col).toSeq: _*)
+    writeDeltaTableImpl(typed, path, "overwrite", partitionBy, None,
+      mergeSchema = false, createIdentity = true)
+  }
+
   private def writeDeltaTableImpl(df0: DataFrame, path: String, mode: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
       mergeSchema: Boolean, createMapped: Option[String] = None,
+      createIdentity: Boolean = false,
       createRowTracked: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"write_mode must be append or overwrite, got $mode")
@@ -214,15 +254,91 @@ object DeltaWrite {
       if (fs.exists(logDir))
         Some(DeltaRead.replayFull(spark, path, None)).filter(_.meta != null)
       else None
-    // generated columns resolve BEFORE schema validation: a batch that
-    // omits a generated column is completed to the table schema here
-    val df = existingFull.map(e => applyGenerated(df0, e.meta, s"write to $path"))
+    // column DEFAULTs, then generated columns, resolve BEFORE schema
+    // validation: a batch that omits a defaulted or generated column is
+    // completed to the table schema here (defaults first — a generation
+    // expression may legally reference a defaulted column)
+    val dfDG = existingFull.map(e => applyGenerated(
+        applyDefaults(df0, e.meta), e.meta, s"write to $path"))
       .getOrElse(df0)
+    // IDENTITY columns (`delta.identity.*`): a batch that OMITS one gets
+    // gap-free values assigned past the stored watermark; one that
+    // SUPPLIES it refuses unless allowExplicitInsert, advancing the
+    // watermark to cover the supplied values. `hwBumps` carries the new
+    // last-issued value per column — a non-empty map forces a metaData
+    // republish and an EXCLUSIVE conflict guard (two concurrent
+    // identity-generating commits would issue the same values; the loser
+    // must refuse, never retry with its already-staged data files).
+    require(existingFull.isDefined || createIdentity ||
+        !df0.schema.fields.exists(_.metadata.contains("delta.identity.start")),
+      s"creating an identity table at $path requires writeDeltaTableIdentity — " +
+        "raw delta.identity metadata would publish without the " +
+        "identityColumns protocol feature")
+    val identityFields: Seq[StructField] = existingFull.toSeq.flatMap { e =>
+      if (!e.meta.schemaJson.contains("delta.identity.")) Nil
+      else DataType.fromJson(e.meta.schemaJson).asInstanceOf[StructType]
+        .fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+    }
+    require(identityFields.isEmpty || !mergeSchema,
+      s"mergeSchema on identity table $path is not supported — schema " +
+        "evolution would republish the identity metadata from the batch side")
+    val (dfI, hwBumps): (DataFrame, Map[String, Long]) =
+      identityFields.foldLeft((dfDG, Map.empty[String, Long])) {
+        case ((cur, bumps), f) =>
+          val step = f.metadata.getLong("delta.identity.step")
+          val lastIssued =
+            if (f.metadata.contains("delta.identity.highWaterMark"))
+              f.metadata.getLong("delta.identity.highWaterMark")
+            else f.metadata.getLong("delta.identity.start") - step
+          if (!cur.columns.contains(f.name)) {
+            val (withId, n) = assignIdentityValues(cur, f.name, lastIssued, step)
+            if (n == 0) (withId, bumps)
+            else (withId, bumps + (f.name -> (lastIssued + step * n)))
+          } else {
+            require(f.metadata.contains("delta.identity.allowExplicitInsert") &&
+                f.metadata.getBoolean("delta.identity.allowExplicitInsert"),
+              s"write to $path supplies identity column ${f.name}, which is " +
+                "GENERATED ALWAYS — omit it to have values assigned")
+            import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+            val r = cur.agg(
+              count(when(col(f.name).isNull, lit(1))).as("nulls"),
+              max(col(f.name)).as("mx"), min(col(f.name)).as("mn")).collect()(0)
+            require(r.getLong(0) == 0L,
+              s"write to $path: identity column ${f.name} has null values")
+            val extreme = if (r.isNullAt(1)) None
+              else Some(if (step > 0) r.getLong(1) else r.getLong(2))
+            val advances = extreme.exists(e =>
+              (step > 0 && e > lastIssued) || (step < 0 && e < lastIssued))
+            (cur, if (advances) bumps + (f.name -> extreme.get) else bumps)
+          }
+      }
+    // an assigned identity column lands at the end of the batch — restore
+    // the table's column order so the schema gates below compare shapes
+    val df = existingFull.filter(_ => identityFields.nonEmpty).map { e =>
+      val old = DataType.fromJson(e.meta.schemaJson).asInstanceOf[StructType]
+      import org.apache.spark.sql.functions.col
+      val ordered = old.fieldNames.filter(dfI.columns.contains) ++
+        dfI.columns.filterNot(old.fieldNames.contains)
+      val out = dfI.select(ordered.map(col).toSeq: _*)
+      // a schema-changing overwrite would republish metaData from the
+      // batch schema and silently drop the identity metadata — refuse
+      // (recreate the table to change its shape); appends hit the
+      // standard schema gate below
+      if (mode == "overwrite") {
+        require(sameSchema(out.schema, old),
+          s"overwrite of identity table $path changes the schema " +
+            s"(${out.schema.simpleString} vs ${old.simpleString}) — recreate " +
+            "the table instead; identity metadata cannot ride a batch schema")
+        require(e.meta.partitionCols == partitionBy,
+          s"overwrite of identity table $path changes partitioning — recreate")
+      }
+      out
+    }.getOrElse(dfI)
     val existing: Option[(DeltaRead.Meta, Seq[DeltaRead.LiveFile])] =
       existingFull.map(t => (t.meta, t.files))
     existingFull.foreach { s =>
       checkWritable(s.meta, s.protocol, s"write to $path",
-        removesData = mode == "overwrite") }
+        removesData = mode == "overwrite", identityOk = true) }
     // row tracking: fresh tables opt in via createRowTracked; existing
     // tables carry delta.enableRowTracking in their configuration. Every
     // add this commit stages gets a fresh baseRowId range under the
@@ -360,6 +476,10 @@ object DeltaWrite {
         // rowTracking is a writer-only table feature (writer version 7);
         // domainMetadata carries its high watermark
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["domainMetadata","rowTracking"]}}"""
+      else if (createIdentity)
+        // identityColumns is a writer-only table feature: readers see
+        // plain bigint values; only writers owe the assignment contract
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     txn.foreach { case (appId, txnVersion) =>
       lines += s"""{"txn":{"appId":${js(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
@@ -414,6 +534,28 @@ object DeltaWrite {
       }
       lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }
+    // identity watermark advance: same schema, new highWaterMark — one
+    // metaData action republishing the STORED schema with bumped marks in
+    // the same commit as the rows that consumed them (the spec's writer
+    // obligation; a crash between data and mark would re-issue values)
+    require(!(schemaChanged && hwBumps.nonEmpty),
+      "unreachable: identity tables refuse schema-changing writes above")
+    if (hwBumps.nonEmpty) existing.foreach { case (meta, _) =>
+      val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      val bumped = StructType(old.fields.map { f =>
+        hwBumps.get(f.name) match {
+          case Some(hw) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("delta.identity.highWaterMark", hw).build())
+          case None => f
+        }
+      })
+      val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+      val config = meta.configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(bumped.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
+    }
     if (mode == "overwrite") existing.foreach { case (_, live) =>
       live.foreach { f =>
         lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -439,8 +581,11 @@ object DeltaWrite {
     // OCC: a plain append is blind (retries past any concurrent data
     // change); overwrite, table creation, and schema-changing commits
     // depend on the whole snapshot and refuse concurrent activity.
+    // identity-advancing appends also conflict-check exclusively: a
+    // concurrent winner may have issued the same values into ITS files —
+    // retrying with ours already staged would publish duplicates
     val guard =
-      if (mode == "overwrite" || schemaChanged || version == 0L)
+      if (mode == "overwrite" || schemaChanged || version == 0L || hwBumps.nonEmpty)
         ConflictGuard.exclusive(
           existing.map(_._2.map(_.path).toSet).getOrElse(Set.empty), txn.map(_._1))
       else ConflictGuard.blindAppend(txn.map(_._1))
@@ -762,6 +907,7 @@ object DeltaWrite {
     val snap = DeltaRead.replayFull(spark, path, None)
     require(snap.meta != null, s"$path has no metaData action in its _delta_log")
     checkWritable(snap.meta, snap.protocol, s"enableRowTracking of $path",
+      identityOk = true,
       removesData = false)
     val readVersion = DeltaRead.latestVersion(spark, path)
     val alreadyOn =
@@ -870,7 +1016,8 @@ object DeltaWrite {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "columnMapping", "typeWidening", "typeWidening-preview",
     "deletionVectors", "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
-    "generatedColumns", "inCommitTimestamp", "rowTracking", "domainMetadata")
+    "generatedColumns", "inCommitTimestamp", "rowTracking", "domainMetadata",
+    "allowColumnDefaults", "identityColumns")
 
   /** Refuse commits whose table demands WRITER semantics this engine does
     * not honor — the write-side mirror of [[DeltaRead]]'s reader-protocol
@@ -886,7 +1033,7 @@ object DeltaWrite {
     * versions imply them); the schema scan here is what actually gates.
     */
   private[io] def checkWritable(meta: DeltaRead.Meta, proto: DeltaRead.Protocol,
-      where: String, removesData: Boolean): Unit = {
+      where: String, removesData: Boolean, identityOk: Boolean = false): Unit = {
     require(proto.minWriter <= 7,
       s"$where requires Delta writer version ${proto.minWriter}; max supported is 7")
     val unknown = proto.writerFeatures.filterNot(honoredWriterFeatures)
@@ -909,11 +1056,22 @@ object DeltaWrite {
     // generated columns (`delta.generationExpression`) are HONORED, not
     // refused: [[applyGenerated]] computes omitted columns and validates
     // supplied ones on every staging path
-    Seq("delta.invariants" -> "column invariants",
-      "delta.identity" -> "identity columns").foreach { case (key, what) =>
+    // identity columns (`delta.identity.*`) are HONORED on value-minting
+    // and row-preserving paths (identityOk=true: append/overwrite writes
+    // assign + advance the watermark; compact/zorder/DELETE/UPDATE carry
+    // existing values verbatim, with UPDATE refusing identity SET targets
+    // at the verb). Paths that would MINT values without the assignment
+    // machinery (MERGE's unmatched inserts) or roll the watermark back
+    // (RESTORE) keep the refusal.
+    val refused = Seq("delta.invariants" -> "column invariants") ++
+      (if (identityOk) Nil
+       else Seq("delta.identity." -> ("identity columns — this verb could " +
+         "mint or roll back identity values outside the assignment contract; " +
+         "route inserts through writeDeltaTable")))
+    refused.foreach { case (key, what) =>
       require(!meta.schemaJson.contains(key),
         s"$where: the table schema declares $what ($key), which this writer " +
-          "cannot compute or validate — a commit could silently violate them")
+          "cannot honor here — a commit could silently violate the contract")
     }
   }
 
@@ -958,6 +1116,62 @@ object DeltaWrite {
         out.columns.filterNot(schema.fieldNames.contains)
       out.select(ordered.map(col).toSeq: _*)
     } else out
+  }
+
+  /** Column DEFAULT values — the writer half of the public Delta
+    * `allowColumnDefaults` feature (`CURRENT_DEFAULT` field metadata): a
+    * batch that OMITS a defaulted column gets the default computed in (one
+    * constant-folded expression, no UDFs); a batch that SUPPLIES it keeps
+    * its values verbatim — defaults fill, they never validate (unlike
+    * [[applyGenerated]], which owes the spec a row-by-row check). Runs on
+    * the write path only: DML rewrites carry every column by construction,
+    * so there is nothing to fill there. The Delta spec has no
+    * EXISTS_DEFAULT — a default never backfills rows written before it was
+    * set, which is why [[setColumnDefault]] refuses columns absent from
+    * live data's schema history rather than inventing reads.
+    */
+  private[io] def applyDefaults(df: DataFrame, meta: DeltaRead.Meta): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    if (!meta.schemaJson.contains("CURRENT_DEFAULT")) return df
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val defs = schema.fields.filter(f =>
+      f.metadata.contains("CURRENT_DEFAULT") && !df.columns.contains(f.name))
+    if (defs.isEmpty) return df
+    var out = df
+    defs.foreach { f =>
+      out = out.withColumn(f.name,
+        expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
+    }
+    // filled columns appended at the end → restore the table's order,
+    // keeping batch-only columns after it (the applyGenerated convention)
+    val ordered = schema.fieldNames.filter(out.columns.contains) ++
+      out.columns.filterNot(schema.fieldNames.contains)
+    out.select(ordered.map(col).toSeq: _*)
+  }
+
+  /** Identity assignment: append `name` holding gap-free values
+    * `lastIssued + step, lastIssued + 2·step, …` in the batch's
+    * partition-then-row order. `zipWithIndex` is the one legitimate RDD
+    * drop-down here — a global gap-free sequence is inherently a
+    * count-partials-then-offset pass (Spark's windowless row_number would
+    * single-partition the batch); the batch localCheckpoints first so the
+    * count job and the map job see the same rows in the same order.
+    * Returns the frame and the batch row count (caller derives the new
+    * watermark as `lastIssued + step·n`).
+    */
+  private def assignIdentityValues(df: DataFrame, name: String,
+      lastIssued: Long, step: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val snapped = df.localCheckpoint()
+    val n = snapped.count()
+    val out = spark.createDataFrame(
+      snapped.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (lastIssued + step * (i + 1)))
+      },
+      StructType(snapped.schema.fields :+
+        StructField(name, LongType, nullable = false)))
+    (out, n)
   }
 
   /** The `"inCommitTimestamp":N,` fragment for the NEXT commit's
@@ -1234,6 +1448,126 @@ object DeltaWrite {
     committed
   }
 
+  /** ALTER COLUMN SET DEFAULT: record `default` as the column's
+    * `CURRENT_DEFAULT` (the public Delta Column Default Values feature)
+    * and upgrade the protocol to declare `allowColumnDefaults` — future
+    * appends that omit the column get the default computed in
+    * ([[applyDefaults]]); rows already written are untouched (the spec has
+    * no EXISTS_DEFAULT, which is also why Delta forbids ADD COLUMN with a
+    * default — only existing columns may acquire one). The expression must
+    * be CONSTANT (the spec's writer obligation): it is resolved against an
+    * empty row and evaluated once here, so a column reference or an
+    * unresolvable function refuses loudly at set time, not at some later
+    * writer's append. Returns the committed version.
+    */
+  def setColumnDefault(spark: SparkSession, path: String, column: String,
+      default: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val idx = schema.fieldNames.indexOf(column)
+    require(idx >= 0,
+      s"$column is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    require(!schema(idx).metadata.contains("delta.generationExpression"),
+      s"$column is a generated column — its value is always computed from " +
+        "the generation expression; a default would never apply")
+    // constant-expression gate: resolve against ZERO columns (range(1)
+    // would leak an `id` attribute a non-constant expression could bind
+    // to), evaluate once, and require the cast to the column's type to
+    // survive
+    val probe = try {
+      spark.range(1).drop("id")
+        .select(expr(default).cast(schema(idx).dataType)).collect()
+    } catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"DEFAULT expression '$default' for $column is not a constant " +
+          s"expression evaluable as ${schema(idx).dataType.simpleString}: " +
+          e.getMessage, e)
+    }
+    require(probe.length == 1, s"DEFAULT expression '$default' did not evaluate")
+    val newMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(schema(idx).metadata)
+      .putString("CURRENT_DEFAULT", default).build()
+    val updated = StructType(schema.fields.updated(idx,
+      schema(idx).copy(metadata = newMeta)))
+    commitSchemaChange(spark, path, readVersion, meta, proto, updated,
+      protoExtraWriter = Seq("allowColumnDefaults"),
+      operation = "ALTER COLUMN",
+      opParams = s""""column":${jsonStr(column)},"default":${jsonStr(default)}""")
+  }
+
+  /** ALTER COLUMN DROP DEFAULT: remove the column's `CURRENT_DEFAULT`.
+    * Future appends that omit the column refuse on schema mismatch again;
+    * rows already served a default keep their values (they were filled
+    * physically at write time). The protocol keeps `allowColumnDefaults` —
+    * features never retract.
+    */
+  def dropColumnDefault(spark: SparkSession, path: String,
+      column: String): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val idx = schema.fieldNames.indexOf(column)
+    require(idx >= 0,
+      s"$column is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    require(schema(idx).metadata.contains("CURRENT_DEFAULT"),
+      s"$column has no DEFAULT to drop")
+    val newMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(schema(idx).metadata).remove("CURRENT_DEFAULT").build()
+    val updated = StructType(schema.fields.updated(idx,
+      schema(idx).copy(metadata = newMeta)))
+    commitSchemaChange(spark, path, readVersion, meta, proto, updated,
+      protoExtraWriter = Nil, operation = "ALTER COLUMN",
+      opParams = s""""column":${jsonStr(column)},"dropDefault":"true"""")
+  }
+
+  private def jsonStr(s: String): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
+
+  /** Shared commit shape for metadata-only schema edits (defaults here;
+    * [[widenColumnType]] predates it): one commit carrying an optional
+    * protocol MERGE (never an overwrite — dropping a foreign writer's
+    * declared features would break its invariants) and the new schema
+    * under the unchanged configuration/partitioning.
+    */
+  private def commitSchemaChange(spark: SparkSession, path: String,
+      readVersion: Long, meta: DeltaRead.Meta, proto: DeltaRead.Protocol,
+      updated: StructType, protoExtraWriter: Seq[String],
+      operation: String, opParams: String): Long = {
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val configJson = meta.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    // crossing to writer v7 must enumerate the legacy versions' implied
+    // features alongside the new ones (spec: a table-features protocol
+    // lists EVERYTHING it requires — the enableRowTracking convention)
+    val implied = Seq(
+      2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"), 5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= proto.minWriter).flatMap(_._2)
+    val baseFeatures =
+      if (proto.minWriter >= 7) proto.writerFeatures else implied
+    val newProto =
+      if (protoExtraWriter.isEmpty ||
+          (proto.minWriter >= 7 && protoExtraWriter.forall(proto.writerFeatures.contains)))
+        proto
+      else proto.copy(minWriter = 7,
+        writerFeatures = (baseFeatures ++ protoExtraWriter).distinct)
+    val tail = (if (newProto != proto) Seq(protocolJson(newProto)) else Nil) :+
+      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(updated.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+    val committed = commitWithRetry(spark, path, readVersion,
+      ConflictGuard.exclusive(), _ =>
+      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":${js(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}""" +: tail)
+    maybeAutoCheckpoint(spark, path, committed, meta.configuration)
+    committed
+  }
+
   /** Stage change-data files under `_change_data/` (the CDF layout: an
     * underscore directory no table reader lists; only `cdc` actions
     * reference it). Unpartitioned on purpose — change batches are read
@@ -1324,7 +1658,8 @@ object DeltaWrite {
     val snap = DeltaRead.replayFull(spark, path, None)
     val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
     require(meta != null, s"$path has no metaData action")
-    checkWritable(meta, proto, s"compactZOrder of $path", removesData = false)
+    checkWritable(meta, proto, s"compactZOrder of $path", removesData = false,
+      identityOk = true)
     // reclustering rewrites every row — materialize stable ids, like compact
     val rt = rowTrackingOf(meta)
     val matFields = rowTrackingFields(rt)
@@ -1952,7 +2287,8 @@ object DeltaWrite {
     require(meta != null, s"$path has no metaData action")
     // dataChange=false: allowed even on delta.appendOnly tables (the spec's
     // carve-out for maintenance rewrites)
-    checkWritable(meta, proto, s"compact of $path", removesData = false)
+    checkWritable(meta, proto, s"compact of $path", removesData = false,
+      identityOk = true)
     // row-tracked tables: the rewrite MATERIALIZES each carried row's
     // stable id and original commit version into the configured physical
     // columns — compaction must never move a row's identity

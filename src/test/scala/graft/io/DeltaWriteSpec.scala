@@ -252,10 +252,10 @@ class DeltaWriteSpec extends SparkSpec {
     val fs = new Path(t2).getFileSystem(spark.sparkContext.hadoopConfiguration)
     DeltaWrite.publishCommit(fs, new Path(t2, "_delta_log"), 1L, Seq(
       """{"commitInfo":{"timestamp":1,"operation":"UPGRADE","operationParameters":{},"engineInfo":"other"}}""",
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["identityColumns"]}}"""))
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}"""))
     val e3 = intercept[IllegalArgumentException] {
       DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), t2, "append") }
-    assert(e3.getMessage.contains("identityColumns"), e3.getMessage)
+    assert(e3.getMessage.contains("icebergCompatV2"), e3.getMessage)
     // reads stay fine — the gate is writer-side only
     assert(DeltaRead.readDeltaTable(spark, t2).count() == 1L)
 
@@ -694,6 +694,145 @@ class DeltaWriteSpec extends SparkSpec {
       Map("id" -> lit(10L)))
     assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 10L))
+  }
+
+  test("column DEFAULTs: omitted columns fill, supplied values win, drop re-arms the gate") {
+    val table = tmp("graft_dw_def")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "a", "import"), (2L, "b", "import")).toDF("id", "v", "src"),
+      table, "overwrite")
+
+    // SET DEFAULT commits a protocol upgrade declaring the public feature
+    DeltaWrite.setColumnDefault(spark, table, "src", "'web'")
+    val (_, _, proto) = DeltaRead.replayLogWithProtocol(spark, table, None)
+    assert(proto.minWriter == 7 &&
+      proto.writerFeatures.contains("allowColumnDefaults"), proto.toString)
+
+    // append OMITTING the column: the default fills, pre-default rows
+    // keep their physical values (no EXISTS_DEFAULT backfill in Delta)
+    DeltaWrite.writeDeltaTable(Seq((3L, "c")).toDF("id", "v"), table, "append")
+    // append SUPPLYING the column: values win verbatim
+    DeltaWrite.writeDeltaTable(Seq((4L, "d", "api")).toDF("id", "v", "src"),
+      table, "append")
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "import"), (2L, "import"), (3L, "web"),
+      (4L, "api")), rows.toSeq.toString)
+
+    // non-constant and unknown-column defaults refuse at SET time
+    val e1 = intercept[IllegalArgumentException](
+      DeltaWrite.setColumnDefault(spark, table, "src", "id"))
+    assert(e1.getMessage.contains("constant"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      DeltaWrite.setColumnDefault(spark, table, "nope", "'x'"))
+
+    // DROP DEFAULT: an omitting append refuses on schema mismatch again
+    DeltaWrite.dropColumnDefault(spark, table, "src")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.writeDeltaTable(Seq((5L, "e")).toDF("id", "v"), table, "append"))
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 4L)
+  }
+
+  test("column DEFAULT on a generated column refuses; defaults feed generation") {
+    import org.apache.spark.sql.types.Metadata
+    val table = tmp("graft_dw_defgen")
+    val md = Metadata.fromJson("""{"delta.generationExpression":"upper(src)"}""")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "web")).toDF("id", "src")
+        .withColumn("g", expr("upper(src)").as("g", md)),
+      table, "append")
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.setColumnDefault(spark, table, "g", "'X'"))
+    assert(e.getMessage.contains("generated"), e.getMessage)
+
+    // a default on the generation SOURCE: defaults fill first, then the
+    // generated column computes from the filled value
+    DeltaWrite.setColumnDefault(spark, table, "src", "'api'")
+    DeltaWrite.writeDeltaTable(Seq(Tuple1(2L)).toDF("id"), table, "append")
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("src", "g").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("web", "WEB"), ("api", "API")), rows.toSeq.toString)
+  }
+
+  test("identity columns: creation assigns, appends continue past the watermark, ALWAYS refuses supplied") {
+    val table = tmp("graft_dw_ident")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq("a", "b", "c").toDF("v"), table, "rid", start = 100L, step = 10L)
+    val (_, _, proto) = DeltaRead.replayLogWithProtocol(spark, table, None)
+    assert(proto.minWriter == 7 &&
+      proto.writerFeatures.contains("identityColumns"), proto.toString)
+    val v0 = DeltaRead.readDeltaTable(spark, table).orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v0.map(_._1).toSeq == Seq(100L, 110L, 120L), v0.toSeq.toString)
+    assert(v0.map(_._2).toSet == Set("a", "b", "c"))
+
+    // append OMITTING the column: fresh values past the stored watermark,
+    // and the watermark republishes in the same commit
+    DeltaWrite.writeDeltaTable(Seq("d", "e").toDF("v"), table, "append")
+    val ids = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(100L, 110L, 120L, 130L, 140L), ids.toSeq.toString)
+    val (meta2, _) = DeltaRead.replayLog(spark, table, None)
+    assert(meta2.schemaJson.contains("\"delta.identity.highWaterMark\":140"),
+      meta2.schemaJson)
+
+    // GENERATED ALWAYS: a batch SUPPLYING the column refuses
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.writeDeltaTable(Seq((999L, "x")).toDF("rid", "v"), table, "append"))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+
+    // raw identity metadata at creation (bypassing the helper) refuses
+    import org.apache.spark.sql.types.Metadata
+    val rawMd = Metadata.fromJson(
+      """{"delta.identity.start":1,"delta.identity.step":1}""")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.writeDeltaTable(
+        Seq((1L, "x")).toDF("rid", "v").select(col("rid").as("rid", rawMd), col("v")),
+        tmp("graft_dw_ident_raw"), "overwrite"))
+    assert(e2.getMessage.contains("writeDeltaTableIdentity"), e2.getMessage)
+  }
+
+  test("identity columns: BY DEFAULT accepts supplied values and advances; DML carries values") {
+    val table = tmp("graft_dw_ident2")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq("a", "b").toDF("v"), table, "rid", start = 1L, step = 1L,
+      allowExplicitInsert = true)
+
+    // explicit insert past the watermark: accepted, watermark covers it
+    DeltaWrite.writeDeltaTable(Seq((50L, "x")).toDF("rid", "v"), table, "append")
+    // the next assigned batch continues PAST the explicit value
+    DeltaWrite.writeDeltaTable(Seq("y").toDF("v"), table, "append")
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 50L, 51L), rows.toSeq.toString)
+
+    // DELETE keeps survivors' values and never rolls the watermark back
+    DeltaMerge.deleteWhere(spark, table, col("rid") === 51L)
+    DeltaWrite.writeDeltaTable(Seq("z").toDF("v"), table, "append")
+    val after = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted
+    assert(after.toSeq == Seq(1L, 2L, 50L, 52L), after.toSeq.toString) // 51 never reused
+
+    // UPDATE of a non-identity column works; SET of the identity refuses
+    DeltaMerge.updateWhere(spark, table, col("rid") === 1L,
+      Map("v" -> lit("a2")))
+    val e = intercept[IllegalArgumentException](
+      DeltaMerge.updateWhere(spark, table, col("rid") === 1L,
+        Map("rid" -> lit(7L))))
+    assert(e.getMessage.contains("identity"), e.getMessage)
+
+    // MERGE (which inserts) refuses the identity table loudly
+    val e2 = intercept[IllegalArgumentException](
+      DeltaMerge.merge(spark, table,
+        Seq((1L, "m")).toDF("rid", "v"), Seq("rid")))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+
+    // compaction carries values verbatim
+    DeltaWrite.compact(spark, table, targetBytes = 1L << 30)
+    val afterCompact = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted
+    assert(afterCompact.toSeq == Seq(1L, 2L, 50L, 52L))
   }
 
   test("delta.checkpointInterval: data commits auto-checkpoint every N versions") {
