@@ -321,6 +321,19 @@ object Bench {
       graft.ext.Classifier.score(docs, "doc_id", "text", model)
         .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
     }),
+    // q54's ANALYSIS shape — the two shared-sort windows WITHOUT the
+    // gate's total ORDER BY: isolates the window work from the final
+    // range-exchange + global sort the cross-engine row hash demands, so
+    // the q54 bench gap decomposes into "windows" vs "output-order tax"
+    "b64_window_distinct_analysis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byOrder = Window.partitionBy(col("l_orderkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+        .withColumn("__dr", dense_rank().over(byOrder.orderBy(col("l_suppkey"))))
+        .withColumn("n_supp", max(col("__dr")).over(byOrder).cast("long"))
+        .drop("__dr")
+    }),
     // DSIR data selection, production family: xxhash64 feature bucketing,
     // importance weights over the full raw corpus, Gumbel-top-k resample
     "b61_dsir_fast" -> ((s, dir) => {

@@ -225,9 +225,17 @@ object QRound4 {
   /** Distinct count as a window column — Spark has no COUNT(DISTINCT) OVER,
     * so it's rewritten as max(dense_rank): dense_rank over (key ORDER BY
     * value) numbers the distinct values, its per-key max IS the distinct
-    * count, and both windows share one shuffle on the key (the second spec
-    * is unordered over the same partitioning). The oracle uses the
-    * equivalent grouped-subquery join.
+    * count, and both windows share one shuffle AND one sort on the key
+    * (the second spec is unordered over the same partitioning, so the
+    * sorted child satisfies it — no q44-style chaining left to apply; the
+    * plan is exactly Exchange→Sort→Window→Window). FLOOR NOTE (r13
+    * adjudication of the 2.2×-DuckDB gap): b64 benches this body WITHOUT
+    * the gate's total ORDER BY — 0.7s vs 1.05s warm at sf0.1 — so ~⅓ of
+    * the time is the output-order tax (range exchange + global sort the
+    * cross-engine row hash demands, which DuckDB pays in-process) and the
+    * rest is one hash exchange + one sort + two window passes over 600k
+    * rows, each load-bearing. The oracle uses the equivalent
+    * grouped-subquery join.
     */
   def q54WindowDistinct(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
