@@ -1524,6 +1524,102 @@ object DeltaWrite {
       opParams = s""""column":${jsonStr(column)},"dropDefault":"true"""")
   }
 
+  /** ALTER TABLE RENAME COLUMN — the verb column mapping exists for: on a
+    * mapped table the files store PHYSICAL names (or footer ids), so a
+    * logical rename is ONE metadata-only commit — no file is read or
+    * rewritten, and every staged add keeps resolving through the
+    * unchanged `delta.columnMapping.physicalName`. Time travel serves
+    * each version under its own schema. Refused on unmapped tables (their
+    * files store logical names — a rename would silently null the column
+    * on every read), on partition columns (the partitionColumns list and
+    * existing add.partitionValues would diverge), and on columns a CHECK
+    * constraint or generation expression references by name (the stored
+    * SQL text would dangle). Identity/default metadata rides the renamed
+    * field — both are field-local. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode != "none",
+      s"RENAME COLUMN on $path requires column mapping — unmapped files " +
+        "store logical names, so a metadata rename would null the column " +
+        "on every read; recreate the table mapped (writeDeltaTableMapped)")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val idx = schema.fieldNames.indexOf(from)
+    require(idx >= 0,
+      s"$from is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"RENAME COLUMN $from -> $to: $to already exists")
+    require(!meta.partitionCols.contains(from),
+      s"RENAME COLUMN $from: partition columns cannot rename here (the " +
+        "partitionColumns list and existing partitionValues would diverge)")
+    checkNotReferenced(meta, schema, from, "RENAME COLUMN")
+    val updated = StructType(schema.fields.updated(idx,
+      schema(idx).copy(name = to)))
+    commitSchemaChange(spark, path, readVersion, meta, proto, updated,
+      protoExtraWriter = Nil, operation = "RENAME COLUMN",
+      opParams = s""""from":${jsonStr(from)},"to":${jsonStr(to)}""")
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only on a mapped table: the field
+    * leaves the logical schema, the physical column stays in the files
+    * (readers with an explicit schema never materialize it) and is
+    * reclaimed lazily as rewrites (OPTIMIZE, COW DML) restage touched
+    * files without it. Same refusals as [[renameColumn]] plus: the last
+    * column cannot drop. A later ADD of the same logical name would mint
+    * a FRESH physical name/id, so old values can never resurrect —
+    * that is the whole point of the mapping indirection (mergeSchema is
+    * refused on mapped tables today, so no re-add path exists here).
+    */
+  def dropColumn(spark: SparkSession, path: String, column: String): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    require(meta.mappingMode != "none",
+      s"DROP COLUMN on $path requires column mapping — unmapped tables " +
+        "would need every file rewritten; recreate the table mapped")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column),
+      s"$column is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"DROP COLUMN $column would leave the table with no columns")
+    require(!meta.partitionCols.contains(column),
+      s"DROP COLUMN $column: partition columns cannot drop (live files are " +
+        "laid out by them)")
+    checkNotReferenced(meta, schema, column, "DROP COLUMN")
+    val updated = StructType(schema.fields.filterNot(_.name == column))
+    commitSchemaChange(spark, path, readVersion, meta, proto, updated,
+      protoExtraWriter = Nil, operation = "DROP COLUMN",
+      opParams = s""""column":${jsonStr(column)}""")
+  }
+
+  /** Refuse a rename/drop whose target is referenced BY NAME in stored
+    * SQL text — CHECK constraints (`delta.constraints.*` configuration)
+    * or another column's generation expression — where the schema edit
+    * would leave the text dangling. Word-boundary match: conservative
+    * (a same-named string literal also refuses), never unsafe.
+    */
+  private def checkNotReferenced(meta: DeltaRead.Meta, schema: StructType,
+      column: String, what: String): Unit = {
+    val word = java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(column) + "\\b")
+    meta.configuration.foreach { case (k, v) =>
+      if (k.startsWith("delta.constraints."))
+        require(!word.matcher(v).find(),
+          s"$what $column: CHECK constraint ${k.stripPrefix("delta.constraints.")} " +
+            s"references it ($v) — drop the constraint first")
+    }
+    schema.fields.filter(_.name != column).foreach { f =>
+      if (f.metadata.contains("delta.generationExpression")) {
+        val g = f.metadata.getString("delta.generationExpression")
+        require(!word.matcher(g).find(),
+          s"$what $column: generated column ${f.name} = $g references it")
+      }
+    }
+  }
+
   private def jsonStr(s: String): String =
     new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(s)
 

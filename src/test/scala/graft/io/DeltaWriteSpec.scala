@@ -1014,6 +1014,69 @@ class DeltaWriteSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("RENAME/DROP COLUMN on mapped tables: metadata-only, files untouched, travel serves old names") {
+    val table = tmp("graft_dw_rencol")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n"), table, "overwrite")
+    val filesBefore = spark.read.parquet(s"$table/*.parquet").inputFiles.sorted.toSeq
+
+    // rename: reads serve the new name, values intact, files byte-untouched
+    val v1 = DeltaWrite.renameColumn(spark, table, "v", "label")
+    val rows = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("id", "label", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10), (2L, "b", 20)), rows.toSeq.toString)
+    assert(!DeltaRead.readDeltaTable(spark, table).columns.contains("v"))
+    assert(spark.read.parquet(s"$table/*.parquet").inputFiles.sorted.toSeq
+      == filesBefore)
+    // time travel serves the PRE-rename schema
+    assert(DeltaRead.readDeltaTable(spark, table, Some(v1 - 1))
+      .columns.contains("v"))
+
+    // appends address the NEW logical name (same physical layout)
+    DeltaWrite.writeDeltaTable(
+      Seq((3L, "c", 30)).toDF("id", "label", "n"), table, "append")
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 3L)
+    // filters on the renamed column still resolve through the mapping
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("label") === "c").count() == 1L)
+
+    // drop: the column leaves the schema; files untouched; appends slim down
+    DeltaWrite.dropColumn(spark, table, "n")
+    assert(DeltaRead.readDeltaTable(spark, table).columns.toSeq
+      == Seq("id", "label"))
+    DeltaWrite.writeDeltaTable(Seq((4L, "d")).toDF("id", "label"), table, "append")
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 4L)
+
+    // refusals: unmapped table, unknown/partition/last column, collisions
+    val plain = tmp("graft_dw_rencol_plain")
+    DeltaWrite.writeDeltaTable(Seq((1L, "x")).toDF("id", "v"), plain, "overwrite")
+    val e1 = intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, plain, "v", "w"))
+    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, table, "nope", "x"))
+    intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, table, "id", "label")) // collision
+    intercept[IllegalArgumentException](
+      DeltaWrite.dropColumn(spark, plain, "v"))
+
+    val parted = tmp("graft_dw_rencol_part")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "x", "p1")).toDF("id", "v", "p"), parted, "overwrite",
+      partitionBy = Seq("p"))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, parted, "p", "q"))
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+    intercept[IllegalArgumentException](DeltaWrite.dropColumn(spark, parted, "p"))
+
+    // constraint-referenced columns refuse until the constraint drops
+    DeltaWrite.addCheckConstraint(spark, table, "pos_id", "id > 0")
+    val e3 = intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, table, "id", "key"))
+    assert(e3.getMessage.contains("constraint"), e3.getMessage)
+  }
+
   test("restore rolls the live set back as a new commit; history and travel intact") {
     val table = tmp("graft_dw_restore")
     DeltaWrite.writeDeltaTable(
