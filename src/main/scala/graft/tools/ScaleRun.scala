@@ -156,6 +156,53 @@ object ScaleRun {
             "label", nProbe = 2, k = 10).count())
       }
 
+      // embedding decontamination: the EVAL side is a FIXED benchmark
+      // (always the small dir's slice — an eval suite does not grow with
+      // the training corpus), so work = |candidates|·|eval| dot products
+      // must grow linearly with the corpus, never ×N²
+      out += timed("b65_embed_decontam")(() =>
+        graft.ext.Similarity.decontaminate(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          Tables.embeddings(spark, small).filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", 0.45).count())
+
+      // identity-column table creation: the gap-free assignment is one
+      // localCheckpoint + count + zipWithIndex map — must be linear
+      out += timed("b66_identity_create")(() => {
+        val p = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "ident").toString + "/t"
+        graft.io.DeltaWrite.writeDeltaTableIdentity(
+          Tables.orders(spark, dir).select(col("o_orderstatus"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+          p, "rid")
+        graft.io.DeltaRead.readDeltaTable(spark, p).count()
+      })
+
+      // streaming ANN maintenance epoch: a FIXED 500-vector batch through
+      // processBatch against a corpus-sized index — epoch cost must track
+      // the BATCH, not the corpus (append assigns against centroids +
+      // writes batch files; the cellStats drift monitor is footer-cheap
+      // but lists ∝ files, the one component allowed to grow)
+      val wantsMaintain = only.isEmpty || only.exists("b67_ann_maintain_epoch".startsWith)
+      var maintPath: String = null
+      var maintEpoch = 0L
+      if (wantsMaintain) {
+        maintPath = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "annm").toString
+        AnnIndex.build(emb, "vec_id", "embedding", maintPath, nCells = nCells)
+      }
+      out += timed("b67_ann_maintain_epoch")(() => {
+        val batch = Tables.embeddings(spark, small).limit(500)
+          .select((col("vec_id") + lit(2000000000L) +
+            lit(maintEpoch * 1000000L)).as("vec_id"), col("embedding"))
+        graft.streaming.AnnMaintainSink.processBatch(batch, maintEpoch,
+          "vec_id", "embedding", maintPath, maxBalance = 1e9,
+          minBalance = 0.0, refreshEvery = 0, errorFactor = 1.05,
+          extraCols = Nil)
+        maintEpoch += 1
+        500L
+      })
+
       // standing DV-merge table: built untimed, merges are the timed verb
       val dml = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(tmp), "dv").toString + "/orders_delta"

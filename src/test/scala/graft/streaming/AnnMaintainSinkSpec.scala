@@ -108,6 +108,13 @@ class AnnMaintainSinkSpec extends SparkSpec {
     exactSelfHit(path, 105L, axisVec(1, 5))     // built
     exactSelfHit(path, 1021L, axisVec(2, 22))   // batch 0
     exactSelfHit(path, 2115L, lobeVec(1, 15))   // batch 1, post-split mass
+
+    // the incremental drift cache matches a real recount (post-rebalance
+    // it was re-derived; a divergence here means some path forgot to fold)
+    val cached = AnnMaintainSink.readCounts(spark, path).get
+    val actual = idx.groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cached.counts == actual, s"cache $cached vs actual $actual")
   }
 
   test("crash between append and commit marker replays exactly-once") {
