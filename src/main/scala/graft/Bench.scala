@@ -93,6 +93,28 @@ object Bench {
     }
   }
 
+  // b68's standing PLAIN table in q94's exact commit shape (two appends +
+  // a classic checkpoint), built once untimed: the timed verb is the READ
+  // pair q94 gates — v0 time travel through the JSON replay path and a
+  // head read through the checkpoint path
+  private val plainTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] def plainTable(s: SparkSession, dir: String): String = {
+    val cur = plainTablePath.get()
+    if (cur != null) cur
+    else {
+      val path = benchTmp("plain_table") + "/orders_delta"
+      val src = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.io.DeltaWrite.writeDeltaTable(
+        src.filter(col("o_orderkey") % 3 === 0), path, "append")
+      graft.io.DeltaWrite.writeDeltaTable(
+        src.filter(col("o_orderkey") % 3 =!= 0), path, "append")
+      graft.io.DeltaWrite.checkpoint(s, path)
+      plainTablePath.set(path)
+      path
+    }
+  }
+
   private val cdfTablePath = new java.util.concurrent.atomic.AtomicReference[String]()
   private[graft] def cdfTable(s: SparkSession, dir: String): String = {
     val cur = cdfTablePath.get()
@@ -122,6 +144,7 @@ object Bench {
       // the DML/CDF gate forms rebuild their Delta table in-query (4-5
       // commits of table-build tax per run) to make the oracle hashable;
       // b54/b55 bench the amortized shape — verbs/reads on a standing table
+      "q94_delta_roundtrip", // in-query table build (2 commits + checkpoint); b68 benches the standing read pair
       "q106_merge_roundtrip", "q109_change_feed", "q111_dv_dml",
       "q113_row_tracking", // in-query table build; b59 benches the standing read
       "q114_change_diff", // in-query table build; b60 benches the standing diff
@@ -320,6 +343,19 @@ object Bench {
         "doc_id", "text", buckets = 4096, iters = 3)
       graft.ext.Classifier.score(docs, "doc_id", "text", model)
         .agg(count(lit(1)).as("n"), sum(col("score")).as("s"))
+    }),
+    // q94's READ pair on the standing table: v0 time travel replays the
+    // JSON tail, the head read replays through the classic checkpoint —
+    // the serving shape, without q94's in-query 3-commit build tax
+    "b68_delta_standing_read" -> ((s, dir) => {
+      val path = plainTable(s, dir)
+      val v0 = graft.io.DeltaRead.readDeltaTable(s, path, versionAsOf = Some(0L))
+        .agg(count(lit(1)).as("v0_rows"))
+      graft.io.DeltaRead.readDeltaTable(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(v0))
+        .orderBy(col("o_orderstatus"))
     }),
     // q54's ANALYSIS shape — the two shared-sort windows WITHOUT the
     // gate's total ORDER BY: isolates the window work from the final

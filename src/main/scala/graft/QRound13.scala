@@ -43,9 +43,56 @@ object QRound13 {
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 
+  /** Temperature-based mixture sampling
+    * ([[graft.ext.Splits.temperatureQuotas]] at τ = 1/2 + the q97 sampler):
+    * per-source quotas `(budget·√n_s·10⁶) div Σ√n·10⁶` in exact BIGINT
+    * micro-units — sqrt is the one power IEEE requires exactly rounded,
+    * so the weight is bit-identical cross-engine where a general
+    * `pow(n, τ)` would diverge in the last ulp — then the kept set is the
+    * quota_s smallest md5-of-id rows per source (engine-portable,
+    * rerun-stable). Output pins the quota math AND the exact selected set
+    * per source; quota-0/overdrawn sources are exercised by the LEFT join.
+    */
+  def q123TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    // RAW load, the q97 lesson: both consumers shuffle on `source` first
+    val docs = Tables.load(s, d, "documents")
+    val quotas = graft.ext.Splits.temperatureQuotas(docs, "source", budget = 200L)
+      .localCheckpoint() // 20 rows; feeds the output AND the sampler
+    val kept = graft.ext.Splits.mixtureSample(docs, "doc_id", "source",
+      _ => lit(1L), precomputedQuotas = Some(quotas))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("__n_kept"), sum(col("doc_id")).as("__kept_sum"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("w_micro"), col("quota"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__kept_sum"), lit(0L)).as("kept_sum"))
+      .orderBy(col("source"))
+  }
+
+  private val q123Sql =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |        CAST(round(sqrt(n_docs) * 1e6, 0) AS BIGINT) AS w_micro FROM c),
+      |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wtot FROM w),
+      |q AS (SELECT source, n_docs, w_micro, (200 * w_micro) // wtot AS quota
+      |      FROM w CROSS JOIN t),
+      |r AS (SELECT doc_id, source,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rk
+      |      FROM documents),
+      |k AS (SELECT r.source, r.doc_id FROM r JOIN q ON r.source = q.source AND r.rk <= q.quota)
+      |SELECT q.source, q.n_docs, q.w_micro, q.quota,
+      |  CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_sum
+      |FROM q LEFT JOIN k ON q.source = k.source
+      |GROUP BY q.source, q.n_docs, q.w_micro, q.quota
+      |ORDER BY q.source""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q122_embed_decontam" -> (q122EmbedDecontam _))
+    "q122_embed_decontam" -> (q122EmbedDecontam _),
+    "q123_temperature_mix" -> (q123TemperatureMix _))
 
   val sql: Map[String, String] = Map(
-    "q122_embed_decontam" -> q122Sql)
+    "q122_embed_decontam" -> q122Sql,
+    "q123_temperature_mix" -> q123Sql)
 }

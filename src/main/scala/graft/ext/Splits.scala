@@ -39,6 +39,33 @@ object Splits {
     log((conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("double") + 1.0)
       / 4294967296.0) / weight
 
+  /** TEMPERATURE-weighted mixture quotas — the GPT-3/PaLM/LLaMA source-
+    * sampling rule `p_s ∝ n_s^τ` at τ = 1/2, which upweights small sources
+    * relative to proportional sampling: per source, weight
+    * `w_micro = round(sqrt(n_s)·10⁶)` in exact integer micro-units and
+    * `quota_s = (budget · w_s) div Σw` in pure BIGINT arithmetic. τ is
+    * FIXED at 1/2 deliberately: `sqrt` is the one power IEEE 754 requires
+    * exactly rounded, so the weight is bit-identical on any engine —
+    * `pow(n, τ)` for a general τ is not, and a last-ulp divergence lands
+    * exactly on the rounding boundary (the q69/q73 money lesson applied
+    * to exponents); sqrt(integer) is an integer or irrational, so
+    * `·10⁶` can never produce an exact .5 either. A source's quota may
+    * exceed its population when the budget outruns the corpus — the
+    * sampler then keeps the whole source, still deterministic. One count
+    * aggregate + a single-row broadcast of Σw; output one row per source:
+    * `(source, n_docs, w_micro, quota)`.
+    */
+  def temperatureQuotas(df: DataFrame, srcCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6, 0).cast("long"))
+    val tot = counts.agg(sum(col("w_micro")).as("__wtot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(srcCol), col("n_docs"), col("w_micro"),
+        expr(s"($budget * w_micro) div __wtot").as("quota"))
+  }
+
   /** Per-source sampling quotas for a target mixture: integer weights
     * (`weightOf` applied to the source column — a literal map, a join, or a
     * derived expression) define the desired ratio `w_s : w_t : ...` between

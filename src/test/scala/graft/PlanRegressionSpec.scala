@@ -30,6 +30,7 @@ class PlanRegressionSpec extends SparkSpec {
   private val auditedNlj = Set(
     "q27_cosine_topk",      // the 1-row query-vector broadcast
     "q97_mixture_sample",   // the 1-row mixture-unit broadcast
+    "q123_temperature_mix", // the 1-row Σ√n weight-total broadcast (q97 shape)
     "q32_source_sketch",    // corpus-pair count scalar
     "q58_tfidf",            // corpus doc-count scalar
     "q66_bm25",             // avg doc length scalar
