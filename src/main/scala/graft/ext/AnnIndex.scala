@@ -624,6 +624,37 @@ object AnnIndex {
     else all.orderBy(col("adist"), col("id")).limit(k)
   }
 
+  /** PQ shortlist + EXACT refinement — the production IVF-PQ serving
+    * shape (FAISS's refine stage): ADC ranks a shortlist of `k · refine`
+    * candidates from the compressed codes alone ([[queryPq]] — only code
+    * bytes move), then the true cosine reranks ONLY the shortlist's
+    * full vectors (an id-pushed, partition-pruned point lookup). Recall
+    * approaches the exact probe at a fraction of its vector-decode cost;
+    * `refine = 1` degenerates to trusting ADC order, large `refine`
+    * converges on [[query]]'s exact-within-probed-cells result. Output
+    * shape matches [[query]] (`id`, `sim`) so callers swap paths freely.
+    * The shortlist crosses the driver — k·refine longs, bounded by
+    * construction.
+    */
+  def queryPqRefined(spark: SparkSession, path: String, query: Array[Double],
+      nProbe: Int, k: Int, refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val meta = readMeta(spark, path)
+    val probed = nearestCells(meta, query, nProbe)
+    val ids = queryPq(spark, path, query, nProbe, k * refine)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val qCol = typedlit(query.toSeq)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*) &&
+        col("id").isInCollection(if (ids.isEmpty) Seq(-1L) else ids))
+      .select(col("id"),
+        round(Similarity.dot(transform(col("vec"), _.cast("double")), qCol) /
+          (col("nrm") * lit(qNorm)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   private def nearestCells(meta: Meta, query: Array[Double], nProbe: Int): Seq[Int] =
     meta.centroids.zipWithIndex
       .map { case (c, j) =>

@@ -333,12 +333,17 @@ object DeltaRead {
     * predates the earliest available commit (cleaned history cannot be
     * resolved by time) — never silently returns a later state.
     */
-  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+  /** `(version, commit timestamp)` per available commit JSON, ascending —
+    * the in-commit clock when the table enables it (authoritative over the
+    * wall-clock field), else `commitInfo.timestamp`, else file mtime.
+    */
+  private[graft] def commitTimestamps(spark: SparkSession,
+      path: String): Seq[(Long, Long)] = {
     val dir = new Path(path, "_delta_log")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(dir), s"$path is not a Delta table (no _delta_log directory)")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val commits = fs.listStatus(dir).iterator
+    fs.listStatus(dir).iterator
       .filter { st =>
         val n = st.getPath.getName
         n.endsWith(".json") && n.dropRight(5).forall(_.isDigit)
@@ -359,6 +364,10 @@ object DeltaRead {
           .flatten
         (v, ciTs.getOrElse(st.getModificationTime))
       }.toSeq.sortBy(_._1)
+  }
+
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val commits = commitTimestamps(spark, path)
     require(commits.nonEmpty, s"$path has no commit JSONs to resolve a timestamp against")
     val qualifying = commits.filter(_._2 <= tsMillis)
     require(qualifying.nonEmpty,

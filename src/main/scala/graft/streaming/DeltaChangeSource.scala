@@ -23,6 +23,7 @@ import graft.io.DeltaRead
   *     .format("graft.streaming.DeltaChangeSource")
   *     .option("path", tablePath)
   *     .option("startingVersion", "0")     // or "earliest" / "latest" (default)
+  *     .option("startingTimestamp", "1700000000000") // changes at/after (excl. with startingVersion)
   *     .option("maxVersionsPerBatch", "10") // admission bound (optional)
   *     .load()                              // cols..., _change_type, _commit_version
   * }}}
@@ -85,9 +86,29 @@ class DeltaChangeSource extends StreamSourceProvider with DataSourceRegister {
       params: Map[String, String]): Source = {
     val spark = ctx.sparkSession
     val path = pathOf(params)
+    val startTs = params.get("startingTimestamp")
+      .orElse(params.get("startingtimestamp"))
+    val startVer = params.get("startingVersion")
+      .orElse(params.get("startingversion"))
+    require(startTs.isEmpty || startVer.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    // startingTimestamp resolves to a version FLOOR once (persisted like
+    // every start), delta-spark's CDF semantics: changes committed AT or
+    // AFTER the instant. Commits all before it → only future commits.
+    // By-name into resolveStartVersion: a RECOVERY reads the persisted
+    // floor and never re-lists the log to re-resolve the timestamp.
+    def option: String = startTs match {
+      case Some(ts) =>
+        val t = ts.toLong
+        val commits = graft.io.DeltaRead.commitTimestamps(spark, path)
+        commits.filter(_._2 >= t).map(_._1).minOption match {
+          case Some(first) => (first - 1).toString
+          case None => "latest"
+        }
+      case None => startVer.getOrElse("latest")
+    }
     val start = DeltaChangeSource.resolveStartVersion(spark, path, metadataPath,
-      params.getOrElse("startingVersion",
-        params.getOrElse("startingversion", "latest")))
+      option)
     val maxVersions = params.get("maxVersionsPerBatch")
       .orElse(params.get("maxversionsperbatch")).map(_.toLong)
     maxVersions.foreach(n => require(n > 0,
@@ -113,7 +134,7 @@ object DeltaChangeSource {
     * those rows.
     */
   private[streaming] def resolveStartVersion(spark: SparkSession, path: String,
-      metadataPath: String, option: String): Long = {
+      metadataPath: String, option: => String): Long = {
     val fs = new Path(metadataPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(metadataPath, "graft-start-version")

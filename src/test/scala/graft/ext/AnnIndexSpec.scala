@@ -68,6 +68,38 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("without PQ"), e.getMessage)
   }
 
+  test("queryPqRefined: exact rerank of the ADC shortlist converges on the exact probe") {
+    val path = Files.createTempDirectory("graft_ann_ref").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3, m = 4, nCodes = 8)
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val query = raw(105L).map(_.toDouble)
+
+    // a generous shortlist covers the probed cells → refined == exact
+    val exact = AnnIndex.query(spark, path, query, nProbe = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val refined = AnnIndex.queryPqRefined(spark, path, query,
+      nProbe = 3, k = 5, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(refined.toSeq == exact.toSeq, s"${refined.toSeq} vs ${exact.toSeq}")
+
+    // sims are TRUE cosines (not ADC scores): self-query ranks itself at 1.0
+    assert(refined.head == ((105L, 1.0)), refined.head.toString)
+
+    // refinement never returns ids outside the ADC shortlist
+    val shortlist = AnnIndex.queryPq(spark, path, query, nProbe = 1, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val r1 = AnnIndex.queryPqRefined(spark, path, query,
+      nProbe = 1, k = 5, refine = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(r1.subsetOf(shortlist), s"$r1 not in $shortlist")
+
+    // a no-PQ index refuses through the shortlist path
+    val noPq = Files.createTempDirectory("graft_ann_ref2").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", noPq, nCells = 3)
+    intercept[IllegalArgumentException](
+      AnnIndex.queryPqRefined(spark, noPq, query, nProbe = 1, k = 3))
+  }
+
   test("hardNegatives via the index: exhaustive probe equals the broadcast-exact form") {
     val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
     val path = Files.createTempDirectory("graft_ann_hn").toString

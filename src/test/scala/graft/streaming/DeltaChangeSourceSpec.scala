@@ -95,6 +95,50 @@ class DeltaChangeSourceSpec extends SparkSpec {
       (4L, 400L, "delete", 2L), (4L, 9L, "insert", 2L)))
   }
 
+  test("startingTimestamp serves changes committed at or after the instant") {
+    val path = tmp("graft_tail_ts_") + "/t"
+    baseTable(path)                                            // v0
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 3L)    // v1
+    DeltaMerge.deleteWhereDv(spark, path, col("id") === 8L)    // v2
+    val commits = DeltaRead.commitTimestamps(spark, path).toMap
+    // commit wall-clocks can collide at ms resolution — make v2 strictly
+    // later than v1 for an unambiguous boundary, else skip (rare)
+    assume(commits(2L) > commits(1L), "need distinct commit timestamps")
+
+    // exactly AT v2's timestamp: v2 included, v1 not
+    val q = spark.readStream
+      .format("graft.streaming.DeltaChangeSource")
+      .option("path", path)
+      .option("startingTimestamp", commits(2L).toString)
+      .load().writeStream.format("memory").queryName("tail_ts").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = canon(spark.table("tail_ts").collect().toSeq)
+    assert(got == Seq((8L, 800L, "delete", 2L)), got.toString)
+
+    // a timestamp past every commit = latest (nothing yet, future only)
+    val ckpt2 = tmp("graft_tail_ts_ckpt_")
+    val q2 = spark.readStream
+      .format("graft.streaming.DeltaChangeSource")
+      .option("path", path)
+      .option("startingTimestamp", (commits(2L) + 60000L).toString)
+      .load().writeStream.option("checkpointLocation", ckpt2)
+      .format("memory").queryName("tail_ts_future").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("tail_ts_future").isEmpty)
+
+    // both start options together refuse
+    val e = intercept[Exception] {
+      val qq = spark.readStream
+        .format("graft.streaming.DeltaChangeSource")
+        .option("path", path)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "0")
+        .load().writeStream.format("memory").queryName("tail_ts_bad").start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("a partitioned table's tail carries the log-resident partition values") {
     val path = tmp("graft_tail_") + "/t"
     val df = (1L to 12L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
