@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+class CurationIngestSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def stage(srcDir: String, base: String, name: String,
+      rows: Seq[(Long, String)]): Unit = {
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/stage_$name")
+    val part = Files.list(Paths.get(s"$base/stage_$name")).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.move(p, Paths.get(srcDir, s"$name.parquet"))
+        moved = true
+      }
+    }
+  }
+
+  test("gates + corpus admission: quality/repetition cut, PII variants collapse, replays add nothing") {
+    val base = Files.createTempDirectory("graft_curation_ingest").toString
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+
+    val clean = "the quick brown fox jumps over the lazy dog beside a quiet river bank"
+    val other = "columnar storage formats enable predicate pushdown and efficient scans today"
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = CurationIngestSink.run(stream, "doc_id", "text",
+        s"$base/index", s"$base/accepted", s"$base/ckpt",
+        minQuality = 0.3, scrubPii = true, maxDupNgramFrac = Some(0.5))
+      q.awaitTermination(120000)
+    }
+
+    stage(srcDir, base, "b0", Seq(
+      (1L, clean + " contact alice@example.com"),
+      (2L, "a a a a a a a a a a a a a a a a a a a a"), // repetition gate
+      (3L, "x"),                                       // quality gate (degenerate)
+      (4L, other)))
+    runOnce()
+    val a0 = spark.read.parquet(s"$base/accepted/b0")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a0.toSeq == Seq(1L, 4L), a0.toSeq.toString)
+    // survivors carry their quality score
+    assert(spark.read.parquet(s"$base/accepted/b0").columns.contains("quality"))
+
+    // batch 1: a PII-ONLY variant of an ACCEPTED doc — scrubbing maps both
+    // to the same placeholder text, so the fingerprints collide exactly
+    stage(srcDir, base, "b1", Seq(
+      (10L, clean + " contact bob@example.com"),
+      (11L, "stream processing with watermarks handles late arriving events gracefully")))
+    runOnce()
+    val all = CurationIngestSink.readAccepted(spark, s"$base/accepted").get
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 4L, 11L), all.toSeq.toString)
+
+    // a rerun with nothing new replays no batch and admits nothing
+    runOnce()
+    assert(CurationIngestSink.readAccepted(spark, s"$base/accepted").get
+      .count() == 3L)
+  }
+}
