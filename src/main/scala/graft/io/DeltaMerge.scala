@@ -63,10 +63,18 @@ object DeltaMerge {
       s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
     keyCols.foreach(k => require(source.columns.contains(k),
       s"merge key $k is not a column of the source"))
+    // column DEFAULTs fill the source for INSERT-ONLY merges (the SQL
+    // INSERT-with-omitted-columns semantics); an UPDATE SET * merge keeps
+    // the full-schema refusal — filling there would silently clobber
+    // matched rows' stored values with the default
+    val source0 =
+      if (whenMatched == "delete" && insertUnmatched)
+        DeltaWrite.applyDefaults(source, meta)
+      else source
     val needFullSource = whenMatched == "update" || insertUnmatched
     if (needFullSource)
-      require(DeltaWrite.sameSchema(source.schema, schema),
-        s"merge source schema ${source.schema.simpleString} must match table " +
+      require(DeltaWrite.sameSchema(source0.schema, schema),
+        s"merge source schema ${source0.schema.simpleString} must match table " +
           s"schema ${schema.simpleString} (UPDATE SET * / INSERT * semantics)")
 
     // The source plan is referenced by the cardinality check, srcKeys, the
@@ -74,7 +82,7 @@ object DeltaMerge {
     // re-derivations of what may itself be a join/aggregate (the q97
     // pathology). Materialize it ONCE; every consumer below reads the
     // checkpointed blocks.
-    val source1 = source.localCheckpoint()
+    val source1 = source0.localCheckpoint()
 
     val dup = source1.groupBy(keyCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()

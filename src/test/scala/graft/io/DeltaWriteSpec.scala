@@ -726,6 +726,19 @@ class DeltaWriteSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DeltaWrite.setColumnDefault(spark, table, "nope", "'x'"))
 
+    // an INSERT-ONLY merge whose source omits the defaulted column fills
+    // it (the SQL INSERT-with-omitted-columns semantics); UPDATE SET *
+    // merges keep the full-schema refusal
+    DeltaMerge.merge(spark, table, Seq((5L, "e")).toDF("id", "v"),
+      Seq("id"), whenMatched = "delete", insertUnmatched = true)
+    val m = DeltaRead.readDeltaTable(spark, table)
+      .filter(col("id") === 5L).select("src").collect()
+    assert(m.map(_.getString(0)).toSeq == Seq("web"), m.toSeq.toString)
+    intercept[IllegalArgumentException](
+      DeltaMerge.merge(spark, table, Seq((5L, "e2")).toDF("id", "v"),
+        Seq("id"), whenMatched = "update"))
+    DeltaMerge.deleteWhere(spark, table, col("id") === 5L)
+
     // DROP DEFAULT: an omitting append refuses on schema mismatch again
     DeltaWrite.dropColumnDefault(spark, table, "src")
     val e2 = intercept[IllegalArgumentException](
