@@ -1,0 +1,91 @@
+package graft.ext
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WebDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-trip: samples pack as adjacent key.ext entries and read back exactly") {
+    val dir = Files.createTempDirectory("graft_wds").toString
+    val rows = Seq(
+      ("doc-1", "first document text", Array[Byte](1, 2, 3)),
+      ("doc-2", "second one", Array[Byte](9)),
+      ("doc-3", "third", null))         // null payload → entry skipped
+    val df = rows.toDF("key", "text", "img")
+    val shards = WebDataset.writeShards(df, "key",
+      Seq("txt" -> "text", "img" -> "img"), dir)
+    assert(shards >= 1L)
+
+    val back = WebDataset.readShards(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Array[Byte]](2))).toSeq
+    val txts = back.filter(_._2 == "txt")
+      .map(t => t._1 -> new String(t._3, "UTF-8")).toMap
+    assert(txts == Map("doc-1" -> "first document text",
+      "doc-2" -> "second one", "doc-3" -> "third"))
+    val imgs = back.filter(_._2 == "img").map(t => t._1 -> t._3.toSeq).toMap
+    assert(imgs == Map("doc-1" -> Seq[Byte](1, 2, 3), "doc-2" -> Seq[Byte](9)))
+
+    // adjacency: within a shard, a sample's entries are consecutive
+    val order = WebDataset.readShards(spark, dir)
+      .select("key", "ext").collect().map(r => (r.getString(0), r.getString(1)))
+    val firstIdx = order.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, xs) => k -> xs.map(_._2) }
+    firstIdx.values.foreach { idxs =>
+      assert(idxs.max - idxs.min == idxs.length - 1, order.toSeq.toString)
+    }
+  }
+
+  test("shards roll at the byte bound without splitting a sample; GNU tar reads the output") {
+    val dir = Files.createTempDirectory("graft_wds_roll").toString
+    // ~40 KB per sample, 64 KB bound → one sample per shard
+    val big = Seq.tabulate(4)(i => (f"sample-$i%02d", "x" * 40000))
+    val shards = WebDataset.writeShards(big.toDF("key", "text"),
+      "key", Seq("txt" -> "text"), dir, maxShardBytes = 1L << 16)
+    val files = Files.list(Paths.get(dir)).iterator()
+    var names = List.empty[String]
+    while (files.hasNext) {
+      val n = files.next().getFileName.toString
+      if (n.endsWith(".tar")) names ::= n
+    }
+    assert(names.size.toLong == shards)
+    assert(shards >= 2L, s"expected rolling, got $shards shard(s)")
+
+    // every shard is a well-formed archive to SYSTEM tar, and the entry
+    // set is exactly the written samples
+    val listed = names.sorted.flatMap { n =>
+      val p = new ProcessBuilder("tar", "-tf", s"$dir/$n")
+        .redirectErrorStream(true).start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      assert(p.waitFor() == 0, s"tar -tf failed on $n: $out")
+      out.split('\n').filter(_.nonEmpty).toSeq
+    }
+    assert(listed.sorted == big.map(_._1 + ".txt").sorted, listed.toString)
+
+    // determinism: a rewrite produces byte-identical shards
+    val before = names.sorted.map(n =>
+      java.util.Arrays.hashCode(Files.readAllBytes(Paths.get(dir, n))))
+    WebDataset.writeShards(big.toDF("key", "text"),
+      "key", Seq("txt" -> "text"), dir, maxShardBytes = 1L << 16)
+    val after = names.sorted.map(n =>
+      java.util.Arrays.hashCode(Files.readAllBytes(Paths.get(dir, n))))
+    assert(before == after)
+  }
+
+  test("oversized keys and null keys refuse loudly") {
+    val dir = Files.createTempDirectory("graft_wds_bad").toString
+    val e = intercept[Exception](
+      WebDataset.writeShards(
+        Seq(("k" * 120, "t")).toDF("key", "text"), "key",
+        Seq("txt" -> "text"), dir))
+    assert(e.getMessage != null)
+    val e2 = intercept[Exception](
+      WebDataset.writeShards(
+        Seq((null.asInstanceOf[String], "t")).toDF("key", "text"), "key",
+        Seq("txt" -> "text"), dir))
+    assert(e2.getMessage != null)
+  }
+}
