@@ -62,7 +62,10 @@ object QRound13 {
       _ => lit(1L), precomputedQuotas = Some(quotas))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("__n_kept"), sum(col("doc_id")).as("__kept_sum"))
-    quotas.join(kept, Seq("source"), "left")
+    // kept is a per-source aggregate (≤ |sources| rows) — broadcast it
+    // explicitly; the left-outer side (quotas) must stream, and the
+    // localCheckpoint'd RDD has no stats for the planner to see that
+    quotas.join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("w_micro"), col("quota"),
         coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("__kept_sum"), lit(0L)).as("kept_sum"))
