@@ -242,4 +242,36 @@ class DeltaOccSpec extends SparkSpec {
       .select("n").distinct().collect().map(_.getLong(0)).toSet
     assert(feed == Set(100L, 101L), feed.toString)
   }
+
+  test("identity-generating appends race: losers refuse, values never duplicate") {
+    val table = tmp("graft_occ_ident")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq("seed").toDF("v"), table, "rid", start = 1L, step = 1L)
+    val writers = 4
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    race(writers) { i =>
+      try DeltaWrite.writeDeltaTable(Seq(s"w$i").toDF("v"), table, "append")
+      catch {
+        // identity-advancing commits conflict-check EXCLUSIVELY: a loser
+        // must refuse (retrying with its staged values would duplicate
+        // the winner's), never land
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("concurrent") ||
+             e.getMessage.contains("conflict")) =>
+          refused.incrementAndGet()
+      }
+    }
+    val ids = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted.toSeq
+    // every landed value unique and on the arithmetic grid from 1
+    assert(ids == (1L to ids.length.toLong), ids.toString)
+    // winners + refusals account for every writer
+    assert((ids.length - 1) + refused.get() == writers,
+      s"landed ${ids.length - 1}, refused ${refused.get()}")
+    // sequential appends resume cleanly after the race
+    DeltaWrite.writeDeltaTable(Seq("after").toDF("v"), table, "append")
+    val after = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(after == (1L to after.length.toLong), after.toString)
+  }
 }
