@@ -91,11 +91,68 @@ object QRound13 {
       |GROUP BY q.source, q.n_docs, q.w_micro, q.quota
       |ORDER BY q.source""".stripMargin
 
+  /** Length-bucketed batching (the padded-batch efficiency prep for
+    * finetuning-style training, where q68's concatenation packing doesn't
+    * apply because examples must stay separate): docs rank by (token
+    * count, id) — so each batch of B holds length-adjacent examples — and
+    * each batch pays `B·max_len − Σlen` padding tokens. Everything
+    * integer-exact (counts and sums of whitespace tokens), one window
+    * rank + one grouped aggregate; the output pins per-batch membership
+    * (id checksum) AND the padding accounting, so a ranking drift or an
+    * off-by-one in the bucketing breaks the hash. The shuffled-batching
+    * baseline this improves on is derivable from the same numbers
+    * (total padding at random assignment ≈ B·global_max per batch).
+    */
+  def q124LengthBatching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = 32
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("len"))
+    // global contiguous rank WITHOUT a single-partition window (the
+    // unpartitioned row_number ships the corpus to one task): range-
+    // partition on the order key, sort within, then zipWithIndex — the
+    // count-partials-then-offset pass, exact wherever the sampled range
+    // boundaries fall (the identity-assignment shape)
+    val ranked = docs
+      .repartitionByRange(col("len"), col("doc_id"))
+      .sortWithinPartitions(col("len"), col("doc_id"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, len), i) => (id, len, i + 1) }
+      .toDF("doc_id", "len", "rk")
+    ranked
+      .withColumn("batch_id", expr(s"(rk - 1) div $b"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"), sum(col("doc_id")).as("id_sum"))
+      .withColumn("padding", col("n") * col("max_len") - col("sum_len"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val q124Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS l
+      |  FROM documents),
+      |r AS (SELECT doc_id, l,
+      |        CAST(row_number() OVER (ORDER BY l, doc_id) AS BIGINT) AS rk FROM d)
+      |SELECT (rk - 1) // 32 AS batch_id,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  max(l) AS max_len,
+      |  CAST(sum(l) AS BIGINT) AS sum_len,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(count(*) AS BIGINT) * max(l) - CAST(sum(l) AS BIGINT) AS padding
+      |FROM r
+      |GROUP BY 1
+      |ORDER BY batch_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_embed_decontam" -> (q122EmbedDecontam _),
-    "q123_temperature_mix" -> (q123TemperatureMix _))
+    "q123_temperature_mix" -> (q123TemperatureMix _),
+    "q124_length_batching" -> (q124LengthBatching _))
 
   val sql: Map[String, String] = Map(
     "q122_embed_decontam" -> q122Sql,
-    "q123_temperature_mix" -> q123Sql)
+    "q123_temperature_mix" -> q123Sql,
+    "q124_length_batching" -> q124Sql)
 }
