@@ -747,6 +747,38 @@ class DeltaWriteSpec extends SparkSpec {
     assert(DeltaRead.readDeltaTable(spark, table).count() == 4L)
   }
 
+  test("defaults on a MAPPED table fill through the physical rename; identity on a PARTITIONED table assigns per partition") {
+    // defaults + column mapping: the filled column stages under its
+    // physical name like any supplied column
+    val mapped = tmp("graft_dw_defmap")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "a", "import")).toDF("id", "v", "src"), mapped, "overwrite")
+    DeltaWrite.setColumnDefault(spark, mapped, "src", "'web'")
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("id", "v"), mapped, "append")
+    val rows = DeltaRead.readDeltaTable(spark, mapped).orderBy("id")
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "import"), (2L, "web")), rows.toSeq.toString)
+    // physical layout: no logical name leaked into the files
+    val phys = spark.read.parquet(s"$mapped/*.parquet").columns.toSet
+    assert(!phys.contains("src"), phys.toString)
+
+    // identity + partitioning: values stay unique and on the grid across
+    // partition directories
+    val parted = tmp("graft_dw_identpart")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq(("a", "p1"), ("b", "p2"), ("c", "p1")).toDF("v", "p"),
+      parted, "rid", start = 10L, step = 5L, partitionBy = Seq("p"))
+    DeltaWrite.writeDeltaTable(
+      Seq(("d", "p2"), ("e", "p3")).toDF("v", "p"), parted, "append",
+      partitionBy = Seq("p"))
+    val ids = DeltaRead.readDeltaTable(spark, parted)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 15L, 20L, 25L, 30L), ids.toString)
+    // partition pruning still works with the assigned column present
+    assert(DeltaRead.readDeltaTable(spark, parted)
+      .filter(col("p") === "p1").count() == 2L)
+  }
+
   test("column DEFAULT on a generated column refuses; defaults feed generation") {
     import org.apache.spark.sql.types.Metadata
     val table = tmp("graft_dw_defgen")
