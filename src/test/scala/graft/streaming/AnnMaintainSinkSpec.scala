@@ -168,6 +168,51 @@ class AnnMaintainSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 15L)
   }
 
+  test("extraCols ride the stream into the index; a batch missing them refuses") {
+    val base = Files.createTempDirectory("graft_annsink_extra").toString
+    val srcDir = s"$base/src"
+    val path = s"$base/index"
+    Files.createDirectories(Paths.get(srcDir))
+    val labeledSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", org.apache.spark.sql.types.IntegerType)))
+
+    val built = for (axis <- 0 until 2; i <- 0 until 4)
+      yield (axis * 100L + i, axisVec(axis, i), axis)
+    AnnIndex.build(built.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", path, nCells = 2, extraCols = Seq("label"))
+
+    // labeled batch flows through; the payload column lands co-located
+    Seq((1000L, axisVec(0, 9), 7)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_b0")
+    val part = Files.list(Paths.get(s"$base/stage_b0")).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        Files.move(p, Paths.get(srcDir, "b0.parquet")); moved = true
+      }
+    }
+    val q = AnnMaintainSink.run(
+      spark.readStream.schema(labeledSchema).parquet(srcDir),
+      "vec_id", "embedding", path, s"$base/ckpt",
+      maxBalance = 100.0, extraCols = Seq("label"))
+    q.awaitTermination(120000)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 9L)
+    assert(idx.filter(col("id") === 1000L).select("label")
+      .collect().map(_.getInt(0)).toSeq == Seq(7))
+
+    // a batch omitting the payload column refuses at the layout guard
+    val e = intercept[Exception](AnnMaintainSink.processBatch(
+      Seq((2000L, axisVec(1, 9))).toDF("vec_id", "embedding"), 99L,
+      "vec_id", "embedding", path, maxBalance = 100.0, minBalance = 0.0,
+      refreshEvery = 0, errorFactor = 1.05, extraCols = Nil))
+    assert(e.getMessage.contains("layout"), e.getMessage)
+    assert(spark.read.parquet(path).count() == 9L, "refused batch leaked rows")
+  }
+
   test("PQ index: refreshEvery offers a retrain without breaking probes") {
     val base = Files.createTempDirectory("graft_annsink_pq").toString
     val srcDir = s"$base/src"
