@@ -278,6 +278,27 @@ object AnnIndex {
     toRecode.size
   }
 
+  /** Remove crash-orphaned staging directories (`.refresh-staging-*`,
+    * `.rebal-staging-*`): the maintenance ops stage rewrites under
+    * dot-prefixed UUID dirs that no reader ever lists, and a crash
+    * between staging and the per-cell swap leaves them behind — dead
+    * bytes, never wrong answers. Single-maintainer contract like every
+    * verb here: only run it while no maintenance op is in flight (a
+    * LIVE staging dir is indistinguishable from an orphaned one).
+    * Returns the number of directories removed.
+    */
+  def cleanupStaging(spark: SparkSession, path: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory &&
+        (n.startsWith(".refresh-staging-") || n.startsWith(".rebal-staging-"))
+    }
+    stale.foreach(st => fs.delete(st.getPath, true))
+    stale.length
+  }
+
   /** Exact top-k over the probed cells: load the sidecar, rank the query
     * against the centroids driver-side, scan ONLY the `nProbe` nearest
     * cells (a partition-pruning IN filter — untouched cells are never

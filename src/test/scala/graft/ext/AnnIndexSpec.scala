@@ -68,6 +68,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("without PQ"), e.getMessage)
   }
 
+  test("cleanupStaging removes crash-orphaned staging dirs, touches nothing live") {
+    val path = Files.createTempDirectory("graft_ann_clean").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, ".rebal-staging-dead1/cell=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path, ".refresh-staging-dead2"))
+    val before = spark.read.parquet(path).count()
+    assert(AnnIndex.cleanupStaging(spark, path) == 2)
+    assert(AnnIndex.cleanupStaging(spark, path) == 0) // idempotent
+    assert(spark.read.parquet(path).count() == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, ".rebal-staging-dead1")))
+  }
+
   test("queryPqRefined: exact rerank of the ADC shortlist converges on the exact probe") {
     val path = Files.createTempDirectory("graft_ann_ref").toString
     AnnIndex.build(vecs, "vec_id", "embedding", path, nCells = 3, m = 4, nCodes = 8)
