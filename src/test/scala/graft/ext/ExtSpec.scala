@@ -482,6 +482,25 @@ class ExtSpec extends SparkSpec {
     assert(bucketed == exact) // near-dups land in the same label bucket here
   }
 
+  test("embedding decontamination: per-candidate match counts and max sim are exact") {
+    val cands = Seq(
+      (0L, Array(1.0f, 0.0f)),   // matches BOTH eval vectors
+      (1L, Array(0.9f, 0.44f)),  // near both (cos ≈ 0.898 and ≈ 0.982)
+      (2L, Array(0.0f, -1.0f))). // matches nothing at 0.5
+      toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (101L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val got = Similarity.decontaminate(cands, eval, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(got.map(t => (t._1, t._2)) == Seq((0L, 2L), (1L, 2L)), got.toString)
+    // candidate 0's strongest match is its exact copy
+    assert(got.head._3 == 1.0, got.toString)
+    // below-threshold candidates are ABSENT, not zero-rowed
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("MinHash sketch aggregate: group signature equals the union's, estimates Jaccard") {
     import graft.functions.MinHashSketch
     val k = 32
