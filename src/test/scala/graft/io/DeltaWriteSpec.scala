@@ -1093,6 +1093,14 @@ class DeltaWriteSpec extends SparkSpec {
     DeltaWrite.writeDeltaTable(Seq((4L, "d")).toDF("id", "label"), table, "append")
     assert(DeltaRead.readDeltaTable(spark, table).count() == 4L)
 
+    // DML addresses the RENAMED logical name; the rewrite stages back
+    // under the unchanged physical layout
+    DeltaMerge.updateWhere(spark, table, col("id") === 4L,
+      Map("label" -> lit("d2")))
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("id") === 4L).select("label")
+      .collect().map(_.getString(0)).toSeq == Seq("d2"))
+
     // refusals: unmapped table, unknown/partition/last column, collisions
     val plain = tmp("graft_dw_rencol_plain")
     DeltaWrite.writeDeltaTable(Seq((1L, "x")).toDF("id", "v"), plain, "overwrite")
