@@ -784,6 +784,41 @@ object DeltaRead {
       "partition_columns", "column_mapping", "properties")
   }
 
+  /** DESCRIBE TABLE (columns): one row per top-level column with every
+    * schema-embedded writer obligation surfaced — type, nullability,
+    * partition membership, `CURRENT_DEFAULT`, the `delta.identity.*`
+    * triple, `delta.generationExpression`, and the mapped physical name —
+    * so an operator can see what a write to this table OWES without
+    * parsing schemaJson by hand. Log-only; no data file is opened.
+    */
+  def describeColumns(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val (meta, _) = replayLog(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    schema.fields.toSeq.map { f =>
+      def str(k: String): Option[String] =
+        if (f.metadata.contains(k)) Some(f.metadata.getString(k)) else None
+      def lng(k: String): Option[Long] =
+        if (f.metadata.contains(k)) Some(f.metadata.getLong(k)) else None
+      val identity =
+        if (f.metadata.contains("delta.identity.start"))
+          Some(s"start=${f.metadata.getLong("delta.identity.start")}," +
+            s"step=${f.metadata.getLong("delta.identity.step")}," +
+            s"highWaterMark=${lng("delta.identity.highWaterMark")
+              .map(_.toString).getOrElse("<none>")}," +
+            s"allowExplicitInsert=${f.metadata.contains("delta.identity.allowExplicitInsert") &&
+              f.metadata.getBoolean("delta.identity.allowExplicitInsert")}")
+        else None
+      (f.name, f.dataType.simpleString, f.nullable,
+        meta.partitionCols.contains(f.name),
+        str("CURRENT_DEFAULT"), identity,
+        str("delta.generationExpression"),
+        str("delta.columnMapping.physicalName"))
+    }.toDF("column", "type", "nullable", "is_partition",
+      "default", "identity", "generation_expression", "physical_name")
+  }
+
   /** DESCRIBE HISTORY: one row per available commit JSON — (version,
     * timestamp, operation, operationParameters JSON, engineInfo), newest
     * first, timestamps from `commitInfo` with the file-mtime fallback

@@ -779,6 +779,28 @@ class DeltaWriteSpec extends SparkSpec {
       .filter(col("p") === "p1").count() == 2L)
   }
 
+  test("describeColumns surfaces defaults, identity, generation, and physical names") {
+    val table = tmp("graft_dw_desc")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq(("a", "p1")).toDF("v", "p"), table, "rid",
+      start = 5L, step = 5L, partitionBy = Seq("p"))
+    DeltaWrite.setColumnDefault(spark, table, "v", "'none'")
+    val d = DeltaRead.describeColumns(spark, table)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("rid").getString(5).contains("start=5,step=5,highWaterMark=5"),
+      d("rid").toString)
+    assert(d("v").getString(4) == "'none'", d("v").toString)
+    assert(d("p").getBoolean(3), d("p").toString) // partition membership
+    assert(d("rid").isNullAt(7)) // unmapped table: no physical name
+
+    val mapped = tmp("graft_dw_desc_map")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "x")).toDF("id", "v"), mapped, "overwrite")
+    val dm = DeltaRead.describeColumns(spark, mapped)
+      .collect().map(r => r.getString(0) -> r.getString(7)).toMap
+    assert(dm("id") != null && dm("id").startsWith("col-"), dm.toString)
+  }
+
   test("column DEFAULT on a generated column refuses; defaults feed generation") {
     import org.apache.spark.sql.types.Metadata
     val table = tmp("graft_dw_defgen")
