@@ -1524,6 +1524,62 @@ object DeltaWrite {
       opParams = s""""column":${jsonStr(column)},"dropDefault":"true"""")
   }
 
+  /** ALTER TABLE ADD COLUMN — schema evolution as ONE metadata-only
+    * commit: the field appends NULLABLE (live files lack it; the parquet
+    * reader null-fills optional columns, a required one would break every
+    * existing file) and, on a mapped table, minted with a fresh column-
+    * mapping id + `col-<uuid>` physical name (bumping
+    * `delta.columnMapping.maxColumnId`) — the proper evolution verb where
+    * mergeSchema appends are refused, and the indirection that guarantees
+    * a later re-add of a dropped name can never resurrect old values.
+    * Subsequent appends must CARRY the column (the schema gate is exact;
+    * unmapped tables may alternatively evolve via mergeSchema). No
+    * default rides along — the Delta spec forbids ADD COLUMN with a
+    * default precisely because there is no EXISTS_DEFAULT backfill; set
+    * one afterwards with [[setColumnDefault]] for future inserts.
+    * Struct-bearing types on mapped tables refuse (nested fields would
+    * each need minted ids). Returns the committed version.
+    */
+  def addColumn(spark: SparkSession, path: String, column: String,
+      dataType: DataType): Long = {
+    val readVersion = DeltaRead.latestVersion(spark, path)
+    val (meta, _, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
+    require(meta != null, s"$path has no metaData action in its _delta_log")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(column),
+      s"ADD COLUMN $column: already exists")
+    def hasStruct(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case at: org.apache.spark.sql.types.ArrayType => hasStruct(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType =>
+        hasStruct(mt.keyType) || hasStruct(mt.valueType)
+      case _ => false
+    }
+    val (field, cfgOverride) = meta.mappingMode match {
+      case "none" =>
+        (StructField(column, dataType, nullable = true), None)
+      case _ =>
+        require(!hasStruct(dataType),
+          s"ADD COLUMN $column: struct-bearing types on a mapped table " +
+            "would need mapping ids minted per nested field — add leaf " +
+            "types, or recreate the table")
+        val maxId = meta.configuration
+          .get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", maxId + 1)
+          .putString("delta.columnMapping.physicalName", s"col-${UUID.randomUUID()}")
+          .build()
+        (StructField(column, dataType, nullable = true, md),
+          Some(meta.configuration +
+            ("delta.columnMapping.maxColumnId" -> (maxId + 1).toString)))
+    }
+    commitSchemaChange(spark, path, readVersion, meta, proto,
+      StructType(schema.fields :+ field), protoExtraWriter = Nil,
+      operation = "ADD COLUMN",
+      opParams = s""""column":${jsonStr(column)},"type":${jsonStr(dataType.simpleString)}""",
+      configOverride = cfgOverride)
+  }
+
   /** ALTER TABLE RENAME COLUMN — the verb column mapping exists for: on a
     * mapped table the files store PHYSICAL names (or footer ids), so a
     * logical rename is ONE metadata-only commit — no file is read or
@@ -1632,11 +1688,13 @@ object DeltaWrite {
   private def commitSchemaChange(spark: SparkSession, path: String,
       readVersion: Long, meta: DeltaRead.Meta, proto: DeltaRead.Protocol,
       updated: StructType, protoExtraWriter: Seq[String],
-      operation: String, opParams: String): Long = {
+      operation: String, opParams: String,
+      configOverride: Option[Map[String, String]] = None): Long = {
     val now = System.currentTimeMillis()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
-    val configJson = meta.configuration.toSeq.sortBy(_._1)
+    val configJson = configOverride.getOrElse(meta.configuration)
+      .toSeq.sortBy(_._1)
       .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
     val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
     // crossing to writer v7 must enumerate the legacy versions' implied

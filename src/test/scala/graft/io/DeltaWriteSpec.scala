@@ -1081,6 +1081,45 @@ class DeltaWriteSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("ADD COLUMN: old files null-fill; mapped tables mint fresh ids; drop-then-re-add never resurrects") {
+    import org.apache.spark.sql.types.{IntegerType, StructType => ST}
+    // unmapped: metadata-only commit, old rows read null, new appends carry it
+    val plain = tmp("graft_dw_addcol")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("id", "v"), plain, "overwrite")
+    DeltaWrite.addColumn(spark, plain, "n", IntegerType)
+    assert(DeltaRead.readDeltaTable(spark, plain)
+      .filter(col("id") === 1L).select("n").collect().head.isNullAt(0))
+    DeltaWrite.writeDeltaTable(Seq((2L, "b", 7)).toDF("id", "v", "n"),
+      plain, "append")
+    assert(DeltaRead.readDeltaTable(spark, plain)
+      .agg(sum(col("n"))).collect().head.getLong(0) == 7L)
+    intercept[IllegalArgumentException](
+      DeltaWrite.addColumn(spark, plain, "n", IntegerType)) // exists
+
+    // mapped: fresh physical name + id, maxColumnId bumps, and a column
+    // dropped then re-added under the SAME logical name reads NULL for
+    // old rows (the physical indirection — values never resurrect)
+    val mapped = tmp("graft_dw_addcol_map")
+    DeltaWrite.writeDeltaTableMapped(
+      Seq((1L, "x", 5)).toDF("id", "v", "n"), mapped, "overwrite")
+    DeltaWrite.dropColumn(spark, mapped, "n")
+    DeltaWrite.addColumn(spark, mapped, "n", IntegerType)
+    val readd = DeltaRead.readDeltaTable(spark, mapped).select("id", "n").collect()
+    assert(readd.length == 1 && readd.head.isNullAt(1),
+      s"dropped values resurrected: ${readd.toSeq}")
+    val (meta, _) = DeltaRead.replayLog(spark, mapped, None)
+    assert(meta.configuration("delta.columnMapping.maxColumnId").toInt == 4)
+    // appends carry the re-added column under its NEW physical name
+    DeltaWrite.writeDeltaTable(Seq((2L, "y", 9)).toDF("id", "v", "n"),
+      mapped, "append")
+    val vals = DeltaRead.readDeltaTable(spark, mapped).orderBy("id")
+      .select("n").collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(vals.toSeq == Seq(-1, 9), vals.toSeq.toString)
+    // struct-bearing additions on mapped tables refuse
+    intercept[IllegalArgumentException](DeltaWrite.addColumn(spark, mapped,
+      "s", ST(Seq(org.apache.spark.sql.types.StructField("a", IntegerType)))))
+  }
+
   test("RENAME/DROP COLUMN on mapped tables: metadata-only, files untouched, travel serves old names") {
     val table = tmp("graft_dw_rencol")
     DeltaWrite.writeDeltaTableMapped(
