@@ -1524,6 +1524,66 @@ object DeltaWrite {
       opParams = s""""column":${jsonStr(column)},"dropDefault":"true"""")
   }
 
+  /** CONVERT TO DELTA — adopt an existing parquet directory IN PLACE:
+    * one v0 commit whose `add` actions reference the existing files
+    * verbatim (no byte moves, no rewrite — at 100 TB that is the entire
+    * point of conversion). Schema comes from Spark's parquet resolution
+    * over the directory, so hive-style `k=v` partition directories are
+    * discovered, typed, and recorded as `partitionColumns`; per-file
+    * stats come from the footers ([[footerStats]]: numRecords + top-level
+    * min/max/nullCount), so file skipping works from the first read.
+    * Refuses if a `_delta_log` already exists, if no parquet files are
+    * found, or if files disagree on the partition key sequence. The
+    * caller owns quiescence: a writer adding raw files DURING conversion
+    * loses them (delta-spark's own caveat). Returns the committed
+    * version (0).
+    */
+  def convertToDelta(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"$path does not exist")
+    require(!fs.exists(new Path(root, "_delta_log")),
+      s"$path is already a Delta table")
+    val schema = spark.read.parquet(path).schema
+    // exclude dot-dirs (staging leftovers, hidden metadata) — no reader
+    // lists them, so the table must not either
+    val files = listParquet(fs, root).filterNot(p =>
+      relativize(root, p).split('/').exists(_.startsWith(".")))
+    require(files.nonEmpty, s"$path holds no parquet files to convert")
+    val withParts: Seq[(String, Seq[(String, String)], Long)] = files.map { p =>
+      val rel = relativize(root, p)
+      val pv = rel.split('/').dropRight(1).toSeq.collect {
+        case s if s.contains('=') =>
+          val Array(k, v) = s.split("=", 2)
+          k -> v
+      }
+      (rel, pv, fs.getFileStatus(p).getLen)
+    }
+    val keySeqs = withParts.map(_._2.map(_._1)).distinct
+    require(keySeqs.size == 1,
+      s"files disagree on the partition key sequence: ${keySeqs.mkString(" vs ")}")
+    val partitionCols = keySeqs.head
+    val now = System.currentTimeMillis()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val pcols = partitionCols.map(js).mkString("[", ",", "]")
+    val addLines = withParts.map { case (rel, pv, size) =>
+      val pvJson = pv.sortBy(_._1)
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+      val statsField = footerStats(conf, new Path(root, rel))
+        .map(s => s""","stats":${js(s)}""").getOrElse("")
+      s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+    }
+    val lines =
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CONVERT","operationParameters":{"numFiles":"${files.size}"},"engineInfo":"graft"}}""" +:
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +:
+      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(schema.json)},"partitionColumns":$pcols,"configuration":{},"createdTime":$now}}""" +:
+      addLines
+    publishCommit(fs, new Path(root, "_delta_log"), 0L, lines)
+    0L
+  }
+
   /** ALTER TABLE ADD COLUMN — schema evolution as ONE metadata-only
     * commit: the field appends NULLABLE (live files lack it; the parquet
     * reader null-fills optional columns, a required one would break every

@@ -1081,6 +1081,38 @@ class DeltaWriteSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("CONVERT TO DELTA: in-place adoption, partition discovery, stats skipping, verbs work after") {
+    // a plain partitioned parquet dir written by Spark itself
+    val dir = tmp("graft_dw_convert")
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p2"))
+      .toDF("id", "v", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val rawFiles = spark.read.parquet(dir).inputFiles.sorted.toSeq
+
+    assert(DeltaWrite.convertToDelta(spark, dir) == 0L)
+    val t = DeltaRead.readDeltaTable(spark, dir)
+    assert(t.count() == 4L)
+    assert(t.columns.toSet == Set("id", "v", "p"))
+    // files referenced VERBATIM — nothing moved or rewritten
+    assert(spark.read.parquet(s"$dir/p=*").inputFiles.sorted.toSeq == rawFiles)
+    // partition pruning + footer stats ride the conversion
+    assert(t.filter(col("p") === "p2").count() == 2L)
+    assert(t.filter(col("id") === 1L).select("v").collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+
+    // the converted table is a full citizen: DML, time travel, describe
+    graft.io.DeltaMerge.deleteWhere(spark, dir, col("id") === 2L)
+    assert(DeltaRead.readDeltaTable(spark, dir).count() == 3L)
+    assert(DeltaRead.readDeltaTable(spark, dir, versionAsOf = Some(0L)).count() == 4L)
+
+    // refusals: double conversion, empty dir
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.convertToDelta(spark, dir))
+    assert(e.getMessage.contains("already"), e.getMessage)
+    intercept[Exception](
+      DeltaWrite.convertToDelta(spark, tmp("graft_dw_convert_empty")))
+  }
+
   test("ADD COLUMN: old files null-fill; mapped tables mint fresh ids; drop-then-re-add never resurrects") {
     import org.apache.spark.sql.types.{IntegerType, StructType => ST}
     // unmapped: metadata-only commit, old rows read null, new appends carry it
