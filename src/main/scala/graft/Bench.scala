@@ -151,6 +151,7 @@ object Bench {
       "q115_v2_checkpoint", // in-query table build + checkpoint; b38 benches maintenance
       "q116_change_view", // in-query tables + streaming query; b54/b60 bench the verbs
       "q119_log_compaction", // in-query table build + compaction; b60 benches the standing diff/replay
+      "q125_convert_to_delta", // in-query raw-dir build + conversion; b68 benches the standing read
 
       "q112_dedup_apply", // md5 family; b58 benches the fast-hash apply
       "q117_dsir_weights", // md5 family; b61 benches the xxhash64 weights+sample

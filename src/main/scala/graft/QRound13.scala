@@ -146,13 +146,49 @@ object QRound13 {
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 
+  /** CONVERT TO DELTA end-to-end ([[graft.io.DeltaWrite.convertToDelta]]):
+    * write a partitioned RAW parquet dir from customer, adopt it in place
+    * (files referenced verbatim, hive partitions discovered, footer
+    * stats recorded), then prove full citizenship — a DV DELETE commits
+    * on top and the final aggregate reads through partition pruning +
+    * the deletion vector. The oracle replays the build + delete
+    * symbolically from the source table, so a file lost in adoption, a
+    * mis-parsed partition value, or a broken post-convert DML all break
+    * the hash.
+    */
+  def q125ConvertToDelta(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_q125_").toFile,
+      "customer_raw").getAbsolutePath
+    customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      .write.partitionBy("c_mktsegment").parquet(dir)
+    graft.io.DeltaWrite.convertToDelta(s, dir)
+    graft.io.DeltaMerge.deleteWhereDv(s, dir, col("c_custkey") % 9 === 0)
+    graft.io.DeltaRead.readDeltaTable(s, dir)
+      .filter(col("c_mktsegment") =!= "MACHINERY")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q125Sql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM customer
+      |WHERE c_custkey % 9 <> 0 AND c_mktsegment <> 'MACHINERY'
+      |GROUP BY 1
+      |ORDER BY c_mktsegment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_embed_decontam" -> (q122EmbedDecontam _),
     "q123_temperature_mix" -> (q123TemperatureMix _),
-    "q124_length_batching" -> (q124LengthBatching _))
+    "q124_length_batching" -> (q124LengthBatching _),
+    "q125_convert_to_delta" -> (q125ConvertToDelta _))
 
   val sql: Map[String, String] = Map(
     "q122_embed_decontam" -> q122Sql,
     "q123_temperature_mix" -> q123Sql,
-    "q124_length_batching" -> q124Sql)
+    "q124_length_batching" -> q124Sql,
+    "q125_convert_to_delta" -> q125Sql)
 }
