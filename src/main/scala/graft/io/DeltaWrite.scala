@@ -1555,7 +1555,15 @@ object DeltaWrite {
       val rel = relativize(root, p)
       val pv = rel.split('/').dropRight(1).toSeq.collect {
         case s if s.contains('=') =>
-          val Array(k, v) = s.split("=", 2)
+          val Array(k, raw) = s.split("=", 2)
+          // hive-layout dir names are percent-ESCAPED (space → %20, etc.);
+          // the log records the actual VALUE — storing the escaped string
+          // would silently mis-serve every read of that partition column
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw)
+          require(v != "__HIVE_DEFAULT_PARTITION__",
+            s"$path: null partition values ($s) are not convertible here — " +
+              "rewrite the partition or convert without them")
           k -> v
       }
       (rel, pv, fs.getFileStatus(p).getLen)
@@ -1573,7 +1581,7 @@ object DeltaWrite {
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val statsField = footerStats(conf, new Path(root, rel))
         .map(s => s""","stats":${js(s)}""").getOrElse("")
-      s"""{"add":{"path":${js(rel)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
+      s"""{"add":{"path":${js(encodeFilePath(rel))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
     }
     val lines =
       s"""{"commitInfo":{"timestamp":$now,"operation":"CONVERT","operationParameters":{"numFiles":"${files.size}"},"engineInfo":"graft"}}""" +:
@@ -1968,7 +1976,7 @@ object DeltaWrite {
         val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
         val n = if (tracked) numRecordsOf(stats, s"$path zorder $fresh") else 0L
         pendingAdds += ((n, (rid: String) =>
-          s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
+          s"""{"add":{"path":${js(encodeFilePath(fresh))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
       }
       fs.delete(staging, true)
       files.foreach { f =>
@@ -2588,7 +2596,7 @@ object DeltaWrite {
         val statsField = stats.map(s => s""","stats":${js(s)}""").getOrElse("")
         val n = if (tracked) numRecordsOf(stats, s"$path compact $fresh") else 0L
         pendingAdds += ((n, (rid: String) =>
-          s"""{"add":{"path":${js(fresh)},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
+          s"""{"add":{"path":${js(encodeFilePath(fresh))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":false$statsField$rid}}"""))
       }
       fs.delete(staging, true)
       smalls.foreach { f =>
@@ -2734,9 +2742,15 @@ object DeltaWrite {
     val adds = staged.map { p =>
       val rel = relativize(staging, p)
       val dirPart = rel.split('/').dropRight(1)
+      // partition dir names are percent-ESCAPED by Spark's writer; the
+      // log's partitionValues record the TRUE value (storing the escaped
+      // string would mis-serve every read of the column), and the log's
+      // path is [[encodeFilePath]]'d so the reader's percent-decode lands
+      // back on the on-disk name
       val pv = dirPart.collect { case s if s.contains('=') =>
         val Array(k, v) = s.split("=", 2)
-        k -> v
+        k -> org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(v)
       }.toMap
       val fresh = (dirPart :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")
       val dest = new Path(root, fresh)
@@ -2744,11 +2758,23 @@ object DeltaWrite {
       require(fs.rename(p, dest), s"failed to move $p to $dest")
       val size = fs.getFileStatus(dest).getLen
       val stats = footerStats(conf, dest)
-      (fresh, pv, size, stats)
+      (encodeFilePath(fresh), pv, size, stats)
     }
     fs.delete(staging, true)
     adds
   }
+
+  /** The LOG form of an on-disk relative path. The protocol's reader rule
+    * ([[DeltaRead.resolveFilePath]]) percent-decodes any stored path
+    * containing '%', so an on-disk name that itself contains '%' (Spark's
+    * escaped partition dirs: `p=C%3AD` for value `C:D`) must be stored
+    * RE-ENCODED or the decode resolves to a file that does not exist.
+    * '+' is co-encoded because URLDecoder turns a bare '+' into a space
+    * once any decode triggers. Paths without '%' store raw (status quo —
+    * the decode never fires on them).
+    */
+  private[io] def encodeFilePath(rel: String): String =
+    if (rel.contains('%')) rel.replace("%", "%25").replace("+", "%2B") else rel
 
   private[io] def listParquet(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)

@@ -1081,6 +1081,27 @@ class DeltaWriteSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("partition values with escaped characters round-trip: true values in the log, paths re-encoded") {
+    // Spark escapes ':' and '%' in partition dir names (p=C%3AD); the log
+    // must record the TRUE value and a path whose percent-decode lands on
+    // the on-disk name — the raw forms mis-serve the column or lose files
+    val table = tmp("graft_dw_escpart")
+    DeltaWrite.writeDeltaTable(
+      Seq((1L, "C:D"), (2L, "A%B"), (3L, "plain")).toDF("id", "p"),
+      table, "overwrite", partitionBy = Seq("p"))
+    val vals = DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("p").collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("C:D", "A%B", "plain"), vals.toSeq.toString)
+    assert(DeltaRead.readDeltaTable(spark, table)
+      .filter(col("p") === "C:D").count() == 1L)
+    // DML and maintenance keep working through the escaped layout
+    DeltaMerge.deleteWhere(spark, table, col("p") === "A%B")
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 2L)
+    DeltaWrite.compact(spark, table)
+    assert(DeltaRead.readDeltaTable(spark, table).orderBy("id")
+      .select("p").collect().map(_.getString(0)).toSeq == Seq("C:D", "plain"))
+  }
+
   test("CONVERT TO DELTA: in-place adoption, partition discovery, stats skipping, verbs work after") {
     // a plain partitioned parquet dir written by Spark itself
     val dir = tmp("graft_dw_convert")
@@ -1111,6 +1132,18 @@ class DeltaWriteSpec extends SparkSpec {
     assert(e.getMessage.contains("already"), e.getMessage)
     intercept[Exception](
       DeltaWrite.convertToDelta(spark, tmp("graft_dw_convert_empty")))
+
+    // percent-ESCAPED partition values unescape into the log (a raw
+    // escaped string would silently mis-serve the partition column)
+    val esc = tmp("graft_dw_convert_esc")
+    Seq((1L, "A B"), (2L, "C:D")).toDF("id", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(esc)
+    DeltaWrite.convertToDelta(spark, esc)
+    val vals = DeltaRead.readDeltaTable(spark, esc).orderBy("id")
+      .select("p").collect().map(_.getString(0))
+    assert(vals.toSeq == Seq("A B", "C:D"), vals.toSeq.toString)
+    assert(DeltaRead.readDeltaTable(spark, esc)
+      .filter(col("p") === "A B").count() == 1L)
   }
 
   test("ADD COLUMN: old files null-fill; mapped tables mint fresh ids; drop-then-re-add never resurrects") {
