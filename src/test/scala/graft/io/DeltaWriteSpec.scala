@@ -1133,6 +1133,19 @@ class DeltaWriteSpec extends SparkSpec {
     intercept[Exception](
       DeltaWrite.convertToDelta(spark, tmp("graft_dw_convert_empty")))
 
+    // a CONVERTED table acquires features like any native one: row
+    // tracking backfills the adopted files, DV DML preserves the ids
+    DeltaWrite.enableRowTracking(spark, dir)
+    val ids0 = DeltaRead.readDeltaTableWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids0.size == 3 && ids0.values.toSet.size == 3, ids0.toString)
+    DeltaMerge.deleteWhereDv(spark, dir, col("id") === 3L)
+    val ids1 = DeltaRead.readDeltaTableWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids1 == ids0 - 3L, s"$ids1 vs $ids0") // survivors keep their ids
+
     // percent-ESCAPED partition values unescape into the log (a raw
     // escaped string would silently mis-serve the partition column)
     val esc = tmp("graft_dw_convert_esc")
