@@ -1349,7 +1349,12 @@ object DeltaWrite {
       lines += s"""{"domainMetadata":{"domain":${js(dom)},"configuration":${js(cfg)},"removed":false}}"""
     }
     live.foreach { f =>
-      val abs = s"$srcQualified/${f.path}"
+      // a source file that is itself absolute (clone-of-a-clone: the
+      // source's v0 references ITS source absolutely) carries over
+      // verbatim — prefixing again would double-qualify the path
+      val abs =
+        if (f.path.startsWith("/") || f.path.contains("://")) f.path
+        else s"$srcQualified/${f.path}"
       val pvJson = f.partitionValues.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val statsField = f.stats.map(st => s""","stats":${js(st)}""").getOrElse("")

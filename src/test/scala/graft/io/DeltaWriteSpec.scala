@@ -1325,6 +1325,13 @@ class DeltaWriteSpec extends SparkSpec {
     // cloning onto an existing table is refused
     val e = intercept[IllegalArgumentException](DeltaWrite.cloneShallow(spark, src, dest))
     assert(e.getMessage.contains("already a Delta table"), e.getMessage)
+
+    // clone OF a clone: already-absolute source references carry over
+    // verbatim (a re-prefix would double-qualify the path and lose
+    // every inherited file)
+    val dest2 = tmp("graft_dw_clone2") + "/branch2"
+    assert(DeltaWrite.cloneShallow(spark, dest, dest2) == 0L)
+    assert(rows(dest2) == Seq((1L, "x", 99L), (2L, "y", 20L), (3L, "z", 30L)))
   }
 
   test("widenColumnType: narrow history promotes, wide appends land, narrowing refused") {
