@@ -130,19 +130,70 @@ object Similarity {
   /** Embedding-space decontamination — the q65 benchmark-overlap check in
     * vector space: flag every candidate row whose cosine against ANY row
     * of the eval slice reaches `threshold`, returning the match count and
-    * the strongest similarity per flagged candidate. The eval side
-    * BROADCASTS (an eval benchmark is thousands of rows; the candidate
-    * corpus never shuffles, never broadcasts), so the plan is one
-    * broadcast pass over the candidates — the shape that scales to a
-    * 100 TB train side — followed by a key-grouped aggregate whose input
-    * is only the SURVIVING pairs (the threshold lives in the join
-    * condition, [[nearDupPairs]]'s conjunct discipline: cheap nothing
-    * precedes it here, but a trailing filter would run the O(dim) dot
-    * for every (candidate, eval) pair twice). |eval| never multiplies
-    * the output.
+    * the strongest similarity per flagged candidate. The eval slice is
+    * FIXED-SIZE by contract (a benchmark is thousands of rows; the
+    * candidate corpus is the 100 TB side), so it collects once into a
+    * flat matrix that rides the task binary
+    * ([[graft.functions.DecontamKernel]], the IvfKernel pattern) and the
+    * whole screen is ONE codegen'd map over the candidates: every dot
+    * evaluates exactly once, no pair rows ever exist, no join, no
+    * aggregate shuffle — strictly less work than the broadcast-join form,
+    * whose join condition and post-join projection each evaluated the
+    * O(dim) dot for every surviving pair. Bit-identical arithmetic
+    * (kernel scaladoc); the join form remains as
+    * [[decontaminateJoinForm]] for the equivalence spec.
     */
   def decontaminate(candidates: DataFrame, evalSlice: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.DecontamKernel
+    val evals = evalSlice.select(col(vecCol)).collect()
+    require(evals.nonEmpty, "decontaminate: empty eval slice")
+    val dim = evals.head.getSeq[Any](0).size
+    val mat = new Array[Double](evals.length * dim)
+    val nrm = new Array[Double](evals.length)
+    var j = 0
+    while (j < evals.length) {
+      val row = evals(j).getSeq[Any](0)
+      var acc = 0.0
+      var i = 0
+      val n = row.size
+      while (i < n) {
+        val x = row(i) match {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }
+        if (i < dim) mat(j * dim + i) = x
+        acc += x * x // SelfDotF64 fold order, full vector
+        i += 1
+      }
+      nrm(j) = math.sqrt(acc)
+      j += 1
+    }
+    val matrix = new DecontamKernel.EvalMatrix(dim, mat, nrm, threshold)
+    val screen = org.apache.spark.sql.GraftSqlShims.column(
+      DecontamKernel.DecontamScreen(
+        org.apache.spark.sql.GraftSqlShims.expression(col(vecCol)), matrix))
+    // explode(array(_)) is a LET-BINDING at plan level: the filter and both
+    // element_at projections consume the GENERATED attribute, and predicate
+    // pushdown cannot substitute through a Generate — without it Catalyst
+    // inlines the alias into the pushed filter and the |eval|×dim screen
+    // runs twice per row (the ExtSpec plan pin catches exactly this)
+    candidates
+      .select(col(idCol).as("id"), explode(array(screen)).as("__scr"))
+      .filter(element_at(col("__scr"), 1) > 0.0)
+      .select(col("id"),
+        element_at(col("__scr"), 1).cast("long").as("n_matched"),
+        element_at(col("__scr"), 2).as("max_sim"))
+  }
+
+  /** The broadcast-join form of [[decontaminate]] — kept as the
+    * equivalence oracle for the kernel path (the threshold lives in the
+    * join condition so rejected pairs pay the dot once; surviving pairs
+    * pay it twice, which is why the kernel form replaced it).
+    */
+  private[graft] def decontaminateJoinForm(candidates: DataFrame,
+      evalSlice: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val t = candidates.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("nrm"))
     val e = evalSlice.select(col(vecCol).as("e_vec"),

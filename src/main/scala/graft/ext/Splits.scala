@@ -57,13 +57,31 @@ object Splits {
     */
   def temperatureQuotas(df: DataFrame, srcCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val counts = df.groupBy(col(srcCol))
-      .agg(count(lit(1)).as("n_docs"))
+    temperatureQuotasFromCounts(
+      df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs")), srcCol, budget)
+  }
+
+  /** [[temperatureQuotas]] from a precomputed `(srcCol, n_docs)` table —
+    * the arithmetic core, separated so the 100 TB regime (per-source
+    * populations of 10^10+, where a naive BIGINT `budget·w` wraps) is
+    * directly testable without materializing the rows.
+    */
+  def temperatureQuotasFromCounts(counts0: DataFrame, srcCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = counts0
       .withColumn("w_micro", round(sqrt(col("n_docs")) * 1e6, 0).cast("long"))
     val tot = counts.agg(sum(col("w_micro")).as("__wtot"))
+    // budget·w_micro in DECIMAL(38,0): two longs multiply to < 8.5e37, so
+    // the decimal product is EXACT where a BIGINT product overflows at
+    // precisely the advertised scale (n_s = 1e10 → w = 1e11 wraps a Long
+    // at budget 1e9); `div` on decimals returns the exact integral part
+    // as BIGINT, so the quota value (≤ budget) is unchanged wherever the
+    // old arithmetic didn't wrap
     counts.crossJoin(broadcast(tot))
       .select(col(srcCol), col("n_docs"), col("w_micro"),
-        expr(s"($budget * w_micro) div __wtot").as("quota"))
+        expr(s"(CAST($budget AS DECIMAL(20,0)) * w_micro) div __wtot")
+          .as("quota"))
   }
 
   /** Per-source sampling quotas for a target mixture: integer weights

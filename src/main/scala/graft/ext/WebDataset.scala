@@ -164,7 +164,11 @@ object WebDataset {
           if (nameEnd == off) done = true // zero block = end of archive
           else {
             val name = new String(tar, off, nameEnd - off, "UTF-8")
+            // several standard writers (GNU tar, bsdtar) LEFT-pad the
+            // 12-byte octal size with spaces or NULs — strip them first,
+            // or the takeWhile sees an empty string and parseLong throws
             val sizeStr = new String(tar, off + 124, 12, "US-ASCII")
+              .dropWhile(c => c == ' ' || c == '\u0000')
               .takeWhile(c => c >= '0' && c <= '7')
             val size = java.lang.Long.parseLong(sizeStr, 8).toInt
             val data = java.util.Arrays.copyOfRange(

@@ -48,10 +48,15 @@ object DeltaRead {
     * configuration map rides along (not just the mapping mode) so
     * checkpoint writers can round-trip it — dropping keys like
     * `delta.columnMapping.maxColumnId` at checkpoint time would corrupt
-    * the table for future writers once the JSON tail is cleaned.
+    * the table for future writers once the JSON tail is cleaned. The
+    * stored `id` rides along too: the spec treats it as the table's
+    * STABLE GUID (delta-spark embeds it in streaming offsets as
+    * reservoirId and fails on change), so every writer that republishes
+    * metadata — watermark bumps, schema evolution, property changes —
+    * must carry it verbatim; only table creation and clone mint.
     */
   private[io] final case class Meta(schemaJson: String, partitionCols: Seq[String],
-      configuration: Map[String, String] = Map.empty) {
+      configuration: Map[String, String] = Map.empty, id: String = "") {
     def mappingMode: String =
       configuration.getOrElse("delta.columnMapping.mode", "none")
   }
@@ -1182,13 +1187,16 @@ object DeltaRead {
             .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
           cp.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
               if (mcols.contains("configuration")) col("metaData.configuration")
-              else lit(null).cast("map<string,string>"))
+              else lit(null).cast("map<string,string>"),
+              if (mcols.contains("id")) col("metaData.id")
+              else lit(null).cast("string"))
             .filter(col("metaData.schemaString").isNotNull).collect()
             .foreach { r =>
               val config =
                 if (r.isNullAt(2)) Map.empty[String, String]
                 else r.getMap[String, String](2).toMap
-              val candidate = Meta(r.getString(0), r.getSeq[String](1), config)
+              val candidate = Meta(r.getString(0), r.getSeq[String](1), config,
+                if (r.isNullAt(3)) "" else r.getString(3))
               require(Seq("none", "name", "id").contains(candidate.mappingMode),
                 s"$where enables unknown column mapping '${candidate.mappingMode}'")
               meta = candidate
@@ -1343,7 +1351,8 @@ object DeltaRead {
             c.fields().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap
           }.getOrElse(Map.empty[String, String])
-          val candidate = Meta(m.get("schemaString").asText(), pcols, config)
+          val candidate = Meta(m.get("schemaString").asText(), pcols, config,
+            Option(m.get("id")).map(_.asText()).getOrElse(""))
           // `name` resolves by physical name; `id` resolves by parquet
           // FIELD ID ([[physicalSchemaWithIds]]) — both read paths are
           // implemented; only data-rewriting writers refuse mode `id`

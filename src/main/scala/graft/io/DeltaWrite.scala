@@ -532,7 +532,7 @@ object DeltaWrite {
           // like delta.enableChangeDataFeed
           renderConfig(existing.map(_._1.configuration).getOrElse(Map.empty) ++ genTz)
       }
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
+      lines += s"""{"metaData":{"id":${js(existing.map(e => carriedId(e._1)).getOrElse(UUID.randomUUID().toString))},"format":{"provider":"parquet","options":{}},"schemaString":${js(tableSchema.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }
     // identity watermark advance: same schema, new highWaterMark — one
     // metaData action republishing the STORED schema with bumped marks in
@@ -554,7 +554,7 @@ object DeltaWrite {
       val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
       val config = meta.configuration.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(bumped.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
+      lines += s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(bumped.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
     }
     if (mode == "overwrite") existing.foreach { case (_, live) =>
       live.foreach { f =>
@@ -733,7 +733,7 @@ object DeltaWrite {
     // delta.enableInCommitTimestamps stamps the enablement commit itself
     val resultMeta = meta.copy(configuration = merged)
     val tail = Seq(
-      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
+      s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
     val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, resultMeta, now)}"timestamp":$now,"operation":"SET TBLPROPERTIES","operationParameters":{"properties":${js(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))}},"engineInfo":"graft"}}""" +: tail)
@@ -946,7 +946,7 @@ object DeltaWrite {
       val configJson = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val pcols = snap.meta.partitionCols.map(js).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(snap.meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+      lines += s"""{"metaData":{"id":${js(carriedId(snap.meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(snap.meta.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
     }
 
     // re-add unbackfilled files with contiguous ranges above the watermark;
@@ -1279,7 +1279,7 @@ object DeltaWrite {
       val configJson = metaThen.configuration.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val pcols = metaThen.partitionCols.map(js).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(metaThen.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+      lines += s"""{"metaData":{"id":${js(carriedId(metaThen))},"format":{"provider":"parquet","options":{}},"schemaString":${js(metaThen.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
     }
     toRemove.foreach { f =>
       lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -1445,7 +1445,7 @@ object DeltaWrite {
       (proto.writerFeatures :+ "typeWidening").distinct)
     val tail = Seq(
       protocolJson(newProto),
-      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
+      s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(widened.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}""")
     val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"CHANGE COLUMN","operationParameters":{"column":${js(column)},"type":${js(to.simpleString)}},"engineInfo":"graft"}}""" +: tail)
@@ -1536,7 +1536,11 @@ object DeltaWrite {
     * over the directory, so hive-style `k=v` partition directories are
     * discovered, typed, and recorded as `partitionColumns`; per-file
     * stats come from the footers ([[footerStats]]: numRecords + top-level
-    * min/max/nullCount), so file skipping works from the first read.
+    * min/max/nullCount), so file skipping works from the first read. The
+    * footer pass is DISTRIBUTED (mapPartitions over the file list) — at
+    * the million-file scale this op exists for, serial driver footer
+    * round-trips would take hours; only the per-file stats strings return
+    * to the driver, which must render the add lines regardless.
     * Refuses if a `_delta_log` already exists, if no parquet files are
     * found, or if files disagree on the partition key sequence. The
     * caller owns quiescence: a writer adding raw files DURING conversion
@@ -1581,10 +1585,27 @@ object DeltaWrite {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def js(s: String): String = mapper.writeValueAsString(s)
     val pcols = partitionCols.map(js).mkString("[", ",", "]")
+    // Footer reads run EXECUTOR-side: at the op's own design point — adopting
+    // a 100 TB table in place — the file list is O(10^6) and each footer is a
+    // blocking round-trip; a driver loop serializes hours of I/O before the
+    // single commit (delta-spark distributes exactly this step). Only the
+    // (rel → stats-JSON) strings come back — a few hundred bytes per file,
+    // the same order as the add lines the driver must render anyway.
+    val statsByRel: Map[String, Option[String]] = {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val rootStr = root.toString
+      val rels = withParts.map(_._1)
+      val slices = math.max(1, math.min(rels.size,
+        spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(rels, slices).mapPartitions { it =>
+        val c = serConf.value
+        it.map(rel => rel -> footerStats(c, new Path(rootStr, rel)))
+      }.collect().toMap
+    }
     val addLines = withParts.map { case (rel, pv, size) =>
       val pvJson = pv.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-      val statsField = footerStats(conf, new Path(root, rel))
+      val statsField = statsByRel(rel)
         .map(s => s""","stats":${js(s)}""").getOrElse("")
       s"""{"add":{"path":${js(encodeFilePath(rel))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true$statsField}}"""
     }
@@ -1787,7 +1808,7 @@ object DeltaWrite {
       else proto.copy(minWriter = 7,
         writerFeatures = (baseFeatures ++ protoExtraWriter).distinct)
     val tail = (if (newProto != proto) Seq(protocolJson(newProto)) else Nil) :+
-      s"""{"metaData":{"id":${js(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${js(updated.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+      s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(updated.json)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
     val committed = commitWithRetry(spark, path, readVersion,
       ConflictGuard.exclusive(), _ =>
       s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":${js(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}""" +: tail)
@@ -2237,7 +2258,7 @@ object DeltaWrite {
     val metaDf = Seq(1).toDF("__one")
       .select(
         lit(null).cast(addsDf.schema("add").dataType.sql).as("add"),
-        struct(lit(UUID.randomUUID().toString).as("id"),
+        struct(lit(carriedId(meta)).as("id"),
           lit(meta.schemaJson).as("schemaString"),
           typedlit(meta.partitionCols).as("partitionColumns"),
           typedlit(meta.configuration).as("configuration")).as("metaData"),
@@ -2370,7 +2391,7 @@ object DeltaWrite {
     def featArr(fs0: Seq[String]) =
       if (fs0.isEmpty) lit(null).cast("array<string>") else typedlit(fs0)
     val metaDf = Seq(1).toDF("__one").select(
-      struct(lit(UUID.randomUUID().toString).as("id"),
+      struct(lit(carriedId(meta)).as("id"),
         lit(meta.schemaJson).as("schemaString"),
         typedlit(meta.partitionCols).as("partitionColumns"),
         typedlit(meta.configuration).as("configuration")).as("metaData"),
@@ -2798,8 +2819,25 @@ object DeltaWrite {
     full.stripPrefix(b)
   }
 
-  /** Per-file `add.stats` JSON from the parquet FOOTER (driver-side, no
-    * data read): numRecords always; min/max for top-level primitive
+  /** The table's stable GUID for a REPUBLISHED `metaData` action. The
+    * Delta spec treats `metaData.id` as the table identity — delta-spark
+    * embeds it in streaming offsets (reservoirId) and FAILS when it
+    * changes — so watermark bumps, schema evolution, property changes,
+    * checkpoints, RESTORE and widening must all carry the stored id
+    * verbatim. Minting is reserved for creation, CONVERT and clone (a
+    * clone IS a new table). Falls back to a mint only when the stored
+    * log predates id recording.
+    */
+  private[io] def carriedId(meta: DeltaRead.Meta): String =
+    if (meta == null || meta.id == null || meta.id.isEmpty)
+      UUID.randomUUID().toString
+    else meta.id
+
+  /** Per-file `add.stats` JSON from the parquet FOOTER (no data read;
+    * pure in (conf, path) so it runs wherever the file list lives —
+    * driver-side for the handful of files a single write emits,
+    * executor-side under [[convertToDelta]]'s distributed footer pass):
+    * numRecords always; min/max for top-level primitive
     * columns whose row-group statistics are present and comparable.
     * Conservative by construction — a column with missing or undecodable
     * stats is simply omitted, and [[DeltaFileIndex]] treats absent bounds

@@ -273,6 +273,29 @@ object ScaleRun {
           sourcePath = Some(cdcDir))
         graft.io.DeltaRead.readDeltaTable(spark, v).count()
       })
+      // CONVERT TO DELTA: file COUNT is the scale axis (the op's 100 TB
+      // cost driver is footer round-trips, not bytes). The footer pass is
+      // distributed (mapPartitions over the file list), so local wall must
+      // grow FAR below the file-count exponent — a serial driver loop
+      // would pin a_wall at 1 by construction.
+      val nFiles = 150 * mult
+      val wantsConvert = only.isEmpty || only.exists("b69_convert_footers".startsWith)
+      var convDir: String = null
+      if (wantsConvert) {
+        convDir = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "conv").toString + "/t"
+        spark.range(nFiles.toLong * 20)
+          .select(col("id"), (col("id") % 7).cast("string").as("s"))
+          .repartition(nFiles).write.parquet(convDir)
+      }
+      out += timed("b69_convert_footers", runs = 2)(() => {
+        val lg = new org.apache.hadoop.fs.Path(convDir, "_delta_log")
+        val fs = lg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(lg, true)
+        graft.io.DeltaWrite.convertToDelta(spark, convDir)
+        nFiles.toLong
+      })
+
       out.result()
     }
 

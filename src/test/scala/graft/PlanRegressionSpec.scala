@@ -49,14 +49,11 @@ class PlanRegressionSpec extends SparkSpec {
     // TopKPerKey cuts output to k·|queries| rows. Audited scale-safe:
     // cost is |corpus|·|queries| dot products, the exact filtered-search
     // semantic. Unbounded query sets must use the ANN-index path instead.
-    "q105_hard_negatives",
-    // decontaminate joins candidates to broadcast(evalSlice) on the sim
-    // THRESHOLD — non-equi, so Spark plans BNLJ. The broadcast side is the
-    // eval benchmark (bounded by contract: an eval suite is thousands of
-    // rows, not a corpus), the candidate side never shuffles before the
-    // aggregate, and output is bounded by flagged candidates. The exact
-    // filtered-search semantic, same audit as q105.
-    "q122_embed_decontam")
+    "q105_hard_negatives")
+  // q122_embed_decontam left the list in r14: the decontaminate screen is
+  // now a native kernel map (functions/DecontamKernel) — no join exists to
+  // audit; the ExtSpec plan pin asserts scan→generate→filter with zero
+  // joins/exchanges.
 
   test("registry sweep: no query plans a cartesian product or an unlisted nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

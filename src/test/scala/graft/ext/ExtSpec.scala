@@ -878,6 +878,53 @@ class ExtSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("temperatureQuotas: exact at the 100TB regime where BIGINT budget·w would wrap") {
+    import spark.implicits._
+    // n_s = 10^10 → w_micro = 10^11; budget 10^9 → budget·w = 10^20 wraps a
+    // Long (~9.2e18). The DECIMAL(38,0) product must land the same value
+    // BigInt arithmetic does, and small-regime quotas must be unchanged.
+    val counts = Seq(("big", 10000000000L), ("mid", 400000000L), ("tiny", 9L))
+      .toDF("src", "n_docs")
+    val budget = 1000000000L
+    val got = Splits.temperatureQuotasFromCounts(counts, "src", budget)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val w = Map( // round(sqrt(n)·1e6) — all three are exact integers
+      "big" -> BigInt("100000000000"), "mid" -> BigInt("20000000000"),
+      "tiny" -> BigInt(3000000))
+    val wtot = w.values.sum
+    got.foreach { case (s, (wm, q)) =>
+      assert(BigInt(wm) == w(s), s"$s w_micro: $wm")
+      val expect = (BigInt(budget) * w(s)) / wtot
+      assert(BigInt(q) == expect, s"$s quota: got $q want $expect")
+      assert(q >= 0L, s"$s quota wrapped negative")
+    }
+  }
+
+  test("decontaminate kernel: bit-identical to the join form, ONE screen node, no shuffle") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cand = emb.filter(col("vec_id") % 10 =!= 0)
+    val ev = emb.filter(col("vec_id") % 10 === 0)
+    val out = Similarity.decontaminate(cand, ev, "vec_id", "embedding", 0.45)
+    // the kernel must be evaluated ONCE per row: an inlined alias would
+    // re-run the whole |eval|×dim screen in the filter and again per
+    // element_at reference — pin the optimized-plan node count
+    val opt = out.queryExecution.optimizedPlan.toString
+    val nodes = "graft_decontam_screen".r.findAllIn(opt).length
+    assert(nodes == 1, s"expected 1 screen node, got $nodes:\n${opt.take(2000)}")
+    // no join, no aggregate: the physical plan is scan → project → filter
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Join") && !phys.contains("Exchange"),
+      s"kernel decontaminate must not join or shuffle:\n${phys.take(2000)}")
+    // exact equivalence with the join form (which q122's oracle verified
+    // against DuckDB at all three SFs)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val a = out.collect().map(key).toSet
+    val b = Similarity.decontaminateJoinForm(cand, ev, "vec_id", "embedding", 0.45)
+      .collect().map(key).toSet
+    assert(a.nonEmpty && a == b,
+      s"kernel/join divergence: only-kernel=${(a -- b).take(3)} only-join=${(b -- a).take(3)}")
+  }
+
   test("tiled block self-join emits exactly the naive all-pairs rows at several block counts") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))

@@ -75,6 +75,36 @@ class WebDatasetSpec extends SparkSpec {
     assert(before == after)
   }
 
+  test("readShards accepts space-padded octal size fields (GNU/bsdtar interop)") {
+    // several standard writers left-pad the 12-byte size with spaces
+    // instead of zeros; the parser must strip the padding, not throw
+    val dir = Files.createTempDirectory("graft_wds_pad").toString
+    val payload = "space padded entry".getBytes("UTF-8")
+    val h = WebDataset.tarHeader("k1.txt", payload.length.toLong)
+    // rewrite size[124,12) as space-padded octal ("     22 \0"-style)
+    val oct = java.lang.Long.toOctalString(payload.length.toLong)
+    val padded = (" " * (11 - oct.length)) + oct
+    System.arraycopy(padded.getBytes("US-ASCII"), 0, h, 124, 11)
+    h(135) = 0
+    // recompute the checksum over the edited header
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += (b & 0xff))
+    val chk = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - chk.length)) + chk).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '.toByte
+    val pad = new Array[Byte]((512 - payload.length % 512) % 512)
+    val bytes = h ++ payload ++ pad ++ new Array[Byte](1024)
+    Files.write(Paths.get(dir, "shard-ext-0000.tar"), bytes)
+
+    val back = WebDataset.readShards(spark, dir).collect()
+    assert(back.length == 1)
+    assert(back.head.getString(0) == "k1" && back.head.getString(1) == "txt")
+    assert(new String(back.head.getAs[Array[Byte]](2), "UTF-8") ==
+      "space padded entry")
+  }
+
   test("oversized keys and null keys refuse loudly") {
     val dir = Files.createTempDirectory("graft_wds_bad").toString
     val e = intercept[Exception](

@@ -1159,6 +1159,72 @@ class DeltaWriteSpec extends SparkSpec {
       .filter(col("p") === "A B").count() == 1L)
   }
 
+  test("metaData.id is the table's stable GUID: every republish carries it; only clone mints") {
+    // the Delta spec treats metaData.id as the table identity — delta-spark
+    // embeds it in streaming offsets (reservoirId) and fails on change, so
+    // an identity-advancing append that minted a fresh id would look like a
+    // table REPLACEMENT to every external Delta client
+    def idOf(p: String): String =
+      DeltaRead.replayLogWithProtocol(spark, p, None)._1.id
+    val t = tmp("graft_dw_metaid")
+    DeltaWrite.writeDeltaTableIdentity(Seq("a", "b").toDF("v"), t, "rid")
+    val id0 = idOf(t)
+    assert(id0.nonEmpty)
+    DeltaWrite.writeDeltaTable(Seq("c").toDF("v"), t, "append")
+    assert(idOf(t) == id0, "identity watermark bump replaced the table GUID")
+    DeltaWrite.setTableProperties(spark, t, Map("graft.k" -> "v"))
+    assert(idOf(t) == id0, "SET TBLPROPERTIES replaced the table GUID")
+    DeltaWrite.checkpoint(spark, t)
+    assert(idOf(t) == id0, "checkpoint minted a fresh GUID")
+    DeltaWrite.addColumn(spark, t, "n", org.apache.spark.sql.types.IntegerType)
+    assert(idOf(t) == id0, "ADD COLUMN replaced the table GUID")
+    val c = tmp("graft_dw_metaid_clone")
+    DeltaWrite.cloneShallow(spark, t, c)
+    assert(idOf(c).nonEmpty && idOf(c) != id0, "a clone IS a new table — it must mint")
+    // widening keeps it too (separate table: widening needs a widenable type)
+    val w = tmp("graft_dw_metaid_widen")
+    DeltaWrite.writeDeltaTable(Seq(1).toDF("x"), w, "overwrite")
+    val wid = idOf(w)
+    DeltaWrite.widenColumnType(spark, w, "x",
+      org.apache.spark.sql.types.LongType)
+    assert(idOf(w) == wid, "type widening replaced the table GUID")
+  }
+
+  test("CONVERT TO DELTA: many-file dir — footer pass runs distributed, every add carries stats") {
+    val dir = tmp("graft_dw_convert_many")
+    spark.range(0, 800)
+      .select(col("id"), (col("id") % 4).cast("string").as("p"))
+      .repartition(10, col("id"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+
+    // count executor tasks launched DURING the conversion: the footer pass
+    // must run as a Spark job (mapPartitions over the file list), never a
+    // serial driver loop — at the op's design point (10^6-file adoption)
+    // that loop is hours of driver I/O
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(DeltaWrite.convertToDelta(spark, dir) == 0L)
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() > 1L, s"footer pass ran ${tasks.get()} tasks — not distributed")
+
+    val log = scala.io.Source.fromFile(
+      s"$dir/_delta_log/00000000000000000000.json").getLines().toSeq
+    val adds = log.filter(_.contains("\"add\""))
+    assert(adds.size >= 20, s"expected a many-file conversion, got ${adds.size} adds")
+    assert(adds.forall(_.contains("\"stats\"")), "an add line lost its footer stats")
+    assert(adds.forall(_.contains("numRecords")))
+    val t = DeltaRead.readDeltaTable(spark, dir)
+    assert(t.count() == 800L)
+    assert(t.filter(col("id") === 7L).count() == 1L) // min/max skipping serves
+  }
+
   test("ADD COLUMN: old files null-fill; mapped tables mint fresh ids; drop-then-re-add never resurrects") {
     import org.apache.spark.sql.types.{IntegerType, StructType => ST}
     // unmapped: metadata-only commit, old rows read null, new appends carry it
