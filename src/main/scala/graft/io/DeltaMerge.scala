@@ -3,7 +3,7 @@ package graft.io
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Row-level Delta DML — MERGE (upsert) and DELETE — as copy-on-write
   * commits over [[DeltaWrite]]'s log protocol. This is the reference's
@@ -57,12 +57,33 @@ object DeltaMerge {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (meta, live, proto) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(meta != null, s"$path has no metaData action in its _delta_log")
-    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true)
+    DeltaWrite.checkWritable(meta, proto, s"DML on $path", removesData = true,
+      identityOk = true) // minting handled below: assignment + hw bump + exclusive OCC
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     keyCols.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key $k is not a column of the table (${schema.fieldNames.mkString(", ")})"))
     keyCols.foreach(k => require(source.columns.contains(k),
       s"merge key $k is not a column of the source"))
+    // IDENTITY columns: the source must OMIT them — matched updates carry
+    // the target's stored value, unmatched inserts mint past the high
+    // watermark ([[DeltaWrite.assignIdentityValues]]'s gap-free contract)
+    // and the bumped mark rides the same commit. A source-supplied
+    // identity value would either clobber a matched row's engine-assigned
+    // value or mint outside the contract — refused, like GENERATED ALWAYS.
+    val identityFields = DeltaWrite.identityFieldsOf(meta)
+    identityFields.foreach { f =>
+      require(!source.columns.contains(f.name),
+        s"merge into $path supplies identity column ${f.name}, which is " +
+          "engine-assigned — omit it; matched rows keep their values, " +
+          "inserts mint past the high watermark")
+      require(!keyCols.contains(f.name),
+        s"merge into $path keyed on identity column ${f.name} requires the " +
+          "source to supply it — key on a natural column instead")
+    }
+    val identityNames = identityFields.map(_.name).toSet
+    // the schema the SOURCE must match: the table minus engine-assigned cols
+    val sourceSchema = StructType(schema.fields.filterNot(f =>
+      identityNames.contains(f.name)))
     // column DEFAULTs fill the source for INSERT-ONLY merges (the SQL
     // INSERT-with-omitted-columns semantics); an UPDATE SET * merge keeps
     // the full-schema refusal — filling there would silently clobber
@@ -73,9 +94,10 @@ object DeltaMerge {
       else source
     val needFullSource = whenMatched == "update" || insertUnmatched
     if (needFullSource)
-      require(DeltaWrite.sameSchema(source0.schema, schema),
+      require(DeltaWrite.sameSchema(source0.schema, sourceSchema),
         s"merge source schema ${source0.schema.simpleString} must match table " +
-          s"schema ${schema.simpleString} (UPDATE SET * / INSERT * semantics)")
+          s"schema ${sourceSchema.simpleString} (UPDATE SET * / INSERT * " +
+          "semantics; identity columns omitted)")
 
     // The source plan is referenced by the cardinality check, srcKeys, the
     // update join, the insert anti-join, and two CDC branches — up to ~6
@@ -102,7 +124,8 @@ object DeltaMerge {
     // the untouched 99% of the table is never read again.
     val rt = DeltaWrite.rowTrackingOf(meta)
     val base = baseWithRowIds(spark, path, meta, touched, rt)
-    val nonKey = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    val nonKey = schema.fieldNames.filterNot(n =>
+      keyCols.contains(n) || identityNames.contains(n)).toSeq
     // row tracking: carried rows keep id + original version; UPDATED rows
     // keep their id but null the version (modified by this commit);
     // INSERTED rows are fresh on both (defaults apply)
@@ -122,16 +145,32 @@ object DeltaMerge {
             lit(true).as("__m")): _*)
         base.join(marked, keyCols, "left_outer")
           .select(schema.fieldNames.map { n =>
-            if (keyCols.contains(n)) col(n)
+            // identity columns CARRY the target's stored value — the
+            // source omits them by the gate above
+            if (keyCols.contains(n) || identityNames.contains(n)) col(n)
             else when(col("__m").isNotNull, col(s"__s_$n")).otherwise(col(n)).as(n)
           }.toSeq ++ rtUpdated: _*)
     }
-    val newData =
-      if (insertUnmatched)
-        survivors.unionByName(
-          source1.join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
-            .select(schema.fieldNames.map(col).toSeq ++ rtFresh: _*))
-      else survivors
+    // unmatched inserts derive ONCE (newData and the CDC branch both
+    // consume them); on an identity table they get gap-free values
+    // assigned past the stored watermark — hwBumps then forces the
+    // metaData republish and the exclusive conflict guard below
+    val (insertRows, hwBumps): (Option[DataFrame], Map[String, Long]) =
+      if (!insertUnmatched) (None, Map.empty)
+      else {
+        val unmatched = source1
+          .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+        if (identityFields.isEmpty) (Some(unmatched), Map.empty)
+        else {
+          val (withIds, bumps) = assignInsertIdentity(unmatched, identityFields)
+          (Some(withIds), bumps)
+        }
+      }
+    val newData = insertRows match {
+      case Some(ins) => survivors.unionByName(
+        ins.select(schema.fieldNames.map(col).toSeq ++ rtFresh: _*))
+      case None => survivors
+    }
 
     if (touched.isEmpty && !insertUnmatched) return -1L
     // CDF: matched rows emit pre/post images (or delete), inserts emit
@@ -140,31 +179,53 @@ object DeltaMerge {
       if (!cdfEnabled(meta)) None
       else {
         val fieldCols = schema.fieldNames.map(col).toSeq
-        val baseKeys = base.select(keyCols.map(col): _*)
         val matchedPre = base.join(srcKeys, keyCols, "left_semi")
           .select(fieldCols :+ lit(
             if (whenMatched == "delete") "delete" else "update_preimage")
             .as("_change_type"): _*)
         // one post-image PER MATCHED TARGET ROW (duplicate-key targets
         // update every copy), so join the per-row base keys — a semi-join
-        // on the source would collapse them to one per key
+        // on the source would collapse them to one per key. Identity
+        // columns ride from the TARGET side (the source omits them).
         val matchedPost =
           if (whenMatched == "update")
-            Some(baseKeys.join(source1, keyCols, "inner")
+            Some(base.select((keyCols ++ identityNames.toSeq).map(col): _*)
+              .join(source1, keyCols, "inner")
               .select(fieldCols :+ lit("update_postimage").as("_change_type"): _*))
           else None
-        val inserts =
-          if (insertUnmatched)
-            Some(source1.join(baseKeys, keyCols, "left_anti")
-              .select(fieldCols :+ lit("insert").as("_change_type"): _*))
-          else None
+        val inserts = insertRows.map(
+          _.select(fieldCols :+ lit("insert").as("_change_type"): _*))
         Some((Seq(matchedPre) ++ matchedPost ++ inserts).reduce(_ unionByName _))
       }
     commitRewrite(spark, path, readVersion, meta, proto, touched, newData,
       operation = "MERGE",
       opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)}""",
-      cdcData = cdc, txn = txn)
+      cdcData = cdc, txn = txn, hwBumps = hwBumps)
   }
+
+  /** Gap-free identity assignment for MERGE's unmatched inserts — the
+    * append path's contract ([[DeltaWrite.assignIdentityValues]]:
+    * localCheckpoint + count + zipWithIndex past the stored watermark),
+    * returning the batch with values and the new last-issued mark per
+    * column. A non-empty bump map forces the metaData republish and the
+    * EXCLUSIVE conflict guard (two concurrent minting commits would issue
+    * the same values — the loser refuses, never retries with its staged
+    * files).
+    */
+  private def assignInsertIdentity(unmatched: DataFrame,
+      identityFields: Seq[StructField]): (DataFrame, Map[String, Long]) =
+    identityFields.foldLeft((unmatched, Map.empty[String, Long])) {
+      case ((cur, bumps), f) =>
+        val step = f.metadata.getLong("delta.identity.step")
+        val lastIssued =
+          if (f.metadata.contains("delta.identity.highWaterMark"))
+            f.metadata.getLong("delta.identity.highWaterMark")
+          else f.metadata.getLong("delta.identity.start") - step
+        val (withId, n) = DeltaWrite.assignIdentityValues(cur, f.name,
+          lastIssued, step)
+        if (n == 0) (withId, bumps)
+        else (withId, bumps + (f.name -> (lastIssued + step * n)))
+    }
 
   /** A change-data batch renamed to the table's physical layout for
     * staging under `_change_data/` — name mode renames, id mode
@@ -404,10 +465,15 @@ object DeltaMerge {
     val matchedAll0 = rowScan.join(srcKeys, keyCols, "left_semi")
     val matchedAll = rt.fold(matchedAll0)(r => DeltaWrite.materializeRowIds(
       spark, path, r, live, matchedAll0, keepHelpers = true))
+    // identity columns must survive the pruned checkpoint: matched
+    // updates re-append with the TARGET's stored value (source omits it)
+    val identityNames = DeltaWrite.identityFieldsOf(meta).map(_.name)
+      .filterNot(keyCols.contains)
     val matched =
       (if (cdfEnabled(meta)) matchedAll
        else matchedAll.select(
-         keyCols.map(col) ++ Seq(col("__file"), col("__row_idx")) ++
+         (keyCols ++ identityNames).map(col) ++
+           Seq(col("__file"), col("__row_idx")) ++
            rt.toSeq.map(r => col(s"`${r.matId}`")): _*))
         .localCheckpoint()
     val planned = buildDvPlans(spark, fs, root, live, matched)
@@ -428,15 +494,23 @@ object DeltaMerge {
       lit(null).cast("long").as(r.matId), lit(null).cast("long").as(r.matVer)))
     val matchedSrc =
       if (whenMatched == "update")
-        Some(matched.select(keyCols.map(col) ++
+        Some(matched.select((keyCols ++ identityNames).map(col) ++
             rt.toSeq.map(r => col(s"`${r.matId}`")): _*)
           .join(source1, keyCols, "inner").select(fieldCols ++ rtKeepId: _*))
       else None
-    val inserts =
-      if (insertUnmatched)
-        Some(source1.join(matchedKeys, keyCols, "left_anti")
-          .select(fieldCols ++ rtFresh: _*))
-      else None
+    // unmatched inserts: identity values mint past the watermark exactly
+    // as on the COW path — hwBumps then rides commitDvDml's metaData
+    // republish under the exclusive guard
+    val (inserts, hwBumps): (Option[DataFrame], Map[String, Long]) =
+      if (!insertUnmatched) (None, Map.empty)
+      else {
+        val unmatched = source1.join(matchedKeys, keyCols, "left_anti")
+        val idFields = DeltaWrite.identityFieldsOf(meta)
+        val (withIds, bumps) =
+          if (idFields.isEmpty) (unmatched, Map.empty[String, Long])
+          else assignInsertIdentity(unmatched, idFields)
+        (Some(withIds.select(fieldCols ++ rtFresh: _*)), bumps)
+      }
     val newRows = (matchedSrc.toSeq ++ inserts).reduceOption(_ unionByName _)
     val cdc =
       if (!cdfEnabled(meta)) None
@@ -455,7 +529,7 @@ object DeltaMerge {
       newAdds = newRows.map(stageForTable(spark, meta, _, root)).getOrElse(Nil),
       operation = "MERGE",
       opParams = s""""predicate":${jsString(keyCols.mkString(","))},"matchedAction":${jsString(whenMatched)},"deletionVectors":true""",
-      cdcData = cdc, txn = txn)
+      cdcData = cdc, txn = txn, hwBumps = hwBumps)
   }
 
   // ------------------------------------------------------- DV DML internals
@@ -632,7 +706,8 @@ object DeltaMerge {
       meta: DeltaRead.Meta, proto: DeltaRead.Protocol, planned: Seq[DvPlan],
       newAdds: Seq[(String, Map[String, String], Long, Option[String])],
       operation: String, opParams: String, cdcData: Option[DataFrame],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      hwBumps: Map[String, Long] = Map.empty): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // vectors were already written (executor-side) by buildDvPlans; a
@@ -656,6 +731,8 @@ object DeltaMerge {
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
       protocolLine.foreach(lines += _)
+      if (hwBumps.nonEmpty)
+        lines += DeltaWrite.identityMetaLine(meta, hwBumps, now)
       txn.foreach { case (appId, txnVersion) =>
         lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
       }
@@ -688,9 +765,13 @@ object DeltaMerge {
       }
       lines.toSeq
     }
+    val dvGuard =
+      if (hwBumps.nonEmpty)
+        ConflictGuard.exclusive(planned.map(_.file.path).toSet, txn.map(_._1))
+      else ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet,
+        txn.map(_._1))
     val committed = DeltaWrite.commitWithRetry(spark, path, readVersion,
-      ConflictGuard.disjointRewrite(planned.map(_.file.path).toSet,
-        txn.map(_._1)), mkLines)
+      dvGuard, mkLines)
     DeltaWrite.maybeAutoCheckpoint(spark, path, committed, meta.configuration)
     committed
   }
@@ -802,7 +883,8 @@ object DeltaMerge {
       touched: Seq[DeltaRead.LiveFile],
       newData: DataFrame, operation: String, opParams: String,
       cdcData: Option[DataFrame] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      hwBumps: Map[String, Long] = Map.empty): Long = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tracked = DeltaWrite.rowTrackingOf(meta).isDefined ||
@@ -843,6 +925,8 @@ object DeltaMerge {
       val now = System.currentTimeMillis()
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       lines += s"""{"commitInfo":{${DeltaWrite.ictField(spark, path, meta, now)}"timestamp":$now,"operation":${jsString(operation)},"operationParameters":{$opParams},"engineInfo":"graft"}}"""
+      if (hwBumps.nonEmpty)
+        lines += DeltaWrite.identityMetaLine(meta, hwBumps, now)
       txn.foreach { case (appId, txnVersion) =>
         lines += s"""{"txn":{"appId":${jsString(appId)},"version":$txnVersion,"lastUpdated":$now}}"""
       }
@@ -867,10 +951,16 @@ object DeltaMerge {
     }
     // OCC: row-level DML tolerates concurrent appends and disjoint
     // rewrites (WriteSerializable); a winner touching any of OUR files
-    // refuses — one of the two rewrites would otherwise be lost.
+    // refuses — one of the two rewrites would otherwise be lost. An
+    // identity-minting merge (hwBumps non-empty) conflict-checks
+    // EXCLUSIVELY, like identity-advancing appends: a concurrent minting
+    // commit would issue the same values — the loser refuses.
+    val guard =
+      if (hwBumps.nonEmpty)
+        ConflictGuard.exclusive(touched.map(_.path).toSet, txn.map(_._1))
+      else ConflictGuard.disjointRewrite(touched.map(_.path).toSet, txn.map(_._1))
     val committed = DeltaWrite.commitWithRetry(spark, path, readVersion,
-      ConflictGuard.disjointRewrite(touched.map(_.path).toSet, txn.map(_._1)),
-      mkLines)
+      guard, mkLines)
     DeltaWrite.maybeAutoCheckpoint(spark, path, committed, meta.configuration)
     committed
   }

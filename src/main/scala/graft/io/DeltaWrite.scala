@@ -541,20 +541,7 @@ object DeltaWrite {
     require(!(schemaChanged && hwBumps.nonEmpty),
       "unreachable: identity tables refuse schema-changing writes above")
     if (hwBumps.nonEmpty) existing.foreach { case (meta, _) =>
-      val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-      val bumped = StructType(old.fields.map { f =>
-        hwBumps.get(f.name) match {
-          case Some(hw) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("delta.identity.highWaterMark", hw).build())
-          case None => f
-        }
-      })
-      val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
-      val config = meta.configuration.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
-      lines += s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(bumped.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
+      lines += identityMetaLine(meta, hwBumps, now)
     }
     if (mode == "overwrite") existing.foreach { case (_, live) =>
       live.foreach { f =>
@@ -1058,11 +1045,11 @@ object DeltaWrite {
     // supplied ones on every staging path
     // identity columns (`delta.identity.*`) are HONORED on value-minting
     // and row-preserving paths (identityOk=true: append/overwrite writes
-    // assign + advance the watermark; compact/zorder/DELETE/UPDATE carry
-    // existing values verbatim, with UPDATE refusing identity SET targets
-    // at the verb). Paths that would MINT values without the assignment
-    // machinery (MERGE's unmatched inserts) or roll the watermark back
-    // (RESTORE) keep the refusal.
+    // and MERGE's unmatched inserts assign + advance the watermark under
+    // the exclusive guard; compact/zorder/DELETE/UPDATE carry existing
+    // values verbatim, with UPDATE refusing identity SET targets at the
+    // verb). Paths that would roll the watermark back (RESTORE) keep the
+    // refusal.
     val refused = Seq("delta.invariants" -> "column invariants") ++
       (if (identityOk) Nil
        else Seq("delta.identity." -> ("identity columns — this verb could " +
@@ -1159,7 +1146,41 @@ object DeltaWrite {
     * Returns the frame and the batch row count (caller derives the new
     * watermark as `lastIssued + step·n`).
     */
-  private def assignIdentityValues(df: DataFrame, name: String,
+  /** The `metaData` action republishing the STORED schema with bumped
+    * identity high-water marks — the spec's writer obligation: the marks
+    * ride the SAME commit as the rows that consumed them (a crash between
+    * data and mark would re-issue values). Shared by the append path and
+    * MERGE's unmatched-insert minting.
+    */
+  private[io] def identityMetaLine(meta: DeltaRead.Meta,
+      hwBumps: Map[String, Long], now: Long): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def js(s: String): String = mapper.writeValueAsString(s)
+    val old = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val bumped = StructType(old.fields.map { f =>
+      hwBumps.get(f.name) match {
+        case Some(hw) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", hw).build())
+        case None => f
+      }
+    })
+    val pcols = meta.partitionCols.map(js).mkString("[", ",", "]")
+    val config = meta.configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":${js(carriedId(meta))},"format":{"provider":"parquet","options":{}},"schemaString":${js(bumped.json)},"partitionColumns":$pcols,"configuration":$config,"createdTime":$now}}"""
+  }
+
+  /** Identity-column fields of a table schema (`delta.identity.start`
+    * metadata), with the last-issued value each would continue from.
+    */
+  private[io] def identityFieldsOf(meta: DeltaRead.Meta): Seq[StructField] =
+    if (!meta.schemaJson.contains("delta.identity.")) Nil
+    else DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+      .fields.filter(_.metadata.contains("delta.identity.start")).toSeq
+
+  private[io] def assignIdentityValues(df: DataFrame, name: String,
       lastIssued: Long, step: Long): (DataFrame, Long) = {
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession

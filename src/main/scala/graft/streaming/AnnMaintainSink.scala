@@ -65,12 +65,16 @@ import graft.ext.{AnnIndex, Similarity}
   */
 object AnnMaintainSink {
 
-  private def markers(spark: SparkSession, indexPath: String): (org.apache.hadoop.fs.FileSystem, Path) = {
-    val dir = new Path(indexPath, "_stream")
+  private[streaming] def markersIn(spark: SparkSession, indexPath: String,
+      sub: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val dir = new Path(indexPath, sub)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     (fs, dir)
   }
+
+  private def markers(spark: SparkSession, indexPath: String): (org.apache.hadoop.fs.FileSystem, Path) =
+    markersIn(spark, indexPath, "_stream")
 
   /** Persisted incremental per-cell counts; `upToBatch` = the last batch
     * id folded in (replay idempotence for the cache itself).
@@ -78,6 +82,50 @@ object AnnMaintainSink {
   private[graft] final case class CellCounts(upToBatch: Long, counts: Map[Int, Long])
 
   private def countsPath(dir: Path) = new Path(dir, "cellcounts.json")
+
+  private def floorPath(dir: Path) = new Path(dir, "floor")
+
+  /** The marker floor: every batch id at or below it is committed (its
+    * `b<id>.done` marker was folded away). -1 before the first fold.
+    */
+  private[graft] def readFloor(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Long = {
+    val p = floorPath(dir)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Fold every `b<id>.done` marker into the floor file and delete them —
+    * the marker-accretion answer (one tiny object per micro-batch forever
+    * otherwise; ~500k/year at a batch a minute). Ordering is the
+    * exactly-once-preserving one: the floor publishes BEFORE any marker
+    * deletes (tmp + rename), so at every crash point a replayed pre-floor
+    * batch still reads as committed — from the floor, or from its
+    * yet-undeleted marker. Single-maintainer contract, like every verb on
+    * the index. Returns the new floor (-1 = nothing to fold).
+    */
+  def compactMarkers(spark: SparkSession, indexPath: String): Long =
+    compactMarkersIn(spark, indexPath, "_stream")
+
+  private[streaming] def compactMarkersIn(spark: SparkSession,
+      indexPath: String, sub: String): Long = {
+    val (fs, dir) = markersIn(spark, indexPath, sub)
+    val doneIds = fs.listStatus(dir)
+      .filter(_.getPath.getName.matches("b\\d+\\.done"))
+      .map(_.getPath.getName.stripPrefix("b").stripSuffix(".done").toLong)
+    if (doneIds.isEmpty) return -1L
+    val floor = math.max(doneIds.max, readFloor(fs, dir))
+    val tmp = new Path(dir, s".floor-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(floorPath(dir), false)
+    require(fs.rename(tmp, floorPath(dir)), s"failed to publish marker floor")
+    doneIds.filter(_ <= floor)
+      .foreach(id => fs.delete(new Path(dir, s"b$id.done"), false))
+    floor
+  }
 
   private[graft] def readCounts(spark: SparkSession, indexPath: String): Option[CellCounts] = {
     val (fs, dir) = markers(spark, indexPath)
@@ -136,7 +184,7 @@ object AnnMaintainSink {
     val inflight = new Path(dir, s"b$batchId.inflight")
     val b = batch.select(col(idCol).cast("long").as(idCol) +: col(vecCol) +:
       extraCols.map(col): _*).localCheckpoint()
-    if (fs.exists(done)) {
+    if (batchId <= readFloor(fs, dir) || fs.exists(done)) {
       // replayed after commit: only the count cache may be behind (crash
       // between the marker rename and the counts write) — top it up
       readCounts(spark, indexPath).foreach { cc =>

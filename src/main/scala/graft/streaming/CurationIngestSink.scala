@@ -27,24 +27,31 @@ import graft.ext.{Dedup, TextAnalysis}
   * re-scan the corpus each trigger or silently change semantics to
   * batch-local. This sink is the admission half; compose both.
   *
-  * Exactly-once: the [[IngestDedupSink]] manifest layout — one
+  * Exactly-once: the [[IngestDedupSink]] / [[BatchManifest]] layout — one
   * `b<batchId>/` directory per micro-batch under accepted/ and the
-  * fingerprint index, index dir written LAST as the commit marker, so a
-  * crash-replayed batch either finds it (skip) or redoes both
-  * overwrite-mode writes idempotently. Gates are deterministic per-row
-  * expressions, so a replay admits the identical set.
+  * fingerprint index, index dir written LAST, and a batch counts as
+  * committed only once the index write JOB finished (the dir's `_SUCCESS`
+  * marker — the directory itself appears before any task runs, so a bare
+  * existence check would mistake a crash mid-index-write for a commit and
+  * leave the batch's accepted docs permanently missing from admission). A
+  * crash-replayed batch either finds the committed index (skip) or redoes
+  * both overwrite-mode writes idempotently; gates are deterministic
+  * per-row expressions, so a replay admits the identical set.
+  * [[compactGenerations]] folds old batch dirs so per-epoch listing cost
+  * tracks batches-since-compaction, not stream age.
   */
 object CurationIngestSink {
 
   /** All accepted rows so far; None before the first commit. */
-  def readAccepted(spark: SparkSession, acceptedDir: String): Option[DataFrame] = {
-    val p = new Path(acceptedDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val dirs = fs.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("b")).map(_.getPath.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toSeq: _*))
-  }
+  def readAccepted(spark: SparkSession, acceptedDir: String): Option[DataFrame] =
+    BatchManifest.read(spark, acceptedDir)
+
+  /** Fold committed batch dirs into one generation per store — see
+    * [[IngestDedupSink.compactGenerations]] (same layout, same contract).
+    */
+  def compactGenerations(spark: SparkSession, indexDir: String,
+      acceptedDir: String): Long =
+    IngestDedupSink.compactGenerations(spark, indexDir, acceptedDir)
 
   def run(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, acceptedDir: String, checkpoint: String,
@@ -57,9 +64,7 @@ object CurationIngestSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val commitMarker = new Path(s"$indexDir/b$batchId")
-        val fs = commitMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(commitMarker)) {
+        if (!BatchManifest.isBatchCommitted(spark, indexDir, batchId)) {
           // per-row gates in cleaning order, one codegen'd pass; the
           // masked text is what fingerprints (PII-only variants collapse)
           var cur = batch.select(col(idCol), col(textCol))

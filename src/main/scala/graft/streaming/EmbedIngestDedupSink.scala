@@ -17,27 +17,34 @@ import graft.ext.Similarity
   * survivors + their band rows + their vectors.
   *
   * State layout per committed batch `bN`: `accepted/bN` (original rows),
-  * `vecs/bN` (id, vec, nrm), and `bands/bN` (id, band, h) written LAST as
-  * the commit marker — a crash-replayed batch either finds it (skip) or
-  * redoes the overwrite-mode writes idempotently, the
-  * [[IngestDedupSink]]/IncrementalSink manifest trick.
+  * `vecs/bN` (id, vec, nrm), and `bands/bN` (id, band, h) written LAST —
+  * a batch counts as committed only once the bands write JOB finished
+  * ([[BatchManifest]]'s `_SUCCESS` rule; the directory alone appears
+  * before any task runs), so a crash-replayed batch either finds the
+  * committed bands dir (skip) or redoes the overwrite-mode writes
+  * idempotently, and partial writes are invisible to every reader.
+  * [[compactGenerations]] folds old batch dirs so listing cost tracks
+  * batches-since-compaction, not stream age.
   */
 object EmbedIngestDedupSink {
 
-  private def readDir(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val dirs = fs.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("b")).map(_.getPath.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toSeq: _*))
-  }
-
   /** All committed band rows / vector rows; None before the first commit. */
   def readBands(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    readDir(spark, s"$stateDir/bands")
+    BatchManifest.read(spark, s"$stateDir/bands")
   def readVecs(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    readDir(spark, s"$stateDir/vecs")
+    BatchManifest.read(spark, s"$stateDir/vecs")
+  def readAccepted(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    BatchManifest.read(spark, s"$stateDir/accepted")
+
+  /** Fold committed batch dirs into one generation per store — bands
+    * LAST, mirroring the write order (its floor is the commit signal).
+    * Returns the new bands floor (-1 = nothing to fold).
+    */
+  def compactGenerations(spark: SparkSession, stateDir: String): Long = {
+    BatchManifest.compact(spark, s"$stateDir/accepted")
+    BatchManifest.compact(spark, s"$stateDir/vecs")
+    BatchManifest.compact(spark, s"$stateDir/bands")
+  }
 
   def run(vectors: DataFrame, idCol: String, vecCol: String,
       stateDir: String, checkpoint: String, threshold: Double, dim: Int,
@@ -49,9 +56,7 @@ object EmbedIngestDedupSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val marker = new Path(s"$stateDir/bands/b$batchId")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(marker)) {
+        if (!BatchManifest.isBatchCommitted(spark, s"$stateDir/bands", batchId)) {
           val b = batch.select(col(idCol), col(vecCol)).localCheckpoint()
           val vsCorpus = (readBands(spark, stateDir), readVecs(spark, stateDir)) match {
             case (Some(idx), Some(vecs)) =>

@@ -16,22 +16,35 @@ import graft.ext.Dedup
   * parquet directory per micro-batch — so state grows by |survivors| per
   * trigger and a reader is a plain multi-directory scan.
   *
-  * Exactly-once across restarts without a transactional store (the
-  * IncrementalSink manifest trick): the index directory is written LAST
-  * and named by the batch id, so a crash-replayed batch either finds it
-  * (fully committed → skip) or redoes both overwrite-mode writes
-  * idempotently.
+  * Exactly-once across restarts without a transactional store: the index
+  * directory is written LAST and named by the batch id, and a batch
+  * counts as committed only once the write JOB finished — its `_SUCCESS`
+  * marker, [[BatchManifest]]'s rule, because `df.write` creates the
+  * directory itself before any task runs, so a bare existence check
+  * would mistake a crash-mid-write for a commit and skip the batch's
+  * real content forever. A replayed batch either finds the committed
+  * index dir (skip) or redoes both overwrite-mode writes idempotently;
+  * uncommitted partials are invisible to every reader, including the
+  * admission check itself. [[compactGenerations]] folds old batch dirs
+  * so listing cost tracks batches-since-compaction, not stream age.
   */
 object IngestDedupSink {
 
   /** All committed index rows (id, sh); None before the first commit. */
-  def readIndex(spark: SparkSession, indexDir: String): Option[DataFrame] = {
-    val p = new Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val dirs = fs.listStatus(p).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("b")).map(_.getPath.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toSeq: _*))
+  def readIndex(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    BatchManifest.read(spark, indexDir)
+
+  /** Fold committed index + accepted batch dirs into one generation each
+    * (accepted first — its floor must never trail the index's, since the
+    * index dir is the commit marker). Exactly-once replay survives the
+    * fold: a pre-floor batch id reads as committed from the generation
+    * floor itself. Safe mid-stream between triggers (single-maintainer
+    * contract). Returns the new index floor (-1 = nothing to fold).
+    */
+  def compactGenerations(spark: SparkSession, indexDir: String,
+      acceptedDir: String): Long = {
+    BatchManifest.compact(spark, acceptedDir)
+    BatchManifest.compact(spark, indexDir)
   }
 
   def run(docs: DataFrame, idCol: String, textCol: String,
@@ -43,9 +56,7 @@ object IngestDedupSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val commitMarker = new Path(s"$indexDir/b$batchId")
-        val fs = commitMarker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(commitMarker)) {
+        if (!BatchManifest.isBatchCommitted(spark, indexDir, batchId)) {
           // one fingerprint/text materialization feeds both checks and the
           // anti-join (foreachBatch frames re-execute per action otherwise)
           val b = batch.select(col(idCol), col(textCol)).localCheckpoint()

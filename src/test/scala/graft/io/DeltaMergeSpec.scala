@@ -222,4 +222,53 @@ class DeltaMergeSpec extends SparkSpec {
     assert(cdc(cow, vCow) == expectCdc, s"copy-on-write cdc: ${cdc(cow, vCow)}")
     assert(cdc(dv, vDv) == expectCdc, s"deletion-vector cdc: ${cdc(dv, vDv)}")
   }
+
+  test("MERGE on an identity table: inserts mint past the mark, updates carry values, mark rides the same commit") {
+    val table = tmp("graft_dm_ident")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), table, "rid")
+    // hw = 2 after creation; the source OMITS rid
+    val v = DeltaMerge.merge(spark, table,
+      Seq(("k2", "B"), ("k3", "c"), ("k4", "d")).toDF("k", "v"), Seq("k"))
+    val got = DeltaRead.readDeltaTable(spark, table).orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), got.toString) // gap-free grid
+    val byK = got.map(t => t._2 -> (t._1, t._3)).toMap
+    assert(byK("k2") == (2L, "B"), "matched update must CARRY the target's rid")
+    assert(Set(byK("k3")._1, byK("k4")._1) == Set(3L, 4L))
+
+    // values-and-mark-in-ONE-commit: the merge's own version already
+    // publishes highWaterMark = 4 (a crash after it can never re-issue)
+    val (metaAtMerge, _) = DeltaRead.replayLog(spark, table, Some(v))
+    assert(metaAtMerge.schemaJson.contains("\"delta.identity.highWaterMark\":4"),
+      metaAtMerge.schemaJson)
+    // and the next plain append continues past the merged inserts
+    DeltaWrite.writeDeltaTable(Seq(("k5", "e")).toDF("k", "v"), table, "append")
+    val k5 = DeltaRead.readDeltaTable(spark, table).filter(col("k") === "k5")
+      .select("rid").as[Long].collect().head
+    assert(k5 == 5L, s"append after merge issued $k5")
+
+    // DV path mints identically (commit cost O(changed rows) preserved)
+    DeltaMerge.merge(spark, table,
+      Seq(("k1", "A"), ("k6", "f")).toDF("k", "v"), Seq("k"),
+      useDeletionVectors = true)
+    val after = DeltaRead.readDeltaTable(spark, table).orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(after.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L), after.toString)
+    assert(after.map(t => t._2 -> t._1).toMap.apply("k6") == 6L)
+    assert(after.find(_._2 == "k1").get._3 == "A")
+
+    // a delete-mode merge with no inserts stays a plain carried DML
+    DeltaMerge.merge(spark, table, Seq(("k6", "")).toDF("k", "v"), Seq("k"),
+      whenMatched = "delete", insertUnmatched = false)
+    assert(DeltaRead.readDeltaTable(spark, table).count() == 5L)
+
+    // refusals: source supplying rid; keying on rid
+    val e1 = intercept[IllegalArgumentException](DeltaMerge.merge(spark, table,
+      Seq((99L, "k9", "x")).toDF("rid", "k", "v"), Seq("k")))
+    assert(e1.getMessage.contains("supplies identity column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](DeltaMerge.merge(spark, table,
+      Seq((1L, "z")).toDF("rid", "v"), Seq("rid")))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+  }
 }

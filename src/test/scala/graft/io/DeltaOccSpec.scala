@@ -274,4 +274,34 @@ class DeltaOccSpec extends SparkSpec {
       .select("rid").as[Long].collect().sorted.toSeq
     assert(after == (1L to after.length.toLong), after.toString)
   }
+
+  test("identity-minting merges race: losers refuse, values never duplicate") {
+    val table = tmp("graft_occ_ident_merge")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq(("seed", "s")).toDF("k", "v"), table, "rid")
+    val writers = 4
+    val refused = new java.util.concurrent.atomic.AtomicInteger(0)
+    race(writers) { i =>
+      try DeltaMerge.merge(spark, table,
+        Seq((s"m$i", "x")).toDF("k", "v"), Seq("k"))
+      catch {
+        // minting merges conflict-check EXCLUSIVELY, like minting appends:
+        // a loser must refuse, never retry with its already-issued values
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("concurrent") ||
+             e.getMessage.contains("conflict")) =>
+          refused.incrementAndGet()
+      }
+    }
+    val ids = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to ids.length.toLong), ids.toString)
+    assert((ids.length - 1) + refused.get() == writers,
+      s"landed ${ids.length - 1}, refused ${refused.get()}")
+    // sequential merges resume cleanly after the race
+    DeltaMerge.merge(spark, table, Seq(("post", "y")).toDF("k", "v"), Seq("k"))
+    val after = DeltaRead.readDeltaTable(spark, table)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(after == (1L to after.length.toLong), after.toString)
+  }
 }

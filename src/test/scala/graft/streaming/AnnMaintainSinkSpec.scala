@@ -168,6 +168,50 @@ class AnnMaintainSinkSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 15L)
   }
 
+  test("compactMarkers folds done markers into the floor; pre-floor replays still skip") {
+    val base = Files.createTempDirectory("graft_annsink_floor").toString
+    val path = s"$base/index"
+    val built = for (axis <- 0 until 2; i <- 0 until 5)
+      yield (axis * 100L + i, axisVec(axis, i))
+    AnnIndex.build(built.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, nCells = 2)
+
+    def batchDf(b: Int) =
+      Seq.tabulate(3)(i => (2000L + b * 10 + i, axisVec(b % 2, 40 + b * 3 + i)))
+        .toDF("vec_id", "embedding")
+    def process(b: Long, df: org.apache.spark.sql.DataFrame = null): Unit =
+      AnnMaintainSink.processBatch(
+        if (df == null) batchDf(b.toInt) else df, b, "vec_id", "embedding",
+        path, maxBalance = 1e9, minBalance = 0.0,
+        refreshEvery = 0, errorFactor = 1.05, extraCols = Nil)
+
+    (0L until 5L).foreach(b => process(b))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerCount = fs.listStatus(new org.apache.hadoop.fs.Path(path, "_stream"))
+      .count(_.getPath.getName.endsWith(".done"))
+    assert(markerCount == 5)
+    assert(spark.read.parquet(path).count() == 25L)
+
+    assert(AnnMaintainSink.compactMarkers(spark, path) == 4L)
+    assert(markerCount == 0, "done markers must fold into the floor")
+
+    // a replayed pre-floor batch must STILL read as committed — appending
+    // again would duplicate its vectors in the index
+    process(2L)
+    assert(spark.read.parquet(path).count() == 25L,
+      "pre-floor replay re-appended after marker compaction")
+    // and a genuinely new batch processes normally
+    process(5L)
+    assert(spark.read.parquet(path).count() == 28L)
+    assert(markerCount == 1)
+    // folding again advances the floor and stays idempotent
+    assert(AnnMaintainSink.compactMarkers(spark, path) == 5L)
+    assert(AnnMaintainSink.compactMarkers(spark, path) == -1L)
+    process(5L)
+    assert(spark.read.parquet(path).count() == 28L)
+  }
+
   test("extraCols ride the stream into the index; a batch missing them refuses") {
     val base = Files.createTempDirectory("graft_annsink_extra").toString
     val srcDir = s"$base/src"
