@@ -439,6 +439,23 @@ object Bench {
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
           max(col("payload")).as("mp"))
     }),
+    // the third z-dimension, numerically: the same ~decile `value` slice
+    // over a 3-col z-ordered layout (stats skip most row groups) vs the
+    // 2-col layout of identical bytes, which never clustered on `value`
+    // and must decode everything (the b39/b41 pattern, one dimension up)
+    "b70_zorder3_third_pruned" -> ((s, dir) => {
+      val (z3, cut) = BenchLayouts.dirs3(s, dir)
+      s.read.parquet(z3).filter(col("value") < cut)
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          max(col("payload")).as("mp"))
+    }),
+    "b71_zorder2_third_unpruned" -> ((s, dir) => {
+      val (z2, _) = BenchLayouts.dirs(s, dir)
+      val (_, cut) = BenchLayouts.dirs3(s, dir)
+      s.read.parquet(z2).filter(col("value") < cut)
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("su"),
+          max(col("payload")).as("mp"))
+    }),
     "b41_random_unpruned" -> ((s, dir) => {
       val (_, r) = BenchLayouts.dirs(s, dir)
       s.read.parquet(r).filter(BenchLayouts.boxPredicate)
@@ -529,6 +546,7 @@ private[graft] object BenchLayouts {
   import org.apache.spark.sql.functions._
 
   @volatile private var cached: Option[(String, String)] = None
+  @volatile private var cached3: Option[(String, Double)] = None
   @volatile private var ndIndex: Option[org.apache.spark.sql.DataFrame] = None
 
   /** Corpus band index for b43, built once per JVM (what production
@@ -551,6 +569,25 @@ private[graft] object BenchLayouts {
   // one quadrant and prune nothing
   def boxPredicate: org.apache.spark.sql.Column =
     col("user_id") < 375 && col("event_id") < 25000
+
+  /** 3-column z-order layout over the SAME bytes as [[dirs]]'s pair, plus
+    * a `value` cutoff (~decile) for the third-dimension predicate. The
+    * 2-col layout is BLIND on `value` (b39's clustering never consults
+    * it), so b70 vs b71 isolates exactly what the third dimension buys.
+    */
+  def dirs3(s: SparkSession, sfDir: String): (String, Double) = synchronized {
+    cached3.getOrElse {
+      val (_, rdir) = dirs(s, sfDir)
+      val z3dir = rdir.stripSuffix("/random") + "/zorder3"
+      graft.io.ZOrder.writeRankedN(s, s.read.parquet(rdir), z3dir,
+        Seq("user_id", "event_id", "value"), nFiles = 128)
+      val cut = s.read.parquet(rdir).stat
+        .approxQuantile("value", Array(0.1), 0.001)(0)
+      val out = (z3dir, cut)
+      cached3 = Some(out)
+      out
+    }
+  }
 
   def dirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
     cached.getOrElse {

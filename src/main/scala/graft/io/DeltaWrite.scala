@@ -1920,9 +1920,23 @@ object DeltaWrite {
     */
   def compactZOrder(spark: SparkSession, path: String, colX: String,
       colY: String, targetBytes: Long = 128L * 1024 * 1024,
+      bins: Int = 256): Long =
+    compactZOrderN(spark, path, Seq(colX, colY), targetBytes, bins)
+
+  /** [[compactZOrder]] on k columns (2–4 is the practical range: each
+    * added dimension costs every existing one selectivity — extents grow
+    * toward nFiles^(-1/k) per dim — but a third predicate column that
+    * previously pruned NOTHING now skips like the first two). Same
+    * commit shape, one shared quantile pass, bits-per-dimension sized to
+    * `bins` so the interleave always fits a Long.
+    */
+  def compactZOrderN(spark: SparkSession, path: String, zCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
       bins: Int = 256): Long = {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, s"need targetBytes > 0, got $targetBytes")
+    require(zCols.size >= 2, s"z-order needs at least 2 columns, got ${zCols.size}")
+    require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
     val readVersion = DeltaRead.latestVersion(spark, path)
     val snap = DeltaRead.replayFull(spark, path, None)
     val (meta, live, proto) = (snap.meta, snap.files, snap.protocol)
@@ -1934,15 +1948,17 @@ object DeltaWrite {
     val matFields = rowTrackingFields(rt)
     val tracked = rt.isDefined || proto.writerFeatures.contains("rowTracking")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    require(!meta.partitionCols.contains(colX) && !meta.partitionCols.contains(colY),
-      "z-order columns must be data columns (partition values carry no footer stats)")
-    Seq(colX, colY).foreach(c => require(schema.fieldNames.contains(c),
-      s"$c is not a column of the table (${schema.fieldNames.mkString(", ")})"))
+    zCols.foreach { c =>
+      require(!meta.partitionCols.contains(c),
+        "z-order columns must be data columns (partition values carry no footer stats)")
+      require(schema.fieldNames.contains(c),
+        s"$c is not a column of the table (${schema.fieldNames.mkString(", ")})")
+    }
     val dataSchema = compactReadSchema(meta)
     val phys = if (meta.mappingMode != "none")
       DeltaRead.physicalSchema(schema) else schema
     val l2p = schema.fieldNames.zip(phys.fieldNames).toMap
-    val (px, py) = (l2p(colX), l2p(colY))
+    val pCols = zCols.map(l2p)
 
     val logicalData = StructType(
       schema.fields.filterNot(f => meta.partitionCols.contains(f.name)))
@@ -1960,10 +1976,12 @@ object DeltaWrite {
     // across partitions for no skipping benefit
     val allPaths = groups.values.flatten
       .map(f => DeltaRead.resolveFilePath(path, f.path)).toSeq
-    val (bx, by) = ZOrder.rankBounds(
+    val qNames = pCols.indices.map(i => s"q$i")
+    val allBounds = ZOrder.rankBoundsN(
       rawReader(spark, dataSchema).parquet(allPaths: _*)
-        .select(col(s"`$px`").as("x"), col(s"`$py`").as("y")),
-      "x", "y", bins)
+        .select(pCols.zip(qNames).map { case (pc, n) =>
+          col(s"`$pc`").as(n) }: _*),
+      qNames, bins)
 
     val version = readVersion + 1
     val now = System.currentTimeMillis()
@@ -1971,7 +1989,7 @@ object DeltaWrite {
     def js(s: String): String = mapper.writeValueAsString(s)
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     def commitInfoLine(): String =
-      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(s"$colX,$colY")},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
+      s"""{"commitInfo":{${ictField(spark, path, meta, now)}"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"zOrderBy":${js(zCols.mkString(","))},"targetBytes":$targetBytes},"engineInfo":"graft"}}"""
 
     val pendingAdds = scala.collection.mutable.ArrayBuffer[(Long, String => String)]()
     groups.foreach { case (pv, files) =>
@@ -2003,13 +2021,18 @@ object DeltaWrite {
           Some(rt.fold(shaped)(r =>
             materializeRowIds(spark, path, r, dvFiles, shaped)))
         }
-      val clustered = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
-        .withColumn("__bx", ZOrder.binOf(col(s"`$px`"), bx))
-        .withColumn("__by", ZOrder.binOf(col(s"`$py`"), by))
-        .withColumn("__z", ZOrder.interleaveBits(col("__bx"), col("__by")))
+      val binNames = pCols.indices.map(i => s"__b$i")
+      val unioned = (plainDf.toSeq ++ dvDf).reduce(_ unionByName _)
+      val binned = pCols.zip(allBounds).zip(binNames).foldLeft(unioned) {
+        case (cur, ((pc, b), name)) =>
+          cur.withColumn(name, ZOrder.binScaled(col(s"`$pc`"), b, bins))
+      }
+      val clustered = binned
+        .withColumn("__z", ZOrder.interleaveBitsN(binNames.map(col),
+          ZOrder.bitsFor(bins)))
         .repartitionByRange(nOut, col("__z"))
         .sortWithinPartitions(col("__z"))
-        .drop("__bx", "__by", "__z")
+        .drop(binNames :+ "__z": _*)
       stagedWriter(clustered).save(staging.toString)
       listParquet(fs, staging).foreach { p =>
         val fresh = (dirSegs :+ s"part-${UUID.randomUUID()}.snappy.parquet").mkString("/")

@@ -530,6 +530,51 @@ class DeltaWriteSpec extends SparkSpec {
     assert(fa < files && fb < files, s"a: $fa, b: $fb of $files")
   }
 
+  test("OPTIMIZE ZORDER on THREE columns: a third-column predicate goes from no-skip to skip") {
+    val table = tmp("graft_dw_zorder3")
+    val n = 4096
+    (0 until 8).foreach { i =>
+      val part = spark.range(n).selectExpr(
+        s"CAST((id * 37 + $i) % $n AS BIGINT) AS a",
+        s"CAST((id * 101 + $i * 7) % $n AS BIGINT) AS b",
+        s"CAST((id * 53 + $i * 11) % $n AS BIGINT) AS c",
+        "CAST(id AS STRING) AS v")
+      DeltaWrite.writeDeltaTable(part.coalesce(1), table, "append")
+    }
+    val before = DeltaRead.readDeltaTable(spark, table)
+      .agg(count(lit(1)), sum(col("a")), sum(col("b")), sum(col("c"))).head()
+    def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      d.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+    }
+    // 2-column z-order first: a and b skip, c is BLIND — every file spans
+    // c's full range, so a c predicate opens all of them
+    DeltaWrite.compactZOrder(spark, table, "a", "b", targetBytes = 32 * 1024)
+    val files2 = DeltaRead.replayLog(spark, table, None)._2.size
+    assert(files2 >= 4, s"expected several z-files, got $files2")
+    val c2 = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("c") < 100))
+    assert(c2 == files2.toLong, s"2-col layout should be blind on c: $c2 of $files2")
+
+    // 3-column recluster: the SAME predicate now skips files, and a/b keep
+    // skipping (each dimension trades extent ~nFiles^(-1/k), the point)
+    val v = DeltaWrite.compactZOrderN(spark, table, Seq("a", "b", "c"),
+      targetBytes = 32 * 1024)
+    assert(v > 0L)
+    val after = DeltaRead.readDeltaTable(spark, table)
+      .agg(count(lit(1)), sum(col("a")), sum(col("b")), sum(col("c"))).head()
+    assert(after == before, s"$after vs $before")
+    val files3 = DeltaRead.replayLog(spark, table, None)._2.size
+    assert(files3 >= 4, s"expected several z-files, got $files3")
+    val fa = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("a") < 100))
+    val fb = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("b") < 100))
+    val fc = filesRead(DeltaRead.readDeltaTable(spark, table).filter(col("c") < 100))
+    assert(fc < files3, s"c must now skip: $fc of $files3")
+    assert(fa < files3 && fb < files3, s"a: $fa, b: $fb of $files3")
+  }
+
   test("OPTIMIZE is partition-scoped: each partition packs to one file, pruning still works") {
     val table = tmp("graft_dw_opt_p")
     (0 until 3).foreach { i =>

@@ -120,4 +120,71 @@ class ZOrderSpec extends SparkSpec {
       spark.read.parquet(linDir).filter(box).count())
     assert(rnk < lin, s"ranked z-order must prune tighter on skew: $rnk vs $lin")
   }
+
+  test("binTree binary search is value-identical to the binOf HOF, nulls included") {
+    import spark.implicits._
+    val bounds = Array(1.0, 3.0, 3.0, 7.5, 10.0, 42.0) // dup collapses
+    val vals = Seq[java.lang.Double](-5.0, 1.0, 1.5, 3.0, 3.1, 7.5, 8.0,
+      10.0, 41.0, 42.0, 99.0, null)
+    val df = vals.toDF("x").select(
+      ZOrder.binOf(col("x"), bounds).as("hof"),
+      ZOrder.binTree(col("x"), bounds).as("tree"))
+    df.collect().foreach(r =>
+      assert(r.getInt(0) == r.getInt(1), r.toString))
+    // and against real skewed data at every bin count the layouts use
+    val v = Tables.events(spark, sf).select(col("value"))
+    for (bins <- Seq(16, 256)) {
+      val b = v.stat.approxQuantile("value",
+        (1 until bins).map(_.toDouble / bins).toArray, 0.001)
+      assert(v.select(ZOrder.binOf(col("value"), b).as("a"),
+          ZOrder.binTree(col("value"), b).as("b"))
+        .filter(col("a") =!= col("b")).count() == 0L)
+    }
+  }
+
+  test("k-dim interleave: bit placement matches the 2-col form and stays within a Long") {
+    import spark.implicits._
+    // k=2 instance must be BIT-IDENTICAL to the original pairwise form
+    val pairs = Seq((0, 0), (1, 1), (3, 5), (65535, 65535)).toDF("x", "y")
+    val both = pairs.select(
+      ZOrder.interleaveBits(col("x"), col("y")).as("a"),
+      ZOrder.interleaveBitsN(Seq(col("x"), col("y")), 16).as("b")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // k=3: bit i of column j lands at 3i + j
+    val z3 = Seq((1, 1, 1)).toDF("x", "y", "w")
+      .select(ZOrder.interleaveBitsN(Seq(col("x"), col("y"), col("w")), 8).as("z"))
+      .collect().head.getLong(0)
+    assert(z3 == 7L, s"low bit of each of 3 dims → positions 0,1,2: $z3")
+    // 4 dims × 16 bits would cross the sign bit — refused, never wrapped
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveBitsN(Seq(col("x"), col("y"), col("w"), col("x")), 16))
+  }
+
+  test("3-column ranked z-order bounds ALL THREE extents; the 2-col layout is blind on the third") {
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val z2 = Files.createTempDirectory("graft-z2").toString
+    val z3 = Files.createTempDirectory("graft-z3").toString
+    ZOrder.writeRanked(spark, src, z2, "user_id", "event_id", nFiles = 27, bins = 64)
+    ZOrder.writeRankedN(spark, src, z3, Seq("user_id", "event_id", "value"),
+      nFiles = 27, bins = 64)
+
+    def extents(dir: String, c: String): Seq[Double] = {
+      val df = spark.read.parquet(dir)
+      val b = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      df.groupBy(input_file_name())
+        .agg(min(col(c)).cast("double").as("a"), max(col(c)).cast("double").as("b"))
+        .collect().map(r => (r.getDouble(2) - r.getDouble(1)) / (hi - lo)).toSeq
+    }
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val e3 = extents(z3, "value")
+    val e2 = extents(z2, "value")
+    assert(avg(e3) < 0.8, s"third-dim extent under 3-col z: ${avg(e3)}")
+    assert(avg(e2) > 1.2 * avg(e3),
+      s"2-col layout should be blind on value: ${avg(e2)} vs ${avg(e3)}")
+    // and the first two dims are still materially bounded
+    assert(avg(extents(z3, "user_id")) < 0.8)
+    assert(avg(extents(z3, "event_id")) < 0.8)
+    assert(spark.read.parquet(z3).count() == src.count())
+  }
 }
