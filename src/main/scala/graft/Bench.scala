@@ -362,6 +362,27 @@ object Bench {
     // gate's total ORDER BY: isolates the window work from the final
     // range-exchange + global sort the cross-engine row hash demands, so
     // the q54 bench gap decomposes into "windows" vs "output-order tax"
+    // q44 WITHOUT the gate's total ORDER BY: the two shared-sort window
+    // families alone (2 exchanges + 2 sorts — the minimum for two
+    // distinct partition keys). The delta vs q44 is pure output tax,
+    // the q54/b64 decomposition applied to the window-frames family.
+    "b72_window_frames_analysis" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .withColumn("tile", expr("CAST(ntile(4) OVER (PARTITION BY " +
+          "o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT)"))
+        .withColumn("pr", expr("round(percent_rank() OVER (PARTITION BY " +
+          "o_orderpriority ORDER BY o_totalprice), 6)"))
+        .withColumn("nxt", expr("lead(o_orderkey, 1) OVER (PARTITION BY " +
+          "o_custkey ORDER BY o_orderdate, o_orderkey)"))
+        .withColumn("r30", expr("round(sum(o_totalprice) OVER (PARTITION BY " +
+          "o_custkey ORDER BY o_orderdate " +
+          "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)"))
+        .select(col("o_orderkey"), col("o_custkey"), col("r30"), col("pr"),
+          col("tile"), col("nxt"))
+    }),
     "b64_window_distinct_analysis" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byOrder = Window.partitionBy(col("l_orderkey"))

@@ -322,6 +322,15 @@ object QFunctions {
     * exchange nor a second sort: 2 shuffles + 2 sorts total, not 2 + 4.
     * A RANGE frame only admits a single ORDER BY column, so r30 cannot
     * itself adopt the tie-break — sharing the sort is the only way.
+    *
+    * FLOOR NOTE (r14, the q54/b64 decomposition applied here): bench b72
+    * runs the window body alone — same-run A/B at sf0.1 measured ~0.64s
+    * body vs ~0.97s total, so ~⅓ of q44 is the gate's total-ORDER-BY
+    * output tax (a third global exchange+sort on a key neither window
+    * family orders by). The body itself is already minimal: two distinct
+    * partition keys admit no fewer than 2 exchanges + 2 sorts, both
+    * already shared via the longest-ordering-first chain above. Nothing
+    * left to chain; the residual is data work + the measured job floor.
     */
   def q44WindowFrames(s: SparkSession, d: String): DataFrame =
     orders(s, d)
