@@ -52,11 +52,11 @@ object Queries {
       QRelational.registry ++ QFunctions.registry ++ QPipelineExt.registry ++
       QRound4.registry ++ QCorpus.registry ++ QRound6.registry ++ QRound8.registry ++
       QRound9.registry ++ QRound10.registry ++ QRound11.registry ++ QRound12.registry ++
-      QRound13.registry
+      QRound13.registry ++ QRound14.registry
 
   val oracles: Map[String, String] =
     Map("q01_pricing_summary" -> q01Sql) ++
       QRelational.sql ++ QFunctions.sql ++ QPipelineExt.sql ++ QRound4.sql ++
       QCorpus.sql ++ QRound6.sql ++ QRound8.sql ++ QRound9.sql ++ QRound10.sql ++ QRound11.sql ++ QRound12.sql ++
-      QRound13.sql
+      QRound13.sql ++ QRound14.sql
 }

@@ -88,6 +88,19 @@ object TextAnalysis {
       graft.functions.TextExpressions.LangIdExpr(
         org.apache.spark.sql.GraftSqlShims.expression(coalesce(c, lit(""))), markers))
 
+  /** Unicode normalization (UAX #15) — the canonical first text pass:
+    * precomposed and decomposed encodings of the same logical text must
+    * collapse BEFORE any fingerprint/dedup/token stage sees them, or
+    * every one of those treats the variants as distinct documents.
+    * Native codegen'd expression with an ASCII fast path
+    * ([[graft.functions.NormalizeExpression]]); `form` ∈ NFC (default) /
+    * NFD / NFKC / NFKD.
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NormalizeExpression.UnicodeNormalize(
+        org.apache.spark.sql.GraftSqlShims.expression(c), form))
+
   /** Bounded heavy-hitter token counts ([[graft.functions.FreqSketch]]):
     * a Misra-Gries aggregate that tokenizes inside `update` — no explode
     * row ever leaves the scan stage, each partial buffer holds at most

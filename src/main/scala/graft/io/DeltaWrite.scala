@@ -1048,8 +1048,8 @@ object DeltaWrite {
     // and MERGE's unmatched inserts assign + advance the watermark under
     // the exclusive guard; compact/zorder/DELETE/UPDATE carry existing
     // values verbatim, with UPDATE refusing identity SET targets at the
-    // verb). Paths that would roll the watermark back (RESTORE) keep the
-    // refusal.
+    // verb; RESTORE rolls the DATA back but preserves the high watermark
+    // so values never re-issue — delta-spark's rule).
     val refused = Seq("delta.invariants" -> "column invariants") ++
       (if (identityOk) Nil
        else Seq("delta.identity." -> ("identity columns — this verb could " +
@@ -1270,9 +1270,39 @@ object DeltaWrite {
     val readVersion = DeltaRead.latestVersion(spark, path)
     val (metaNow, liveNow, protoNow) = DeltaRead.replayLogWithProtocol(spark, path, None)
     require(metaNow != null, s"$path has no metaData action in its _delta_log")
-    checkWritable(metaNow, protoNow, s"restore of $path", removesData = true)
-    val (metaThen, liveThen) = DeltaRead.replayLog(spark, path, Some(toVersion))
-    require(metaThen != null, s"$path had no metaData at version $toVersion")
+    checkWritable(metaNow, protoNow, s"restore of $path", removesData = true,
+      identityOk = true) // watermark preserved below, never rolled back
+    val (metaThen0, liveThen) = DeltaRead.replayLog(spark, path, Some(toVersion))
+    require(metaThen0 != null, s"$path had no metaData at version $toVersion")
+    // IDENTITY watermark preservation (delta-spark's RESTORE rule): the
+    // DATA rolls back, the HIGH WATERMARK does not — republishing the
+    // historical mark would re-issue values already handed out between
+    // toVersion and now, breaking the never-reuse contract for every
+    // consumer that saw them. Keep, per identity column, the mark
+    // furthest along its step direction.
+    val metaThen: DeltaRead.Meta = {
+      val idNow = identityFieldsOf(metaNow).map(f => f.name -> f).toMap
+      if (idNow.isEmpty) metaThen0
+      else {
+        val hwKey = "delta.identity.highWaterMark"
+        val thenSchema = DataType.fromJson(metaThen0.schemaJson).asInstanceOf[StructType]
+        val adj = StructType(thenSchema.fields.map { f =>
+          idNow.get(f.name).filter(_.metadata.contains(hwKey)) match {
+            case Some(nf) =>
+              val step = f.metadata.getLong("delta.identity.step")
+              val hwNow = nf.metadata.getLong(hwKey)
+              val keep =
+                if (!f.metadata.contains(hwKey)) hwNow
+                else if (step > 0) math.max(f.metadata.getLong(hwKey), hwNow)
+                else math.min(f.metadata.getLong(hwKey), hwNow)
+              f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).putLong(hwKey, keep).build())
+            case None => f
+          }
+        })
+        metaThen0.copy(schemaJson = adj.json)
+      }
+    }
     val nowByPath = liveNow.map(f => f.path -> f).toMap
     val thenByPath = liveThen.map(f => f.path -> f).toMap
     // a file can be live in BOTH versions with a DIFFERENT deletion-vector

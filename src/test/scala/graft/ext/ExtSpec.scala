@@ -878,6 +878,34 @@ class ExtSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  test("unicode normalization: decomposed collapses to precomposed; NFKC folds compatibility forms") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"    // e + combining acute
+    val precomposed = "caf\u00e9"    // single codepoint
+    val fullwidth = "\uFF28\uFF49"  // fullwidth "Hi" (NFKC folds, NFC keeps)
+    val rows = Seq(decomposed, precomposed, fullwidth, "plain ascii stays", null)
+    val df = rows.toDF("t").select(
+      TextAnalysis.normalizeUnicode(col("t")).as("nfc"),
+      TextAnalysis.normalizeUnicode(col("t"), "NFKC").as("nfkc"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got(0)._1 == precomposed && got(1)._1 == precomposed,
+      "both encodings must collapse to the same NFC bytes")
+    assert(got(0)._2 == got(1)._2)
+    assert(got(2)._1 == fullwidth && got(2)._2 == "Hi",
+      s"NFKC must fold fullwidth, NFC must not: ${got(2)}")
+    assert(got(3)._1 == "plain ascii stays")
+    assert(got(4)._1 == null && got(4)._2 == null)
+    // dedup consequence: fingerprints of the two encodings only collide
+    // AFTER normalization — the reason this pass runs first
+    val fp = Seq(("a", decomposed + " latte"), ("b", precomposed + " latte"))
+      .toDF("id", "t")
+      .select(xxhash64(TextAnalysis.normalizeUnicode(col("t"))).as("h"),
+        xxhash64(col("t")).as("raw"))
+      .collect()
+    assert(fp(0).getLong(0) == fp(1).getLong(0), "normalized fingerprints collide")
+    assert(fp(0).getLong(1) != fp(1).getLong(1), "raw fingerprints must differ")
+  }
+
   test("temperatureQuotas: exact at the 100TB regime where BIGINT budget·w would wrap") {
     import spark.implicits._
     // n_s = 10^10 → w_micro = 10^11; budget 10^9 → budget·w = 10^20 wraps a

@@ -1530,4 +1530,22 @@ class DeltaWriteSpec extends SparkSpec {
     Sources.writeTableAs(docs.limit(10), table, "append", "delta")
     assert(Sources.readTable(spark, table).count() == docs.count() + 10)
   }
+
+  test("RESTORE on an identity table: data rolls back, the high watermark does not") {
+    val t = tmp("graft_dw_ident_restore")
+    DeltaWrite.writeDeltaTableIdentity(Seq("a", "b").toDF("v"), t, "rid") // v0, hw=2
+    DeltaWrite.writeDeltaTable(Seq("c", "d").toDF("v"), t, "append")     // v1, hw=4
+    val v = DeltaWrite.restore(spark, t, 0L)
+    assert(v > 1L)
+    // data is the v0 snapshot
+    val rows = DeltaRead.readDeltaTable(spark, t).orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")), rows.toString)
+    // but the NEXT append mints PAST the pre-restore mark — 3 and 4 were
+    // already handed out and must never re-issue
+    DeltaWrite.writeDeltaTable(Seq("e").toDF("v"), t, "append")
+    val ids = DeltaRead.readDeltaTable(spark, t)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 5L), ids.toString)
+  }
 }

@@ -126,6 +126,62 @@ class BatchManifestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("embed-sink generation fold: all three stores compact, admission state intact") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val base = Files.createTempDirectory("graft_bm_embed").toString
+    val srcDir = s"$base/src"
+    val state = s"$base/state"
+    Files.createDirectories(Paths.get(srcDir))
+    val vschema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def vec(axis: Int, i: Int): Seq[Float] = {
+      val v = Array.fill(8)(0.0f); v(axis) = 10f + i; v.toSeq
+    }
+    def stageV(name: String, rows: Seq[(Long, Seq[Float])]): Unit = {
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/stage_$name")
+      val part = Files.list(Paths.get(s"$base/stage_$name")).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.move(p, Paths.get(srcDir, s"$name.parquet")); moved = true
+        }
+      }
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(vschema).parquet(srcDir)
+      val q = EmbedIngestDedupSink.run(stream, "vec_id", "embedding",
+        state, s"$base/ckpt", threshold = 0.95, dim = 8)
+      q.awaitTermination(120000)
+    }
+    stageV("b0", Seq((1L, vec(0, 0)), (2L, vec(1, 0))))
+    runOnce()
+    stageV("b1", Seq((3L, vec(2, 0)), (4L, vec(0, 0)))) // 4 near-dups 1 → rejected
+    runOnce()
+    assert(EmbedIngestDedupSink.readVecs(spark, state).get.count() == 3L)
+
+    assert(EmbedIngestDedupSink.compactGenerations(spark, state) == 1L)
+    Seq("bands", "vecs", "accepted").foreach { sub =>
+      assert(dirCount(s"$state/$sub", "b") == 0 && dirCount(s"$state/$sub", "g") == 1,
+        s"$sub did not fold")
+    }
+    assert(EmbedIngestDedupSink.readVecs(spark, state).get.count() == 3L)
+    assert(EmbedIngestDedupSink.readAccepted(spark, state).get
+      .select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // admission still works against the folded index; replay adds nothing
+    stageV("b2", Seq((5L, vec(1, 0)), (6L, vec(3, 0)))) // 5 near-dups 2
+    runOnce()
+    assert(EmbedIngestDedupSink.readAccepted(spark, state).get
+      .select("vec_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 6L))
+    val fs2 = fs(base)
+    assert(fs2.delete(new Path(s"$base/ckpt"), true))
+    runOnce()
+    assert(EmbedIngestDedupSink.readAccepted(spark, state).get.count() == 4L)
+  }
+
   test("committed-but-empty batch dirs are skipped, not schema-inference failures") {
     val base = Files.createTempDirectory("graft_bm_empty").toString
     val dir = s"$base/store"
