@@ -49,9 +49,74 @@ object QRound14 {
       |WHERE doc_id % 7 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Identity columns through MERGE ([[graft.io.DeltaMerge.merge]] on a
+    * [[graft.io.DeltaWrite.writeDeltaTableIdentity]] table — the r14
+    * capability): seed an identity table from a customer slice, merge a
+    * source that UPDATES the BUILDING rows (+1000 cents) and INSERTS a
+    * disjoint key slice, then pin what the engine contract makes
+    * deterministic: per-segment row counts and cent sums (updates landed,
+    * inserts landed, carried rows untouched — exact integer cents, the
+    * q69/q73 rule), plus the GLOBAL rid sum and max — gap-free minting
+    * means the values are exactly 1..n_total regardless of which row got
+    * which value, so Σrid = n(n+1)/2 and max = n are cross-engine facts
+    * while any per-row rid is deliberately not exposed. The single-row
+    * totals broadcast onto the per-segment aggregate (the q106
+    * audited-BNLJ pattern). In-query Delta build → Bench skip list
+    * (q106 family; b54/b57 bench the standing merge shape).
+    */
+  def q127IdentityMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q127").toString + "/t"
+    val cust = load(s, d, "customer")
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    graft.io.DeltaWrite.writeDeltaTableIdentity(
+      cust.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents")),
+      dir, "rid")
+    val src = cust
+      .filter(col("c_custkey") % 13 === 0 && col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"), (cents + 1000L).as("cents"))
+      .unionByName(cust
+        .filter(col("c_custkey") % 13 =!= 0 && col("c_custkey") % 71 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"), (cents + 500L).as("cents")))
+    graft.io.DeltaMerge.merge(s, dir, src, Seq("c_custkey"))
+    val t = graft.io.DeltaRead.readDeltaTable(s, dir).localCheckpoint()
+    val tot = t.agg(sum(col("rid")).as("__sum_rid"), max(col("rid")).as("__max_rid"))
+    t.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("c_mktsegment"), col("n"), col("sum_cents"),
+        col("__sum_rid").as("sum_rid"), col("__max_rid").as("max_rid"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q127Sql =
+    """WITH seed AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |ins AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) + 500 AS cents
+      |  FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 71 = 0),
+      |fin AS (
+      |  SELECT c_mktsegment,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN cents + 1000 ELSE cents END AS cents
+      |  FROM seed
+      |  UNION ALL SELECT c_mktsegment, cents FROM ins),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM fin)
+      |SELECT f.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(f.cents) AS BIGINT) AS sum_cents,
+      |  CAST(max(t.n_total) * (max(t.n_total) + 1) // 2 AS BIGINT) AS sum_rid,
+      |  CAST(max(t.n_total) AS BIGINT) AS max_rid
+      |FROM fin f CROSS JOIN tot t
+      |GROUP BY f.c_mktsegment
+      |ORDER BY f.c_mktsegment""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q126_nfc_normalize" -> (q126NfcNormalize _))
+    "q126_nfc_normalize" -> (q126NfcNormalize _),
+    "q127_identity_merge" -> (q127IdentityMerge _))
 
   val sql: Map[String, String] = Map(
-    "q126_nfc_normalize" -> q126Sql)
+    "q126_nfc_normalize" -> q126Sql,
+    "q127_identity_merge" -> q127Sql)
 }

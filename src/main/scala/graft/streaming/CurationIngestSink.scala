@@ -57,7 +57,8 @@ object CurationIngestSink {
       indexDir: String, acceptedDir: String, checkpoint: String,
       minQuality: Double = 0.5, maxHamming: Int = 3,
       scrubPii: Boolean = false, maxDupNgramFrac: Option[Double] = None,
-      perplexityGate: Option[(String, Double)] = None): StreamingQuery =
+      perplexityGate: Option[(String, Double)] = None,
+      normalizeNfc: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -66,8 +67,13 @@ object CurationIngestSink {
         val spark = batch.sparkSession
         if (!BatchManifest.isBatchCommitted(spark, indexDir, batchId)) {
           // per-row gates in cleaning order, one codegen'd pass; the
-          // masked text is what fingerprints (PII-only variants collapse)
+          // normalized/masked text is what fingerprints (NFC first, so a
+          // decomposed re-encoding of an accepted doc collapses onto its
+          // stored fingerprint instead of re-ingesting as new)
           var cur = batch.select(col(idCol), col(textCol))
+          if (normalizeNfc)
+            cur = cur.withColumn(textCol,
+              TextAnalysis.normalizeUnicode(col(textCol)))
           if (scrubPii)
             cur = cur.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
           maxDupNgramFrac.foreach { bound =>

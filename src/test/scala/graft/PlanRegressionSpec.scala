@@ -49,7 +49,8 @@ class PlanRegressionSpec extends SparkSpec {
     // TopKPerKey cuts output to k·|queries| rows. Audited scale-safe:
     // cost is |corpus|·|queries| dot products, the exact filtered-search
     // semantic. Unbounded query sets must use the ANN-index path instead.
-    "q105_hard_negatives")
+    "q105_hard_negatives",
+    "q127_identity_merge")  // single-row Σrid/max-rid totals broadcast (q106 pattern)
   // q122_embed_decontam left the list in r14: the decontaminate screen is
   // now a native kernel map (functions/DecontamKernel) — no join exists to
   // audit; the ExtSpec plan pin asserts scan→generate→filter with zero

@@ -69,6 +69,31 @@ class CurationIngestSinkSpec extends SparkSpec {
       .count() == 3L)
   }
 
+  test("NFC gate: a decomposed re-encoding of an accepted doc collapses onto its fingerprint") {
+    val base = Files.createTempDirectory("graft_curation_nfc").toString
+    val srcDir = s"$base/src"
+    Files.createDirectories(Paths.get(srcDir))
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = CurationIngestSink.run(stream, "doc_id", "text",
+        s"$base/index", s"$base/accepted", s"$base/ckpt",
+        minQuality = 0.3, normalizeNfc = true)
+      q.awaitTermination(120000)
+    }
+    val composed = "caf\u00e9 latte reviews from the quiet corner of the old market square"
+    stage(srcDir, base, "b0", Seq((1L, composed)))
+    runOnce()
+    // the SAME text, decomposed (every é as e + combining acute): without
+    // NFC its fingerprint differs and it re-ingests as a new document
+    stage(srcDir, base, "b1", Seq(
+      (10L, composed.replace("\u00e9", "e\u0301")),
+      (11L, "columnar formats enable predicate pushdown and efficient scans")))
+    runOnce()
+    val ids = CurationIngestSink.readAccepted(spark, s"$base/accepted").get
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 11L), s"decomposed re-encoding must be rejected: $ids")
+  }
+
   test("crash between the accepted write and the index commit marker replays exactly-once") {
     val base = Files.createTempDirectory("graft_curation_crash").toString
     val srcDir = s"$base/src"
