@@ -146,9 +146,35 @@ object WebDataset {
   /** Read tar shards back as `(key, ext, content)` rows — entry stems
     * split on the LAST dot (webdataset's key/extension rule).
     */
-  def readShards(spark: SparkSession, dir: String): DataFrame = {
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    parseShards(spark, spark.read.format("binaryFile").load(s"$dir/*.tar"))
+
+  /** STREAMING shard reader: tail a directory a training-data producer
+    * keeps writing shards into — each micro-batch parses only the NEW
+    * `.tar` files (the file source's discovery contract), so a
+    * downstream curation/ingest sink consumes samples exactly-once as
+    * shards land. Same parse, same `(key, ext, content)` rows.
+    */
+  def readShardsStream(spark: SparkSession, dir: String): DataFrame = {
+    // the streaming file source needs the schema up front; binaryFile's
+    // is fixed (path, modificationTime, length, content)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    parseShards(spark,
+      spark.readStream.format("binaryFile").schema(binarySchema)
+        .option("pathGlobFilter", "*.tar").load(dir))
+  }
+
+  private def parseShards(spark: SparkSession, shards: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    shards
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap { tar =>

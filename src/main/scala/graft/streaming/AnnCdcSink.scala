@@ -131,7 +131,8 @@ object AnnCdcSink {
       vecCol: String, indexPath: String, checkpoint: String,
       startingVersion: String = "latest",
       maxVersionsPerBatch: Option[Long] = None,
-      extraCols: Seq[String] = Nil): StreamingQuery = {
+      extraCols: Seq[String] = Nil,
+      compactMarkersEvery: Int = 0): StreamingQuery = {
     var reader = spark.readStream
       .format("graft.streaming.DeltaChangeSource")
       .option("path", tablePath)
@@ -145,6 +146,10 @@ object AnnCdcSink {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexPath, extraCols)
+        if (compactMarkersEvery > 0 && (batchId + 1) % compactMarkersEvery == 0) {
+          compactMarkers(batch.sparkSession, indexPath)
+          ()
+        }
       }
       .start()
   }

@@ -247,7 +247,8 @@ object AnnMaintainSink {
       indexPath: String, checkpoint: String,
       maxBalance: Double = 4.0, minBalance: Double = 0.0,
       refreshEvery: Int = 0, errorFactor: Double = 1.05,
-      extraCols: Seq[String] = Nil): StreamingQuery =
+      extraCols: Seq[String] = Nil,
+      compactMarkersEvery: Int = 0): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -255,6 +256,10 @@ object AnnMaintainSink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexPath,
           maxBalance, minBalance, refreshEvery, errorFactor, extraCols)
+        if (compactMarkersEvery > 0 && (batchId + 1) % compactMarkersEvery == 0) {
+          compactMarkers(batch.sparkSession, indexPath)
+          ()
+        }
       }
       .start()
 }

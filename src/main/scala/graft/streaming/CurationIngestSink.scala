@@ -58,7 +58,8 @@ object CurationIngestSink {
       minQuality: Double = 0.5, maxHamming: Int = 3,
       scrubPii: Boolean = false, maxDupNgramFrac: Option[Double] = None,
       perplexityGate: Option[(String, Double)] = None,
-      normalizeNfc: Boolean = false): StreamingQuery =
+      normalizeNfc: Boolean = false,
+      compactIndexEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -104,6 +105,10 @@ object CurationIngestSink {
           survivors.write.mode("overwrite").parquet(s"$acceptedDir/b$batchId")
           Dedup.simhashIndex(survivors, idCol, textCol)
             .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+        }
+        if (compactIndexEvery > 0 && (batchId + 1) % compactIndexEvery == 0) {
+          BatchManifest.compact(spark, indexDir)
+          ()
         }
       }
       .start()

@@ -34,22 +34,37 @@ object IngestDedupSink {
   def readIndex(spark: SparkSession, indexDir: String): Option[DataFrame] =
     BatchManifest.read(spark, indexDir)
 
-  /** Fold committed index + accepted batch dirs into one generation each
-    * (accepted first — its floor must never trail the index's, since the
-    * index dir is the commit marker). Exactly-once replay survives the
-    * fold: a pre-floor batch id reads as committed from the generation
-    * floor itself. Safe mid-stream between triggers (single-maintainer
-    * contract). Returns the new index floor (-1 = nothing to fold).
+  /** Fold committed index + accepted batch dirs into one generation each.
+    * The two stores fold independently — replay consults only the INDEX's
+    * committed state, and each store's readers use its own floor — so any
+    * crash between the folds leaves both correct. Exactly-once replay
+    * survives the fold: a pre-floor batch id reads as committed from the
+    * generation floor itself. Safe mid-stream between triggers
+    * (single-maintainer contract). Returns the new index floor (-1 =
+    * nothing to fold).
+    *
+    * COST asymmetry, deliberate: the INDEX fold rewrites fingerprints —
+    * ~16 bytes per accepted doc, cheap at any corpus size, and the index
+    * is what every epoch's admission LISTS — while the ACCEPTED fold
+    * rewrites the full text corpus. `foldAccepted = false` folds the
+    * index alone (accepted listing then grows with batch count, which
+    * only its occasional batch-pass consumers pay); leave it true when
+    * accepted is small or the fold rides a scheduled maintenance window.
     */
   def compactGenerations(spark: SparkSession, indexDir: String,
-      acceptedDir: String): Long = {
-    BatchManifest.compact(spark, acceptedDir)
+      acceptedDir: String, foldAccepted: Boolean = true): Long = {
+    if (foldAccepted) BatchManifest.compact(spark, acceptedDir)
     BatchManifest.compact(spark, indexDir)
   }
 
+  /** `compactIndexEvery > 0` folds the INDEX generations automatically
+    * every N batches (index-only — the cheap, hot-path fold; see
+    * [[compactGenerations]] for the cost asymmetry), so an unattended
+    * ingest-forever stream never accretes unbounded batch dirs.
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
       indexDir: String, acceptedDir: String, checkpoint: String,
-      maxHamming: Int = 3): StreamingQuery =
+      maxHamming: Int = 3, compactIndexEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -76,6 +91,10 @@ object IngestDedupSink {
           survivors.write.mode("overwrite").parquet(s"$acceptedDir/b$batchId")
           Dedup.simhashIndex(survivors, idCol, textCol)
             .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+        }
+        if (compactIndexEvery > 0 && (batchId + 1) % compactIndexEvery == 0) {
+          BatchManifest.compact(spark, indexDir)
+          ()
         }
       }
       .start()

@@ -105,6 +105,46 @@ class WebDatasetSpec extends SparkSpec {
       "space padded entry")
   }
 
+  test("streaming shard reader: new shards arrive as new micro-batches, samples exactly-once") {
+    val base = Files.createTempDirectory("graft_wds_stream").toString
+    val dir = s"$base/in"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(dir))
+    def writeShard(n: Int, rows: Seq[(String, String)]): Unit = {
+      // stage in a scratch dir, then move the shard in atomically — the
+      // file-source contract for files that appear while a stream runs
+      val stage = Files.createTempDirectory("graft_wds_stage").toString
+      WebDataset.writeShards(rows.toDF("key", "text"), "key",
+        Seq("txt" -> "text"), stage)
+      val tars = Files.list(Paths.get(stage)).iterator()
+      while (tars.hasNext) {
+        val p = tars.next()
+        if (p.getFileName.toString.endsWith(".tar"))
+          Files.move(p, Paths.get(dir, s"in-$n-${p.getFileName}"))
+      }
+    }
+    def runOnce(): Unit = {
+      val q = WebDataset.readShardsStream(spark, dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    writeShard(0, Seq(("d1", "first doc"), ("d2", "second doc")))
+    runOnce()
+    writeShard(1, Seq(("d3", "third doc")))
+    runOnce()
+    runOnce() // nothing new → no duplicates
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    assert(got == Set(("d1", "txt", "first doc"), ("d2", "txt", "second doc"),
+      ("d3", "txt", "third doc")), got.toString)
+  }
+
   test("oversized keys and null keys refuse loudly") {
     val dir = Files.createTempDirectory("graft_wds_bad").toString
     val e = intercept[Exception](

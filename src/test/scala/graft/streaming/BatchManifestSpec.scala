@@ -92,6 +92,27 @@ class BatchManifestSpec extends SparkSpec {
     assert(ids == (0L until 20L), ids.toString)
   }
 
+  test("compactIndexEvery folds generations automatically mid-stream") {
+    val base = Files.createTempDirectory("graft_bm_auto").toString
+    val srcDir = s"$base/src"
+    val indexDir = s"$base/index"
+    Files.createDirectories(Paths.get(srcDir))
+    (0 until 6).foreach(i => stage(srcDir, base, f"f$i%02d", Seq((i.toLong,
+      s"distinct auto-compaction doc number $i about theme${i * 11} and area${i * 17}"))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IngestDedupSink.run(stream, "doc_id", "text",
+      indexDir, s"$base/accepted", s"$base/ckpt", compactIndexEvery = 3)
+    q.awaitTermination(240000)
+    // 6 batches, fold every 3: index holds one generation + ≤2 b-dirs;
+    // accepted (never auto-folded — full-corpus rewrite) keeps its 6
+    assert(dirCount(indexDir, "g") == 1, "auto-fold did not run")
+    assert(dirCount(indexDir, "b") <= 2)
+    assert(dirCount(s"$base/accepted", "b") == 6)
+    assert(IngestDedupSink.readIndex(spark, indexDir).get.count() == 6L)
+    assert(BatchManifest.read(spark, s"$base/accepted").get.count() == 6L)
+  }
+
   test("a crash mid-index-write is NOT a commit: partial dir invisible, replay redoes it") {
     val base = Files.createTempDirectory("graft_bm_partial").toString
     val srcDir = s"$base/src"
