@@ -147,6 +147,7 @@ object Bench {
       "q94_delta_roundtrip", // in-query table build (2 commits + checkpoint); b68 benches the standing read pair
       "q106_merge_roundtrip", "q109_change_feed", "q111_dv_dml",
       "q127_identity_merge", // in-query identity table build; b54/b57 bench the standing merge
+      "q128_cdc_net_state", // in-query table build + DML history; b60 benches the standing diff
       "q113_row_tracking", // in-query table build; b59 benches the standing read
       "q114_change_diff", // in-query table build; b60 benches the standing diff
       "q115_v2_checkpoint", // in-query table build + checkpoint; b38 benches maintenance

@@ -112,11 +112,75 @@ object QRound14 {
       |GROUP BY f.c_mktsegment
       |ORDER BY f.c_mktsegment""".stripMargin
 
+  /** CDC net-effect reduction — CLAUDE.md's changeDiff consumer
+    * discipline as a GATED query (the same reduction
+    * [[graft.streaming.AnnCdcSink]] applies per epoch): changeDiff
+    * guarantees no row order and a copy-on-write rewrite emits delete AND
+    * insert for a SURVIVING row at the same version, so "current state"
+    * derives per key from the rows at its HIGHEST `_commit_version` —
+    * present iff an insert-type row exists there, with that row's values.
+    * The history exercises every hazard: appends, a DV delete, then a
+    * COW merge whose file rewrites emit delete+insert pairs for carried
+    * rows. The oracle recomputes the final table relationally from the
+    * base data; a consumer that applied rows in stream order — or
+    * deletes-after-inserts — diverges on exactly the COW commit. In-query
+    * Delta build → Bench skip list (b60 benches the standing diff).
+    */
+  def q128CdcNetState(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q128").toString + "/t"
+    val orders = load(s, d, "orders")
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      cents.as("cents"))
+    graft.io.DeltaWrite.writeDeltaTable(
+      base.filter(col("o_orderkey") % 3 === 0), dir, "append")     // v0
+    graft.io.DeltaWrite.writeDeltaTable(
+      base.filter(col("o_orderkey") % 3 =!= 0), dir, "append")     // v1
+    graft.io.DeltaMerge.deleteWhereDv(s, dir,
+      col("o_orderkey") % 10 === 3)                                // v2
+    graft.io.DeltaMerge.merge(s, dir,                              // v3: COW
+      base.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("cents") + 7L).as("cents")),
+      Seq("o_orderkey"), insertUnmatched = false)
+    val ch = graft.io.DeltaRead.changeDiff(s, dir, -1L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("_change_type").as("__ct"), col("_commit_version").as("__ver"))
+      .localCheckpoint()
+    val isUp = col("__ct").isin("insert", "update_postimage")
+    val vmax = ch.groupBy(col("o_orderkey")).agg(max(col("__ver")).as("__vmax"))
+    val fin = ch.join(vmax, Seq("o_orderkey"))
+      .filter(col("__ver") === col("__vmax"))
+      .groupBy(col("o_orderkey"))
+      .agg(first(when(isUp,
+        struct(col("o_orderstatus").as("st"), col("cents").as("c"))),
+        ignoreNulls = true).as("__fin"))
+      .filter(col("__fin").isNotNull)
+    fin.select(col("__fin.st").as("o_orderstatus"), col("__fin.c").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val q128Sql =
+    """WITH fin AS (
+      |  SELECT o_orderstatus,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 100 = 0 THEN 7 ELSE 0 END AS cents
+      |  FROM orders WHERE o_orderkey % 10 <> 3)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_nfc_normalize" -> (q126NfcNormalize _),
-    "q127_identity_merge" -> (q127IdentityMerge _))
+    "q127_identity_merge" -> (q127IdentityMerge _),
+    "q128_cdc_net_state" -> (q128CdcNetState _))
 
   val sql: Map[String, String] = Map(
     "q126_nfc_normalize" -> q126Sql,
-    "q127_identity_merge" -> q127Sql)
+    "q127_identity_merge" -> q127Sql,
+    "q128_cdc_net_state" -> q128Sql)
 }
