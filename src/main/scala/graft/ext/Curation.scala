@@ -35,11 +35,15 @@ object Curation {
       // broadcast-vs-shuffle cutover for the computed id sets (losers,
       // contamination hits); see TableOps.adaptiveJoinSide
       maxBroadcastIds: Long = 4000000L,
-      // optional pre-stages: PII masking (deterministic placeholders so
-      // the dedup stages still collapse PII-only variants), corpus-wide
+      // optional pre-stages: NFC normalization (precomposed and
+      // decomposed encodings of the same logical text must collapse
+      // before any fingerprint sees them), PII masking (deterministic
+      // placeholders so the dedup stages still collapse PII-only
+      // variants), corpus-wide
       // boilerplate line removal (give the line separator), and a
       // repetition gate (drop docs whose duplicate-2gram fraction exceeds
       // the bound — the Gopher filter)
+      normalizeNfc: Boolean = false,
       scrubPii: Boolean = false,
       boilerplateSep: Option[String] = None,
       maxDupNgramFrac: Option[Double] = None,
@@ -66,6 +70,8 @@ object Curation {
     // (per-row), boilerplate line removal (one corpus-wide hash agg),
     // repetition gate (per-row)
     var cur = docs
+    if (cfg.normalizeNfc)
+      cur = cur.withColumn(textCol, TextAnalysis.normalizeUnicode(col(textCol)))
     if (cfg.scrubPii)
       cur = cur.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
     cfg.boilerplateSep.foreach { sep =>

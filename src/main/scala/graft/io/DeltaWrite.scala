@@ -1330,7 +1330,10 @@ object DeltaWrite {
       val configJson = metaThen.configuration.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString("{", ",", "}")
       val pcols = metaThen.partitionCols.map(js).mkString("[", ",", "]")
-      lines += s"""{"metaData":{"id":${js(carriedId(metaThen))},"format":{"provider":"parquet","options":{}},"schemaString":${js(metaThen.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
+      // the CURRENT id, not the historical one: the GUID identifies the
+      // table across its whole life — a legacy log whose early commits
+      // minted per-commit ids must not flip back on restore
+      lines += s"""{"metaData":{"id":${js(carriedId(metaNow))},"format":{"provider":"parquet","options":{}},"schemaString":${js(metaThen.schemaJson)},"partitionColumns":$pcols,"configuration":$configJson,"createdTime":$now}}"""
     }
     toRemove.foreach { f =>
       lines += s"""{"remove":{"path":${js(f.path)},"deletionTimestamp":$now,"dataChange":true}}"""

@@ -85,6 +85,21 @@ class CurationSpec extends SparkSpec {
     assert(!byId(1L).contains(boiler) && !byId(2L).contains(boiler))
   }
 
+  test("NFC pre-stage: encoding variants of one doc collapse to a single survivor") {
+    import spark.implicits._
+    val composed = "caf\u00e9 society essays on the long afternoon of european letters"
+    val decomposed = composed.replace("\u00e9", "e\u0301")
+    val out = Curation.curate(
+      Seq((1L, composed), (2L, decomposed),
+        (3L, "an unrelated treatise on parquet row group statistics and pruning"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text",
+      cfg = Curation.Config(normalizeNfc = true, nearDup = None,
+        minQuality = 0.0))
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L), s"exact dedup must collapse the encodings: $ids")
+  }
+
   test("packing with a BPE vocab budgets real subword tokens, not whitespace splits") {
     import spark.implicits._
     val raw = (0L until 40L)

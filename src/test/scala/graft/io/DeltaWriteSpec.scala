@@ -1233,6 +1233,14 @@ class DeltaWriteSpec extends SparkSpec {
     DeltaWrite.widenColumnType(spark, w, "x",
       org.apache.spark.sql.types.LongType)
     assert(idOf(w) == wid, "type widening replaced the table GUID")
+    // RESTORE keeps the CURRENT id even on a legacy log whose early
+    // commits minted per-commit ids — the GUID never flips back
+    val r = tmp("graft_dw_metaid_restore")
+    DeltaWrite.writeDeltaTable(Seq((1L, "a")).toDF("k", "v"), r, "overwrite")
+    DeltaWrite.writeDeltaTable(Seq((2L, "b")).toDF("k", "v"), r, "append")
+    val rid0 = idOf(r)
+    DeltaWrite.restore(spark, r, 0L)
+    assert(idOf(r) == rid0, "RESTORE replaced the table GUID")
   }
 
   test("CONVERT TO DELTA: many-file dir — footer pass runs distributed, every add carries stats") {
