@@ -63,6 +63,29 @@ object AnnCdcSink {
   def compactMarkers(spark: SparkSession, indexPath: String): Long =
     AnnMaintainSink.compactMarkersIn(spark, indexPath, Sub)
 
+  /** Bootstrap the index/stream PAIRING in one call: build the index from
+    * the table's CURRENT snapshot and return the snapshot version — pass
+    * it as [[run]]'s `startingVersion` so the stream serves exactly the
+    * changes committed after what the index already holds (the class-doc
+    * consistency contract, made un-misusable). Reading the version BEFORE
+    * the snapshot scan keeps the pairing safe under concurrent writers:
+    * a commit landing between the two is then replayed by the stream
+    * against an index that may already contain it — and the net-effect
+    * apply deletes before it appends, so the replay is idempotent rather
+    * than duplicating.
+    */
+  def bootstrap(spark: SparkSession, tablePath: String, idCol: String,
+      vecCol: String, indexPath: String, nCells: Int,
+      extraCols: Seq[String] = Nil, m: Int = 0): Long = {
+    val version = graft.io.DeltaRead.latestVersion(spark, tablePath)
+    require(version >= 0, s"$tablePath is not a Delta table")
+    val snap = graft.io.DeltaRead.readDeltaTable(spark, tablePath,
+      versionAsOf = Some(version))
+    AnnIndex.build(snap, idCol, vecCol, indexPath, nCells = nCells,
+      extraCols = extraCols, m = m)
+    version
+  }
+
   /** One change micro-batch through the net-effect apply. */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexPath: String,

@@ -30,16 +30,19 @@ class AnnCdcSinkSpec extends SparkSpec {
     val table = s"$base/vectors"
     val index = s"$base/index"
 
-    // v0: the snapshot the index is built from
+    // v0: the snapshot the index is built from — bootstrap() pairs the
+    // build with the version the stream must start at
     val seed = for (axis <- 0 until 2; i <- 0 until 5)
       yield (axis * 100L + i, axisVec(axis, i))
     DeltaWrite.writeDeltaTable(seed.toDF("vec_id", "embedding"), table, "append")
-    AnnIndex.build(DeltaRead.readDeltaTable(spark, table),
-      "vec_id", "embedding", index, nCells = 2)
+    val startVer = AnnCdcSink.bootstrap(spark, table, "vec_id", "embedding",
+      index, nCells = 2)
+    assert(startVer == 0L)
+    assert(spark.read.parquet(index).count() == 10L)
 
     def runOnce(): Unit = {
       val q = AnnCdcSink.run(spark, table, "vec_id", "embedding", index,
-        s"$base/ckpt", startingVersion = "0")
+        s"$base/ckpt", startingVersion = startVer.toString)
       q.awaitTermination(240000)
     }
 
