@@ -174,13 +174,53 @@ object QRound14 {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Decontamination AUDIT ([[graft.ext.Similarity.decontaminateAudit]]):
+    * q122's screen plus the column a takedown/appeal process actually
+    * needs — WHICH benchmark row is behind each flagged training row.
+    * The kernel already tracks the argmax for free (smallest eval id on
+    * rounded-similarity ties, so the answer is deterministic
+    * cross-engine); DuckDB reproduces it as min(eval_id) among the pairs
+    * at each candidate's max similarity. Same no-join single-pass plan
+    * as q122.
+    */
+  def q129DecontamAudit(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.ext.Similarity.decontaminateAudit(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", 0.45)
+      .select(col("id").as("vec_id"), col("n_matched"), col("max_sim"),
+        col("matched_eval_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q129Sql =
+    """WITH p AS (
+      |  SELECT t.vec_id AS vec_id, v.vec_id AS eval_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> t.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+      |      / (sqrt(list_sum(list_transform(range(1, 65), i -> t.embedding[i]::DOUBLE * t.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))), 6) AS sim
+      |  FROM embeddings t JOIN embeddings v
+      |    ON t.vec_id % 10 <> 0 AND v.vec_id % 10 = 0),
+      |q AS (
+      |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matched, max(sim) AS max_sim
+      |  FROM p WHERE sim >= 0.45 GROUP BY vec_id)
+      |SELECT q.vec_id, q.n_matched, q.max_sim,
+      |  CAST(min(p.eval_id) AS BIGINT) AS matched_eval_id
+      |FROM q JOIN p ON p.vec_id = q.vec_id AND p.sim = q.max_sim
+      |GROUP BY q.vec_id, q.n_matched, q.max_sim
+      |ORDER BY q.vec_id""".stripMargin
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_nfc_normalize" -> (q126NfcNormalize _),
     "q127_identity_merge" -> (q127IdentityMerge _),
-    "q128_cdc_net_state" -> (q128CdcNetState _))
+    "q128_cdc_net_state" -> (q128CdcNetState _),
+    "q129_decontam_audit" -> (q129DecontamAudit _))
 
   val sql: Map[String, String] = Map(
     "q126_nfc_normalize" -> q126Sql,
     "q127_identity_merge" -> q127Sql,
-    "q128_cdc_net_state" -> q128Sql)
+    "q128_cdc_net_state" -> q128Sql,
+    "q129_decontam_audit" -> q129Sql)
 }

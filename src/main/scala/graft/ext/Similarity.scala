@@ -144,16 +144,40 @@ object Similarity {
     * [[decontaminateJoinForm]] for the equivalence spec.
     */
   def decontaminate(candidates: DataFrame, evalSlice: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    decontamScreened(candidates, evalSlice, idCol, vecCol, threshold)
+      .select(col("id"),
+        element_at(col("__scr"), 1).cast("long").as("n_matched"),
+        element_at(col("__scr"), 2).as("max_sim"))
+
+  /** [[decontaminate]] WITH the audit column: `matched_eval_id` names the
+    * benchmark row behind the strongest hit (smallest eval id on
+    * rounded-similarity ties — deterministic cross-engine), the answer a
+    * takedown/appeal process needs, not just "contaminated". Same
+    * single-pass kernel plan, zero extra work — the screen already tracks
+    * the argmax.
+    */
+  def decontaminateAudit(candidates: DataFrame, evalSlice: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    decontamScreened(candidates, evalSlice, idCol, vecCol, threshold)
+      .select(col("id"),
+        element_at(col("__scr"), 1).cast("long").as("n_matched"),
+        element_at(col("__scr"), 2).as("max_sim"),
+        element_at(col("__scr"), 3).cast("long").as("matched_eval_id"))
+
+  private def decontamScreened(candidates: DataFrame, evalSlice: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.DecontamKernel
-    val evals = evalSlice.select(col(vecCol)).collect()
+    val evals = evalSlice.select(col(idCol).cast("long"), col(vecCol)).collect()
     require(evals.nonEmpty, "decontaminate: empty eval slice")
-    val dim = evals.head.getSeq[Any](0).size
+    val dim = evals.head.getSeq[Any](1).size
     val mat = new Array[Double](evals.length * dim)
     val nrm = new Array[Double](evals.length)
+    val ids = new Array[Long](evals.length)
     var j = 0
     while (j < evals.length) {
-      val row = evals(j).getSeq[Any](0)
+      val row = evals(j).getSeq[Any](1)
+      ids(j) = evals(j).getLong(0)
       var acc = 0.0
       var i = 0
       val n = row.size
@@ -169,11 +193,11 @@ object Similarity {
       nrm(j) = math.sqrt(acc)
       j += 1
     }
-    val matrix = new DecontamKernel.EvalMatrix(dim, mat, nrm, threshold)
+    val matrix = new DecontamKernel.EvalMatrix(dim, mat, nrm, ids, threshold)
     val screen = org.apache.spark.sql.GraftSqlShims.column(
       DecontamKernel.DecontamScreen(
         org.apache.spark.sql.GraftSqlShims.expression(col(vecCol)), matrix))
-    // explode(array(_)) is a LET-BINDING at plan level: the filter and both
+    // explode(array(_)) is a LET-BINDING at plan level: the filter and the
     // element_at projections consume the GENERATED attribute, and predicate
     // pushdown cannot substitute through a Generate — without it Catalyst
     // inlines the alias into the pushed filter and the |eval|×dim screen
@@ -181,9 +205,6 @@ object Similarity {
     candidates
       .select(col(idCol).as("id"), explode(array(screen)).as("__scr"))
       .filter(element_at(col("__scr"), 1) > 0.0)
-      .select(col("id"),
-        element_at(col("__scr"), 1).cast("long").as("n_matched"),
-        element_at(col("__scr"), 2).as("max_sim"))
   }
 
   /** The broadcast-join form of [[decontaminate]] — kept as the

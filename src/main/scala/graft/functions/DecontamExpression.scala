@@ -32,17 +32,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object DecontamKernel {
 
-  /** The broadcastable eval slice: flat row-major matrix + per-row norms.
+  /** The broadcastable eval slice: flat row-major matrix + per-row norms
+    * + per-row ids (for the audit output — WHICH benchmark row matched).
     * Content-based equality so semantically-equal plans dedup.
     */
   final class EvalMatrix(val dim: Int, val mat: Array[Double],
-      val nrm: Array[Double], val threshold: Double) extends Serializable {
+      val nrm: Array[Double], val ids: Array[Long],
+      val threshold: Double) extends Serializable {
     val nRows: Int = nrm.length
     override def hashCode(): Int =
       java.util.Arrays.hashCode(mat) * 31 + java.lang.Double.hashCode(threshold)
     override def equals(o: Any): Boolean = o match {
       case m: EvalMatrix => m.dim == dim && m.threshold == threshold &&
-        java.util.Arrays.equals(m.mat, mat) && java.util.Arrays.equals(m.nrm, nrm)
+        java.util.Arrays.equals(m.mat, mat) &&
+        java.util.Arrays.equals(m.nrm, nrm) &&
+        java.util.Arrays.equals(m.ids, ids)
       case _ => false
     }
   }
@@ -53,8 +57,12 @@ object DecontamKernel {
     else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** `[n_matched, max_sim]` for one candidate vector — n_matched may be 0
-    * (max_sim is then -Inf and the caller filters). Public static for the
+  /** `[n_matched, max_sim, matched_eval_id]` for one candidate vector —
+    * n_matched may be 0 (max_sim is then -Inf and the caller filters).
+    * matched_eval_id is the STRONGEST match's eval id, smallest id on
+    * rounded-similarity ties — the audit answer to "which benchmark did
+    * this training row hit", deterministic cross-engine (DuckDB oracle:
+    * min(eval_id) among rows at the max sim). Public static for the
     * generated code.
     */
   def eval(v: ArrayData, isFloat: Boolean, m: EvalMatrix): ArrayData = {
@@ -78,6 +86,7 @@ object DecontamKernel {
     val nrmV = math.sqrt(acc)
     var cnt = 0L
     var best = Double.NegativeInfinity
+    var bestId = Long.MaxValue
     var j = 0
     while (j < m.nRows) {
       val off = j * m.dim
@@ -88,11 +97,16 @@ object DecontamKernel {
       // Spark double ordering: NaN above everything (passes >=, wins max)
       if (sim >= m.threshold || java.lang.Double.isNaN(sim)) {
         cnt += 1L
-        if (sim > best || java.lang.Double.isNaN(sim)) best = sim
+        val simNaN = java.lang.Double.isNaN(sim)
+        val bestNaN = java.lang.Double.isNaN(best)
+        val stronger = sim > best || (simNaN && !bestNaN)
+        val tied = sim == best || (simNaN && bestNaN)
+        if (stronger) { best = sim; bestId = m.ids(j) }
+        else if (tied && m.ids(j) < bestId) bestId = m.ids(j)
       }
       j += 1
     }
-    new GenericArrayData(Array[Any](cnt.toDouble, best))
+    new GenericArrayData(Array[Any](cnt.toDouble, best, bestId.toDouble))
   }
 
   /** `decontam_screen(vec)` → `array(n_matched, max_sim)` (doubles; the

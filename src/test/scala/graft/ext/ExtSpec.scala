@@ -951,6 +951,25 @@ class ExtSpec extends SparkSpec {
       .collect().map(key).toSet
     assert(a.nonEmpty && a == b,
       s"kernel/join divergence: only-kernel=${(a -- b).take(3)} only-join=${(b -- a).take(3)}")
+    // the audit column equals the relational argmax (min eval id at max sim)
+    val audit = Similarity.decontaminateAudit(cand, ev, "vec_id", "embedding", 0.45)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val pairs = Similarity.nearDupPairs( // reuse: exact pair sims via a labeled union
+      cand.select(col("vec_id"), col("embedding")).unionByName(
+        ev.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))),
+      "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = pairs.flatMap { case (x, y, s) =>
+        // keep only (candidate, eval) pairs from the labeled union
+        if (x < 1000000L && y >= 1000000L) Some((x, y - 1000000L, s))
+        else if (y < 1000000L && x >= 1000000L) Some((y, x - 1000000L, s))
+        else None
+      }.groupBy(_._1).map { case (id, ps) =>
+        val mx = ps.map(_._3).max
+        id -> (ps.length.toLong, mx, ps.filter(_._3 == mx).map(_._2).min)
+      }
+    assert(audit == expect,
+      s"audit argmax diverged: ${(audit.toSet -- expect.toSet).take(3)}")
   }
 
   test("tiled block self-join emits exactly the naive all-pairs rows at several block counts") {
