@@ -273,6 +273,32 @@ object ScaleRun {
           sourcePath = Some(cdcDir))
         graft.io.DeltaRead.readDeltaTable(spark, v).count()
       })
+      // CDC→ANN maintenance epoch: a FIXED 500-row insert-only change
+      // batch through AnnCdcSink.processBatch against a corpus-sized
+      // index — the steady-state CDC workload must track the BATCH (pure
+      // append path; the delete pass only runs on epochs with deletes,
+      // where an id-pushed pruned scan is the documented takedown cost)
+      val wantsCdcAnn = only.isEmpty || only.exists("b73_ann_cdc_epoch".startsWith)
+      var cdcAnnPath: String = null
+      var cdcAnnEpoch = 0L
+      if (wantsCdcAnn) {
+        cdcAnnPath = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(tmp), "anncdc").toString
+        graft.ext.AnnIndex.build(emb, "vec_id", "embedding", cdcAnnPath,
+          nCells = nCells)
+      }
+      out += timed("b73_ann_cdc_epoch")(() => {
+        val batch = Tables.embeddings(spark, small).limit(500)
+          .select((col("vec_id") + lit(3000000000L) +
+            lit(cdcAnnEpoch * 1000000L)).as("vec_id"), col("embedding"),
+            lit("insert").as("_change_type"),
+            lit(cdcAnnEpoch + 1).as("_commit_version"))
+        graft.streaming.AnnCdcSink.processBatch(batch, cdcAnnEpoch,
+          "vec_id", "embedding", cdcAnnPath)
+        cdcAnnEpoch += 1
+        500L
+      })
+
       // CONVERT TO DELTA: file COUNT is the scale axis (the op's 100 TB
       // cost driver is footer round-trips, not bytes). The footer pass is
       // distributed (mapPartitions over the file list), so local wall must
