@@ -405,5 +405,22 @@ object HashExpressions {
           MinHashSig(c, litInt(nE, "shingleN"), litInt(kE, "k"))
         case _ => throw new IllegalArgumentException(
           "graft_minhash_sig(tokens, shingleN, k) takes 3 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_unicode_normalize"),
+      new ExpressionInfo(
+        classOf[NormalizeExpression.UnicodeNormalize].getName,
+        "graft_unicode_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NormalizeExpression.UnicodeNormalize(c)
+        case Seq(c, f) =>
+          val form = f match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+                if v != null => v.toString
+            case other => throw new IllegalArgumentException(
+              s"form must be a string literal (NFC/NFD/NFKC/NFKD), got $other")
+          }
+          NormalizeExpression.UnicodeNormalize(c, form)
+        case _ => throw new IllegalArgumentException(
+          "graft_unicode_normalize(text[, form]) takes 1 or 2 arguments")
       }))
 }

@@ -904,6 +904,12 @@ class ExtSpec extends SparkSpec {
       .collect()
     assert(fp(0).getLong(0) == fp(1).getLong(0), "normalized fingerprints collide")
     assert(fp(0).getLong(1) != fp(1).getLong(1), "raw fingerprints must differ")
+    // SQL surface: registered like every graft_ function
+    val viaSql = spark.sql(
+      "SELECT graft_unicode_normalize('cafe\u0301'), " +
+        "graft_unicode_normalize('\uFF28\uFF49', 'NFKC')").collect().head
+    assert(viaSql.getString(0) == "caf\u00e9")
+    assert(viaSql.getString(1) == "Hi")
   }
 
   test("temperatureQuotas: exact at the 100TB regime where BIGINT budget·w would wrap") {
