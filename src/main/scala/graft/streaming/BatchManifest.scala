@@ -121,15 +121,22 @@ object BatchManifest {
     val dest = new Path(root, s"g$floor")
     fs.delete(dest, true) // a re-compact at the same floor is idempotent
     require(fs.rename(staging, dest), s"failed to publish generation $dest")
-    // superseded dirs are invisible already (floor in the name) — delete
+    // superseded dirs are invisible already (floor in the name) — delete:
+    // the folded inputs, every other generation, and any STALE sub-floor
+    // batch dir a crashed earlier cleanup left behind (invisible to
+    // readers, but permanent listing clutter unless swept here)
     (live ++ emptyCommitted).map(p => new Path(p._2))
       .filterNot(_.getName == dest.getName)
       .foreach(p => fs.delete(p, true))
-    fs.listStatus(root).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("g") && s.getPath.getName != dest.getName)
-      .flatMap(s => scala.util.Try(
-        s.getPath.getName.drop(1).toLong).toOption.map(_ => s.getPath))
-      .foreach(p => fs.delete(p, true))
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      val stale =
+        (name.startsWith("g") && name != dest.getName &&
+          scala.util.Try(name.drop(1).toLong).isSuccess) ||
+        (name.startsWith("b") &&
+          scala.util.Try(name.drop(1).toLong).toOption.exists(_ <= floor))
+      if (stale) fs.delete(st.getPath, true)
+    }
     floor
   }
 }

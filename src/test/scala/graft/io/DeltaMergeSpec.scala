@@ -271,4 +271,28 @@ class DeltaMergeSpec extends SparkSpec {
       Seq((1L, "z")).toDF("rid", "v"), Seq("rid")))
     assert(e2.getMessage.contains("identity"), e2.getMessage)
   }
+
+  test("identity + row tracking + MERGE compose: minted ids AND stable row ids") {
+    val table = tmp("graft_dm_ident_rt")
+    DeltaWrite.writeDeltaTableIdentity(
+      Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), table, "rid")
+    DeltaWrite.enableRowTracking(spark, table) // backfills the adopted files
+    val ids0 = DeltaRead.readDeltaTableWithRowIds(spark, table)
+      .select("k", "_row_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids0.size == 2 && ids0.values.toSet.size == 2)
+
+    // merge: update k1, insert k3 — identity mints, row ids stay stable
+    DeltaMerge.merge(spark, table,
+      Seq(("k1", "A"), ("k3", "c")).toDF("k", "v"), Seq("k"))
+    val after = DeltaRead.readDeltaTableWithRowIds(spark, table)
+      .select("k", "rid", "v", "_row_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(after("k1")._1 == 1L && after("k1")._2 == "A",
+      s"update must carry rid and land the new value: ${after("k1")}")
+    assert(after("k1")._3 == ids0("k1"), "an updated row keeps its stable row id")
+    assert(after("k2") == (2L, "b", ids0("k2")), "a carried row is untouched")
+    assert(after("k3")._1 == 3L, s"insert must mint rid 3: ${after("k3")}")
+    assert(!ids0.values.toSet.contains(after("k3")._3), "insert gets a FRESH row id")
+  }
 }

@@ -203,6 +203,31 @@ class BatchManifestSpec extends SparkSpec {
     assert(EmbedIngestDedupSink.readAccepted(spark, state).get.count() == 4L)
   }
 
+  test("crash-mid-cleanup leftovers: a stale older generation is invisible and the next fold removes it") {
+    val base = Files.createTempDirectory("graft_bm_stale").toString
+    val dir = s"$base/store"
+    // simulate the crash point AFTER a fold renamed g3 into place but
+    // BEFORE it deleted the superseded dirs: g1 (older gen), b2, b3
+    // (folded batches) all still on disk alongside g3
+    Seq((1L, "old-gen")).toDF("id", "v").write.parquet(s"$dir/g1")
+    Seq((2L, "b2")).toDF("id", "v").write.parquet(s"$dir/b2")
+    Seq((3L, "b3")).toDF("id", "v").write.parquet(s"$dir/b3")
+    Seq((1L, "old-gen"), (2L, "b2"), (3L, "b3")).toDF("id", "v")
+      .write.parquet(s"$dir/g3")
+    // readers: max generation + b-dirs ABOVE it — the stale dirs never serve
+    assert(BatchManifest.generationFloor(spark, dir) == 3L)
+    assert(BatchManifest.liveDirs(spark, dir).map(_._1) == Seq(3L))
+    assert(BatchManifest.read(spark, dir).get.count() == 3L)
+    assert(BatchManifest.isBatchCommitted(spark, dir, 2L)) // covered by the floor
+    // a later batch lands, the next fold supersedes g3 AND sweeps the strays
+    Seq((4L, "b4")).toDF("id", "v").write.parquet(s"$dir/b4")
+    assert(BatchManifest.compact(spark, dir) == 4L)
+    assert(dirCount(dir, "g") == 1 && dirCount(dir, "b") == 0)
+    assert(BatchManifest.read(spark, dir).get.count() == 4L)
+    assert(BatchManifest.read(spark, dir).get
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("committed-but-empty batch dirs are skipped, not schema-inference failures") {
     val base = Files.createTempDirectory("graft_bm_empty").toString
     val dir = s"$base/store"
