@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 class CurationIngestSinkSpec extends SparkSpec {
@@ -92,6 +93,48 @@ class CurationIngestSinkSpec extends SparkSpec {
     val ids = CurationIngestSink.readAccepted(spark, s"$base/accepted").get
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 11L), s"decomposed re-encoding must be rejected: $ids")
+  }
+
+  test("end-to-end: WebDataset shards stream into curation admission") {
+    // the full multimodal ingest path: a producer packs samples as tar
+    // shards; the streaming reader tails them; curation admits novel docs
+    import graft.ext.WebDataset
+    val base = Files.createTempDirectory("graft_wds_curation").toString
+    val shardDir = s"$base/shards"
+    Files.createDirectories(Paths.get(shardDir))
+    def ship(n: Int, rows: Seq[(String, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_wds_cur_stage").toString
+      WebDataset.writeShards(rows.toDF("key", "text"), "key",
+        Seq("txt" -> "text"), stage)
+      val tars = Files.list(Paths.get(stage)).iterator()
+      while (tars.hasNext) {
+        val p = tars.next()
+        if (p.getFileName.toString.endsWith(".tar"))
+          Files.move(p, Paths.get(shardDir, s"in-$n-${p.getFileName}"))
+      }
+    }
+    def runOnce(): Unit = {
+      val samples = WebDataset.readShardsStream(spark, shardDir)
+        .filter(col("ext") === "txt")
+        .select(
+          // webdataset keys are strings; the sink wants a numeric doc id
+          regexp_extract(col("key"), "(\\d+)", 1).cast("long").as("doc_id"),
+          col("content").cast("string").as("text"))
+      val q = CurationIngestSink.run(samples, "doc_id", "text",
+        s"$base/index", s"$base/accepted", s"$base/ckpt", minQuality = 0.3)
+      q.awaitTermination(120000)
+    }
+    val doc = "the shard borne document describing lakehouse ingestion patterns at scale"
+    ship(0, Seq(("doc-001", doc),
+      ("doc-002", "columnar storage formats enable predicate pushdown and efficient scans today")))
+    runOnce()
+    // a later shard re-ships doc-001's text under a new key → rejected
+    ship(1, Seq(("doc-003", doc),
+      ("doc-004", "stream processing with watermarks handles late arriving events gracefully")))
+    runOnce()
+    val ids = CurationIngestSink.readAccepted(spark, s"$base/accepted").get
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"shard→curation admission: $ids")
   }
 
   test("crash between the accepted write and the index commit marker replays exactly-once") {
