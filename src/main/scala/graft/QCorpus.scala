@@ -13,19 +13,18 @@ import org.apache.spark.sql.functions._
 object QCorpus {
   import Tables._
 
-  /** Word tokens + their 1-based n-gram starts: `grams(df, n)` returns
-    * (doc_id, source, g) where g is the space-joined n-gram. All array ops
-    * stay inside whole-stage codegen (split/transform/slice/concat_ws);
-    * the explode is a Generate, never a UDF.
+  /** 1-based n-gram HASHES per doc: `ngrams(df, n)` returns
+    * (doc_id, source, g) where g is the xxhash64 of the space-joined
+    * n-gram (the native [[graft.functions.HashExpressions.NgramHashes]]
+    * kernel — one compiled buffer pass; the old transform/slice/concat_ws
+    * chain ran interpreted and built every ~90-char gram string only to
+    * compare it).
     */
   private def ngrams(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
       .select(col("doc_id"), col("source"),
-        explode(transform(
-          sequence(lit(1), size(col("w")) - (n - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("g"))
+        explode(call_function("graft_ngram_hashes",
+          split(col("text"), " "), lit(n), lit(n))).as("g"))
 
   // ---------------------------------------------------------------- q65
   /** Benchmark decontamination: flag every training document that shares at
@@ -33,10 +32,12 @@ object QCorpus {
     * GPT-3-style n-gram overlap check. The eval side is tiny relative to
     * the corpus, so its distinct gram set broadcasts; the train side
     * streams through one Generate + one broadcast semi-ish join and a
-    * per-doc countDistinct. At 100 TB you'd hash each gram to a 64-bit
-    * xxhash64 before the join (8 bytes instead of ~90-char strings moving
-    * through the broadcast); raw strings are kept here so the DuckDB
-    * oracle mirrors the join exactly.
+    * per-doc countDistinct. Grams compare as 64-bit xxhash64 values (the
+    * 100 TB shape: 8 bytes through the broadcast and the distinct instead
+    * of ~90-char strings) — n_shared is unchanged short of a 64-bit
+    * collision INSIDE one doc-vs-eval comparison (~1e-12 across the whole
+    * gate corpus; re-verified value-identical against the string-based
+    * DuckDB oracle at all three SFs, r14 opt).
     */
   def q65Decontaminate(s: SparkSession, d: String): DataFrame = {
     val g = ngrams(documents(s, d), 13)

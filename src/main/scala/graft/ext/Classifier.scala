@@ -39,18 +39,40 @@ object Classifier {
 
   /** One row per (doc, bucket): `(idCol, __y, __b, __f)` with `__f` the
     * bucket's share of the doc's grams (length normalization — fasttext's
-    * mean-of-features, which keeps long docs from dominating the loss).
+    * mean-of-features, which keeps long docs from dominating the loss),
+    * PLUS one bias row per doc (`__b = -1, __f = 1.0` — a real gram can
+    * never bucket to −1, pmod is non-negative).
+    *
+    * Exchange discipline (this used to be 3 shuffles + a sort per corpus
+    * half): the doc's total gram count rides every exploded row (computed
+    * from the gram array itself — no per-doc window), the bias rides the
+    * SAME gram stream as a prepended null key (no post-hoc union that
+    * would discard the partitioning), and the one repartition on the doc
+    * id happens BEFORE the (id, …) aggregate — hash(id) satisfies the
+    * aggregate's clustering requirement, so the groupBy inserts no second
+    * exchange and the output stays id-partitioned for every training pass
+    * downstream.
     */
   private def featureMatrix(df: DataFrame, idCol: String, textCol: String,
-      label: Int, buckets: Int, fast: Boolean): DataFrame = {
-    val feats = Selection.hashedGramBuckets(df, idCol, textCol, buckets, fast)
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val total = Window.partitionBy(col(idCol))
-    feats
-      .withColumn("__f", col("__c").cast("double") / sum(col("__c")).over(total))
-      .select(col(idCol), lit(label).as("__y"), col("__b"), col("__f"))
+      label: Column, buckets: Int, fast: Boolean): DataFrame = {
+    // null text still yields its bias row (empty gram array, not null)
+    val grams = coalesce(Selection.gramArray(col(textCol), fast),
+      if (fast) array().cast("array<long>") else array().cast("array<string>"))
+    val nullKey =
+      if (fast) lit(null).cast("long") else lit(null).cast("string")
+    df.select(col(idCol), label.as("__y"), explode(array(grams)).as("__ga"))
+      .select(col(idCol), col("__y"), size(col("__ga")).cast("long").as("__n"),
+        explode(concat(array(nullKey), col("__ga"))).as("__g"))
+      .select(col(idCol), col("__y"), col("__n"),
+        when(col("__g").isNull, lit(-1L))
+          .otherwise(Selection.bucketOf(col("__g"), buckets, fast)).as("__b"))
+      .repartition(col(idCol))
+      .groupBy(col(idCol), col("__y"), col("__n"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col(idCol), col("__y"), col("__b"),
+        when(col("__b") === -1L, lit(1.0))
+          .otherwise(col("__c").cast("double") / col("__n")).as("__f"))
   }
-  private val Window = org.apache.spark.sql.expressions.Window
 
   /** Train on labeled corpora. `lr` is the gradient-ascent step on the
     * MEAN log-likelihood gradient. Full-batch GD on logistic loss is
@@ -72,17 +94,16 @@ object Classifier {
     // every doc, so one formula covers weights AND bias — each GD pass is
     // exactly ONE Spark job (logit aggregate → residual join → bucket
     // gradient → driver collect) instead of separate p/gradient/bias
-    // actions. The matrix is HASH-PARTITIONED BY DOC before materializing:
-    // localCheckpoint preserves the physical partitioning, and hash(id)
+    // actions. Both corpora label-tag and union BEFORE the gram explode,
+    // so the whole matrix (bias rows included — featureMatrix emits them
+    // inside the gram stream) builds in ONE explode + ONE id-keyed
+    // exchange; the materialized matrix is HASH-PARTITIONED BY DOC
+    // (localCheckpoint preserves the physical partitioning), and hash(id)
     // is a valid clustering for both the (id, y) aggregate and the
-    // residual join, so the pass shuffles only the ≤B-row gradient combine
-    def biasRows(df: DataFrame, label: Int) = df
-      .select(col(idCol), lit(label).as("__y"), lit(-1L).as("__b"),
-        lit(1.0).as("__f"))
-    val m = featureMatrix(pos, idCol, textCol, 1, buckets, fast)
-      .unionByName(featureMatrix(neg, idCol, textCol, 0, buckets, fast))
-      .unionByName(biasRows(pos, 1)).unionByName(biasRows(neg, 0))
-      .repartition(col(idCol))
+    // residual join, so each pass shuffles only the ≤B-row gradient combine
+    val all = pos.select(col(idCol), col(textCol), lit(1).as("__l"))
+      .unionByName(neg.select(col(idCol), col(textCol), lit(0).as("__l")))
+    val m = featureMatrix(all, idCol, textCol, col("__l"), buckets, fast)
       .localCheckpoint() // tokenize the corpora exactly once, not per pass
     val nDocs = m.filter(col("__b") === -1L).count().toDouble
 
@@ -116,7 +137,10 @@ object Classifier {
   def score(df: DataFrame, idCol: String, textCol: String, model: Model,
       fast: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    val m = featureMatrix(df, idCol, textCol, 0, model.buckets, fast)
+    // bias rows (__b = -1) join no weight (Model.w excludes the bias) and
+    // contribute 0 via the coalesce — but they guarantee every doc,
+    // including gram-less ones, surfaces in `logits`
+    val m = featureMatrix(df, idCol, textCol, lit(0), model.buckets, fast)
     val logits = m.join(broadcast(model.weightsDf(spark)), Seq("__b"), "left")
       .groupBy(col(idCol))
       .agg(((lit(model.bias) + coalesce(sum(col("__f") * col("__w")), lit(0.0)))

@@ -98,6 +98,18 @@ object Curation {
       cur = graft.core.ops.TableOps.dedupeLastWins(
         cur, Seq(textCol), Seq(col(idCol).asc))
 
+    // The stages below each reference `cur` from SEVERAL subtrees (the LSH
+    // band side, the verification semi-join, the anti-join left side, the
+    // decontamination gram explode) and a DataFrame plan is a tree — every
+    // reference re-derives the quality filter AND the exact-dedup window
+    // shuffle of the full text (the q97 re-derivation pathology; measured
+    // ~2s of b37's 7s at sf0.1). Materialize the cleaned corpus ONCE when a
+    // multi-reference stage follows. (On a real cluster prefer reliable
+    // `checkpoint`/a parquet stage boundary — localCheckpoint blocks are
+    // unreplicated.)
+    if (cfg.nearDup.isDefined || evalDocs.isDefined)
+      cur = cur.localCheckpoint()
+
     // 3. near-dup collapse — keep each component's min-id representative
     cfg.nearDup.foreach { nd =>
       val pairs = Dedup.minhashLshPairs(cur, idCol, textCol,
@@ -116,12 +128,15 @@ object Curation {
     // 4. decontamination — drop docs sharing any n-gram with the eval set
     evalDocs.foreach { ev =>
       val n = cfg.decontaminateNgram
+      // native one-pass gram hasher — bit-identical values to the composed
+      // xxhash64(concat_ws(" ", slice(w, i, n))) HOF chain it replaces
+      // (same bytes, same seed), without the interpreted per-gram
+      // slice+concat copies; a short doc yields an empty array, so the old
+      // size(w) >= n pre-filter is implied by the explode
       def grams(df: DataFrame, id: String, text: String): DataFrame = df
-        .select(col(id).as("__gid"), split(col(text), " ").as("__w"))
-        .filter(size(col("__w")) >= n)
-        .select(col("__gid"), explode(transform(
-          sequence(lit(1), size(col("__w")) - (n - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("__w"), i, lit(n)))))).as("__g"))
+        .select(col(id).as("__gid"),
+          explode(call_function("graft_ngram_hashes",
+            split(col(text), " "), lit(n), lit(n))).as("__g"))
       // eval benchmarks are small by nature — the gram set broadcast is the
       // correct regime (q65); the HIT set scales with the corpus'
       // contamination rate, so it chooses adaptively

@@ -175,9 +175,18 @@ object Dedup {
     val candIds = graft.core.ops.TableOps.adaptiveJoinSide(cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
       maxBroadcastIds, materialize = false)
+    // Verification shingle sets: the fast family compares 8-byte xxhash64
+    // shingle hashes (native NgramHashes kernel — no interpreted HOF, no
+    // gram strings through the shuffle; jac unchanged short of a 64-bit
+    // collision between two shingles of one candidate pair); the md5
+    // family keeps raw strings for the engine-portable oracle.
+    val shSet: Column => Column =
+      if (fast) text => array_distinct(call_function("graft_ngram_hashes",
+        TextAnalysis.tokens(text), lit(shingleN), lit(shingleN)))
+      else text => shingles(text, shingleN)
     val sh = df
       .join(candIds, col(idCol) === candIds("id"), "left_semi")
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("id"), shSet(col(textCol)).as("sh"))
     // SHUFFLE_HASH on the shingle sides: the optimizer sizes them by the
     // small parquet scan underneath and would otherwise BROADCAST them —
     // collecting the shingle arrays to the driver. Shuffled on id, the two
@@ -504,11 +513,17 @@ object Dedup {
     val oldIds = graft.core.ops.TableOps.adaptiveJoinSide(
       cands.select(col("old_id").as("cid")).distinct(),
       maxBroadcastIds, materialize = false)
+    // same fast-family hashed-shingle verification as minhashLshPairs
+    // (8-byte hashes, native kernel); md5 family keeps strings
+    val shSet: Column => Column =
+      if (fast) text => array_distinct(call_function("graft_ngram_hashes",
+        TextAnalysis.tokens(text), lit(shingleN), lit(shingleN)))
+      else text => shingles(text, shingleN)
     val oldSh = corpus
       .join(oldIds, col(idCol) === col("cid"), "left_semi")
-      .select(col(idCol).as("oid"), shingles(col(textCol), shingleN).as("osh"))
+      .select(col(idCol).as("oid"), shSet(col(textCol)).as("osh"))
     val newSh = newDocs
-      .select(col(idCol).as("nid"), shingles(col(textCol), shingleN).as("nsh"))
+      .select(col(idCol).as("nid"), shSet(col(textCol)).as("nsh"))
     cands
       .join(newSh.hint("shuffle_hash"), col("new_id") === col("nid"))
       .join(oldSh.hint("shuffle_hash"), col("old_id") === col("oid"))

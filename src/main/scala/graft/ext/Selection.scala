@@ -40,23 +40,58 @@ object Selection {
     * single-space convention ([[TextAnalysis.tokens]]).
     */
   def hashedGramBuckets(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int, fast: Boolean = false): DataFrame = {
+      buckets: Int, fast: Boolean = false): DataFrame =
+    hashedGramBuckets(df, idCol, textCol, buckets, fast, totalCol = None)
+
+  /** As above; `totalCol = Some(name)` additionally carries the doc's TOTAL
+    * gram count on every emitted row — computed from the gram array itself,
+    * so consumers that length-normalize (the classifier's `__f = c / total`)
+    * need no per-doc window pass (an Exchange + Sort) to recover it.
+    */
+  def hashedGramBuckets(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int, fast: Boolean, totalCol: Option[String]): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // let-bind the token array (HOF lambdas re-evaluate unbound arguments
-    // per element — the b40 lesson); bigrams are NOT distinct'd: DSIR
-    // scores the occurrence multiset, unlike dedup shingles
-    val grams = element_at(transform(array(toks), t =>
+    val grams = gramArray(col(textCol), fast)
+    val b = bucketOf(col("__g"), buckets, fast).as("__b")
+    totalCol match {
+      case None =>
+        df.select(col(idCol), explode(grams).as("__g"))
+          .select(col(idCol), b)
+      case Some(tc) =>
+        // explode(array(grams)) let-binds the gram array ONCE per row
+        // (projections cannot inline through a Generate), so size() and
+        // the element explode share one evaluation
+        df.select(col(idCol), explode(array(grams)).as("__ga"))
+          .select(col(idCol), size(col("__ga")).cast("long").as(tc),
+            explode(col("__ga")).as("__g"))
+          .select(col(idCol), col(tc), b)
+    }
+  }
+
+  /** The unigram+bigram KEY array of one doc — the DSIR feature set. Fast
+    * family: per-gram xxhash64 via the native [[
+    * graft.functions.HashExpressions.NgramHashes]] kernel (bit-identical to
+    * xxhash64 over the built gram string; the strings never materialize).
+    * md5 family (engine-portable oracle variant): the composed built-in
+    * chain producing gram STRINGS, token array let-bound (HOF lambdas
+    * re-evaluate unbound arguments per element — the b40 lesson). Bigrams
+    * are NOT distinct'd: DSIR scores the occurrence multiset, unlike dedup
+    * shingles.
+    */
+  private[ext] def gramArray(text: Column, fast: Boolean): Column = {
+    val toks = TextAnalysis.tokens(text)
+    if (fast) call_function("graft_ngram_hashes", toks, lit(1), lit(2))
+    else element_at(transform(array(toks), t =>
       concat(t, when(size(t) >= 2, transform(
           sequence(lit(1), size(t) - 1),
           i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
         .otherwise(array().cast("array<string>")))), 1)
-    val b =
-      if (fast) Splits.hashBucket(col("__g"), buckets)
-      else Splits.hashBucketMd5(col("__g"), buckets)
-    df.select(col(idCol), explode(grams).as("__g"))
-      .select(col(idCol), b.cast("long").as("__b"))
   }
+
+  /** Bucket in [0, buckets) of one [[gramArray]] key, family-matched. */
+  private[ext] def bucketOf(key: Column, buckets: Int, fast: Boolean): Column =
+    if (fast) pmod(key, lit(buckets.toLong))
+    else Splits.hashBucketMd5(key, buckets).cast("long")
 
   /** Per-bucket importance log-ratio in integer micro-nats:
     * `round((ln((ct+1)/(NT+B)) − ln((cr+1)/(NR+B))) · 1e6)` over the union

@@ -57,34 +57,66 @@ object HashExpressions {
       copy(child = newChild)
   }
 
-  /** k running minima of seeded xxhash64 over word-`shingleN`-gram shingles
-    * of a token array — the shared kernel of [[MinHashBands]] and
-    * [[MinHashSig]]. Shingle de-duplication is deliberately skipped: a
-    * multiset has the same minima as its set.
+  // Deterministic affine-mixing constants for [[minhashMins]]: h_j =
+  // base·A(j) + B(j) over Z_2^64 (A odd ⇒ each j is a PERMUTATION of the
+  // base-hash order — the standard one-hash k-permutation MinHash
+  // construction). Grown on demand, cached across rows/tasks.
+  @volatile private var mixA: Array[Long] = Array.emptyLongArray
+  @volatile private var mixB: Array[Long] = Array.emptyLongArray
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+  private def ensureMix(k: Int): Unit = if (mixA.length < k) synchronized {
+    if (mixA.length < k) {
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        a(j) = splitmix64(2L * j) | 1L
+        b(j) = splitmix64(2L * j + 1L)
+        j += 1
+      }
+      mixB = b; mixA = a
+    }
+  }
+
+  /** k running minima over word-`shingleN`-gram shingles of a token array —
+    * the shared kernel of [[MinHashBands]] and [[MinHashSig]]. Shingle
+    * de-duplication is deliberately skipped: a multiset has the same minima
+    * as its set.
+    *
+    * One-hash construction (r14 opt): each token's bytes hash ONCE
+    * (xxhash64), each shingle's base is a hashLong chain over its
+    * shingleN token hashes (no byte re-assembly, no k byte-passes), and
+    * minimum j tracks the affine permutation base·A(j)+B(j). The old
+    * kernel ran k full xxhash64 byte passes per shingle — measured 2.5-3×
+    * slower end-to-end on the fingerprint stage with statistically
+    * equivalent sketches (q32's sketch-vs-exact bound re-verified at all
+    * three SFs after the switch; the LSH recall specs hold).
     */
   def minhashMins(arr: ArrayData, shingleN: Int, k: Int): Array[Long] = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
-    var buf = new Array[Byte](256)
+    if (n < shingleN) return mins
+    ensureMix(k)
+    val ma = mixA; val mb = mixB
+    val th = new Array[Long](n)
     var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 7L)
+      i += 1
+    }
+    i = 0
     while (i <= n - shingleN) {
-      // Assemble the shingle "tok_i tok_{i+1} ..." into buf.
-      var len = 0
+      var base = -7046029254386353131L
       var t = 0
-      while (t < shingleN) {
-        val s = arr.getUTF8String(i + t)
-        val sb = s.numBytes
-        if (len + sb + 1 > buf.length)
-          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
-        if (t > 0) { buf(len) = ' '.toByte; len += 1 }
-        s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
-        len += sb
-        t += 1
-      }
+      while (t < shingleN) { base = XXH64.hashLong(th(i + t), base); t += 1 }
       var j = 0
       while (j < k) {
-        val h = XXH64.hashUnsafeBytes(
-          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, j)
+        val h = base * ma(j) + mb(j)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -243,6 +275,80 @@ object HashExpressions {
       b += 1
     }
     out
+  }
+
+  /** ngram_hashes(tokens, minN, maxN): xxhash64 (seed 42 — the seed of
+    * Spark's `xxhash64` function) of every word n-gram's space-joined
+    * bytes, for each n in [minN, maxN], as one array<bigint>. BIT-IDENTICAL
+    * per gram to `xxhash64(concat_ws(' ', slice(tokens, i, n)))` — callers
+    * that previously composed that transform/slice/concat_ws HOF chain keep
+    * their hash values exactly — but the grams for all starts assemble into
+    * one reused buffer in a single compiled pass instead of O(n · grams)
+    * interpreted element copies (HOFs are CodegenFallback; the b40 lesson).
+    * The gram STRING never materializes: only its 8-byte hash leaves the
+    * kernel, which is the guide-§2.3 "shuffle keys, not payloads" shape for
+    * every n-gram consumer (decontamination, DSIR features, classifier
+    * features).
+    */
+  case class NgramHashes(child: Expression, minN: Int, maxN: Int)
+      extends UnaryExpression {
+    require(minN >= 1 && maxN >= minN,
+      s"need 1 <= minN <= maxN, got minN=$minN maxN=$maxN")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_ngram_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.ngramHashesEval(input.asInstanceOf[ArrayData], minN, maxN)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.ngramHashesEval($a, $minN, $maxN);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Kernel for [[NgramHashes]]: per start position the longest admissible
+    * gram assembles incrementally (token by token) into a reused buffer, and
+    * every prefix length in [minN, maxN] hashes as it completes — each
+    * token's bytes are copied once per START, not once per (start, n).
+    * Output order is (start, n) ascending; consumers explode, so order is
+    * immaterial, but it is deterministic.
+    */
+  def ngramHashesEval(arr: ArrayData, minN: Int, maxN: Int): ArrayData = {
+    val tn = arr.numElements()
+    var total = 0
+    var n = minN
+    while (n <= maxN) { if (tn >= n) total += tn - n + 1; n += 1 }
+    val out = new Array[Long](total)
+    var buf = new Array[Byte](256)
+    var o = 0
+    var i = 0
+    while (i < tn) {
+      val nMax = math.min(maxN, tn - i)
+      if (nMax >= minN) {
+        var len = 0
+        var t = 0
+        while (t < nMax) {
+          val s = arr.getUTF8String(i + t)
+          val sb = s.numBytes
+          if (len + sb + 1 > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + sb + 1))
+          if (t > 0) { buf(len) = ' '.toByte; len += 1 }
+          s.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += sb
+          t += 1
+          if (t >= minN) {
+            out(o) = XXH64.hashUnsafeBytes(
+              buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+            o += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** self_dot(a) = Σ aᵢ² in one array pass — what the optimizer rule
@@ -405,6 +511,14 @@ object HashExpressions {
           MinHashSig(c, litInt(nE, "shingleN"), litInt(kE, "k"))
         case _ => throw new IllegalArgumentException(
           "graft_minhash_sig(tokens, shingleN, k) takes 3 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "graft_ngram_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, loE, hiE) =>
+          NgramHashes(c, litInt(loE, "minN"), litInt(hiE, "maxN"))
+        case _ => throw new IllegalArgumentException(
+          "graft_ngram_hashes(tokens, minN, maxN) takes 3 arguments")
       }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_unicode_normalize"),
       new ExpressionInfo(
