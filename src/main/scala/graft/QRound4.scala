@@ -350,9 +350,12 @@ object QRound4 {
     val tf = docs
       .select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => length(t) > 0).as("w"))
-      .select(col("doc_id"), explode(transform(array_distinct(col("w")),
-        t => struct(t.as("token"),
-          size(filter(col("w"), x => x === t)).cast("long").as("tf")))).as("e"))
+      // graft_token_counts: one compiled hash-map pass per row — the
+      // composed transform(array_distinct(w), t -> (t, size(filter(w, =t))))
+      // it replaces ran O(|distinct|·|doc|) interpreted lambda scans per
+      // row (HOFs are CodegenFallback); identical (token, tf) multiset
+      .select(col("doc_id"),
+        explode(call_function("graft_token_counts", col("w"))).as("e"))
       .select(col("doc_id"), col("e.token").as("token"), col("e.tf").as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -72,7 +72,15 @@ object AnnIndex {
           .toDF("id", "vec", "cell", "pq_code")
       case None => base
     }).withColumn("nrm", Similarity.l2Norm(col("vec")))
-    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // cluster by cell before the partitioned write: without it every write
+    // task emits one file into EVERY cell dir it holds rows for (tasks ×
+    // cells tiny files — 512 creates at bench scale, and a probe query
+    // then opens `files/cells` footers per probed cell). One exchange on
+    // the cell key lands each cell as one task's contiguous write. (At
+    // production bytes, repartition on (cell, salt) to keep multiple
+    // ~128 MB files per cell; the guide-§6 file-sizing shape.)
+    indexed.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
     val meta = Meta(dim, nCells, m, nCodes, centroids,
       cb.map(_.centers.map(_.map(_.toSeq).toSeq).toSeq))
     writeMeta(spark, path, meta)

@@ -103,9 +103,14 @@ object Classifier {
     // residual join, so each pass shuffles only the ≤B-row gradient combine
     val all = pos.select(col(idCol), col(textCol), lit(1).as("__l"))
       .unionByName(neg.select(col(idCol), col(textCol), lit(0).as("__l")))
+    // the doc count rides the checkpoint materialization via observe() —
+    // one bias row exists per doc, so no separate count job
+    val obs = new org.apache.spark.sql.Observation(
+      s"classifier_ndocs_${java.util.UUID.randomUUID()}")
     val m = featureMatrix(all, idCol, textCol, col("__l"), buckets, fast)
+      .observe(obs, sum(when(col("__b") === -1L, 1L).otherwise(0L)).as("n"))
       .localCheckpoint() // tokenize the corpora exactly once, not per pass
-    val nDocs = m.filter(col("__b") === -1L).count().toDouble
+    val nDocs = obs.get("n").asInstanceOf[Long].toDouble
 
     var w = Map.empty[Int, Long] // key −1 is the bias
     for (_ <- 1 to iters) {

@@ -157,8 +157,13 @@ object Dedup {
     // Repartition is a deliberate barrier: it stops CollapseProject from
     // inlining the signature computation into the explode/filter/join sides,
     // and makes both self-join children identical exchanges so the plan
-    // computes the signatures ONCE (ReusedExchange).
-    val banded = df.select(col(idCol).as("id"), bh.as("bh")).repartition(col("id"))
+    // computes the signatures ONCE (ReusedExchange). The explode(array(…))
+    // let-bind additionally stops candidatePairs' posexplode-inferred
+    // `size(bh) > 0` filter from SUBSTITUTING the minhash kernel and
+    // pushing it into the scan — without the Generate barrier the kernel
+    // evaluated 3× per row (filter size + isnotnull + project).
+    val banded = df.select(col(idCol).as("id"), explode(array(bh)).as("bh"))
+      .repartition(col("id"))
     // materialized once: the adaptive candidate-id count below and the
     // final verification joins both read it without re-running the band
     // self-join
@@ -475,7 +480,10 @@ object Dedup {
     val bh =
       if (fast) minhashBandsFast(TextAnalysis.tokens(col(textCol)), shingleN, k, bands)
       else bandHashes(minhashSignature(shingles(col(textCol), shingleN), k), bands, r)
-    df.select(col(idCol).as("id"), bh.as("bh"))
+    // explode(array(…)) let-bind: the posexplode's inferred size() filter
+    // must not substitute the banding kernel into the scan (see
+    // minhashLshPairs)
+    df.select(col(idCol).as("id"), explode(array(bh)).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
   }
 

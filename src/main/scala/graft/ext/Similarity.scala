@@ -286,7 +286,8 @@ object Similarity {
     org.apache.spark.sql.GraftSqlShims.column(
       graft.functions.HashExpressions.SignBands(
         org.apache.spark.sql.GraftSqlShims.expression(vec),
-        planes.flatten.toIndexedSeq, dim, bands))
+        new graft.functions.HashExpressions.PlaneMatrix(planes.flatten.toArray),
+        dim, bands))
   }
 
   /** Banded sign-LSH candidate pairs + exact cosine verify — the
@@ -309,8 +310,14 @@ object Similarity {
       threshold: Double, dim: Int, bands: Int = 32, rowsPerBand: Int = 8,
       seed: Long = 42L, maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(dim, bands * rowsPerBand, seed)
+    // explode(array(kernel)) let-binds the sign-band kernel behind a
+    // Generate: candidatePairs' posexplode makes Catalyst infer a
+    // `size(bh) > 0` filter, and without the Generate barrier that filter
+    // substitutes the kernel expression and pushes it into the SCAN —
+    // three kernel evaluations per row (filter size + isnotnull + project;
+    // the Similarity.decontaminate lesson, pinned in ExtSpec)
     val banded = df.select(col(idCol).as("id"),
-      signBandBuckets(col(vecCol), planes, bands).as("bh"))
+      explode(array(signBandBuckets(col(vecCol), planes, bands))).as("bh"))
       .repartition(col("id"))
     val cands = Dedup.candidatePairs(banded, "id", "bh", maxBucket)
     val side = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
@@ -623,8 +630,12 @@ object Similarity {
     */
   def bandIndexRows(df: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    // explode(array(kernel)) let-bind — see nearDupPairsBanded: the
+    // posexplode's inferred size()>0 filter must not substitute the
+    // sign-band kernel into the scan
     df.select(col(idCol).as("id"),
-        posexplode(signBandBuckets(col(vecCol), planes, bands)))
+        explode(array(signBandBuckets(col(vecCol), planes, bands))).as("__bh"))
+      .select(col("id"), posexplode(col("__bh")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
 
   /** Vector store rows matching [[bandIndexRows]]: `(id, vec, nrm)`. */

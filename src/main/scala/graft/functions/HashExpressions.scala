@@ -351,6 +351,56 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** token_counts(tokens): per-row term frequencies —
+    * array<struct<token string, tf bigint>> with one entry per DISTINCT
+    * token, in first-occurrence order. Equivalent to
+    * `transform(array_distinct(w), t -> struct(t, size(filter(w, x -> x = t))))`
+    * but one hash-map pass (O(|doc|)) in compiled code instead of
+    * O(|distinct| · |doc|) interpreted lambda scans — the per-row tf kernel
+    * of TF-IDF-shaped queries.
+    */
+  case class TokenCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("token", StringType, nullable = true),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_token_counts"
+
+    override def nullSafeEval(input: Any): Any =
+      HashExpressions.tokenCountsEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.HashExpressions.tokenCountsEval($a);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Kernel for [[TokenCounts]]: one LinkedHashMap pass (UTF8String keys
+    * hash/compare by bytes), first-occurrence order out.
+    */
+  def tokenCountsEval(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts =
+      new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val cur = counts.get(t)
+      counts.put(t, if (cur == null) 1L else cur + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** self_dot(a) = Σ aᵢ² in one array pass — what the optimizer rule
     * rewrites `graft_dot(a, a)` into (norms are the hot case: every cosine
     * evaluates two of them). Bit-identical to DotF64(a, a): same elementwise
@@ -410,11 +460,39 @@ object HashExpressions {
     * Bit-compatible with the composed form: bit j of band g is
     * sign(v · plane[g·r+j]) > 0.
     */
-  case class SignBands(child: Expression, planes: IndexedSeq[Double], dim: Int, bands: Int)
+  /** Content-hashed holder for a plane matrix expression parameter. The
+    * optimizer calls equals/hashCode/toString on expression nodes
+    * constantly (canonicalization, rule idempotence checks, plan strings);
+    * a bare 16k-element Seq field made every such call O(planes) — at
+    * bands=32 × r=8 × dim=64 that was ~1s of pure DRIVER plan-processing
+    * per b45-shaped query. Equality compares one precomputed 64-bit
+    * content hash (plus length); toString is constant-size.
+    */
+  final class PlaneMatrix(val values: Array[Double]) extends Serializable {
+    private val contentHash: Long = {
+      var h = 0x9E3779B97F4A7C15L ^ values.length.toLong
+      var i = 0
+      while (i < values.length) {
+        h = XXH64.hashLong(java.lang.Double.doubleToLongBits(values(i)), h)
+        i += 1
+      }
+      h
+    }
+    override def hashCode: Int = contentHash.toInt
+    override def equals(o: Any): Boolean = o match {
+      case p: PlaneMatrix =>
+        p.contentHash == contentHash && p.values.length == values.length
+      case _ => false
+    }
+    override def toString: String =
+      s"planes[${values.length}]#${java.lang.Long.toHexString(contentHash)}"
+  }
+
+  case class SignBands(child: Expression, planes: PlaneMatrix, dim: Int, bands: Int)
       extends UnaryExpression {
-    require(bands > 0 && dim > 0 && planes.length % (dim * bands) == 0,
-      s"planes (${planes.length}) must be (bands=$bands × r) rows of dim=$dim")
-    require(planes.length / (dim * bands) <= 63, "rowsPerBand must fit a signed long")
+    require(bands > 0 && dim > 0 && planes.values.length % (dim * bands) == 0,
+      s"planes (${planes.values.length}) must be (bands=$bands × r) rows of dim=$dim")
+    require(planes.values.length / (dim * bands) <= 63, "rowsPerBand must fit a signed long")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_sign_bands"
@@ -425,7 +503,7 @@ object HashExpressions {
       case other => throw new IllegalArgumentException(
         s"graft_sign_bands expects array<float|double>, got $other")
     }
-    @transient private lazy val mat: Array[Double] = planes.toArray
+    @transient private lazy val mat: Array[Double] = planes.values
 
     override def nullSafeEval(input: Any): Any =
       HashExpressions.signBandsEval(
@@ -519,6 +597,13 @@ object HashExpressions {
           NgramHashes(c, litInt(loE, "minN"), litInt(hiE, "maxN"))
         case _ => throw new IllegalArgumentException(
           "graft_ngram_hashes(tokens, minN, maxN) takes 3 arguments")
+      }),
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "graft_token_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => TokenCounts(c)
+        case _ => throw new IllegalArgumentException(
+          "graft_token_counts(tokens) takes 1 argument")
       }),
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_unicode_normalize"),
       new ExpressionInfo(

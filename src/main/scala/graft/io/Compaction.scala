@@ -31,13 +31,17 @@ object Compaction {
   private def dataFiles(spark: SparkSession, dir: String) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-    while (it.hasNext) {
-      val s = it.next()
+    // plain listStatus walk — names and sizes already ride the listing;
+    // fs.listFiles(p, recursive = true) additionally resolves BLOCK
+    // LOCATIONS per file, a serial driver pass measured 75× slower over
+    // 1500 local files (the r14 CONVERT lesson, recorded in CLAUDE.md)
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
       val n = s.getPath.getName
-      if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) out += s
+      if (s.isDirectory) walk(s.getPath)
+      else if (!n.startsWith("_") && !n.startsWith(".")) out += s
     }
+    walk(p)
     out.toSeq
   }
 

@@ -2809,7 +2809,14 @@ object DeltaWrite {
       .map(d => fs.makeQualified(DeletionVectors.resolvedPath(root, d)).toUri.getPath)
       .toSet
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    val it = fs.listFiles(root, true)
+    // plain listStatus walk — fs.listFiles(root, recursive) resolves block
+    // locations per file (the r14 CONVERT lesson); names + mtimes suffice
+    val all = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
+      if (s.isDirectory) walk(s.getPath) else all += s
+    }
+    walk(root)
+    val it = all.iterator
     while (it.hasNext) {
       val st = it.next()
       val rel = relativize(root, st.getPath)
