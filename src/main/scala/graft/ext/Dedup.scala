@@ -164,22 +164,30 @@ object Dedup {
     // evaluated 3× per row (filter size + isnotnull + project).
     val banded = df.select(col(idCol).as("id"), explode(array(bh)).as("bh"))
       .repartition(col("id"))
-    // materialized once: the adaptive candidate-id count below and the
-    // final verification joins both read it without re-running the band
-    // self-join
-    val cands = candidatePairs(banded, "id", "bh", maxBucket).localCheckpoint()
+    // materialized once: the broadcast-or-shuffle decision and the final
+    // verification joins both read it without re-running the band
+    // self-join; the pair count rides the SAME materialization via
+    // observe() — no separate count job (each extra action on a composite
+    // like b58 is a full job-launch floor)
+    val candObs = new org.apache.spark.sql.Observation(
+      s"lsh_cands_${java.util.UUID.randomUUID()}")
+    val cands = candidatePairs(banded, "id", "bh", maxBucket)
+      .observe(candObs, count(lit(1)).as("n")).localCheckpoint()
+    val nCands = candObs.get("n").asInstanceOf[Long]
     // Jaccard verification only touches candidate docs: semi-join the corpus
     // down to candidate ids, THEN compute shingle sets. At scale this is the
     // difference between shingling the whole corpus twice and shingling a
     // few thousand docs. The candidate-id side is size-ADAPTIVE: candidate
     // volume grows with the corpus dup rate (not the band count), so a
     // high-dup crawl gets a shuffled semi-join instead of an O(corpus)
-    // broadcast.
-    // cands is already checkpointed — explode+distinct re-runs cheaply for
-    // the count, so no second materialization
-    val candIds = graft.core.ops.TableOps.adaptiveJoinSide(cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct(),
-      maxBroadcastIds, materialize = false)
+    // broadcast. Distinct ids ≤ 2 × pairs, so the observed pair count
+    // bounds the broadcast size without a distinct-count job; the bound
+    // being conservative only ever picks the (always-correct) shuffled
+    // semi-join earlier than strictly needed.
+    val candIdsRaw = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candIds =
+      if (2L * nCands <= maxBroadcastIds) broadcast(candIdsRaw) else candIdsRaw
     // Verification shingle sets: the fast family compares 8-byte xxhash64
     // shingle hashes (native NgramHashes kernel — no interpreted HOF, no
     // gram strings through the shuffle; jac unchanged short of a 64-bit
@@ -249,9 +257,14 @@ object Dedup {
     val (srcCol, dstCol) =
       if (integralIds) (col(idA).cast("long"), col(idB).cast("long"))
       else (col(idA), col(idB))
+    // edge count rides the checkpoint materialization via observe() — the
+    // strategy decision costs no second job
+    val edgeObs = new org.apache.spark.sql.Observation(
+      s"dup_edges_${java.util.UUID.randomUUID()}")
     val edges = pairs.select(srcCol.as("src"), dstCol.as("dst"))
       .union(pairs.select(dstCol.as("src"), srcCol.as("dst")))
       .distinct()
+      .observe(edgeObs, count(lit(1)).as("n"))
       .localCheckpoint()
     // Size-adaptive strategy (the broadcast-join decision, applied to
     // connected components): near-dup edge sets are a vanishing fraction
@@ -259,7 +272,7 @@ object Dedup {
     // union-find finishes in microseconds instead of O(log diameter)
     // join+checkpoint ROUNDS. Identical semantics (min reachable id);
     // above the threshold the distributed propagation below takes over.
-    if (integralIds && edges.count() <= driverThreshold) {
+    if (integralIds && edgeObs.get("n").asInstanceOf[Long] <= driverThreshold) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -512,15 +525,21 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val newBanded = bandIndex(newDocs, idCol, textCol, shingleN, k, bands, fast)
       .withColumnsRenamed(Map("id" -> "new_id", "band" -> "nband", "h" -> "nh"))
+    // candidate count rides the checkpoint via observe() — no second
+    // count job (see minhashLshPairs); distinct old ids ≤ pairs
+    val candObs = new org.apache.spark.sql.Observation(
+      s"ingest_cands_${java.util.UUID.randomUUID()}")
     val cands = newBanded
       .join(index, col("nband") === col("band") && col("nh") === col("h") &&
         col("new_id") =!= col("id"))
       .select(col("new_id"), col("id").as("old_id"))
       .distinct()
+      .observe(candObs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val oldIds = graft.core.ops.TableOps.adaptiveJoinSide(
-      cands.select(col("old_id").as("cid")).distinct(),
-      maxBroadcastIds, materialize = false)
+    val nCands = candObs.get("n").asInstanceOf[Long]
+    val oldIdsRaw = cands.select(col("old_id").as("cid")).distinct()
+    val oldIds =
+      if (nCands <= maxBroadcastIds) broadcast(oldIdsRaw) else oldIdsRaw
     // same fast-family hashed-shingle verification as minhashLshPairs
     // (8-byte hashes, native kernel); md5 family keeps strings
     val shSet: Column => Column =
@@ -560,6 +579,11 @@ object Dedup {
       .join(docs.select(col(idCol), score.as("__score")), Seq(idCol))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("__score").desc, col(idCol))
+    // NOTE (r14 opt): measured, not changed — the planner already picks a
+    // broadcast anti join here (the drop side's estimate flows from the
+    // tiny clusters relation), and a same-run A/B of an explicit
+    // adaptiveJoinSide materialization was a net LOSS (one extra count
+    // job against an already-correct plan).
     val drops = members.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1).select(col(idCol))
     docs.join(drops, Seq(idCol), "left_anti")
