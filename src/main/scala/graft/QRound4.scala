@@ -357,6 +357,12 @@ object QRound4 {
       .select(col("doc_id"),
         explode(call_function("graft_token_counts", col("w"))).as("e"))
       .select(col("doc_id"), col("e.token").as("token"), col("e.tf").as("tf"))
+    // NOTE (r14 opt): dfreq and the scored join both consume tf and AQE's
+    // ReusedExchange does NOT fire (column pruning canonicalizes the two
+    // exchanges differently — ProfileReuse: scans=3, reused_exchange=0),
+    // so tf re-derives per consumer. A localCheckpoint here was A/B'd and
+    // LOST at bench scale (the materialization job's floor exceeds the
+    // re-derived explode); at real scale, materialize tf to parquet.
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(dfreq, "token")
