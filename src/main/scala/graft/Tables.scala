@@ -65,10 +65,22 @@ object Tables {
     * (documents/embeddings) the expensive per-row work (shingling, minhash,
     * 64-dim dot products) runs in the scan stage. On production-scale input
     * the scan already has >= parallelism splits and this is a no-op — the
-    * repartition only fires for the degenerate small-file case, where
-    * shuffling a few MB buys a core-count speedup of the kernel stage.
+    * widening only fires for the degenerate small-file case.
+    *
+    * r14-opt: the widening used to be an in-plan `repartition(target)`,
+    * which put a round-robin Exchange (plus its sort-before-repartition
+    * pass) into EVERY consumer's plan — one extra stage boundary per query
+    * across the ~55 bench entries that touch these tables. It is now a
+    * once-per-(JVM, source-path) materialized copy in properly-sized
+    * splits — the same "normalize at ingest" shape as the nanos-encoded
+    * events copy below (and of q73's range layout): every later query
+    * gets a plain multi-split parquet scan with NO exchange, identical
+    * rows, and column pruning / filter pushdown intact (the copy is plain
+    * parquet). Each JVM rebuilds the copy from the source parquet — no
+    * state crosses runs.
     */
-  private def widened(s: SparkSession, df: DataFrame): DataFrame = {
+  private val widenCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def widened(s: SparkSession, df: DataFrame, srcPath: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // estimate the scan's split count from plan statistics (file bytes /
     // maxPartitionBytes) — `df.rdd.getNumPartitions` would be exact but
@@ -77,13 +89,26 @@ object Tables {
       s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estParts = (estBytes / maxPart).toLong + 1
-    if (estParts >= target) df else df.repartition(target)
+    if (estParts >= target) df
+    else {
+      val dir = widenCache.computeIfAbsent(
+        new java.io.File(srcPath).getAbsolutePath + s"#$target",
+        _ => {
+          val out = java.nio.file.Files.createTempDirectory("graft_widened_")
+          out.toFile.deleteOnExit()
+          df.repartition(target).write.mode("overwrite").parquet(s"$out/t")
+          s"$out/t"
+        })
+      s.read.parquet(dir)
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    memo(s, s"widened:$d/documents.parquet")(widened(s, load(s, d, "documents")))
+    memo(s, s"widened:$d/documents.parquet")(
+      widened(s, load(s, d, "documents"), s"$d/documents.parquet"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    memo(s, s"widened:$d/embeddings.parquet")(widened(s, load(s, d, "embeddings")))
+    memo(s, s"widened:$d/embeddings.parquet")(
+      widened(s, load(s, d, "embeddings"), s"$d/embeddings.parquet"))
 
   /** `events.parquet` has shipped `ts` in three physical forms across
     * driver testdata generations; normalize all of them to a microsecond

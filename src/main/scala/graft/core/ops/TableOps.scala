@@ -124,6 +124,15 @@ object TableOps {
 
   def adaptiveJoinSide(df: DataFrame, maxBroadcastRows: Long = 4000000L,
       materialize: Boolean = true): DataFrame = {
+    // Driver-local side (dupClusters' union-find fast path emits a
+    // LocalRelation, and ConvertToLocalRelation folds filters/projects
+    // over it): the row count is already on the driver — spending a
+    // Spark job (a full job-launch floor) to count it buys nothing.
+    df.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        return if (lr.data.length <= maxBroadcastRows) broadcast(df) else df
+      case _ => ()
+    }
     // materialize=false when `df` is a cheap derivation of an
     // already-materialized frame (a filter over a checkpointed cluster
     // table): the count and the join each re-run the derivation, which is
