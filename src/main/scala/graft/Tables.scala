@@ -67,20 +67,16 @@ object Tables {
     * the scan already has >= parallelism splits and this is a no-op — the
     * widening only fires for the degenerate small-file case.
     *
-    * r14-opt: the widening used to be an in-plan `repartition(target)`,
-    * which put a round-robin Exchange (plus its sort-before-repartition
-    * pass) into EVERY consumer's plan — one extra stage boundary per query
-    * across the ~55 bench entries that touch these tables. It is now a
-    * once-per-(JVM, source-path) materialized copy in properly-sized
-    * splits — the same "normalize at ingest" shape as the nanos-encoded
-    * events copy below (and of q73's range layout): every later query
-    * gets a plain multi-split parquet scan with NO exchange, identical
-    * rows, and column pruning / filter pushdown intact (the copy is plain
-    * parquet). Each JVM rebuilds the copy from the source parquet — no
-    * state crosses runs.
+    * r15-opt: back to the in-plan `repartition(target)`. The r14 snapshot
+    * commit replaced it with a once-per-JVM materialized parquet copy; the
+    * driver's ground truth showed that copy's 32 tiny files bin-pack under
+    * `filesOpenCostInBytes` into ~1 read split, SERIALIZING every consumer
+    * that rides the scan (q31 0.62s → 1.01s at both 8 and 32 cores), and a
+    * driver-local temp dir handed to a distributed write is wrong on any
+    * multi-node cluster. The in-plan exchange costs one stage boundary per
+    * consumer but guarantees the parallelism and holds on a real cluster.
     */
-  private val widenCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def widened(s: SparkSession, df: DataFrame, srcPath: String): DataFrame = {
+  private def widened(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // estimate the scan's split count from plan statistics (file bytes /
     // maxPartitionBytes) — `df.rdd.getNumPartitions` would be exact but
@@ -89,26 +85,15 @@ object Tables {
       s.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val estParts = (estBytes / maxPart).toLong + 1
-    if (estParts >= target) df
-    else {
-      val dir = widenCache.computeIfAbsent(
-        new java.io.File(srcPath).getAbsolutePath + s"#$target",
-        _ => {
-          val out = java.nio.file.Files.createTempDirectory("graft_widened_")
-          out.toFile.deleteOnExit()
-          df.repartition(target).write.mode("overwrite").parquet(s"$out/t")
-          s"$out/t"
-        })
-      s.read.parquet(dir)
-    }
+    if (estParts >= target) df else df.repartition(target)
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
     memo(s, s"widened:$d/documents.parquet")(
-      widened(s, load(s, d, "documents"), s"$d/documents.parquet"))
+      widened(s, load(s, d, "documents")))
   def embeddings(s: SparkSession, d: String): DataFrame =
     memo(s, s"widened:$d/embeddings.parquet")(
-      widened(s, load(s, d, "embeddings"), s"$d/embeddings.parquet"))
+      widened(s, load(s, d, "embeddings")))
 
   /** `events.parquet` has shipped `ts` in three physical forms across
     * driver testdata generations; normalize all of them to a microsecond

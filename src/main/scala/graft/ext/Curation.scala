@@ -112,9 +112,13 @@ object Curation {
 
     // 3. near-dup collapse — keep each component's min-id representative
     cfg.nearDup.foreach { nd =>
-      val pairs = Dedup.minhashLshPairs(cur, idCol, textCol,
+      // the observed candidate count bounds the verified pair count, so
+      // clustering can take its one-job driver fast path without a
+      // counting job (see Dedup.dupClusters pairBound)
+      val (pairs, nPairsBound) = Dedup.minhashLshPairsCounted(cur, idCol, textCol,
         nd.shingleN, nd.k, nd.bands, nd.threshold, nd.fast, cfg.maxBroadcastIds)
-      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b")
+      val clusters = Dedup.dupClusters(pairs, "id_a", "id_b",
+        pairBound = Some(nPairsBound))
       // size-adaptive: loser volume is the corpus DUP RATE, not a constant
       // — broadcast when counted small, shuffled left_anti otherwise
       // clusters is already materialized by dupClusters — the filter is a

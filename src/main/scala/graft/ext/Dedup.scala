@@ -145,7 +145,22 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, threshold: Double,
       fast: Boolean = false, maxBroadcastIds: Long = 4000000L,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    minhashLshPairsCounted(df, idCol, textCol, shingleN, k, bands, threshold,
+      fast, maxBroadcastIds, maxBucket)._1
+
+  /** [[minhashLshPairs]] plus the OBSERVED candidate-pair count (already
+    * collected by the candidate checkpoint's observe() — no extra job).
+    * Verified pairs are a subset of candidates, so the count is a sound
+    * upper bound for [[dupClusters]]' `pairBound` — the composites
+    * (curate, the dedup-apply pipelines) pass it so clustering can take
+    * the one-job driver fast path without a counting job of its own.
+    */
+  def minhashLshPairsCounted(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, threshold: Double,
+      fast: Boolean = false, maxBroadcastIds: Long = 4000000L,
+      maxBucket: Int = 4096): (DataFrame, Long) = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
     val bh =
@@ -204,12 +219,13 @@ object Dedup {
     // small parquet scan underneath and would otherwise BROADCAST them —
     // collecting the shingle arrays to the driver. Shuffled on id, the two
     // sides are identical exchanges and the plan computes shingles once.
-    cands
+    val verified = cands
       .join(sh.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.id"))
       .join(sh.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sa.sh"), col("sb.sh")), 4).as("jac"))
       .filter(col("jac") >= threshold)
+    (verified, nCands)
   }
 
   /** Pairwise n-gram Jaccard within a blocking key (e.g. source): the
@@ -244,7 +260,8 @@ object Dedup {
     * replicated, so an executor loss mid-loop fails the job.)
     */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
-      maxIters: Int = 20, driverThreshold: Long = 100000L): DataFrame = {
+      maxIters: Int = 20, driverThreshold: Long = 100000L,
+      pairBound: Option[Long] = None): DataFrame = {
     // Integral id columns are widened to long up front so BOTH strategies
     // below see one type (and the driver fast path's getLong cannot
     // ClassCastException on int ids); non-integral ids (strings, …) keep
@@ -257,23 +274,16 @@ object Dedup {
     val (srcCol, dstCol) =
       if (integralIds) (col(idA).cast("long"), col(idB).cast("long"))
       else (col(idA), col(idB))
-    // edge count rides the checkpoint materialization via observe() — the
-    // strategy decision costs no second job
-    val edgeObs = new org.apache.spark.sql.Observation(
-      s"dup_edges_${java.util.UUID.randomUUID()}")
-    val edges = pairs.select(srcCol.as("src"), dstCol.as("dst"))
-      .union(pairs.select(dstCol.as("src"), srcCol.as("dst")))
-      .distinct()
-      .observe(edgeObs, count(lit(1)).as("n"))
-      .localCheckpoint()
-    // Size-adaptive strategy (the broadcast-join decision, applied to
-    // connected components): near-dup edge sets are a vanishing fraction
-    // of the corpus — if the materialized edge list is small, a driver
-    // union-find finishes in microseconds instead of O(log diameter)
-    // join+checkpoint ROUNDS. Identical semantics (min reachable id);
-    // above the threshold the distributed propagation below takes over.
-    if (integralIds && edgeObs.get("n").asInstanceOf[Long] <= driverThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Driver union-find over raw pairs (duplicate rows and either
+    // orientation are harmless to union-find) — identical output to the
+    // propagation below (min reachable id, one row per distinct node,
+    // sorted build order). Taken when the caller certifies the pair count
+    // ≤ driverThreshold up front (pairBound, e.g. the LSH candidate count
+    // that already rode a checkpoint's observe()): then ONE collect job
+    // replaces the two jobs the observed path below pays (symmetric-edge
+    // checkpoint + collect) — each extra action is a full job-launch floor
+    // (r15 opt; the b35/b37/b58 composites all pass the bound).
+    def unionFind(es: Iterator[(Long, Long)]): DataFrame = {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -290,8 +300,28 @@ object Dedup {
       val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
       val spark = pairs.sparkSession
       import spark.implicits._
-      return rows.toDF("id", "cluster")
+      rows.toDF("id", "cluster")
     }
+    if (integralIds && pairBound.exists(_ <= driverThreshold))
+      return unionFind(pairs.select(srcCol.as("src"), dstCol.as("dst"))
+        .collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
+    // edge count rides the checkpoint materialization via observe() — the
+    // strategy decision costs no second job
+    val edgeObs = new org.apache.spark.sql.Observation(
+      s"dup_edges_${java.util.UUID.randomUUID()}")
+    val edges = pairs.select(srcCol.as("src"), dstCol.as("dst"))
+      .union(pairs.select(dstCol.as("src"), srcCol.as("dst")))
+      .distinct()
+      .observe(edgeObs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    // Size-adaptive strategy (the broadcast-join decision, applied to
+    // connected components): near-dup edge sets are a vanishing fraction
+    // of the corpus — if the materialized edge list is small, a driver
+    // union-find finishes in microseconds instead of O(log diameter)
+    // join+checkpoint ROUNDS. Identical semantics (min reachable id);
+    // above the threshold the distributed propagation below takes over.
+    if (integralIds && edgeObs.get("n").asInstanceOf[Long] <= driverThreshold)
+      return unionFind(edges.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
     // Convergence via observe(): labels only ever DECREASE, so an unchanged
     // label sum between rounds means a fixpoint. The metric rides the
     // localCheckpoint materialization — no extra job per round (a
